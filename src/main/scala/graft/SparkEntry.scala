@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the full query catalog:
+  *  - operators.Relational: the reference's relational surface
+  *    (SURVEY §2.1-2.9) over the testdata star schema
+  *  - operators.TextQueries / functions.TextFunctions: text analysis
+  *  - operators.Dedup: exact + MinHash-LSH + Jaccard + SimHash dedup
+  *  - operators.Similarity: brute-force + LSH ANN over embeddings
+  *  - operators.Multimodal: binary-payload plumbing (stubbed decode)
+  *  - streaming.Streams: Structured Streaming windowed aggregation
+  *  - ml.Predictor: spark.ml parity with the reference's sklearn layer
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val catalog: Seq[GraftQuery] =
+    operators.Relational.all ++
+      operators.TextQueries.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.Multimodal.all ++
+      streaming.Streams.all ++
+      ml.Predictor.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the full core-model pipeline shape (SURVEY §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Relational.q08CoreEventsModel.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (simhash bit votes, stubbed media decode, ml fit). */
+  def oracleSql: Map[String, String] =
+    catalog.collect { case GraftQuery(n, _, Some(sql), _) => n -> sql }.toMap
+
+  /** Headline subset benchmarked per-round (Bench). */
+  def headlines: Seq[GraftQuery] = catalog.filter(_.headline)
 }

@@ -1,0 +1,93 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import scala.collection.mutable
+
+/** dbt-style model framework: named models, `ref()` dependencies,
+  * topological materialization — re-expressed as lazy DataFrame
+  * composition (reference: dbt DAG semantics,
+  * /root/reference/dbt_project_old/dbt_postgres/models/raw_texi.sql:3-6,
+  * core_texi.sql:2-5,52; execution lifecycle SURVEY.md §3.1).
+  *
+  * A [[Model]] is a name, a list of upstream model/source names, and a
+  * build function from resolved upstream DataFrames to this model's
+  * DataFrame. "Compilation" is just lazy logical-plan construction —
+  * Catalyst sees the fully composed plan of the whole DAG and can
+  * optimize across model boundaries (predicate pushdown through a
+  * ref() chain, which dbt/Postgres can only do within one model).
+  *
+  * Materialization (`run`) writes each model as parquet in topo order,
+  * mirroring dbt's `materialized='table'` full-refresh semantics
+  * (SaveMode.Overwrite). At 100 TB, pass `partitionBy` columns so the
+  * materialized tables are partition-pruned by downstream readers.
+  */
+final case class Model(
+    name: String,
+    deps: Seq[String],
+    partitionBy: Seq[String] = Nil)(
+    val build: Map[String, DataFrame] => DataFrame)
+
+final class ModelRegistry(sources: Map[String, DataFrame]) {
+  private val models = mutable.LinkedHashMap.empty[String, Model]
+
+  def register(m: Model): this.type = {
+    require(!models.contains(m.name) && !sources.contains(m.name),
+      s"duplicate model name: ${m.name}")
+    models += (m.name -> m); this
+  }
+
+  /** Kahn topo order over registered models; cycles are a config error
+    * (same contract as dbt: a ref() cycle fails the parse). */
+  def topoOrder: Seq[String] = {
+    val inDeg = mutable.Map.empty[String, Int]
+    val out = mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    models.values.foreach { m =>
+      val modelDeps = m.deps.filter(models.contains)
+      m.deps.foreach { d =>
+        require(models.contains(d) || sources.contains(d),
+          s"model ${m.name} refs unknown dep $d")
+      }
+      inDeg(m.name) = modelDeps.size
+      modelDeps.foreach(d => out(d) = m.name :: out(d))
+    }
+    val queue = mutable.Queue(models.keys.filter(inDeg(_) == 0).toSeq: _*)
+    val order = mutable.ArrayBuffer.empty[String]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue(); order += n
+      out(n).foreach { m => inDeg(m) -= 1; if (inDeg(m) == 0) queue += m }
+    }
+    require(order.size == models.size,
+      s"cycle among models: ${models.keys.toSet -- order}")
+    order.toSeq
+  }
+
+  /** Resolve a model to its (lazy, unmaterialized) DataFrame — the
+    * whole upstream DAG composes into one Catalyst plan. */
+  def resolve(name: String): DataFrame = {
+    val cache = mutable.Map.empty[String, DataFrame]
+    def go(n: String): DataFrame = cache.getOrElseUpdate(n,
+      sources.getOrElse(n,
+        models.getOrElse(n, sys.error(s"unknown model/source $n")) match {
+          case m => m.build(m.deps.map(d => d -> go(d)).toMap)
+        }))
+    go(name)
+  }
+
+  /** Materialize every model in topo order (dbt run). Each model reads
+    * its deps' *materialized* output, matching dbt's node-at-a-time
+    * execution; returns the written DataFrames. */
+  def run(spark: SparkSession, outDir: String): Map[String, DataFrame] = {
+    val done = mutable.Map.empty[String, DataFrame] ++ sources
+    topoOrder.map { n =>
+      val m = models(n)
+      val df = m.build(m.deps.map(d => d -> done(d)).toMap)
+      val path = s"$outDir/$n"
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
+        .parquet(path)
+      val back = spark.read.parquet(path)
+      done += (n -> back)
+      n -> back
+    }.toMap
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface:
+  * exact (hash-groupBy), MinHash+LSH banding, n-gram Jaccard
+  * verification, SimHash. All shuffle-once designs:
+  *
+  *  - Exact dedup: one hash aggregate on md5(text) — partial-agg
+  *    combines map-side, shuffle carries one row per (hash, partition).
+  *  - MinHash LSH: signatures are per-row (narrow); the ONLY shuffle is
+  *    the groupBy/self-join on band keys, whose cardinality is
+  *    #docs × #bands regardless of document size. Candidate pairs per
+  *    bucket are bounded by bucket size — the classic way pairwise
+  *    O(n²) dedup becomes feasible at 100 TB.
+  *  - Jaccard verification joins candidate PAIRS (tiny relative to the
+  *    corpus) back to token sets — never all-pairs.
+  *
+  * MinHash here is min-over-md5-strings per seeded salt: engine-
+  * portable (md5 is byte-identical everywhere) and uniform enough for
+  * banding; a production variant would use xxhash64 for speed (same
+  * structure, cheaper hash — see Bench).
+  */
+object Dedup {
+
+  val numHashes = 6
+  val bandsPerDoc = 2 // 2 bands × 3 minhashes each
+  private val rowsPerBand = numHashes / bandsPerDoc
+
+  /** k-th minhash of a distinct-token array: min over md5("s<k>~" ++ w). */
+  def minhash(toks: Column, k: Int): Column =
+    array_min(transform(toks, w => md5(concat(lit(s"s$k~"), w))))
+
+  /** Band key b over its rowsPerBand minhashes. */
+  def bandHash(toks: Column, b: Int): Column =
+    md5(concat_ws("|",
+      (0 until rowsPerBand).map(i => minhash(toks, b * rowsPerBand + i)): _*))
+
+  /** doc_id → exploded (band_id, band_hash) rows. */
+  def docBands(docs: DataFrame): DataFrame = {
+    val toks = TextFunctions.distinctTokens(lower(col("text")))
+    val bands = array((0 until bandsPerDoc).map(b =>
+      struct(lit(b).as("band_id"), bandHash(toks, b).as("band_hash"))): _*)
+    docs.select(col("doc_id"), explode(bands).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate near-dup pairs (doc_a < doc_b) from shared LSH bands. */
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val bands = docBands(docs)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct-token sets, for candidate verification. */
+  def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.distinctTokens(lower(col("text"))).as("toks"))
+    pairs
+      .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+      .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("n_union", size(array_union(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: per-token 64-bit hash (from the first
+    * 15 md5 hex chars — engine-portable), bit-vote, sign. Composed
+    * from built-ins (conv/transform/aggregate) — stays in codegen. */
+  def simhash64(toks: Column): Column = {
+    val tokHash = transform(toks, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { bit =>
+      val cnt = size(filter(tokHash, h => h.bitwiseAND(lit(1L << bit)) =!= 0L))
+      when(cnt * 2 > size(tokHash), lit(1L << bit)).otherwise(0L)
+    }
+    votes.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  // ---- oracle-paired queries ----
+
+  /** Exact dedup via hash-groupBy: canonical survivor per content hash. */
+  val qDedupExact: GraftQuery = GraftQuery(
+    "q26_dedup_exact",
+    """SELECT md5(lower(text)) AS content_fp,
+      |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(lower(text))
+      |ORDER BY content_fp""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(TextFunctions.contentFingerprint(col("text")).as("content_fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_fp")
+  }
+
+  private def minhashSql(k: Int): String =
+    s"list_aggregate(list_transform(list_distinct(string_split(lower(text), ' ')), " +
+      s"w -> md5('s$k~' || w)), 'min')"
+
+  private def bandSql(b: Int): String =
+    "md5(concat_ws('|', " +
+      (0 until rowsPerBand).map(i => minhashSql(b * rowsPerBand + i)).mkString(", ") + "))"
+
+  private val bandsCte: String =
+    s"""bands AS (
+       |  SELECT doc_id, band_id, band_hash FROM (
+       |    SELECT doc_id, 0 AS band_id, ${bandSql(0)} AS band_hash FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, 1 AS band_id, ${bandSql(1)} AS band_hash FROM documents))""".stripMargin
+
+  /** MinHash LSH bucket census: buckets holding >1 doc = candidates. */
+  val qDedupMinhashBuckets: GraftQuery = GraftQuery(
+    "q27_dedup_minhash_buckets",
+    s"""WITH $bandsCte
+       |SELECT band_id, band_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+       |FROM bands
+       |GROUP BY band_id, band_hash
+       |HAVING COUNT(*) > 1
+       |ORDER BY band_id, band_hash""".stripMargin) { (s, d) =>
+    docBands(Tables.documents(s, d))
+      .groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("band_id", "band_hash")
+  }
+
+  /** LSH candidate pairs, Jaccard-verified (the full near-dup pipeline):
+    * band-join → distinct pairs → token-set Jaccard ≥ 0.9. */
+  val qDedupMinhashPairs: GraftQuery = GraftQuery(
+    "q28_dedup_minhash_pairs",
+    s"""WITH $bandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t FROM documents)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(ta.t, tb.t)) AS INTEGER) AS n_inter,
+       |  CAST(len(list_distinct(list_concat(ta.t, tb.t))) AS INTEGER) AS n_union,
+       |  CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(ta.t, tb.t))) AS jaccard
+       |FROM pairs p
+       |JOIN toks ta ON p.doc_a = ta.doc_id
+       |JOIN toks tb ON p.doc_b = tb.doc_id
+       |WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    withJaccard(candidatePairs(docs), docs)
+      .where(col("jaccard") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprints (no SQL oracle — bit-vote form isn't
+    * reasonably expressible in DuckDB; covered by ScalaTest instead). */
+  val qDedupSimhash: GraftQuery = GraftQuery.noOracle("q29_dedup_simhash") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      simhash64(TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash)
+}

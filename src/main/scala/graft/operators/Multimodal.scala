@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star): media as opaque `binary`
+  * payloads alongside a typed metadata struct, with a partition-batched
+  * featurize step. The media decode itself is STUBBED (no image/audio
+  * libs in this container) behind [[FakeDecoder]] — a deterministic
+  * stand-in with the same interface a real decoder would have. The
+  * Spark-side plumbing — schema, batch shape, partition-parallel
+  * featurize, pushdown-friendly metadata — is real and tested.
+  *
+  * Scale design: payloads never shuffle. Featurization is
+  * mapPartitions (one decoder init per partition, the Scala analog of
+  * a Pandas-UDF batch), metadata-only queries prune the binary column
+  * at the parquet scan, and derived features are small fixed-width
+  * columns safe to aggregate/join downstream.
+  */
+object Multimodal {
+
+  /** Metadata carried with every media payload. */
+  case class MediaMeta(mediaType: String, nBytes: Int, sourceId: Long)
+
+  case class MediaRow(doc_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  /** Fixed-width feature record a real decoder would emit
+    * (e.g. CLIP-style embedding head + dimensions). */
+  case class MediaFeatures(doc_id: Long, mediaType: String, width: Int,
+      height: Int, nFrames: Int, featNorm: Double)
+
+  /** Deterministic fake decoder: derives pseudo width/height/frames
+    * from payload bytes. A real deployment swaps this one object for
+    * an actual codec binding; everything around it is unchanged. */
+  object FakeDecoder {
+    def decode(meta: MediaMeta, payload: Array[Byte]): MediaFeatures = {
+      val h = java.util.Arrays.hashCode(payload)
+      val w = 64 + math.abs(h % 1024)
+      val ht = 64 + math.abs((h / 1024) % 1024)
+      val frames = if (meta.mediaType == "video") 1 + math.abs(h % 120) else 1
+      val norm = payload.take(256).map(b => (b & 0xff).toDouble / 255.0).sum
+      MediaFeatures(meta.sourceId, meta.mediaType, w, ht, frames, norm)
+    }
+  }
+
+  /** Build a media table from `documents`: payload = UTF-8 bytes of the
+    * text (an opaque blob as far as the pipeline is concerned),
+    * metadata derived per row. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        // media type assigned round-robin for pipeline-shape coverage
+        element_at(lit(Array("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .map { case (id, payload, mt) =>
+        MediaRow(id, MediaMeta(mt, payload.length, id), payload)
+      }
+  }
+
+  /** Partition-batched featurize: one decoder per partition, payloads
+    * consumed locally, only fixed-width features survive. */
+  def featurize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // decoder init happens once per partition here (stubbed: no-op)
+      rows.map(r => FakeDecoder.decode(r.meta, r.payload))
+    }
+  }
+
+  /** Oracle-paired slice of the plumbing: binary payload length and a
+    * content digest — byte-level semantics both engines agree on.
+    * (The stubbed decode features are covered rows-only + ScalaTest.) */
+  val qBinaryMeta: GraftQuery = GraftQuery(
+    "q33_multimodal_meta",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text").cast("binary")).as("n_bytes"),
+      md5(col("text")).as("payload_md5"),
+      element_at(lit(Array("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+      .orderBy("doc_id")
+  }
+
+  /** Decoded features (stub decode → rows-only check + unit spec). */
+  val qMediaFeatures: GraftQuery = GraftQuery.noOracle("q34_multimodal_features") { (s, d) =>
+    featurize(mediaTable(s, d)).toDF().orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMediaFeatures)
+}

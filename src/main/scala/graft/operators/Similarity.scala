@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (north-star ANN surface).
+  *
+  * Two tiers, as a real 100 TB pipeline would deploy them:
+  *  1. Brute-force cosine top-k: broadcast the (small) query set
+  *     against the full corpus — one narrow pass, no shuffle for the
+  *     scoring; TakeOrdered per query for the top-k. Exact baseline.
+  *  2. Random-hyperplane LSH (SimHash-for-vectors): 8 fixed
+  *     hyperplanes → 8-bit bucket signature; near neighbors collide
+  *     with high probability, and candidate generation becomes an
+  *     equi-join on the signature — the IVF-style scale path where
+  *     brute force would be quadratic.
+  *
+  * Hyperplane matrix is generated from a fixed seed (java.util.Random
+  * LCG — stable across JVMs) with ±1 entries, embedded identically in
+  * the Spark plan and the DuckDB oracle SQL.
+  *
+  * Dot products run left-to-right over the array in both engines;
+  * scores are used only for ORDER BY / sign tests, never hashed raw,
+  * so ulp-level fp differences cannot flip results except on exact
+  * ties (broken by id).
+  */
+object Similarity {
+
+  val dim = 64
+  val numPlanes = 8
+
+  /** ±1 hyperplanes, deterministic across runs/JVMs. */
+  val hyperplanes: Array[Array[Int]] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** Cosine similarity between two ARRAY<FLOAT> columns, computed in
+    * double via a single zip_with + aggregate pass (codegen-friendly,
+    * no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Signed projection of an ARRAY<FLOAT> onto ±1 hyperplane `p`. */
+  private def planeDot(v: Column, p: Array[Int]): Column =
+    aggregate(
+      zip_with(v, lit(p.map(_.toDouble)), (x, h) => x.cast("double") * h),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 8-char '0'/'1' LSH bucket signature for an embedding column. */
+  def lshSignature(v: Column): Column =
+    concat(hyperplanes.toIndexedSeq.map(p =>
+      when(planeDot(v, p) >= 0, "1").otherwise("0")): _*)
+
+  /** Exact brute-force top-k cosine neighbors for a query set.
+    * queryFilter selects the query rows; broadcast side is the query
+    * set (small), stream side the corpus (arbitrarily large). */
+  def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val queries = emb.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  // ---- oracle-paired queries ----
+
+  private def planeSqlList(p: Array[Int]): String =
+    p.map(x => s"$x.0").mkString("[", ", ", "]")
+
+  private val signatureSql: String =
+    hyperplanes.map(p =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSqlList(p)}) >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  /** Brute-force exact top-5 neighbors of the first 8 vectors.
+    * Output is ids+rank only (scores ordered, not emitted — fp-safe). */
+  val qSimTopK: GraftQuery = GraftQuery(
+    "q30_sim_topk",
+    """WITH queries AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+      |  FROM queries q JOIN embeddings e ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 8, 5)
+      .withColumn("rank", col("rank").cast("int"))
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH bucket census: the scale path's partitioning of the corpus. */
+  val qSimLshBuckets: GraftQuery = GraftQuery(
+    "q31_sim_lsh_buckets",
+    s"""SELECT $signatureSql AS bucket,
+       |  COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+       |FROM embeddings
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .groupBy(lshSignature(col("embedding")).as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy("bucket")
+  }
+
+  /** Bucketed ANN: top-3 neighbors per query restricted to the query's
+    * LSH bucket — the join-pruned variant of q30 (approximate; the
+    * candidate set is the bucket, not the corpus). */
+  val qSimLshTopK: GraftQuery = GraftQuery(
+    "q32_sim_lsh_topk",
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, $signatureSql AS bucket FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM sigs q JOIN sigs e
+       |    ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 32),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("bucket"))
+    val q = sigs.where(col("vec_id") < 32)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val e = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+      col("bucket").as("n_bucket"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qSimTopK, qSimLshBuckets, qSimLshTopK)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Oracle-paired text-analysis queries over `documents` (north-star
+  * text-analysis surface; driven by TextFunctions). */
+object TextQueries {
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitCountSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(words)}, t)))"
+
+  /** Token counting: whitespace tokenizer + BPE-ish regex counter. */
+  val qTextTokens: GraftQuery = GraftQuery(
+    "q21_text_tokens",
+    """SELECT doc_id, lang, source,
+      |  CAST(length(text) AS INTEGER) AS n_chars_actual,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      length(col("text")).as("n_chars_actual"),
+      tokenCount(col("text")).as("n_tokens"),
+      size(distinctTokens(col("text"))).as("n_distinct_tokens"),
+      bpeishTokenCount(col("text")).as("n_bpeish"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: ratios are exact-int divisions → deterministic. */
+  val qTextQuality: GraftQuery = GraftQuery(
+    "q22_text_quality",
+    s"""SELECT doc_id,
+       |  CAST(${hitCountSql(stopwords)} AS INTEGER) AS stopword_hits,
+       |  CAST(${hitCountSql(stopwords)} AS DOUBLE) /
+       |    greatest(len(string_split(text, ' ')), 1) AS stopword_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+       |    greatest(length(text), 1) AS punct_ratio,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+       |    greatest(len(string_split(text, ' ')), 1) AS mean_word_len
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      hitCount(col("text"), stopwords).as("stopword_hits"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      punctRatio(col("text")).as("punct_ratio"),
+      meanWordLen(col("text")).as("mean_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-based language ID (argmax over exact int scores). */
+  val qTextLangid: GraftQuery = GraftQuery(
+    "q23_text_langid",
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    CAST(${hitCountSql(langMarkers("en"))} AS INTEGER) AS s_en,
+       |    CAST(${hitCountSql(langMarkers("es"))} AS INTEGER) AS s_es,
+       |    CAST(${hitCountSql(langMarkers("de"))} AS INTEGER) AS s_de,
+       |    CAST(${hitCountSql(langMarkers("fr"))} AS INTEGER) AS s_fr
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS guessed_lang
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      hitCount(col("text"), langMarkers("en")).as("s_en"),
+      hitCount(col("text"), langMarkers("es")).as("s_es"),
+      hitCount(col("text"), langMarkers("de")).as("s_de"),
+      hitCount(col("text"), langMarkers("fr")).as("s_fr"),
+      langGuess(col("text")).as("guessed_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: exact + normalized (token-set) forms. */
+  val qTextFingerprint: GraftQuery = GraftQuery(
+    "q24_text_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(text)) AS content_fp,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS normalized_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      contentFingerprint(col("text")).as("content_fp"),
+      normalizedFingerprint(col("text")).as("normalized_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** T1 reference parity: regex extract-all numerics from JSON-ish
+    * event props (Application.py:34-43). */
+  val qExtractNumbers: GraftQuery = GraftQuery(
+    "q25_extract_numbers",
+    """SELECT event_id, regexp_extract_all(props, '\d+(?:\.\d+)?') AS nums
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      extractNumbers(col("props")).as("nums"))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qExtractNumbers)
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver testdata star schema
+  * (TESTDATA.md / FIXTURES.md §C). One parquet file per table under
+  * `sfDir`. Column pruning + predicate pushdown reach the scan because
+  * these return plain lazy DataFrames (verify with
+  * `.explain("formatted")` → PushedFilters / ReadSchema).
+  *
+  * At 100 TB these would be directories of many parquet files
+  * (possibly partitioned); `spark.read.parquet` handles both shapes
+  * unchanged — no code here assumes a single file.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4
+    * refuses to read as TimestampType. Read nanos as long
+    * (legacy.parquet.nanosAsLong) and truncate to microseconds —
+    * exactly what DuckDB does on read, so oracle comparisons agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn("ts", nanosToTimestamp(col("ts")))
+  }
+
+  def nanosToTimestamp(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(floor(ns / 1000).cast("long"))
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every table as a temp view so spark.sql(...) works. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+}
