@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+import graft.models.TaxiModels
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Deterministic property driver (no scalatestplus bridge offline):
+    * evaluate `gen` across fixed seeds. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 20)(check: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
+    }
+
+  test("identical token sets produce identical bands; disjoint sets don't collide") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "epsilon delta gamma beta alpha"), // reorder → same set
+      (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
+  }
+
+  test("jaccard verification: reordered doc scores 1.0") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "gamma beta alpha"), (2L, "alpha beta zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val j = Dedup.withJaccard(pairs, docs).orderBy("doc_b").collect()
+    assert(j(0).getAs[Double]("jaccard") === 1.0)
+    assert(j(1).getAs[Double]("jaccard") === 0.5) // inter 2, union 4
+  }
+
+  test("simhash: near-identical token sets have small hamming distance, disjoint large") {
+    val df = Seq(
+      (0L, Seq("spark", "join", "merge", "stream", "batch", "row", "col", "scan")),
+      (1L, Seq("spark", "join", "merge", "stream", "batch", "row", "col", "sort")),
+      (2L, Seq("zebra", "yak", "xerus", "wombat", "vole", "uakari", "tapir", "sloth")))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), Dedup.simhash64(col("toks")).as("h"))
+    val h = df.orderBy("doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)))
+    assert(ham(h(0), h(1)) <= 16)
+  }
+
+  test("property: agg-form dedup always yields unique keys and preserves key set") {
+    forAllSeeded(Gen.nonEmptyListOf(Gen.chooseNum(0, 9)), n = 10) { ks =>
+      val df = ks.zipWithIndex.map { case (k, i) => (k.toString, i.toLong) }
+        .toDF("unique_id", "ord")
+      val out = TaxiModels.dedupNewestAggForm(df, "unique_id", "ord")
+      val outKeys = out.select("unique_id").as[String].collect().toSeq
+      assert(outKeys.distinct.size === outKeys.size)
+      assert(outKeys.toSet === ks.map(_.toString).toSet)
+    }
+  }
+
+  test("property: md5 surrogate key is deterministic, 32-hex, null-stable") {
+    forAllSeeded(Gen.zip(Gen.option(Gen.alphaNumStr), Gen.option(Gen.alphaNumStr)), n = 10) {
+      case (a, b) =>
+        val df = Seq((a.orNull, b.orNull)).toDF("x", "y")
+        val cols = Seq(col("x"), col("y"))
+        val k1 = df.select(TaxiModels.uniqueId(cols)).first().getString(0)
+        val k2 = df.select(TaxiModels.uniqueId(cols)).first().getString(0)
+        assert(k1 === k2)
+        assert(k1.length === 32)
+        assert(k1.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.model.{Model, ModelRegistry}
+import org.apache.spark.sql.functions._
+
+class ModelRegistrySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sources = Map("src" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+
+  test("topo order respects ref() edges") {
+    val reg = new ModelRegistry(sources)
+    reg.register(Model("core", Seq("staging"))(m => m("staging")))
+    reg.register(Model("staging", Seq("src"))(m => m("src")))
+    reg.register(Model("mart", Seq("core", "staging"))(m => m("core")))
+    assert(reg.topoOrder === Seq("staging", "core", "mart"))
+  }
+
+  test("cycles are a config error (dbt parse-fail parity)") {
+    val reg = new ModelRegistry(sources)
+    reg.register(Model("a", Seq("b"))(m => m("b")))
+    reg.register(Model("b", Seq("a"))(m => m("a")))
+    assertThrows[IllegalArgumentException](reg.topoOrder)
+  }
+
+  test("unknown refs fail fast") {
+    val reg = new ModelRegistry(sources)
+    reg.register(Model("x", Seq("nope"))(m => m("nope")))
+    assertThrows[IllegalArgumentException](reg.topoOrder)
+  }
+
+  test("resolve composes the whole DAG into one lazy plan") {
+    val reg = new ModelRegistry(sources)
+    reg.register(Model("staging", Seq("src"))(m => m("src").where(col("id") > 1)))
+    reg.register(Model("core", Seq("staging"))(m =>
+      m("staging").withColumn("vv", upper(col("v")))))
+    val out = reg.resolve("core")
+    assert(out.collect().map(_.getString(2)).sorted.toSeq === Seq("B", "C"))
+  }
+
+  test("run materializes in topo order with overwrite semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
+    val reg = new ModelRegistry(sources)
+    reg.register(Model("staging", Seq("src"))(m => m("src")))
+    reg.register(Model("core", Seq("staging"))(m => m("staging").where(col("id") =!= 2)))
+    val out1 = reg.run(spark, dir)
+    assert(out1("core").count() === 2)
+    // second run = full refresh, not append (materialized='table' parity)
+    val out2 = reg.run(spark, dir)
+    assert(out2("core").count() === 2)
+    assert(spark.read.parquet(s"$dir/staging").count() === 3)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecDf(vs: Seq[(Long, Seq[Float])]) = vs.toDF("vec_id", "embedding")
+
+  test("cosine: identical → 1, opposite → -1, orthogonal → 0") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(1f, 0f, 2f), Seq(-1f, 0f, -2f), Seq(0f, 3f, 0f)))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c")),
+      Similarity.cosine(col("a"), col("d"))).first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per query, excluding self") {
+    val base = Seq.fill(Similarity.dim)(0f)
+    def v(i: Int, x: Float) = base.updated(0, x).updated(1, i.toFloat / 10)
+    val df = vecDf((0 until 6).map(i => (i.toLong, v(i, 1f + i))))
+    val out = Similarity.bruteForceTopK(df, col("vec_id") < 2, 3)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 1L))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
+      assert(!rows.exists(r => r.getLong(2) === r.getLong(0)))
+    }
+  }
+
+  test("LSH signature: fixed width, deterministic, identical vectors collide") {
+    val df = vecDf(Seq(
+      (0L, Seq.tabulate(Similarity.dim)(i => i.toFloat)),
+      (1L, Seq.tabulate(Similarity.dim)(i => i.toFloat)),
+      (2L, Seq.tabulate(Similarity.dim)(i => -i.toFloat))))
+    val sigs = df.select(Similarity.lshSignature(col("embedding"))).collect().map(_.getString(0))
+    assert(sigs.forall(s => s.length === Similarity.numPlanes && s.forall("01".contains(_))))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2)) // antipodal vectors flip every nonzero bit
+  }
+
+  test("hyperplanes are seed-stable ±1 (same LCG regeneration matches)") {
+    val rnd = new java.util.Random(42)
+    val regen = Array.fill(Similarity.numPlanes, Similarity.dim)(
+      if (rnd.nextBoolean()) 1 else -1)
+    assert(Similarity.hyperplanes.flatten.toSeq === regen.flatten.toSeq)
+    assert(Similarity.hyperplanes.forall(_.forall(v => v == 1 || v == -1)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("t")
+
+  private def evalInt(text: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Int =
+    one(text).select(c(col("t"))).first().getInt(0)
+
+  test("tokenCount on whitespace tokenizer") {
+    assert(evalInt("the fast key", tokenCount) === 3)
+    assert(evalInt("solo", tokenCount) === 1)
+  }
+
+  test("bpeish token count splits words, digit runs, punctuation") {
+    assert(evalInt("ab12 cd!", bpeishTokenCount) === 4) // ab,12,cd,!
+  }
+
+  test("extractNumbers matches ints and decimals (T1 parity)") {
+    val got = one("go 12 then 3.5 end 7")
+      .select(extractNumbers(col("t"))).first().getSeq[String](0)
+    assert(got === Seq("12", "3.5", "7"))
+  }
+
+  test("stopword ratio and quality score are bounded") {
+    val r = one("the a of junk")
+      .select(stopwordRatio(col("t")), qualityScore(col("t"))).first()
+    assert(r.getDouble(0) === 0.75)
+    assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
+  test("punctRatio counts non-alphanumeric non-space chars") {
+    val r = one("ab!?").select(punctRatio(col("t"))).first().getDouble(0)
+    assert(r === 0.5)
+  }
+
+  test("langGuess argmax with fixed precedence") {
+    val r = one("the the data spark")
+      .select(langGuess(col("t"))).first().getString(0)
+    assert(r === "en") // en hits 2 beats es/de 1
+    val r2 = one("data table row query")
+      .select(langGuess(col("t"))).first().getString(0)
+    assert(r2 === "es")
+  }
+
+  test("normalized fingerprint is word-order and duplication invariant") {
+    val fps = Seq("b a a c", "c b a", "a b c x")
+      .toDF("t").select(normalizedFingerprint(col("t"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("content fingerprint is case-insensitive exact md5") {
+    val fps = Seq("Hello World", "hello world")
+      .toDF("t").select(contentFingerprint(col("t"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  }
+}
