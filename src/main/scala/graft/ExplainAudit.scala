@@ -1,0 +1,29 @@
+package graft
+/** Dev tool: micro-bench native vs composed expressions at sf0.1. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.spark.Sessions.local("audit", 16)
+    val d = "/root/testdata/sf0.1"
+    val emb = graft.sources.Tables.embeddings(spark, d)
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+        .where(col("id2") < 200)))
+    def time(tag: String)(f: => Any): Unit = {
+      f // warm
+      val t0 = System.nanoTime(); f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    time("cosine_native  (400k pairs)")(
+      pairs.select(sum(graft.operators.Similarity.cosine(col("embedding"), col("e2")))).collect())
+    time("cosine_composed(400k pairs)")(
+      pairs.select(sum(graft.operators.Similarity.cosineComposed(col("embedding"), col("e2")))).collect())
+    val toks = graft.sources.Tables.documents(spark, d)
+      .select(graft.functions.TextFunctions.distinctTokens(lower(col("text"))).as("t"))
+    time("simhash_native  (5k docs)")(
+      toks.select(sum(pmod(graft.operators.Dedup.simhash64(col("t")), lit(1000000L)))).collect())
+    time("simhash_composed(5k docs)")(
+      toks.select(sum(pmod(graft.operators.Dedup.simhash64Composed(col("t")), lit(1000000L)))).collect())
+    spark.stop()
+  }
+}

@@ -75,10 +75,14 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
   }
 
-  /** 64-bit SimHash over tokens: per-token 64-bit hash (from the first
-    * 15 md5 hex chars — engine-portable), bit-vote, sign. Composed
-    * from built-ins (conv/transform/aggregate) — stays in codegen. */
-  def simhash64(toks: Column): Column = {
+  /** 64-bit SimHash over tokens — native single-pass Catalyst
+    * expression (org.apache.spark.sql.graftshim.SimHash64). */
+  def simhash64(toks: Column): Column =
+    org.apache.spark.sql.graftshim.SimHash64(toks)
+
+  /** Built-ins-composed SimHash baseline (60-bit; one array scan PER
+    * BIT — kept to benchmark the native expression against). */
+  def simhash64Composed(toks: Column): Column = {
     val tokHash = transform(toks, w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
     val votes = (0 until 60).map { bit =>
       val cnt = size(filter(tokHash, h => h.bitwiseAND(lit(1L << bit)) =!= 0L))

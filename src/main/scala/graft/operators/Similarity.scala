@@ -38,10 +38,17 @@ object Similarity {
     Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1 else -1)
   }
 
-  /** Cosine similarity between two ARRAY<FLOAT> columns, computed in
-    * double via a single zip_with + aggregate pass (codegen-friendly,
-    * no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two ARRAY<FLOAT> columns: native fused
+    * Catalyst expression (one loop, zero allocation — see
+    * org.apache.spark.sql.graftshim.CosineSimilarity). Bit-for-bit equal to
+    * [[cosineComposed]], which it replaced on the ANN hot path. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.CosineSimilarity(a, b)
+
+  /** Built-in composition baseline (zip_with + aggregate): same
+    * accumulation order as [[cosine]]; kept for benchmarking the
+    * native expression against the compose-built-ins tier. */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,74 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two ARRAY<FLOAT> columns.
+  *
+  * The built-in composition (zip_with → aggregate, see
+  * graft.operators.Similarity.cosineComposed) materializes an
+  * intermediate array per pair and walks it three times (dot, |a|, |b|).
+  * This expression fuses everything into one loop with no allocation —
+  * the hot path of brute-force ANN scoring, where the corpus side runs
+  * once per (query, candidate) pair.
+  *
+  * Accumulation order is identical to the composed form (left-to-right
+  * over the array, dot/√na/√nb), so results are bit-for-bit equal and
+  * the DuckDB oracle comparison is unaffected.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(na) / math.sqrt(nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $a.getFloat($i);
+         |  double y = (double) $b.getFloat($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column-level entry point: cosine_sim(a, b). */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -44,6 +44,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sigs(0) !== sigs(2)) // antipodal vectors flip every nonzero bit
   }
 
+  test("native CosineSimilarity expression is bit-for-bit equal to the composed form") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val a = emb.select(col("vec_id"), col("embedding"))
+    val paired = a.join(
+      a.select(col("vec_id").as("id2"), col("embedding").as("e2")),
+      col("vec_id") === col("id2") - 1)
+    val diffs = paired.select(
+      Similarity.cosine(col("embedding"), col("e2")).as("native"),
+      Similarity.cosineComposed(col("embedding"), col("e2")).as("composed"))
+      .where(col("native") =!= col("composed"))
+    assert(diffs.count() === 0)
+  }
+
   test("hyperplanes are seed-stable ±1 (same LCG regeneration matches)") {
     val rnd = new java.util.Random(42)
     val regen = Array.fill(Similarity.numPlanes, Similarity.dim)(
