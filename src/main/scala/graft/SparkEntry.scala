@@ -22,6 +22,8 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++
+      operators.AsOfJoin.all ++
+      operators.JsonQueries.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, attach the most recent right row
+  * (per key) whose time is <= the left row's time. Spark has no native
+  * operator; the naive formulation (inequality join + keep max) plans
+  * a cartesian-per-key join — quadratic in rows-per-key.
+  *
+  * This implementation uses the union + window trick (the standard
+  * scalable composition): tag both sides, union on (key, time), and
+  * carry the latest right-side payload forward with last_value(...)
+  * IGNORE NULLS over (partition key, order time). One shuffle on the
+  * key, linear work per partition — survives arbitrarily large sides
+  * where the inequality join blows up. This is preference tier (a)
+  * "compose built-ins" (SURVEY §7.3): the composition IS the efficient
+  * plan, so no custom SparkPlan is warranted.
+  *
+  * Ordering within equal timestamps: right (build) rows sort BEFORE
+  * left (probe) rows at the same instant, so an exactly-simultaneous
+  * right row is visible to the left row — matching DuckDB
+  * ASOF JOIN's >= semantics.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      build side (its latest row as-of is attached)
+    * @param key        equi-key column name present on both sides
+    * @param leftTime   event-time column on left
+    * @param rightTime  event-time column on right
+    * @param payload    right-side columns to carry (renamed as given)
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(
+        (col(key).as("__k") +: col("__t") +: col("__side") +:
+          leftCols.map(c => col(c).as(s"__l_$c")) ++:
+          payload.map { case (_, out) => lit(null).as(s"__p_$out") }): _*)
+    val rTagged = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(
+        (col(key).as("__k") +: col("__t") +: col("__side") +:
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++:
+          payload.map { case (in, out) =>
+            col(in).cast(right.schema(in).dataType).as(s"__p_$out") }): _*)
+
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .select(
+        (col("__side") +:
+          leftCols.map(c => col(s"__l_$c")) ++:
+          payload.map { case (_, out) =>
+            last(col(s"__p_$out"), ignoreNulls = true).over(w).as(out) }): _*)
+    carried.where(col("__side") === 1)
+      .select((leftCols.map(c => col(s"__l_$c").as(c)) ++
+        payload.map { case (_, out) => col(out) }): _*)
+  }
+
+  /** Events as-of-joined to the user's latest prior order (events.user_id
+    * is drawn from the same id space as orders.o_custkey in the
+    * testdata star schema). Oracle: DuckDB's native ASOF JOIN.
+    *
+    * The build side is pre-reduced to ONE row per (key, time) — ties
+    * between same-day orders are broken toward the max orderkey on both
+    * sides (arg_max in DuckDB), otherwise as-of tie-picks are engine-
+    * arbitrary and the comparison nondeterministic. */
+  val qAsOfJoin: GraftQuery = GraftQuery(
+    "q37_asof_join",
+    """WITH o1 AS (
+      |  SELECT o_custkey AS user_id, o_orderdate,
+      |    MAX(o_orderkey) AS o_orderkey,
+      |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id,
+      |  CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_sec,
+      |  o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice
+      |FROM events e
+      |ASOF LEFT JOIN o1 o
+      |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val orders = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+    asOf(events, orders, key = "user_id", leftTime = "ts", rightTime = "o_orderdate",
+      payload = Seq("o_orderkey" -> "last_orderkey", "o_totalprice" -> "last_totalprice"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_sec"),
+        col("last_orderkey"), col("last_totalprice"))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qAsOfJoin)
+}

@@ -508,8 +508,8 @@ object Relational {
   val q20Sessionize: GraftQuery = GraftQuery(
     "q20_sessionize",
     """WITH ordered AS (
-      |  SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS ts_sec,
-      |    lag(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
       |  FROM events),
       |flagged AS (
       |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 3600
