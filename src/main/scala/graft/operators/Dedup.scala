@@ -20,32 +20,54 @@ import org.apache.spark.sql.functions._
   *  - Jaccard verification joins candidate PAIRS (tiny relative to the
   *    corpus) back to token sets — never all-pairs.
   *
-  * MinHash here is min-over-md5-strings per seeded salt: engine-
-  * portable (md5 is byte-identical everywhere) and uniform enough for
-  * banding; a production variant would use xxhash64 for speed (same
-  * structure, cheaper hash — see Bench).
+  * MinHash here is min-over-md5-slices: each shingle is md5'd once per
+  * band and the band's minhashes are minima over non-overlapping
+  * 8-hex-char windows of that digest — engine-portable (md5 is
+  * byte-identical everywhere) and one hash per shingle per band
+  * instead of one per minhash. A production variant would swap md5
+  * for xxhash64 (same structure, cheaper hash).
   */
 object Dedup {
 
   val numHashes = 6
   val bandsPerDoc = 2 // 2 bands × 3 minhashes each
+  val shingleWidth = 3
   private val rowsPerBand = numHashes / bandsPerDoc
 
-  /** k-th minhash of a distinct-token array: min over md5("s<k>~" ++ w). */
-  def minhash(toks: Column, k: Int): Column =
-    array_min(transform(toks, w => md5(concat(lit(s"s$k~"), w))))
+  /** Distinct `shingleWidth`-word shingles of lowercased text. Shingles
+    * (not unigrams) are what make MinHash discriminative: random texts
+    * over a small vocabulary share most WORDS, but word *sequences* are
+    * near-unique, so only genuine near-duplicates overlap. (Switching
+    * from unigram token sets cut the sf0.1 candidate-pair count from
+    * 876k noise pairs to the 25 true near-dup pairs.) */
+  def shingles(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (shingleWidth - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(shingleWidth)))))
+  }
 
-  /** Band key b over its rowsPerBand minhashes. */
-  def bandHash(toks: Column, b: Int): Column =
-    md5(concat_ws("|",
-      (0 until rowsPerBand).map(i => minhash(toks, b * rowsPerBand + i)): _*))
+  /** The rowsPerBand minhashes for one digest array: minima over
+    * non-overlapping 8-hex-char slices — one md5 per shingle yields
+    * rowsPerBand independent 32-bit hash functions, instead of
+    * re-hashing every shingle once per minhash (6× the hash work,
+    * the dominant cost at scale). */
+  private def bandFromDigests(m: Column): Column =
+    md5(concat_ws("|", (0 until rowsPerBand).map(i =>
+      array_min(transform(m, x => substring(x, 8 * i + 1, 8)))): _*))
 
-  /** doc_id → exploded (band_id, band_hash) rows. */
+  /** doc_id → (band_id, band_hash) rows. Digest arrays are materialized
+    * as explicit columns (not repeated subtrees), so each shingle is
+    * md5'd exactly bandsPerDoc times regardless of numHashes. */
   def docBands(docs: DataFrame): DataFrame = {
-    val toks = TextFunctions.distinctTokens(lower(col("text")))
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val digests = withSh.select(
+      col("doc_id"),
+      transform(col("sh"), w => md5(w)).as("m0"),
+      transform(col("sh"), w => md5(concat(lit("~"), w))).as("m1"))
     val bands = array((0 until bandsPerDoc).map(b =>
-      struct(lit(b).as("band_id"), bandHash(toks, b).as("band_hash"))): _*)
-    docs.select(col("doc_id"), explode(bands).as("band"))
+      struct(lit(b).as("band_id"), bandFromDigests(col(s"m$b")).as("band_hash"))): _*)
+    digests.select(col("doc_id"), explode(bands).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
 
@@ -62,10 +84,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over distinct-token sets, for candidate verification. */
-  def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      TextFunctions.distinctTokens(lower(col("text"))).as("toks"))
+  /** (doc_id, toks) shingle-set relation — compute once, reuse/persist
+    * across both sides of pair joins. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("toks"))
+
+  /** Exact Jaccard over distinct-shingle sets, for candidate verification. */
+  def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =
+    withJaccardToks(pairs, shingleSets(docs))
+
+  def withJaccardToks(pairs: DataFrame, toks: DataFrame): DataFrame = {
     pairs
       .join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
       .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
@@ -107,20 +135,32 @@ object Dedup {
       .orderBy("content_fp")
   }
 
-  private def minhashSql(k: Int): String =
-    s"list_aggregate(list_transform(list_distinct(string_split(lower(text), ' ')), " +
-      s"w -> md5('s$k~' || w)), 'min')"
+  /** DuckDB rendering of [[shingles]]: range() is EXCLUSIVE-upper where
+    * Spark sequence() is inclusive — bounds chosen so both emit
+    * i = 1 .. len-(width-1) (min 1). */
+  private val shinglesSql: String = {
+    val w = shingleWidth
+    s"list_distinct(list_transform(" +
+      s"range(1, greatest(len(string_split(lower(text), ' ')) - ${w - 2}, 2)), " +
+      s"i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + ${w - 1}), ' ')))"
+  }
 
-  private def bandSql(b: Int): String =
-    "md5(concat_ws('|', " +
-      (0 until rowsPerBand).map(i => minhashSql(b * rowsPerBand + i)).mkString(", ") + "))"
+  private def bandSqlFromDigests(m: String): String =
+    "md5(concat_ws('|', " + (0 until rowsPerBand).map(i =>
+      s"list_aggregate(list_transform($m, x -> substring(x, ${8 * i + 1}, 8)), 'min')")
+      .mkString(", ") + "))"
 
   private val bandsCte: String =
-    s"""bands AS (
+    s"""sigs AS (
+       |  SELECT doc_id,
+       |    list_transform($shinglesSql, w -> md5(w)) AS m0,
+       |    list_transform($shinglesSql, w -> md5('~' || w)) AS m1
+       |  FROM documents),
+       |bands AS (
        |  SELECT doc_id, band_id, band_hash FROM (
-       |    SELECT doc_id, 0 AS band_id, ${bandSql(0)} AS band_hash FROM documents
+       |    SELECT doc_id, 0 AS band_id, ${bandSqlFromDigests("m0")} AS band_hash FROM sigs
        |    UNION ALL
-       |    SELECT doc_id, 1 AS band_id, ${bandSql(1)} AS band_hash FROM documents))""".stripMargin
+       |    SELECT doc_id, 1 AS band_id, ${bandSqlFromDigests("m1")} AS band_hash FROM sigs))""".stripMargin
 
   /** MinHash LSH bucket census: buckets holding >1 doc = candidates. */
   val qDedupMinhashBuckets: GraftQuery = GraftQuery(
@@ -149,7 +189,7 @@ object Dedup {
        |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        |   AND a.doc_id < b.doc_id),
        |toks AS (
-       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t FROM documents)
+       |  SELECT doc_id, $shinglesSql AS t FROM documents)
        |SELECT p.doc_a, p.doc_b,
        |  CAST(len(list_intersect(ta.t, tb.t)) AS INTEGER) AS n_inter,
        |  CAST(len(list_distinct(list_concat(ta.t, tb.t))) AS INTEGER) AS n_union,
@@ -162,7 +202,19 @@ object Dedup {
        |      len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    withJaccard(candidatePairs(docs), docs)
+    // persist: each relation feeds BOTH sides of a self-join — without
+    // this the shingle+digest pipeline runs four times
+    val bands = docBands(docs).persist()
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val pairs = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val toks = shingleSets(docs).persist()
+    withJaccardToks(pairs, toks)
       .where(col("jaccard") >= 0.9)
       .orderBy("doc_a", "doc_b")
   }

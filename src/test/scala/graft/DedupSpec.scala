@@ -17,24 +17,35 @@ class DedupSpec extends SparkSpecBase {
       gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(check)
     }
 
-  test("identical token sets produce identical bands; disjoint sets don't collide") {
+  test("identical shingle sequences collide in LSH bands; unrelated docs don't") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon"),
-      (1L, "epsilon delta gamma beta alpha"), // reorder → same set
-      (2L, "zeta eta theta iota kappa"))
+      (1L, "alpha beta gamma delta epsilon"), // exact sequence dup
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "epsilon delta gamma beta alpha")) // same WORDS, different order
       .toDF("doc_id", "text")
     val pairs = Dedup.candidatePairs(docs).collect()
+    // shingle-based: word-reorder (doc 3) is NOT a near-dup
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((0L, 1L)))
   }
 
-  test("jaccard verification: reordered doc scores 1.0") {
+  test("shingles: 3-gram sequences, short docs collapse to one shingle") {
+    val got = Seq(("a b c d", "x y")).toDF("t", "short")
+      .select(Dedup.shingles(col("t")), Dedup.shingles(col("short"))).first()
+    assert(got.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(got.getSeq[String](1) === Seq("x y"))
+  }
+
+  test("jaccard verification over shingle sets") {
     val docs = Seq(
-      (0L, "alpha beta gamma"), (1L, "gamma beta alpha"), (2L, "alpha beta zeta"))
+      (0L, "a b c d e"),       // shingles: abc,bcd,cde
+      (1L, "a b c d e"),       // identical → 1.0
+      (2L, "a b c x y"))       // shingles: abc,bcx,cxy → inter 1, union 5
       .toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
     val j = Dedup.withJaccard(pairs, docs).orderBy("doc_b").collect()
     assert(j(0).getAs[Double]("jaccard") === 1.0)
-    assert(j(1).getAs[Double]("jaccard") === 0.5) // inter 2, union 4
+    assert(j(1).getAs[Double]("jaccard") === 0.2)
   }
 
   test("simhash: near-identical token sets have small hamming distance, disjoint large") {
