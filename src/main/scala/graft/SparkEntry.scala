@@ -24,6 +24,8 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.AsOfJoin.all ++
       operators.JsonQueries.all ++
+      operators.RangeJoin.all ++
+      operators.Skew.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 

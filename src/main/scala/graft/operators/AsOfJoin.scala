@@ -88,7 +88,8 @@ object AsOfJoin {
       |FROM events e
       |ASOF LEFT JOIN o1 o
       |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
-      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      |ORDER BY e.event_id""".stripMargin,
+    headline = true) { (s, d) =>
     val events = Tables.events(s, d)
     val orders = Tables.orders(s, d)
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))

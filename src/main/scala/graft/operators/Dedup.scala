@@ -170,7 +170,8 @@ object Dedup {
        |FROM bands
        |GROUP BY band_id, band_hash
        |HAVING COUNT(*) > 1
-       |ORDER BY band_id, band_hash""".stripMargin) { (s, d) =>
+       |ORDER BY band_id, band_hash""".stripMargin,
+    headline = true) { (s, d) =>
     docBands(Tables.documents(s, d))
       .groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))

@@ -200,7 +200,8 @@ object Relational {
       |  FROM keyed)
       |SELECT unique_key, event_id, user_id, event_type, value
       |FROM ranked WHERE rn = 1
-      |ORDER BY unique_key""".stripMargin) { (s, d) =>
+      |ORDER BY unique_key""".stripMargin,
+    headline = true) { (s, d) =>
     val keyed = Tables.events(s, d).withColumn("unique_key",
       md5(concat_ws("-", col("user_id").cast("string"), col("event_type"))))
     val w = Window.partitionBy("unique_key")
@@ -241,7 +242,8 @@ object Relational {
       |  CASE WHEN value > 100 THEN true ELSE false END AS is_big
       |FROM ranked
       |WHERE rn = 1 AND value > 0 AND k_val >= 0
-      |ORDER BY unique_id""".stripMargin) { (s, d) =>
+      |ORDER BY unique_id""".stripMargin,
+    headline = true) { (s, d) =>
     import graft.models.TaxiModels.uniqueId
     val typed = Tables.events(s, d)
       .where(col("ts").isNotNull && col("value").isNotNull)
@@ -304,7 +306,8 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
       |FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey
-      |LIMIT 100""".stripMargin) { (s, d) =>
+      |LIMIT 100""".stripMargin,
+    headline = true) { (s, d) =>
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("o_orderdate").cast("date").as("order_date"))

@@ -108,7 +108,8 @@ object Similarity {
       |  FROM scored)
       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
       |FROM ranked WHERE rank <= 5
-      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      |ORDER BY query_id, rank""".stripMargin,
+    headline = true) { (s, d) =>
     bruteForceTopK(Tables.embeddings(s, d), col("vec_id") < 8, 5)
       .withColumn("rank", col("rank").cast("int"))
       .select("query_id", "rank", "neighbor_id")
