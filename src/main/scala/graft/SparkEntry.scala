@@ -26,6 +26,7 @@ object SparkEntry {
       operators.JsonQueries.all ++
       operators.RangeJoin.all ++
       operators.Skew.all ++
+      operators.Extras.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 

@@ -74,5 +74,99 @@ object Streams {
     hourlyCounts(s, d)
   }
 
-  def all: Seq[GraftQuery] = Seq(qStreamHourly)
+  /** Streaming dedup via dropDuplicates on the key columns — state is
+    * one entry per distinct key (bounded by watermark in production
+    * via dropDuplicatesWithinWatermark). Key set is deterministic even
+    * though WHICH row survives isn't — so the query emits keys only. */
+  def streamDedupKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_dedup"
+    val stream = readEventsStream(spark, sfDir)
+    val q = stream
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
+  /** Stateful sessionization with flatMapGroupsWithState: per-user
+    * event-time gap > 1h starts a new session (the streaming form of
+    * Relational.q20Sessionize — same session count contract). State is
+    * O(1) per user: last timestamp + running count. */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "graft_stream_sessions"
+    val stream = readEventsStream(spark, sfDir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .as[(Long, Long)]
+    def update(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      // state: (lastSec, nSessions, nEvents); batch rows sorted here —
+      // within one micro-batch ordering is not guaranteed by the source
+      val sorted = rows.map(_._2).toSeq.sorted
+      var (last, sessions, events) = state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+      sorted.foreach { sec =>
+        if (last == Long.MinValue || sec - last > 3600) sessions += 1
+        last = sec; events += 1
+      }
+      state.update((last, sessions, events))
+      Iterator.single((userId, sessions, events))
+    }
+    val q = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_sessions", "n_events")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // keep the last update per user (multi-batch safety), sorted
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+      .orderBy("user_id")
+  }
+
+  private def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream", sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(sfDir, "events.parquet"))
+    spark.readStream.schema(eventsFileSchema).parquet(streamDir.toString)
+      .withColumn("ts", graft.sources.Tables.nanosToTimestamp(col("ts")))
+  }
+
+  /** Streaming dedup, oracle = batch DISTINCT keys. */
+  val qStreamDedup: GraftQuery = GraftQuery(
+    "q42_stream_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    streamDedupKeys(s, d)
+  }
+
+  /** Stateful streaming sessionization, oracle = the batch lag-gap SQL
+    * (identical session semantics ⇒ identical counts). */
+  val qStreamSessions: GraftQuery = GraftQuery(
+    "q43_stream_sessions",
+    """WITH ordered AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 3600
+      |                 THEN 1 ELSE 0 END AS new_session
+      |  FROM ordered)
+      |SELECT user_id,
+      |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM flagged GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    sessionCounts(s, d)
+  }
+
+  def all: Seq[GraftQuery] = Seq(qStreamHourly, qStreamDedup, qStreamSessions)
 }
