@@ -20,17 +20,16 @@ import org.apache.spark.sql.functions._
   *  - Jaccard verification joins candidate PAIRS (tiny relative to the
   *    corpus) back to token sets — never all-pairs.
   *
-  * MinHash here is min-over-md5-slices: each shingle is md5'd once per
-  * band and the band's minhashes are minima over non-overlapping
-  * 8-hex-char windows of that digest — engine-portable (md5 is
-  * byte-identical everywhere) and one hash per shingle per band
-  * instead of one per minhash. A production variant would swap md5
-  * for xxhash64 (same structure, cheaper hash).
+  * MinHash here is min-over-md5-slices: each shingle is md5'd ONCE and
+  * all four minhashes are minima over non-overlapping 8-hex-char
+  * windows of that digest — engine-portable (md5 is byte-identical
+  * everywhere) at one hash per shingle total. A production variant
+  * would swap md5 for xxhash64 (same structure, cheaper hash).
   */
 object Dedup {
 
-  val numHashes = 6
-  val bandsPerDoc = 2 // 2 bands × 3 minhashes each
+  val numHashes = 4
+  val bandsPerDoc = 2 // 2 bands × 2 minhashes each
   val shingleWidth = 3
   private val rowsPerBand = numHashes / bandsPerDoc
 
@@ -47,26 +46,26 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(shingleWidth)))))
   }
 
-  /** The rowsPerBand minhashes for one digest array: minima over
-    * non-overlapping 8-hex-char slices — one md5 per shingle yields
-    * rowsPerBand independent 32-bit hash functions, instead of
-    * re-hashing every shingle once per minhash (6× the hash work,
-    * the dominant cost at scale). */
-  private def bandFromDigests(m: Column): Column =
-    md5(concat_ws("|", (0 until rowsPerBand).map(i =>
-      array_min(transform(m, x => substring(x, 8 * i + 1, 8)))): _*))
+  /** Band b's minhashes: minima over non-overlapping 8-hex-char slices
+    * of ONE md5 digest per shingle — a 32-hex md5 yields four
+    * independent 32-bit hash functions, so the whole 2-band × 2-row
+    * signature costs exactly one hash per shingle (hashing dominates
+    * signature cost at scale). */
+  private def bandFromDigests(m: Column, b: Int): Column =
+    md5(concat_ws("|", (0 until rowsPerBand).map { i =>
+      val slice = b * rowsPerBand + i
+      array_min(transform(m, x => substring(x, 8 * slice + 1, 8)))
+    }: _*))
 
-  /** doc_id → (band_id, band_hash) rows. Digest arrays are materialized
-    * as explicit columns (not repeated subtrees), so each shingle is
-    * md5'd exactly bandsPerDoc times regardless of numHashes. */
+  /** doc_id → (band_id, band_hash) rows. The digest array is
+    * materialized as an explicit column (not a repeated subtree), so
+    * each shingle is md5'd exactly once. */
   def docBands(docs: DataFrame): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     val digests = withSh.select(
-      col("doc_id"),
-      transform(col("sh"), w => md5(w)).as("m0"),
-      transform(col("sh"), w => md5(concat(lit("~"), w))).as("m1"))
+      col("doc_id"), transform(col("sh"), w => md5(w)).as("m"))
     val bands = array((0 until bandsPerDoc).map(b =>
-      struct(lit(b).as("band_id"), bandFromDigests(col(s"m$b")).as("band_hash"))): _*)
+      struct(lit(b).as("band_id"), bandFromDigests(col("m"), b).as("band_hash"))): _*)
     digests.select(col("doc_id"), explode(bands).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
@@ -145,22 +144,21 @@ object Dedup {
       s"i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + ${w - 1}), ' ')))"
   }
 
-  private def bandSqlFromDigests(m: String): String =
-    "md5(concat_ws('|', " + (0 until rowsPerBand).map(i =>
-      s"list_aggregate(list_transform($m, x -> substring(x, ${8 * i + 1}, 8)), 'min')")
-      .mkString(", ") + "))"
+  private def bandSqlFromDigests(b: Int): String =
+    "md5(concat_ws('|', " + (0 until rowsPerBand).map { i =>
+      val slice = b * rowsPerBand + i
+      s"list_aggregate(list_transform(m, x -> substring(x, ${8 * slice + 1}, 8)), 'min')"
+    }.mkString(", ") + "))"
 
   private val bandsCte: String =
     s"""sigs AS (
-       |  SELECT doc_id,
-       |    list_transform($shinglesSql, w -> md5(w)) AS m0,
-       |    list_transform($shinglesSql, w -> md5('~' || w)) AS m1
+       |  SELECT doc_id, list_transform($shinglesSql, w -> md5(w)) AS m
        |  FROM documents),
        |bands AS (
        |  SELECT doc_id, band_id, band_hash FROM (
-       |    SELECT doc_id, 0 AS band_id, ${bandSqlFromDigests("m0")} AS band_hash FROM sigs
+       |    SELECT doc_id, 0 AS band_id, ${bandSqlFromDigests(0)} AS band_hash FROM sigs
        |    UNION ALL
-       |    SELECT doc_id, 1 AS band_id, ${bandSqlFromDigests("m1")} AS band_hash FROM sigs))""".stripMargin
+       |    SELECT doc_id, 1 AS band_id, ${bandSqlFromDigests(1)} AS band_hash FROM sigs))""".stripMargin
 
   /** MinHash LSH bucket census: buckets holding >1 doc = candidates. */
   val qDedupMinhashBuckets: GraftQuery = GraftQuery(
@@ -201,7 +199,8 @@ object Dedup {
        |JOIN toks tb ON p.doc_b = tb.doc_id
        |WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
        |      len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+       |ORDER BY doc_a, doc_b""".stripMargin,
+    headline = true) { (s, d) =>
     val docs = Tables.documents(s, d)
     // persist: each relation feeds BOTH sides of a self-join — without
     // this the shingle+digest pipeline runs four times

@@ -38,6 +38,19 @@ class ModelRegistrySpec extends SparkSpecBase {
     assert(out.collect().map(_.getString(2)).sorted.toSeq === Seq("B", "C"))
   }
 
+  test("partitioned materialization produces partition directories (pruning-ready)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val reg = new ModelRegistry(sources)
+    reg.register(Model("bykey", Seq("src"), partitionBy = Seq("v"))(m => m("src")))
+    reg.run(spark, dir)
+    val parts = new java.io.File(s"$dir/bykey").list().filter(_.startsWith("v="))
+    assert(parts.toSet === Set("v=a", "v=b", "v=c"))
+    // partition filter prunes to a single directory scan
+    val pruned = spark.read.parquet(s"$dir/bykey").where(col("v") === "b")
+    assert(pruned.count() === 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(v"))
+  }
+
   test("run materializes in topo order with overwrite semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
     val reg = new ModelRegistry(sources)
