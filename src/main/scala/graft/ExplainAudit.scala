@@ -24,6 +24,11 @@ object ExplainAudit {
       toks.select(sum(pmod(graft.operators.Dedup.simhash64(col("t")), lit(1000000L)))).collect())
     time("simhash_composed(5k docs)")(
       toks.select(sum(pmod(graft.operators.Dedup.simhash64Composed(col("t")), lit(1000000L)))).collect())
+    val embAll = graft.sources.Tables.embeddings(spark, d)
+    time("topk_agg    (2k q x 2k corpus)")(
+      graft.operators.Similarity.bruteForceTopK(embAll, col("vec_id") >= 0, 10).count())
+    time("topk_window (2k q x 2k corpus)")(
+      graft.operators.Similarity.bruteForceTopKWindow(embAll, col("vec_id") >= 0, 10).count())
     spark.stop()
   }
 }

@@ -68,18 +68,39 @@ object Similarity {
 
   /** Exact brute-force top-k cosine neighbors for a query set.
     * queryFilter selects the query rows; broadcast side is the query
-    * set (small), stream side the corpus (arbitrarily large). */
+    * set (small), stream side the corpus (arbitrarily large).
+    *
+    * Top-k selection uses the custom bounded-heap aggregate
+    * (graftshim.TopKByScore): partial top-k per partition, so the
+    * exchange carries k rows per (query, partition) instead of every
+    * scored corpus row — same (score desc, id asc) selection as the
+    * window form ([[bruteForceTopKWindow]]), different physics. */
   def bruteForceTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
-    val queries = emb.where(queryFilter)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val scored = scorePairs(emb, queryFilter)
+    scored.groupBy("query_id")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+  }
+
+  /** Window/row_number formulation — the built-ins-only baseline. */
+  def bruteForceTopKWindow(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val scored = scorePairs(emb, queryFilter)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
+  }
+
+  private def scorePairs(emb: DataFrame, queryFilter: Column): DataFrame = {
+    val queries = emb.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
   }
 
   // ---- oracle-paired queries ----

@@ -44,6 +44,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sigs(0) !== sigs(2)) // antipodal vectors flip every nonzero bit
   }
 
+  test("bounded-heap TopK aggregate selects exactly what the window form selects") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val viaAgg = Similarity.bruteForceTopK(emb, col("vec_id") < 16, 7)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val viaWin = Similarity.bruteForceTopKWindow(emb, col("vec_id") < 16, 7)
+      .orderBy("query_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaAgg.length === 16 * 7)
+    assert(viaAgg.toSeq === viaWin.toSeq)
+  }
+
+  test("TopK aggregate under repartitioning (partial merge path) is stable") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001).repartition(13)
+    val a = Similarity.bruteForceTopK(emb, col("vec_id") < 4, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.bruteForceTopK(emb.repartition(3), col("vec_id") < 4, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("native CosineSimilarity expression is bit-for-bit equal to the composed form") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val a = emb.select(col("vec_id"), col("embedding"))
