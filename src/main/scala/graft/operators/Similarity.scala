@@ -187,5 +187,33 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[GraftQuery] = Seq(qSimTopK, qSimLshBuckets, qSimLshTopK)
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket-pruned
+    * candidate generation (equi-join on the 8-bit signature — the
+    * 100 TB path; all-pairs would be quadratic) + exact cosine
+    * threshold. Ids-only output: the pair SET is threshold-stable
+    * because scores sit far from the cut in this corpus, and ordering
+    * never depends on engine-side fp. */
+  val qEmbeddingNearDup: GraftQuery = GraftQuery(
+    "q48_embedding_neardup",
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, $signatureSql AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |FROM sigs a JOIN sigs b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("bucket"))
+    val a = sigs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("bucket"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .where(cosine(col("e_a"), col("e_b")) >= 0.3)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup)
 }
