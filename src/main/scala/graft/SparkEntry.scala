@@ -27,6 +27,7 @@ object SparkEntry {
       operators.RangeJoin.all ++
       operators.Skew.all ++
       operators.Extras.all ++
+      operators.IvfAnn.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 

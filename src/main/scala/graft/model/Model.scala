@@ -21,10 +21,31 @@ import scala.collection.mutable
   * (SaveMode.Overwrite). At 100 TB, pass `partitionBy` columns so the
   * materialized tables are partition-pruned by downstream readers.
   */
+/** How a model's output table is (re)built on `run`:
+  *  - [[Materialization.Table]]: full refresh (CREATE TABLE AS /
+  *    SaveMode.Overwrite) — the reference's only mode
+  *    (raw_texi.sql:3, core_texi.sql:3).
+  *  - [[Materialization.Incremental]]: dbt's incremental contract —
+  *    first run is a full build; later runs upsert by `uniqueKey`
+  *    (new rows replace existing rows with the same key, everything
+  *    else is preserved). On plain parquet that is
+  *    existing ANTI-JOIN new ∪ new, rewritten — at 100 TB the same
+  *    contract rides a table format's MERGE instead, but the model
+  *    API is unchanged. The build function may inspect the existing
+  *    output (passed as dep "this" when present) to pre-filter its
+  *    input, mirroring dbt's is_incremental() idiom.
+  */
+sealed trait Materialization
+object Materialization {
+  case object Table extends Materialization
+  final case class Incremental(uniqueKey: String) extends Materialization
+}
+
 final case class Model(
     name: String,
     deps: Seq[String],
-    partitionBy: Seq[String] = Nil)(
+    partitionBy: Seq[String] = Nil,
+    materialization: Materialization = Materialization.Table)(
     val build: Map[String, DataFrame] => DataFrame)
 
 final class ModelRegistry(sources: Map[String, DataFrame]) {
@@ -80,14 +101,45 @@ final class ModelRegistry(sources: Map[String, DataFrame]) {
     val done = mutable.Map.empty[String, DataFrame] ++ sources
     topoOrder.map { n =>
       val m = models(n)
-      val df = m.build(m.deps.map(d => d -> done(d)).toMap)
       val path = s"$outDir/$n"
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
-        .parquet(path)
+      val existing: Option[DataFrame] =
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+          scala.util.Try(spark.read.parquet(path)).toOption
+        else None
+      val depMap = m.deps.map(d => d -> done(d)).toMap ++
+        existing.map("this" -> _)
+      val built = m.build(depMap)
+
+      (m.materialization, existing) match {
+        case (Materialization.Incremental(key), Some(cur)) =>
+          // upsert: keep current rows whose key is absent from the new
+          // batch, add every new row. Stage to a temp dir first — the
+          // plan reads `path` lazily and cannot overwrite it in place.
+          val merged = cur.join(built.select(key).distinct(),
+            Seq(key), "left_anti").unionByName(built)
+          val tmp = s"$path.__staging"
+          write(merged, m, tmp)
+          val target = new java.io.File(path)
+          delete(target)
+          require(new java.io.File(tmp).renameTo(target),
+            s"staging swap failed for $path")
+        case _ =>
+          write(built, m, path)
+      }
       val back = spark.read.parquet(path)
       done += (n -> back)
       n -> back
     }.toMap
+  }
+
+  private def write(df: DataFrame, m: Model, path: String): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
   }
 }

@@ -140,6 +140,34 @@ object Streams {
       .withColumn("ts", graft.sources.Tables.nanosToTimestamp(col("ts")))
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer) — the dim is effectively broadcast to every
+    * micro-batch; no stream-side state. Aggregated per segment. */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_static"
+    val cust = graft.sources.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val q = readEventsStream(spark, sfDir)
+      .join(cust, "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
+  /** Stream-static join, oracle = the equivalent batch join+group. */
+  val qStreamStaticJoin: GraftQuery = GraftQuery(
+    "q49_stream_static_join",
+    """SELECT c.c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+    streamStaticJoin(s, d)
+  }
+
   /** Streaming dedup, oracle = batch DISTINCT keys. */
   val qStreamDedup: GraftQuery = GraftQuery(
     "q42_stream_dedup",
@@ -168,5 +196,6 @@ object Streams {
     sessionCounts(s, d)
   }
 
-  def all: Seq[GraftQuery] = Seq(qStreamHourly, qStreamDedup, qStreamSessions)
+  def all: Seq[GraftQuery] =
+    Seq(qStreamHourly, qStreamDedup, qStreamSessions, qStreamStaticJoin)
 }

@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.{IvfAnn, Similarity}
+import org.apache.spark.sql.functions._
+
+class IvfAnnSpec extends SparkSpecBase {
+
+  test("IVF search returns k ranked neighbors and achieves useful recall vs brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val index = IvfAnn.build(emb, numCells = 8)
+    index.assigned.persist()
+    val approx = IvfAnn.search(spark, index, col("vec_id") < 16, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 16, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(approx.map(_._1).distinct.length === 16)
+    assert(approx.groupBy(_._1).values.forall(_.length <= 5))
+    val recall = approx.toSet.intersect(exact.toSet).size.toDouble / exact.length
+    // random 64-d gaussian vectors are a worst case for IVF; with 3 of 8
+    // cells probed, expect well above the 3/8 floor of random probing
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("index build is deterministic under the fixed seed") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val a = IvfAnn.build(emb, 8).assigned.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    val b = IvfAnn.build(emb, 8).assigned.select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(a === b)
+  }
+}

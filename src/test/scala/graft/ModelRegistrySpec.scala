@@ -51,6 +51,48 @@ class ModelRegistrySpec extends SparkSpecBase {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(v"))
   }
 
+  test("incremental materialization upserts by unique key and preserves history") {
+    import graft.model.Materialization
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    def regFor(rows: Seq[(Int, String)]) = {
+      val reg = new ModelRegistry(Map("src" -> rows.toDF("id", "v")))
+      reg.register(Model("inc", Seq("src"),
+        materialization = Materialization.Incremental("id"))(m => m("src")))
+      reg
+    }
+    // first run: full build
+    val r1 = regFor(Seq((1, "a"), (2, "b"))).run(spark, dir)
+    assert(r1("inc").count() === 2)
+    // second run: id=2 updated, id=3 new, id=1 untouched → preserved
+    val r2 = regFor(Seq((2, "B!"), (3, "c"))).run(spark, dir)
+    val got = r2("inc").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "a", 2 -> "B!", 3 -> "c"))
+  }
+
+  test("incremental build can see its existing output as dep \"this\"") {
+    import graft.model.Materialization
+    import org.apache.spark.sql.functions.max
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr2").toString
+    def regFor(rows: Seq[(Int, String)]) = {
+      val reg = new ModelRegistry(Map("src" -> rows.toDF("id", "v")))
+      reg.register(Model("inc", Seq("src"),
+        materialization = Materialization.Incremental("id")) { m =>
+        // is_incremental() idiom: only take src rows newer than what's built
+        m.get("this") match {
+          case Some(cur) =>
+            val hi = cur.agg(max(col("id"))).head().getInt(0)
+            m("src").where(col("id") > hi)
+          case None => m("src")
+        }
+      })
+      reg
+    }
+    regFor(Seq((1, "a"), (2, "b"))).run(spark, dir)
+    val r2 = regFor(Seq((1, "STALE"), (2, "STALE"), (3, "c"))).run(spark, dir)
+    val got = r2("inc").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "a", 2 -> "b", 3 -> "c")) // stale rows filtered out
+  }
+
   test("run materializes in topo order with overwrite semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
     val reg = new ModelRegistry(sources)
