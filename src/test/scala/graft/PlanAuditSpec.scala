@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan quality gates: the properties that make these queries
+  * scale are asserted, not assumed — a refactor that silently drops a
+  * pushdown, a broadcast, or a top-k specialization fails here. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q01: filter and projection are pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"),
+      "scan must prune to the referenced columns only")
+  }
+
+  test("q03/q04: dimension joins broadcast, never shuffle the dims") {
+    Seq("q03_top_customers", "q04_regional_revenue").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast dims")
+      assert(!p.contains("SortMergeJoin"), s"$q should not sort-merge")
+    }
+  }
+
+  test("q11: ordered limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q11_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q07: window dedup gets WindowGroupLimit map-side pruning") {
+    val p = plan("q07_window_dedup")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q30: top-k via partial-aggregatable TopKByScore (partial + final)") {
+    val p = plan("q30_sim_topk")
+    assert(p.contains("topkbyscore"))
+    assert(p.contains("partial_topkbyscore") || p.contains("Partial"),
+      "aggregate must have a map-side partial phase")
+  }
+
+  test("no oracle-paired query uses a cartesian or nested-loop join") {
+    // the two forms that blow up at scale; every join in the catalog
+    // should be hash/broadcast/sort-merge after candidate pruning.
+    // q30 is the ONE deliberate exception: brute-force ANN scoring is
+    // O(queries × corpus) by definition, expressed as a broadcast
+    // nested-loop of the tiny query set — its scale path is q32/q50.
+    val intentionallyExhaustive = Set("q30_sim_topk")
+    SparkEntry.catalog.filter(_.oracle.nonEmpty)
+      .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
+        val p = SparkEntry.queries(q.name)(spark, sf001)
+          .queryExecution.explainString(FormattedMode)
+        assert(!p.contains("CartesianProduct"), s"${q.name} plans a cartesian product")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"${q.name} plans a nested-loop join")
+      }
+  }
+}
