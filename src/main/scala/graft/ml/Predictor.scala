@@ -28,7 +28,7 @@ object Predictor {
 
   def trainingPull(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
-      .select((featureCols.map(col) :+ col("l_extendedprice").as("label")): _*)
+      .select((featureCols.map(col).toIndexedSeq :+ col("l_extendedprice").as("label")): _*)
       .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
 
   case class FitResult(model: org.apache.spark.ml.PipelineModel, rmse: Double,

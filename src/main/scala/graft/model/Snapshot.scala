@@ -48,7 +48,7 @@ object Snapshot {
         .withColumn("valid_to",
           when(col("__src_chk").isNotNull && col("__src_chk") =!= col("__chk"), runTs)
             .otherwise(col("valid_to")))
-        .select(prev.columns.map(col): _*)
+        .select(prev.columns.toIndexedSeq.map(col): _*)
       // source rows that are new keys or changed vs current: append as open
       val curK = current.select(col(uniqueKey).as("__k"), col("__chk").as("__cur_chk"))
       val opened = hashed.join(curK, hashed(uniqueKey) === curK("__k"), "left")

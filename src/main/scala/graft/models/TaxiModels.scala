@@ -104,7 +104,7 @@ object TaxiModels {
     * nondeterministic in BOTH forms (core_texi.sql:32 makes all rows
     * tie on ingestion_date within a run — SURVEY §2.6). */
   def dedupNewestAggForm(df: DataFrame, key: String, orderCol: String): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(col(key).as("__k"))
       .agg(max_by(payload, col(orderCol)).as("__row"))
       .select(col("__row.*"))

@@ -63,7 +63,7 @@ object AsOfJoin {
           payload.map { case (_, out) =>
             last(col(s"__p_$out"), ignoreNulls = true).over(w).as(out) }): _*)
     carried.where(col("__side") === 1)
-      .select((leftCols.map(c => col(s"__l_$c").as(c)) ++
+      .select((leftCols.toIndexedSeq.map(c => col(s"__l_$c").as(c)) ++
         payload.map { case (_, out) => col(out) }): _*)
   }
 

@@ -104,5 +104,38 @@ object Extras {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
-  def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi)
+  /** T2 reference parity (Application.py:207): case-insensitive regex
+    * routing — classify free text by alternation patterns. */
+  val qRegexRoute: GraftQuery = GraftQuery(
+    "q51_regex_route",
+    """SELECT doc_id,
+      |  regexp_matches(text, '(?i)spark.*join|merge.*sort') AS is_join_topic,
+      |  regexp_matches(text, '(?i)stream|window|batch') AS is_stream_topic,
+      |  CASE WHEN regexp_matches(text, '(?i)spark.*join|merge.*sort') THEN 'join'
+      |       WHEN regexp_matches(text, '(?i)stream|window|batch') THEN 'stream'
+      |       ELSE 'other' END AS route
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val joinTopic = col("text").rlike("(?i)spark.*join|merge.*sort")
+    val streamTopic = col("text").rlike("(?i)stream|window|batch")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      joinTopic.as("is_join_topic"),
+      streamTopic.as("is_stream_topic"),
+      when(joinTopic, "join").when(streamTopic, "stream").otherwise("other").as("route"))
+      .orderBy("doc_id")
+  }
+
+  /** Approximate distinct counting (HLL++) — the sketch differs from
+    * DuckDB's, so this is rows-only; its error bound vs the exact
+    * count is asserted in ApproxSpec. */
+  val qApproxDistinct: GraftQuery = GraftQuery.noOracle("q52_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi, qRegexRoute, qApproxDistinct)
 }
