@@ -136,6 +136,27 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
-  def all: Seq[GraftQuery] =
-    Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi, qRegexRoute, qApproxDistinct)
+  /** Exact percentiles (linear interpolation between closest ranks) —
+    * Spark percentile() and DuckDB quantile_cont share the definition,
+    * and interpolating between parquet-exact doubles is IEEE-stable. */
+  val qPercentiles: GraftQuery = GraftQuery(
+    "q53_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.5)").as("median_qty"),
+      expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+      expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+      expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
+    qRegexRoute, qApproxDistinct, qPercentiles)
 }
