@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * MinHash here is min-over-md5-slices: each shingle is md5'd ONCE and
   * all four minhashes are minima over non-overlapping 8-hex-char
   * windows of that digest — engine-portable (md5 is byte-identical
-  * everywhere) at one hash per shingle total. A production variant
-  * would swap md5 for xxhash64 (same structure, cheaper hash).
+  * everywhere) at one hash per shingle total. (An xxhash64 variant was
+  * measured and removed: with one hash per shingle, signature cost is
+  * dominated by shingle construction, not hashing — md5 equals xxhash
+  * within noise while staying oracle-portable.)
   */
 object Dedup {
 
@@ -49,8 +51,7 @@ object Dedup {
   /** Band b's minhashes: minima over non-overlapping 8-hex-char slices
     * of ONE md5 digest per shingle — a 32-hex md5 yields four
     * independent 32-bit hash functions, so the whole 2-band × 2-row
-    * signature costs exactly one hash per shingle (hashing dominates
-    * signature cost at scale). */
+    * signature costs exactly one hash per shingle. */
   private def bandFromDigests(m: Column, b: Int): Column =
     md5(concat_ws("|", (0 until rowsPerBand).map { i =>
       val slice = b * rowsPerBand + i

@@ -157,6 +157,21 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** CUBE grouping sets (all four grouping combinations). */
+  val qCube: GraftQuery = GraftQuery(
+    "q54_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,1))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,1)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
-    qRegexRoute, qApproxDistinct, qPercentiles)
+    qRegexRoute, qApproxDistinct, qPercentiles, qCube)
 }

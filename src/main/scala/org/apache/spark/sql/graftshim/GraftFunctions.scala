@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration of the graft-native expressions so the text-SQL
+  * surface reaches them too:
+  *   SELECT cosine_sim(a.embedding, b.embedding), simhash64(toks) ...
+  * Column-API callers use the object apply()s directly; this makes the
+  * same codegen'd expressions first-class SQL functions.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+  }
+}
