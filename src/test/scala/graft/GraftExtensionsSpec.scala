@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+/** Lives in the shim package: SparkSessionExtensions.registerFunctions
+  * is private[sql]. The real config-path drive (spark.sql.extensions in
+  * a fresh JVM) happens in the verification runs; here we assert the
+  * injection itself lands in a registry. */
+class GraftExtensionsSpec extends graft.SparkSpecBase {
+
+  test("GraftExtensions injects cosine_sim and simhash64 into a registry") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = FunctionRegistry.builtin.clone()
+    assert(!registry.functionExists(FunctionIdentifier("cosine_sim")))
+    ext.registerFunctions(registry)
+    assert(registry.functionExists(FunctionIdentifier("cosine_sim")))
+    assert(registry.functionExists(FunctionIdentifier("simhash64")))
+    // the builder produces the real expression
+    val e = registry.lookupFunction(FunctionIdentifier("cosine_sim"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(null),
+        org.apache.spark.sql.catalyst.expressions.Literal(null)))
+    assert(e.isInstanceOf[CosineSimilarity])
+  }
+}
