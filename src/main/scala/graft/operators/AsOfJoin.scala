@@ -38,21 +38,31 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       payload: Seq[(String, String)]): DataFrame = {
     val leftCols = left.columns
+    // ALL payload columns ride in ONE struct carried by last(ignoreNulls):
+    // carrying them individually would let each column skip nulls
+    // independently — a right row with a genuinely NULL payload field
+    // would leak the previous row's value, and one output row could mix
+    // fields from different right rows. The struct is never null for
+    // right rows, so its fields (null or not) travel together.
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(
         (col(key).as("__k") +: col("__t") +: col("__side") +:
           leftCols.map(c => col(c).as(s"__l_$c")) ++:
-          payload.map { case (_, out) => lit(null).as(s"__p_$out") }): _*)
+          Seq(lit(null)
+            .cast(org.apache.spark.sql.types.StructType(payload.map { case (in, out) =>
+              org.apache.spark.sql.types.StructField(out, right.schema(in).dataType)
+            }))
+            .as("__p"))): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(
         (col(key).as("__k") +: col("__t") +: col("__side") +:
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++:
-          payload.map { case (in, out) =>
-            col(in).cast(right.schema(in).dataType).as(s"__p_$out") }): _*)
+          Seq(struct(payload.map { case (in, out) => col(in).as(out) }: _*)
+            .as("__p"))): _*)
 
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -60,11 +70,10 @@ object AsOfJoin {
       .select(
         (col("__side") +:
           leftCols.map(c => col(s"__l_$c")) ++:
-          payload.map { case (_, out) =>
-            last(col(s"__p_$out"), ignoreNulls = true).over(w).as(out) }): _*)
+          Seq(last(col("__p"), ignoreNulls = true).over(w).as("__p"))): _*)
     carried.where(col("__side") === 1)
       .select((leftCols.toIndexedSeq.map(c => col(s"__l_$c").as(c)) ++
-        payload.map { case (_, out) => col(out) }): _*)
+        payload.map { case (_, out) => col(s"__p.$out").as(out) }): _*)
   }
 
   /** Events as-of-joined to the user's latest prior order (events.user_id

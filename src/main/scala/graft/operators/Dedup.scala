@@ -71,9 +71,16 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
 
-  /** Candidate near-dup pairs (doc_a < doc_b) from shared LSH bands. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
-    val bands = docBands(docs)
+  /** Candidate near-dup pairs (doc_a < doc_b) from shared LSH bands.
+    * The bands relation is pre-repartitioned on the join key so both
+    * self-join sides share an IDENTICAL exchange — Spark's exchange
+    * reuse then computes the signature pipeline once, with no persist
+    * (no session-lifetime cache to leak). */
+  def candidatePairs(docs: DataFrame): DataFrame =
+    candidatePairsFromBands(docBands(docs))
+
+  def candidatePairsFromBands(rawBands: DataFrame): DataFrame = {
+    val bands = rawBands.repartition(col("band_id"), col("band_hash"))
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -203,19 +210,7 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin,
     headline = true) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // persist: each relation feeds BOTH sides of a self-join — without
-    // this the shingle+digest pipeline runs four times
-    val bands = docBands(docs).persist()
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val pairs = a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val toks = shingleSets(docs).persist()
-    withJaccardToks(pairs, toks)
+    withJaccard(candidatePairs(docs), docs)
       .where(col("jaccard") >= 0.9)
       .orderBy("doc_a", "doc_b")
   }

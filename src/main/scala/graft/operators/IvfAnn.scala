@@ -75,7 +75,8 @@ object IvfAnn {
     * nProbe=2 for the first 8 vectors. */
   val qIvfTopK: GraftQuery = GraftQuery.noOracle("q50_ivf_topk") { (s, d) =>
     val index = build(Tables.embeddings(s, d), numCells = 16)
-    index.assigned.persist() // probed twice: query routing + corpus side
+    // assigned feeds both routing and corpus sides; re-transforming is a
+    // cheap KMeans predict, so no persist (nothing cached to leak)
     search(s, index, col("vec_id") < 8, k = 3, nProbe = 2)
   }
 

@@ -37,8 +37,12 @@ object Tables {
     table(s, d, "events").withColumn("ts", nanosToTimestamp(col("ts")))
   }
 
+  /** ns → µs must be INTEGER division: epoch nanos (~1.7e18) exceed
+    * 2^53, so double division (`/`) loses up to 256 ns per value and
+    * truncates to the wrong microsecond for ~1.5% of µs-granular
+    * values. Exact decimal division + truncating cast instead. */
   def nanosToTimestamp(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros(floor(ns / 1000).cast("long"))
+    timestamp_micros((ns.cast("decimal(38,0)") / 1000).cast("long"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

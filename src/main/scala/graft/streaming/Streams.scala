@@ -32,20 +32,7 @@ object Streams {
     * DataFrame once all available input is processed. */
   def hourlyCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_hourly"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source wants a DIRECTORY of arriving files (its
-    // production shape); stage the single testdata file into one via
-    // symlink without touching the read-only testdata tree.
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream", sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(sfDir, "events.parquet"))
-    val stream = spark.readStream.schema(eventsFileSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", graft.sources.Tables.nanosToTimestamp(col("ts")))
+    val stream = readEventsStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
@@ -127,15 +114,24 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** The file stream source wants a DIRECTORY of arriving files (its
+    * production shape); stage the single testdata file into one via
+    * symlink without touching the read-only testdata tree. NOFOLLOW on
+    * the existence check: a dangling leftover link (testdata moved)
+    * reports non-existent through follow semantics but still blocks
+    * createSymbolicLink — recreate it unconditionally. */
   private def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream", sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(streamDir)
     val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(sfDir, "events.parquet"))
+    val target = java.nio.file.Paths.get(sfDir, "events.parquet")
+    if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
     spark.readStream.schema(eventsFileSchema).parquet(streamDir.toString)
       .withColumn("ts", graft.sources.Tables.nanosToTimestamp(col("ts")))
   }

@@ -8,7 +8,6 @@ class IvfAnnSpec extends SparkSpecBase {
   test("IVF search returns k ranked neighbors and achieves useful recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val index = IvfAnn.build(emb, numCells = 8)
-    index.assigned.persist()
     val approx = IvfAnn.search(spark, index, col("vec_id") < 16, k = 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 16, 5)
