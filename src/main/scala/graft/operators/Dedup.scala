@@ -227,12 +227,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash fingerprints (no SQL oracle — bit-vote form isn't
-    * reasonably expressible in DuckDB; covered by ScalaTest instead). */
-  val qDedupSimhash: GraftQuery = GraftQuery.noOracle("q29_dedup_simhash") { (s, d) =>
+  /** DuckDB rendering of the md5-60-bit SimHash (SimHashMd5): rebuild
+    * each token's 60-bit value with exact BIGINT nibble arithmetic
+    * (16^14 > 2^53, so float math would corrupt it), then 60 ±1-vote
+    * aggregates and a bit-combine — generated, not handwritten. */
+  private val simhashMd5Sql: String = {
+    val nibTerms = (0 until 15).map { i =>
+      val mult = 1L << (4 * (14 - i)) // 16^(14-i), exact
+      s"CAST(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString(" + ")
+    val votes = (0 until 60)
+      .map(b => s"SUM(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val combine = (0 until 60)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+       |vals AS (SELECT doc_id, $nibTerms AS hv FROM hashed),
+       |votes AS (SELECT doc_id, $votes FROM vals GROUP BY doc_id)
+       |SELECT doc_id, $combine AS simhash FROM votes ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash fingerprints, oracle-checked end to end: the native
+    * single-pass SimHashMd5 expression against DuckDB's from-scratch
+    * rebuild of the same 60-bit bit-vote definition. (The murmur3
+    * SimHash64 variant stays as the bench-fast form, covered by
+    * ScalaTest equivalence against [[simhash64Composed]].) */
+  val qDedupSimhash: GraftQuery = GraftQuery(
+    "q29_dedup_simhash", simhashMd5Sql) { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
-      simhash64(TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
+      org.apache.spark.sql.graftshim.SimHashMd5(
+        TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
       .orderBy("doc_id")
   }
 

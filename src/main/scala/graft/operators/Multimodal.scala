@@ -32,17 +32,32 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mediaType: String, width: Int,
       height: Int, nFrames: Int, featNorm: Double)
 
-  /** Deterministic fake decoder: derives pseudo width/height/frames
-    * from payload bytes. A real deployment swaps this one object for
-    * an actual codec binding; everything around it is unchanged. */
+  /** Deterministic fake decoder: derives pseudo width/height/frames and
+    * a feature norm from the md5 digest of the payload — deliberately
+    * md5-based (not JVM hashCode) so the derivation is reproducible in
+    * any engine and the t2 oracle can hash-check the whole mapPartitions
+    * featurize path. A real deployment swaps this one object for an
+    * actual codec binding; everything around it is unchanged. */
   object FakeDecoder {
+    private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    /** Unsigned big-endian 32-bit value at byte offset `off` of digest. */
+    private def be32(h: Array[Byte], off: Int): Long =
+      ((h(off) & 0xffL) << 24) | ((h(off + 1) & 0xffL) << 16) |
+        ((h(off + 2) & 0xffL) << 8) | (h(off + 3) & 0xffL)
+
     def decode(meta: MediaMeta, payload: Array[Byte]): MediaFeatures = {
-      val h = java.util.Arrays.hashCode(payload)
-      val w = 64 + math.abs(h % 1024)
-      val ht = 64 + math.abs((h / 1024) % 1024)
-      val frames = if (meta.mediaType == "video") 1 + math.abs(h % 120) else 1
-      val norm = payload.take(256).map(b => (b & 0xff).toDouble / 255.0).sum
-      MediaFeatures(meta.sourceId, meta.mediaType, w, ht, frames, norm)
+      val d = mdLocal.get()
+      d.reset()
+      val h = d.digest(payload)
+      val w = 64 + (be32(h, 0) % 1024)
+      val ht = 64 + (be32(h, 4) % 1024)
+      val frames = if (meta.mediaType == "video") 1 + (be32(h, 8) % 120) else 1L
+      val norm = be32(h, 12).toDouble / 4294967296.0
+      MediaFeatures(meta.sourceId, meta.mediaType, w.toInt, ht.toInt, frames.toInt, norm)
     }
   }
 
@@ -94,8 +109,35 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Decoded features (stub decode → rows-only check + unit spec). */
-  val qMediaFeatures: GraftQuery = GraftQuery.noOracle("q34_multimodal_features") { (s, d) =>
+  /** Exact BIGINT value of the 8 hex chars of md5 at 1-based position
+    * `start` (32-bit word of the digest) — nibble arithmetic, since
+    * DuckDB has no hex-string-to-int cast shared with Spark. */
+  private def hexValSql(start: Int): String =
+    (0 until 8).map { i =>
+      s"CAST(strpos('0123456789abcdef', substring(hx, ${start + i}, 1)) - 1 AS BIGINT) * ${1L << (4 * (7 - i))}"
+    }.mkString(" + ")
+
+  /** Decoded features, oracle-checked end to end: the mapPartitions
+    * featurize path (typed Dataset, per-partition decoder) against
+    * DuckDB's rebuild of the md5-derived fake features. */
+  val qMediaFeatures: GraftQuery = GraftQuery(
+    "q34_multimodal_features",
+    s"""WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+       |v AS (SELECT doc_id,
+       |  ${hexValSql(1)} AS v1,
+       |  ${hexValSql(9)} AS v2,
+       |  ${hexValSql(17)} AS v3,
+       |  ${hexValSql(25)} AS v4
+       |  FROM h)
+       |SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |       ELSE 'video' END AS "mediaType",
+       |  CAST(64 + v1 % 1024 AS INTEGER) AS width,
+       |  CAST(64 + v2 % 1024 AS INTEGER) AS height,
+       |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + v3 % 120 ELSE 1 END AS INTEGER) AS "nFrames",
+       |  CAST(v4 AS DOUBLE) / 4294967296.0 AS "featNorm"
+       |FROM v
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     featurize(mediaTable(s, d)).toDF().orderBy("doc_id")
   }
 

@@ -99,15 +99,22 @@ object TextQueries {
   }
 
   /** T1 reference parity: regex extract-all numerics from JSON-ish
-    * event props (Application.py:34-43). */
+    * event props (Application.py:34-43). The extracted list is emitted
+    * joined to one string (plus its length): the driver's comparator
+    * sorts rows in pandas, where array-typed cells are unhashable —
+    * scalar columns keep the oracle hash-comparable while still
+    * exercising extract-all end to end. */
   val qExtractNumbers: GraftQuery = GraftQuery(
     "q25_extract_numbers",
-    """SELECT event_id, regexp_extract_all(props, '\d+(?:\.\d+)?') AS nums
+    """SELECT event_id,
+      |  array_to_string(regexp_extract_all(props, '\d+(?:\.\d+)?'), ',') AS nums,
+      |  CAST(len(regexp_extract_all(props, '\d+(?:\.\d+)?')) AS INTEGER) AS n_nums
       |FROM events
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     Tables.events(s, d).select(
       col("event_id"),
-      extractNumbers(col("props")).as("nums"))
+      array_join(extractNumbers(col("props")), ",").as("nums"),
+      size(extractNumbers(col("props"))).as("n_nums"))
       .orderBy("event_id")
   }
 

@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => SimHashMd5(exprs.head)))
   }
 }

@@ -15,5 +15,7 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash_md5",
+      exprs => SimHashMd5(exprs.head), "scala_udf")
   }
 }

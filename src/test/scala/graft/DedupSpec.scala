@@ -61,6 +61,34 @@ class DedupSpec extends SparkSpecBase {
     assert(ham(h(0), h(1)) <= 16)
   }
 
+  test("simhash_md5 native expression matches the composed built-ins form exactly") {
+    val df = Seq(
+      (0L, Seq("spark", "join", "merge", "stream", "batch", "row", "col", "scan")),
+      (1L, Seq("alpha")),
+      (2L, Seq("a", "b", "a", "")), // dup + empty tokens
+      (3L, Seq[String]()))          // empty set → all votes -1 → 0
+      .toDF("doc_id", "toks")
+    val got = df.select(
+      col("doc_id"),
+      org.apache.spark.sql.graftshim.SimHashMd5(col("toks")).as("native"),
+      Dedup.simhash64Composed(col("toks")).as("composed"))
+      .orderBy("doc_id").collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
+    assert(got(3).getLong(1) === 0L)
+  }
+
+  test("simhash_md5: single token equals its own 60-bit md5 value") {
+    // one token → every set bit of hash60 wins its vote 1:0
+    val tok = "hello"
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(8)
+        .map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    val got = Seq(Seq(tok)).toDF("toks")
+      .select(org.apache.spark.sql.graftshim.SimHashMd5(col("toks"))).first().getLong(0)
+    assert(got === expected)
+  }
+
   test("property: agg-form dedup always yields unique keys and preserves key set") {
     forAllSeeded(Gen.nonEmptyListOf(Gen.chooseNum(0, 9)), n = 10) { ks =>
       val df = ks.zipWithIndex.map { case (k, i) => (k.toString, i.toLong) }
