@@ -28,6 +28,8 @@ object SparkEntry {
       operators.Skew.all ++
       operators.Extras.all ++
       operators.IvfAnn.all ++
+      operators.Advanced.all ++
+      operators.TextAdvanced.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 

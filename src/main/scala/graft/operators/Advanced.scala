@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of relational coverage: decorrelated subqueries,
+  * deep multi-join analytics, explicit grouping sets, null-safe joins,
+  * multiset set-ops, deterministic hash sampling, and histogramming.
+  *
+  * Scale notes (100 TB):
+  *  - q56's "correlated" subquery is expressed as the decorrelated
+  *    aggregate-then-join form — exactly what Catalyst rewrites
+  *    correlated scalar subqueries into; stating it directly keeps the
+  *    plan one shuffle per side plus one join on l_partkey.
+  *  - q57's six-table join keeps the single fact-fact shuffle
+  *    (lineitem ⋈ orders) and broadcasts every dimension.
+  *  - q61's sampling is a pushdown-able FILTER on a hash of the key —
+  *    deterministic, partition-independent, and reproducible across
+  *    engines, unlike TABLESAMPLE which samples physical blocks.
+  */
+object Advanced {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  /** TPC-H Q17 shape: revenue from lineitems below 20% of their part's
+    * average quantity. l_quantity is an integral-valued double, so the
+    * per-part AVG is exact (exact sum / exact count — one correctly
+    * rounded division) and the `<` comparison is engine-stable. */
+  val qSmallQtyRevenue: GraftQuery = GraftQuery(
+    "q56_small_qty_revenue",
+    """WITH t AS (
+      |  SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS threshold
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l JOIN t ON l.l_partkey = t.pk
+      |WHERE l.l_quantity < t.threshold""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val t = l.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("threshold"))
+    l.join(t, l("l_partkey") === t("pk"))
+      .where(col("l_quantity") < col("threshold"))
+      .agg(
+        (sum(dec(col("l_extendedprice"), 12, 2)).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8 shape: one supplier nation's share of European customer
+    * revenue per order year. Six-table join; share is a single division
+    * of two exact decimal sums cast to double. */
+  val qMarketShare: GraftQuery = GraftQuery(
+    "q57_market_share",
+    """WITH rev AS (
+      |  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+      |      (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS vol,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  WHERE r.r_name = 'EUROPE')
+      |SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DOUBLE) /
+      |    CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+      |  CAST(SUM(vol) AS DOUBLE) AS total_revenue
+      |FROM rev
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin) { (s, d) =>
+    val l = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val cn = Tables.nation(s, d)
+    val r = Tables.region(s, d).where(col("r_name") === "EUROPE")
+    val sup = Tables.supplier(s, d)
+    val sn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(cn), c("c_nationkey") === cn("n_nationkey"))
+      .join(broadcast(r), cn("n_regionkey") === r("r_regionkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(sn), sup("s_nationkey") === col("sn_key"))
+      .select(year(col("o_orderdate")).as("o_year"), vol.as("vol"), col("supp_nation"))
+      .groupBy("o_year")
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", col("vol"))).cast("double") /
+          sum(col("vol")).cast("double")).as("mkt_share"),
+        sum(col("vol")).cast("double").as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  /** Explicit GROUPING SETS with GROUPING() disambiguation — entered
+    * through the SQL surface (the DataFrame DSL exposes only
+    * rollup/cube; grouping sets are a SQL-level construct). */
+  val qGroupingSets: GraftQuery = GraftQuery(
+    "q58_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,1))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("adv_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,1))) AS DOUBLE) AS sum_qty
+        |FROM adv_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): per-key
+    * event counts where the key is a nullable JSON extract (k=7
+    * nullified to guarantee a NULL group at every scale). */
+  val qNullSafeJoin: GraftQuery = GraftQuery(
+    "q59_nullsafe_join",
+    """WITH keyed AS (
+      |  SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS INTEGER), 7) AS k_val,
+      |    event_type
+      |  FROM events),
+      |a AS (SELECT k_val, COUNT(*) AS n_click FROM keyed
+      |      WHERE event_type = 'click' GROUP BY k_val),
+      |b AS (SELECT k_val, COUNT(*) AS n_all FROM keyed GROUP BY k_val)
+      |SELECT b.k_val, COALESCE(a.n_click, 0) AS n_click, b.n_all
+      |FROM b LEFT JOIN a ON a.k_val IS NOT DISTINCT FROM b.k_val
+      |ORDER BY b.k_val NULLS FIRST""".stripMargin) { (s, d) =>
+    val keyed = Tables.events(s, d).select(
+      nullif(get_json_object(col("props"), "$.k").cast("int"), lit(7)).as("k_val"),
+      col("event_type"))
+    val a = keyed.where(col("event_type") === "click")
+      .groupBy(col("k_val").as("a_k")).agg(count(lit(1)).as("n_click"))
+    val b = keyed.groupBy("k_val").agg(count(lit(1)).as("n_all"))
+    b.join(a, col("k_val") <=> col("a_k"), "left")
+      .select(col("k_val"), coalesce(col("n_click"), lit(0L)).as("n_click"), col("n_all"))
+      .orderBy(col("k_val").asc_nulls_first)
+  }
+
+  /** Multiset set operations (EXCEPT ALL / INTERSECT ALL) — duplicate
+    * multiplicities matter, unlike q14's distinct set-ops. */
+  val qMultisetOps: GraftQuery = GraftQuery(
+    "q60_multiset_ops",
+    """WITH ea AS (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |ia AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+      |SELECT 'except_all' AS op, custkey, COUNT(*) AS n FROM ea GROUP BY custkey
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, custkey, COUNT(*) AS n FROM ia GROUP BY custkey
+      |ORDER BY op, custkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val all = o.select(col("o_custkey").as("custkey"))
+    val early = o.where(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+      .select(col("o_custkey").as("custkey"))
+    val big = o.where(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("custkey"))
+    val recent = o.where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")))
+      .select(col("o_custkey").as("custkey"))
+    val ea = all.exceptAll(early).groupBy("custkey").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("custkey"), col("n"))
+    val ia = big.intersectAll(recent).groupBy("custkey").agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("custkey"), col("n"))
+    ea.unionByName(ia).orderBy("op", "custkey")
+  }
+
+  /** Deterministic hash-based 1/8 sampling: filter on the first hex
+    * char of md5(key) — reproducible across engines and partitionings,
+    * and pushed to the scan as an ordinary predicate. */
+  val qHashSample: GraftQuery = GraftQuery(
+    "q61_hash_sample",
+    """WITH s AS (
+      |  SELECT * FROM lineitem
+      |  WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+      |                       CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1'))
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,1))) AS DOUBLE) AS sum_qty
+      |FROM s GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .where(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))), 1, 1).isin("0", "1"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"), 12, 1)).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram via floor division (the portable form of
+    * width_bucket): bucket edges are exact in both engines. */
+  val qHistogram: GraftQuery = GraftQuery(
+    "q62_histogram",
+    """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+    qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
+    qMultisetOps, qHashSample, qHistogram)
+}

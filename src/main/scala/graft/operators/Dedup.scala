@@ -145,7 +145,7 @@ object Dedup {
   /** DuckDB rendering of [[shingles]]: range() is EXCLUSIVE-upper where
     * Spark sequence() is inclusive — bounds chosen so both emit
     * i = 1 .. len-(width-1) (min 1). */
-  private val shinglesSql: String = {
+  private[operators] val shinglesSql: String = {
     val w = shingleWidth
     s"list_distinct(list_transform(" +
       s"range(1, greatest(len(string_split(lower(text), ' ')) - ${w - 2}, 2)), " +

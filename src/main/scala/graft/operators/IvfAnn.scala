@@ -4,19 +4,25 @@ import graft.GraftQuery
 import graft.sources.Tables
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftshim.TopKByScore
 
-/** IVF-style ANN: k-means coarse quantizer over the embedding corpus,
-  * search probes only the nProbe nearest centroid cells. The
+/** IVF-style ANN: a coarse quantizer partitions the corpus into cells;
+  * search probes only the nProbe nearest cells per query. The
   * complement of the hyperplane-LSH path (Similarity.qSimLshTopK):
   * LSH buckets are data-independent; IVF cells adapt to the data
   * distribution — at 100 TB the index is a one-off batch job and every
   * query touches corpus_size × nProbe / k rows instead of the corpus.
   *
-  * Not oracle-paired (k-means isn't reproducible in DuckDB); covered
-  * by a rows-only entry + a recall-vs-brute-force spec.
+  * Two quantizers over the same search machinery:
+  *  - k-means (spark.ml) — the production form; not oracle-paired
+  *    (k-means isn't reproducible in DuckDB), covered rows-only + a
+  *    recall-vs-brute-force spec.
+  *  - fixed corpus-sample centroids (every strideth vector) — fully
+  *    deterministic, so routing + cell probe + top-k is hash-checked
+  *    against a from-scratch DuckDB rebuild (q55).
   */
 object IvfAnn {
 
@@ -43,22 +49,41 @@ object IvfAnn {
       .toSeq.toDF("cell", "centroid")
   }
 
+  /** Deterministic quantizer: centroids are every `stride`th corpus
+    * vector (cell id = that vector's vec_id) — no training pass, and
+    * the cell count grows with the corpus as a real IVF's would. */
+  def fixedCentroids(emb: DataFrame, stride: Int): DataFrame =
+    emb.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+
+  /** Assign every vector to its max-cosine centroid (ties → lowest
+    * cell id). Cross join against the broadcast centroid set + one
+    * per-vector window — N × C scored rows, no corpus shuffle. */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("cell"))
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", Similarity.cosine(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "embedding", "cell")
+  }
+
   /** Top-k cosine within the nProbe nearest cells per query. */
-  def search(spark: SparkSession, index: Index, queryFilter: org.apache.spark.sql.Column,
+  def search(assigned: DataFrame, centroids: DataFrame, queryFilter: Column,
       k: Int, nProbe: Int): DataFrame = {
-    val queries = index.assigned.where(queryFilter)
+    val queries = assigned.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // route each query to its nProbe closest centroids (tiny cross join:
     // |queries| × numCells rows)
-    val routed = queries.crossJoin(broadcast(centroidDf(spark, index.model)))
+    val routed = queries.crossJoin(broadcast(centroids))
       .withColumn("c_sim", Similarity.cosine(col("q_emb"), col("centroid")))
       .withColumn("c_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-          .orderBy(col("c_sim").desc, col("cell"))))
+        Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cell"))))
       .where(col("c_rank") <= nProbe)
       .select("query_id", "q_emb", "cell")
     // probe only the routed cells
-    val corpus = index.assigned
+    val corpus = assigned
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"), col("cell"))
     routed.join(corpus, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -71,14 +96,59 @@ object IvfAnn {
       .orderBy("query_id", "rank")
   }
 
-  /** Rows-only catalog entry: build a 16-cell index, search top-3 with
-    * nProbe=2 for the first 8 vectors. */
+  /** Rows-only catalog entry: build a 16-cell k-means index, search
+    * top-3 with nProbe=2 for the first 8 vectors. */
   val qIvfTopK: GraftQuery = GraftQuery.noOracle("q50_ivf_topk") { (s, d) =>
     val index = build(Tables.embeddings(s, d), numCells = 16)
     // assigned feeds both routing and corpus sides; re-transforming is a
     // cheap KMeans predict, so no persist (nothing cached to leak)
-    search(s, index, col("vec_id") < 8, k = 3, nProbe = 2)
+    search(index.assigned, centroidDf(s, index.model), col("vec_id") < 8,
+      k = 3, nProbe = 2)
   }
 
-  def all: Seq[GraftQuery] = Seq(qIvfTopK)
+  val fixedStride = 50
+
+  private val cosSql =
+    "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  /** Fixed-centroid IVF, oracle-checked end to end: quantizer
+    * assignment, query routing, cell probe, and top-k all rebuilt in
+    * DuckDB SQL and hash-compared. */
+  val qIvfFixedTopK: GraftQuery = GraftQuery(
+    "q55_ivf_fixed_topk",
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % $fixedStride = 0),
+       |scored_assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql.format("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |cells AS (
+       |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+       |routed AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql.format("q.embedding", "c.c_emb")} DESC, c.cell) AS c_rank
+       |  FROM embeddings q CROSS JOIN centroids c
+       |  WHERE q.vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, q_emb, cell FROM routed WHERE c_rank <= 2),
+       |scored AS (
+       |  SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    ${cosSql.format("p.q_emb", "m.embedding")} AS cos
+       |  FROM probes p JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = fixedCentroids(emb, fixedStride)
+    search(assign(emb, centroids), centroids, col("vec_id") < 8, k = 3, nProbe = 2)
+  }
+
+  def all: Seq[GraftQuery] = Seq(qIvfTopK, qIvfFixedTopK)
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second tranche of the LLM-data-pipeline text surface: tf-idf term
+  * ranking, corpus bigram statistics, benchmark-contamination
+  * detection, and quality-stratified selection.
+  *
+  * Scale notes (100 TB):
+  *  - tf-idf: two hash aggregates (term-frequency, document-frequency)
+  *    plus a join on term — df is Zipf-small relative to the corpus, so
+  *    the join side is compact; no driver-side vocabulary.
+  *  - contamination: the shingle inverted-index join touches only
+  *    shingles that appear on BOTH sides — the standard way benchmark
+  *    decontamination scales (never doc × doc).
+  *  - tf-idf scores are tf·N/df (log-free): ln() is not bit-specified
+  *    across libm implementations, while this rational score is one
+  *    exact int product and one correctly-rounded division — same
+  *    ranking semantics, engine-stable.
+  */
+object TextAdvanced {
+
+  /** Per-doc top-3 terms by rational tf-idf (ties → lexicographic). */
+  val qTfIdf: GraftQuery = GraftQuery(
+    "q63_tfidf_topterms",
+    """WITH tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      |  GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, COUNT(*) AS df
+      |  FROM (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+      |        FROM documents)
+      |  GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC, tf.term) AS rank
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val exploded = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("term"))
+    val tf = exploded.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = exploded.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") * col("n_docs") / col("df")).desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tf", "df")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Corpus-wide top-20 bigrams. Bigram construction is positional
+    * (array index zip), then one hash aggregate + TakeOrdered. */
+  val qBigrams: GraftQuery = GraftQuery(
+    "q64_bigrams_top",
+    """WITH toks AS (SELECT string_split(lower(text), ' ') AS t FROM documents),
+      |big AS (
+      |  SELECT unnest(list_filter(
+      |    list_transform(range(1, greatest(len(t), 2)), i -> t[i] || ' ' || t[i+1]),
+      |    x -> x IS NOT NULL)) AS bigram
+      |  FROM toks)
+      |SELECT bigram, COUNT(*) AS n
+      |FROM big GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val t = split(lower(col("text")), " ")
+    val bigrams = filter(
+      transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))),
+      x => x.isNotNull)
+    Tables.documents(s, d)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Benchmark-contamination check: training docs (source <> 'src0')
+    * sharing any 3-word shingle with a benchmark doc (source = 'src0'),
+    * with the shared-shingle count per (train, bench) pair. */
+  val qContamination: GraftQuery = GraftQuery(
+    "q65_contamination",
+    s"""WITH bench AS (
+       |  SELECT doc_id, unnest(${Dedup.shinglesSql}) AS sh
+       |  FROM documents WHERE source = 'src0'),
+       |train AS (
+       |  SELECT doc_id, unnest(${Dedup.shinglesSql}) AS sh
+       |  FROM documents WHERE source <> 'src0')
+       |SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS n_shared
+       |FROM train t JOIN bench b ON t.sh = b.sh
+       |GROUP BY t.doc_id, b.doc_id
+       |ORDER BY train_doc, bench_doc""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def side(cond: org.apache.spark.sql.Column, idAs: String) =
+      docs.where(cond).select(col("doc_id").as(idAs),
+        explode(Dedup.shingles(col("text"))).as("sh"))
+    side(col("source") === "src0", "bench_doc")
+      .join(side(col("source") =!= "src0", "train_doc"), "sh")
+      .groupBy("train_doc", "bench_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_doc", "bench_doc")
+  }
+
+  /** Quality-stratified selection: top-2 docs per language by the
+    * composite quality score (score desc, doc_id tie-break). The score
+    * chain is fixed-order double arithmetic over exact ints — engine
+    * stable, so it is safe to emit. */
+  val qQualityTopK: GraftQuery = GraftQuery(
+    "q66_quality_topk",
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    (least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+       |     least(CAST(${TextQueries.hitCountSql(stopwords)} AS DOUBLE) /
+       |           greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) +
+       |     (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+       |                  greatest(length(text), 1) * 4.0, 1.0))) / 3.0 AS quality
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, lang, quality,
+       |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, quality
+       |FROM ranked WHERE rank <= 2
+       |ORDER BY lang, rank""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 2)
+      .select("lang", "rank", "doc_id", "quality")
+      .orderBy("lang", "rank")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK)
+}

@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   * text-analysis surface; driven by TextFunctions). */
 object TextQueries {
 
-  private def sqlList(words: Seq[String]): String =
+  private[operators] def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def hitCountSql(words: Seq[String]): String =
+  private[operators] def hitCountSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(words)}, t)))"
 
   /** Token counting: whitespace tokenizer + BPE-ish regex counter. */

@@ -153,6 +153,44 @@ object Streams {
     spark.table(name).orderBy("c_mktsegment")
   }
 
+  /** Stream-stream inner join with watermarks on both sides: views
+    * joined to same-user clicks landing within the following hour.
+    * Inner joins emit on match (no watermark holdback — that's only
+    * outer joins), while the watermark + time-range condition bounds
+    * the join state to one hour of events per side. */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_stream"
+    val views = readEventsStream(spark, sfDir)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val clicks = readEventsStream(spark, sfDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val q = views.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "view_id", "click_id")
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "view_id", "click_id")
+  }
+
+  /** Stream-stream join, oracle = the equivalent batch interval join. */
+  val qStreamStreamJoin: GraftQuery = GraftQuery(
+    "q67_stream_stream_join",
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY v.user_id, view_id, click_id""".stripMargin) { (s, d) =>
+    streamStreamJoin(s, d)
+  }
+
   /** Stream-static join, oracle = the equivalent batch join+group. */
   val qStreamStaticJoin: GraftQuery = GraftQuery(
     "q49_stream_static_join",
@@ -193,5 +231,6 @@ object Streams {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(qStreamHourly, qStreamDedup, qStreamSessions, qStreamStaticJoin)
+    Seq(qStreamHourly, qStreamDedup, qStreamSessions, qStreamStaticJoin,
+      qStreamStreamJoin)
 }

@@ -8,7 +8,11 @@ class IvfAnnSpec extends SparkSpecBase {
   test("IVF search returns k ranked neighbors and achieves useful recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val index = IvfAnn.build(emb, numCells = 8)
-    val approx = IvfAnn.search(spark, index, col("vec_id") < 16, k = 5, nProbe = 3)
+    import spark.implicits._
+    val centroids = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val approx = IvfAnn.search(index.assigned, centroids, col("vec_id") < 16, k = 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 16, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
@@ -18,6 +22,18 @@ class IvfAnnSpec extends SparkSpecBase {
     // random 64-d gaussian vectors are a worst case for IVF; with 3 of 8
     // cells probed, expect well above the 3/8 floor of random probing
     assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("fixed-centroid IVF: assignment is total and search output is well-formed") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val assigned = IvfAnn.assign(emb, centroids)
+    assert(assigned.count() === emb.count()) // every vector lands in exactly one cell
+    val out = IvfAnn.search(assigned, centroids, col("vec_id") < 8, k = 3, nProbe = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).distinct.length === 8)
+    assert(out.groupBy(_.getLong(0)).values.forall(g =>
+      g.map(_.getInt(1)).sorted.sameElements(1 to g.length)))
   }
 
   test("index build is deterministic under the fixed seed") {

@@ -47,10 +47,15 @@ class PlanAuditSpec extends SparkSpecBase {
   test("no oracle-paired query uses a cartesian or nested-loop join") {
     // the two forms that blow up at scale; every join in the catalog
     // should be hash/broadcast/sort-merge after candidate pruning.
-    // q30 is the ONE deliberate exception: brute-force ANN scoring is
-    // O(queries × corpus) by definition, expressed as a broadcast
-    // nested-loop of the tiny query set — its scale path is q32/q50.
-    val intentionallyExhaustive = Set("q30_sim_topk")
+    // Deliberate exceptions — each broadcast-nested-loops a BOUNDED
+    // small side against the corpus:
+    //  - q30: brute-force ANN scoring is O(queries × corpus) by
+    //    definition (tiny query set broadcast); scale path is q32/q50.
+    //  - q55: IVF quantizer assignment/routing is O(corpus × cells)
+    //    with cells ~ sqrt(corpus) broadcast — the standard IVF cost.
+    //  - q63: a single-row corpus-count literal cross-joined in.
+    val intentionallyExhaustive =
+      Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
