@@ -180,6 +180,17 @@ object Dedup {
     bandsIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir),
       docBands(Tables.documents(spark, sfDir)).persist())
 
+  /** Shingle-set relation as a second per-corpus index: the Jaccard
+    * verification joins it TWICE (doc_a side, doc_b side) — without the
+    * persist each side re-shingles and re-hashes the whole corpus. A
+    * production pipeline materializes this next to the signature table. */
+  private val toksIndex =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def indexedShingleSets(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    toksIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      shingleSets(Tables.documents(spark, sfDir)).persist())
+
   /** MinHash LSH bucket census: buckets holding >1 doc = candidates. */
   val qDedupMinhashBuckets: GraftQuery = GraftQuery(
     "q27_dedup_minhash_buckets",
@@ -221,8 +232,7 @@ object Dedup {
        |      len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin,
     headline = true) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    withJaccard(candidatePairsFromBands(indexedBands(s, d)), docs)
+    withJaccardToks(candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
       .where(col("jaccard") >= 0.9)
       .orderBy("doc_a", "doc_b")
   }

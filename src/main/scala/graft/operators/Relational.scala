@@ -103,17 +103,24 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 10""".stripMargin,
     headline = true) { (s, d) =>
+    // Pre-aggregate lineitem to one row per order BEFORE the join:
+    // partial aggregation combines map-side, so the orderkey shuffle
+    // carries ~|orders| rows instead of ~|lineitem|, and the per-
+    // customer COUNT(DISTINCT o_orderkey) degenerates to a plain
+    // count of per-order rows — no expand/two-phase distinct.
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d)
       .where(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
-    val l = Tables.lineitem(s, d)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy("c_custkey", "c_name")
-      .agg(
-        sum(dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2)))
-          .cast("double").as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2)))
+        .as("order_rev"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("order_rev")).as("rev_dec"), count(lit(1)).as("n_orders"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("rev_dec").cast("double").as("revenue"), col("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(10)
   }
@@ -134,21 +141,26 @@ object Relational {
       |GROUP BY n.n_name
       |ORDER BY revenue DESC, n_name""".stripMargin,
     headline = true) { (s, d) =>
-    val l = Tables.lineitem(s, d)
+    // Same pre-aggregation as q03: collapse lineitem to one row per
+    // order (map-side combine) before the fact-fact join, then carry
+    // (sum, count) through the broadcast-dim chain.
     val o = Tables.orders(s, d)
       .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")))
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d).where(col("r_name").isin("ASIA", "EUROPE"))
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val perOrder = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2)))
+        .as("order_rev"), count(lit(1)).as("order_lines"))
+    perOrder.join(o, col("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("n_name")
       .agg(
-        sum(dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2)))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_lines"))
+        sum(col("order_rev")).cast("double").as("revenue"),
+        sum(col("order_lines")).as("n_lines"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
