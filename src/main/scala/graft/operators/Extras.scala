@@ -93,7 +93,9 @@ object Extras {
       |WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-    Tables.registerAll(s, d)
+    // register only the table the SQL touches (registerAll would
+    // re-open all ten parquet footers on every invocation)
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     s.sql(
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |  SUM(l_quantity) AS sum_qty,
@@ -172,6 +174,117 @@ object Extras {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** Ranking/distribution window functions beyond q19: ntile,
+    * percent_rank, cume_dist, first/last/nth value over a fully
+    * deterministic order (orderdate, orderkey). percent_rank and
+    * cume_dist are single divisions of exact ranks — engine-stable. */
+  val qWindowExtras: GraftQuery = GraftQuery(
+    "q68_window_extras",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist,
+      |  first_value(o_orderkey) OVER w AS first_key,
+      |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+      |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      ntile(4).over(w).as("spend_quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cum_dist"),
+      first(col("o_orderkey")).over(w).as("first_key"),
+      last(col("o_orderkey")).over(wFull).as("last_key"),
+      nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Array function surface over per-order collected lists. Collection
+    * order is nondeterministic, so every emitted value is order-
+    * insensitive (size/max/min/contains) or explicitly sorted first. */
+  val qArrayFuncs: GraftQuery = GraftQuery(
+    "q69_array_funcs",
+    """SELECT l_orderkey,
+      |  CAST(len(dl) AS INTEGER) AS n_lines,
+      |  list_max(dl) AS max_qty,
+      |  list_min(dl) AS min_qty,
+      |  list_contains(dl, 25.0) AS has_qty25,
+      |  array_to_string(list_slice(list_sort(sl), 1, 3), ',') AS first3_qty
+      |FROM (SELECT l_orderkey, list(l_quantity) AS dl,
+      |             list(CAST(l_quantity AS VARCHAR)) AS sl
+      |      FROM lineitem GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(collect_list(col("l_quantity")).as("dl"),
+        collect_list(col("l_quantity").cast("string")).as("sl"))
+      .select(
+        col("l_orderkey"),
+        size(col("dl")).as("n_lines"),
+        array_max(col("dl")).as("max_qty"),
+        array_min(col("dl")).as("min_qty"),
+        array_contains(col("dl"), 25.0).as("has_qty25"),
+        array_join(slice(sort_array(col("sl")), 1, 3), ",").as("first3_qty"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Remaining string-function surface: pad/translate/reverse/repeat/
+    * prefix-extract/position. */
+  val qStringFuncs2: GraftQuery = GraftQuery(
+    "q70_string_funcs2",
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '*') AS brand_lpad,
+      |  rpad(p_brand, 12, '.') AS brand_rpad,
+      |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+      |  reverse(p_name) AS name_rev,
+      |  repeat(p_brand, 2) AS brand_x2,
+      |  split_part(p_type, ' ', 1) AS type_word1,
+      |  CAST(strpos(p_name, 'a') AS INTEGER) AS first_a_pos
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+      rpad(col("p_brand"), 12, ".").as("brand_rpad"),
+      translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+      reverse(col("p_name")).as("name_rev"),
+      repeat(col("p_brand"), 2).as("brand_x2"),
+      substring_index(col("p_type"), " ", 1).as("type_word1"),
+      instr(col("p_name"), "a").as("first_a_pos"))
+      .orderBy("p_partkey")
+  }
+
+  /** Schema-evolution union: unionByName with missing columns null-
+    * filled (DuckDB UNION ALL BY NAME) — the shape of appending a new
+    * source whose schema lags the table's. */
+  val qUnionByName: GraftQuery = GraftQuery(
+    "q71_union_by_name",
+    """SELECT * FROM (
+      |  SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal,
+      |         'customer' AS kind
+      |  FROM customer
+      |  UNION ALL BY NAME
+      |  SELECT s_suppkey + 1000000 AS entity_key, s_name AS name, 'supplier' AS kind
+      |  FROM supplier)
+      |ORDER BY entity_key""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select(
+      col("c_custkey").as("entity_key"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+    val sup = Tables.supplier(s, d).select(
+      (col("s_suppkey") + 1000000L).as("entity_key"), col("s_name").as("name"),
+      lit("supplier").as("kind"))
+    c.unionByName(sup, allowMissingColumns = true)
+      .orderBy("entity_key")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
-    qRegexRoute, qApproxDistinct, qPercentiles, qCube)
+    qRegexRoute, qApproxDistinct, qPercentiles, qCube,
+    qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName)
 }

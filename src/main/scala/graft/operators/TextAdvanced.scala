@@ -102,12 +102,14 @@ object TextAdvanced {
        |FROM train t JOIN bench b ON t.sh = b.sh
        |GROUP BY t.doc_id, b.doc_id
        |ORDER BY train_doc, bench_doc""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    def side(cond: org.apache.spark.sql.Column, idAs: String) =
-      docs.where(cond).select(col("doc_id").as(idAs),
-        explode(Dedup.shingles(col("text"))).as("sh"))
-    side(col("source") === "src0", "bench_doc")
-      .join(side(col("source") =!= "src0", "train_doc"), "sh")
+    // reuse the persisted per-corpus shingle index (built once for the
+    // dedup family) instead of re-shingling both sides
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ex = Dedup.indexedShingleSets(s, d).join(broadcast(src), "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("sh"))
+    ex.where(col("source") === "src0").select(col("doc_id").as("bench_doc"), col("sh"))
+      .join(ex.where(col("source") =!= "src0")
+        .select(col("doc_id").as("train_doc"), col("sh")), "sh")
       .groupBy("train_doc", "bench_doc")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("train_doc", "bench_doc")
