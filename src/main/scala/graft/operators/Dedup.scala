@@ -158,7 +158,7 @@ object Dedup {
       s"list_aggregate(list_transform(m, x -> substring(x, ${8 * slice + 1}, 8)), 'min')"
     }.mkString(", ") + "))"
 
-  private val bandsCte: String =
+  private[operators] val bandsCte: String =
     s"""sigs AS (
        |  SELECT doc_id, list_transform($shinglesSql, w -> md5(w)) AS m
        |  FROM documents),

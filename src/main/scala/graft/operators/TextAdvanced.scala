@@ -115,6 +115,15 @@ object TextAdvanced {
       .orderBy("train_doc", "bench_doc")
   }
 
+  /** DuckDB rendering of TextFunctions.qualityScore — the same
+    * fixed-order double chain over exact ints, reused by q66 and q72. */
+  private[operators] val qualitySql: String =
+    s"""(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
+       |     least(CAST(${TextQueries.hitCountSql(stopwords)} AS DOUBLE) /
+       |           greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) +
+       |     (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+       |                  greatest(length(text), 1) * 4.0, 1.0))) / 3.0""".stripMargin
+
   /** Quality-stratified selection: top-2 docs per language by the
     * composite quality score (score desc, doc_id tie-break). The score
     * chain is fixed-order double arithmetic over exact ints — engine
@@ -122,12 +131,7 @@ object TextAdvanced {
   val qQualityTopK: GraftQuery = GraftQuery(
     "q66_quality_topk",
     s"""WITH scored AS (
-       |  SELECT doc_id, lang,
-       |    (least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) +
-       |     least(CAST(${TextQueries.hitCountSql(stopwords)} AS DOUBLE) /
-       |           greatest(len(string_split(text, ' ')), 1) * 5.0, 1.0) +
-       |     (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
-       |                  greatest(length(text), 1) * 4.0, 1.0))) / 3.0 AS quality
+       |  SELECT doc_id, lang, $qualitySql AS quality
        |  FROM documents),
        |ranked AS (
        |  SELECT doc_id, lang, quality,
@@ -147,5 +151,70 @@ object TextAdvanced {
       .orderBy("lang", "rank")
   }
 
-  def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK)
+  /** Capstone: the full training-data curation pipeline as ONE
+    * oracle-checked dataflow — exact dedup (keep lowest id per content
+    * fingerprint), near-dup removal (drop the higher-id side of every
+    * Jaccard-verified LSH pair), quality gate, then a per-(lang,
+    * source) corpus report. Every stage reuses the persisted per-
+    * corpus indexes; the only per-query work is the drop-set join and
+    * the final aggregate — exactly how a 100 TB curation run is
+    * structured (indexes materialized once, policy passes cheap). */
+  val qCurationPipeline: GraftQuery = GraftQuery(
+    "q72_curation_pipeline",
+    s"""WITH ${Dedup.bandsCte},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |toks AS (SELECT doc_id, ${Dedup.shinglesSql} AS t FROM documents),
+       |neardup_drop AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id
+       |  FROM pairs p
+       |  JOIN toks ta ON p.doc_a = ta.doc_id
+       |  JOIN toks tb ON p.doc_b = tb.doc_id
+       |  WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9),
+       |exact_keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_id
+       |    FROM documents)
+       |  WHERE doc_id = keep_id),
+       |quality AS (
+       |  SELECT doc_id, lang, source, $qualitySql AS q,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |survivors AS (
+       |  SELECT q.* FROM quality q
+       |  JOIN exact_keep k ON q.doc_id = k.doc_id
+       |  WHERE q.q >= 0.45
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM neardup_drop))
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |  MIN(doc_id) AS min_doc
+       |FROM survivors
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val fpWin = Window.partitionBy(TextFunctions.contentFingerprint(col("text")))
+    val exactKeep = docs
+      .withColumn("keep_id", min(col("doc_id")).over(fpWin))
+      .where(col("doc_id") === col("keep_id"))
+    val nearDrop = Dedup.withJaccardToks(
+        Dedup.candidatePairsFromBands(Dedup.indexedBands(s, d)),
+        Dedup.indexedShingleSets(s, d))
+      .where(col("jaccard") >= 0.9)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exactKeep
+      .where(TextFunctions.qualityScore(col("text")) >= 0.45)
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("lang", "source")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,
+    qCurationPipeline)
 }
