@@ -221,7 +221,94 @@ object Advanced {
       .orderBy("bucket")
   }
 
+  /** Full outer join + arg-pick aggregates (min_by/max_by vs DuckDB
+    * arg_min/arg_max): per-segment order stats where a segment can
+    * have customers but no qualifying orders (and the outer join must
+    * surface both sides). Arg-pick orderings are made unique — first
+    * by the unique orderkey, then by an exact decimal pack
+    * price·10^8 + key (collision-free while orderkey < 10^6; at
+    * larger scales widen the multiplier — decimal has 38 digits). */
+  val qFullOuterArgPick: GraftQuery = GraftQuery(
+    "q73_full_outer_argpick",
+    """WITH seg AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment),
+      |big AS (
+      |  SELECT c.c_mktsegment AS seg2, COUNT(*) AS n_big,
+      |    arg_min(o.o_totalprice, o.o_orderkey) AS first_key_price,
+      |    arg_max(o.o_orderkey,
+      |            CAST(o.o_totalprice AS DECIMAL(12,2)) * 100000000 + o.o_orderkey) AS priciest_key
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_totalprice > 400000
+      |  GROUP BY c.c_mktsegment)
+      |SELECT COALESCE(c_mktsegment, seg2) AS segment, n_cust, n_big,
+      |  first_key_price, priciest_key
+      |FROM seg FULL OUTER JOIN big ON seg.c_mktsegment = big.seg2
+      |ORDER BY segment""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val seg = c.groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+    val big = o.where(col("o_totalprice") > 400000)
+      .join(c.select(col("c_custkey"), col("c_mktsegment").as("seg2")),
+        o("o_custkey") === col("c_custkey"))
+      .groupBy("seg2")
+      .agg(count(lit(1)).as("n_big"),
+        min_by(col("o_totalprice"), col("o_orderkey")).as("first_key_price"),
+        max_by(col("o_orderkey"),
+          dec(col("o_totalprice"), 12, 2) * 100000000L + col("o_orderkey"))
+          .as("priciest_key"))
+    seg.join(big, col("c_mktsegment") === col("seg2"), "full_outer")
+      .select(coalesce(col("c_mktsegment"), col("seg2")).as("segment"),
+        col("n_cust"), col("n_big"), col("first_key_price"), col("priciest_key"))
+      .orderBy("segment")
+  }
+
+  /** Statistical aggregates in the engine-stable form: variance,
+    * stddev, covariance, and correlation derived from EXACT decimal
+    * power sums (sum, sum of squares, sum of cross products), with the
+    * closed-form combination done once in double. The builtin
+    * stddev/corr use streaming (Welford-style) updates whose result
+    * depends on partial-aggregation order — fine statistically, wrong
+    * for cross-engine hash comparison AND for run-to-run stability at
+    * scale; the power-sum form is associative and exact. */
+  val qStatsExact: GraftQuery = GraftQuery(
+    "q74_stats_exact",
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  (CAST(SUM(qd * qd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(qd) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1) AS var_qty,
+      |  sqrt((CAST(SUM(qd * qd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(qd) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1)) AS stddev_qty,
+      |  (CAST(SUM(qd * pd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(pd) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1) AS covar_qty_price,
+      |  (CAST(SUM(qd * pd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(pd) AS DOUBLE) / COUNT(*)) /
+      |    (sqrt(CAST(SUM(qd * qd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(qd) AS DOUBLE) / COUNT(*)) *
+      |     sqrt(CAST(SUM(pd * pd) AS DOUBLE) - CAST(SUM(pd) AS DOUBLE) * CAST(SUM(pd) AS DOUBLE) / COUNT(*)))
+      |    AS corr_qty_price
+      |FROM (SELECT l_returnflag,
+      |        CAST(l_quantity AS DECIMAL(12,1)) AS qd,
+      |        CAST(l_extendedprice AS DECIMAL(12,2)) AS pd
+      |      FROM lineitem)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val qd = col("l_quantity").cast("decimal(12,1)")
+    val pd = col("l_extendedprice").cast("decimal(12,2)")
+    val n = count(lit(1))
+    val sq = sum(qd).cast("double")
+    val sp = sum(pd).cast("double")
+    val sqq = sum(qd * qd).cast("double")
+    val spp = sum(pd * pd).cast("double")
+    val sqp = sum(qd * pd).cast("double")
+    val varQ = (sqq - sq * sq / n) / (n - 1)
+    val covQP = (sqp - sq * sp / n) / (n - 1)
+    val corrQP = (sqp - sq * sp / n) /
+      (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(n.as("n"), varQ.as("var_qty"), sqrt(varQ).as("stddev_qty"),
+        covQP.as("covar_qty_price"), corrQP.as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
-    qMultisetOps, qHashSample, qHistogram)
+    qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact)
 }
