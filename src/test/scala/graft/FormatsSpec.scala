@@ -30,4 +30,15 @@ class FormatsSpec extends SparkSpecBase {
     assert(back.schema === nation.schema)
     assert(back.count() === nation.count())
   }
+
+  test("hive-partitioned write prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf001).withColumn("o_year", year(col("o_orderdate")))
+    o.write.partitionBy("o_year").mode("overwrite").parquet(s"$dir/o_part")
+    val back = spark.read.parquet(s"$dir/o_part").where(col("o_year") === 1996)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"partition filter must reach the scan:\n$plan")
+    assert(back.count() === o.where(col("o_year") === 1996).count())
+  }
 }
