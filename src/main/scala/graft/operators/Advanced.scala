@@ -308,7 +308,64 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  /** Time-series gap fill: daily event counts with missing
+    * (type, day) cells zero-filled from a generated calendar — the
+    * resample-to-regular-grid operation. The calendar × type frame is
+    * bounded (days × types), built from two single-row/tiny aggregates. */
+  val qGapFill: GraftQuery = GraftQuery(
+    "q75_gap_fill",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)),
+      |span AS (
+      |  SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+      |         CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+      |  FROM events),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT t.event_type, c.day, COALESCE(d.n, 0) AS n
+      |FROM cal c CROSS JOIN types t
+      |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day
+      |ORDER BY t.event_type, c.day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val day = date_trunc("day", col("ts")).cast("date")
+    val daily = ev.groupBy(col("event_type"), day.as("day")).agg(count(lit(1)).as("n"))
+    val span = ev.agg(min(day).as("d0"), max(day).as("d1"))
+    val cal = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    cal.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Forward-fill imputation: error events carry no valid value; fill
+    * from the user's most recent non-error reading (last_value IGNORE
+    * NULLS over a deterministic (ts, event_id) order). */
+  val qForwardFill: GraftQuery = GraftQuery(
+    "q76_forward_fill",
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw_value,
+      |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rawValue = when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      rawValue.as("raw_value"),
+      last(rawValue, ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("event_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
-    qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact)
+    qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
+    qGapFill, qForwardFill)
 }

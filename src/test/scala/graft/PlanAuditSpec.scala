@@ -54,8 +54,11 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q55: IVF quantizer assignment/routing is O(corpus × cells)
     //    with cells ~ sqrt(corpus) broadcast — the standard IVF cost.
     //  - q63: a single-row corpus-count literal cross-joined in.
+    //  - q75: calendar × event-type grid — both sides are bounded
+    //    aggregates (days in span, distinct types).
     val intentionallyExhaustive =
-      Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms")
+      Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
+        "q75_gap_fill")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
