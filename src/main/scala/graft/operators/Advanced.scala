@@ -272,36 +272,50 @@ object Advanced {
     * scale; the power-sum form is associative and exact. */
   val qStatsExact: GraftQuery = GraftQuery(
     "q74_stats_exact",
+    // Power sums stay in SCALE-0 INTEGER units (quantity decades,
+    // price cents) until the final double conversion: DuckDB's
+    // scaled-decimal→double cast double-rounds (unscaled→double, then
+    // /10^scale) and diverges from the correctly-rounded value by an
+    // ulp once the unscaled sum exceeds 2^53 — integer→double is a
+    // single rounding in both engines. Unit factors come back as
+    // explicit double divisions, mirrored verbatim on both sides
+    // (they cancel entirely in the correlation).
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  (CAST(SUM(qd * qd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(qd) AS DOUBLE) / COUNT(*))
-      |    / (COUNT(*) - 1) AS var_qty,
-      |  sqrt((CAST(SUM(qd * qd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(qd) AS DOUBLE) / COUNT(*))
-      |    / (COUNT(*) - 1)) AS stddev_qty,
-      |  (CAST(SUM(qd * pd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(pd) AS DOUBLE) / COUNT(*))
-      |    / (COUNT(*) - 1) AS covar_qty_price,
-      |  (CAST(SUM(qd * pd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(pd) AS DOUBLE) / COUNT(*)) /
-      |    (sqrt(CAST(SUM(qd * qd) AS DOUBLE) - CAST(SUM(qd) AS DOUBLE) * CAST(SUM(qd) AS DOUBLE) / COUNT(*)) *
-      |     sqrt(CAST(SUM(pd * pd) AS DOUBLE) - CAST(SUM(pd) AS DOUBLE) * CAST(SUM(pd) AS DOUBLE) / COUNT(*)))
+      |  (CAST(SUM(q10 * q10) AS DOUBLE) - CAST(SUM(q10) AS DOUBLE) * CAST(SUM(q10) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1) / 100.0 AS var_qty,
+      |  sqrt((CAST(SUM(q10 * q10) AS DOUBLE) - CAST(SUM(q10) AS DOUBLE) * CAST(SUM(q10) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1) / 100.0) AS stddev_qty,
+      |  (CAST(SUM(q10 * pc) AS DOUBLE) - CAST(SUM(q10) AS DOUBLE) * CAST(SUM(pc) AS DOUBLE) / COUNT(*))
+      |    / (COUNT(*) - 1) / 1000.0 AS covar_qty_price,
+      |  (CAST(SUM(q10 * pc) AS DOUBLE) - CAST(SUM(q10) AS DOUBLE) * CAST(SUM(pc) AS DOUBLE) / COUNT(*)) /
+      |    (sqrt(CAST(SUM(q10 * q10) AS DOUBLE) - CAST(SUM(q10) AS DOUBLE) * CAST(SUM(q10) AS DOUBLE) / COUNT(*)) *
+      |     sqrt(CAST(SUM(pc * pc) AS DOUBLE) - CAST(SUM(pc) AS DOUBLE) * CAST(SUM(pc) AS DOUBLE) / COUNT(*)))
       |    AS corr_qty_price
       |FROM (SELECT l_returnflag,
-      |        CAST(l_quantity AS DECIMAL(12,1)) AS qd,
-      |        CAST(l_extendedprice AS DECIMAL(12,2)) AS pd
+      |        CAST(CAST(l_quantity AS DECIMAL(12,1)) * 10 AS BIGINT) AS q10,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
       |      FROM lineitem)
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    val qd = col("l_quantity").cast("decimal(12,1)")
-    val pd = col("l_extendedprice").cast("decimal(12,2)")
+    val q10in = (col("l_quantity").cast("decimal(12,1)") * 10).cast("long")
+    val pcIn = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    val q10 = col("q10")
+    val pc = col("pc")
+    // per-row integer products fit a long; the SUM goes through
+    // decimal(38,0) so it cannot overflow at any scale
+    def isum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
     val n = count(lit(1))
-    val sq = sum(qd).cast("double")
-    val sp = sum(pd).cast("double")
-    val sqq = sum(qd * qd).cast("double")
-    val spp = sum(pd * pd).cast("double")
-    val sqp = sum(qd * pd).cast("double")
-    val varQ = (sqq - sq * sq / n) / (n - 1)
-    val covQP = (sqp - sq * sp / n) / (n - 1)
+    val sq = isum(q10)
+    val sp = isum(pc)
+    val sqq = isum(q10 * q10)
+    val spp = isum(pc * pc)
+    val sqp = isum(q10 * pc)
+    val varQ = (sqq - sq * sq / n) / (n - 1) / 100.0
+    val covQP = (sqp - sq * sp / n) / (n - 1) / 1000.0
     val corrQP = (sqp - sq * sp / n) /
       (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n))
     Tables.lineitem(s, d)
+      .select(col("l_returnflag"), q10in.as("q10"), pcIn.as("pc"))
       .groupBy("l_returnflag")
       .agg(n.as("n"), varQ.as("var_qty"), sqrt(varQ).as("stddev_qty"),
         covQP.as("covar_qty_price"), corrQP.as("corr_qty_price"))
