@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 
 class StreamsSpec extends SparkSpecBase {
 
+  test("watermark drops late data: a row older than the watermark cannot reopen an emitted window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(60000L * min)
+    val q = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append").format("memory").queryName("late_test").start()
+    try {
+      input.addData((ts(5), "a"), (ts(60), "a")) // watermark → 50 after this batch
+      q.processAllAvailable()
+      input.addData((ts(70), "a")) // triggers emission of the [0,10) window
+      q.processAllAvailable()
+      input.addData((ts(6), "late")) // older than watermark → discarded
+      q.processAllAvailable()
+      input.addData((ts(80), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val firstWindow = spark.table("late_test")
+      .select(col("win.start").cast("long").as("start_sec"), col("n"))
+      .where(col("start_sec") === 0).collect()
+    // exactly one emission for [0,10), count 1 — the late row neither
+    // re-emitted the window nor inflated its count
+    assert(firstWindow.length === 1)
+    assert(firstWindow.head.getLong(1) === 1L)
+  }
+
   test("streaming hourly aggregation equals the batch equivalent") {
     val streamed = Streams.hourlyCounts(spark, sf001)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
