@@ -59,6 +59,12 @@ object Multimodal {
       val norm = be32(h, 12).toDouble / 4294967296.0
       MediaFeatures(meta.sourceId, meta.mediaType, w.toInt, ht.toInt, frames.toInt, norm)
     }
+
+    /** Batch entry point (one call per Arrow-style batch): a real
+      * vectorized decoder would run the whole batch through the codec/
+      * model at once; the stub maps row-wise. */
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map(r => decode(r.meta, r.payload))
   }
 
   /** Build a media table from `documents`: payload = UTF-8 bytes of the
@@ -85,6 +91,18 @@ object Multimodal {
     media.mapPartitions { rows =>
       // decoder init happens once per partition here (stubbed: no-op)
       rows.map(r => FakeDecoder.decode(r.meta, r.payload))
+    }
+  }
+
+  /** Batch-shaped featurize — the Scala analog of `mapInPandas`: the
+    * decoder sees fixed-size BATCHES of rows (the Arrow-batch calling
+    * convention a vectorized/NN decoder wants), not single rows. Same
+    * output as [[featurize]]; batch size bounds peak payload memory
+    * per task at batchSize × max payload. */
+  def featurizeBatched(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(FakeDecoder.decodeBatch)
     }
   }
 

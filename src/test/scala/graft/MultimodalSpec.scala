@@ -26,6 +26,14 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.featNorm === be32(12).toDouble / 4294967296.0)
   }
 
+  test("batched featurize (mapInPandas shape) equals the row-wise path") {
+    val media = Multimodal.mediaTable(spark, sf001)
+    val rowWise = Multimodal.featurize(media).collect().sortBy(_.doc_id)
+    val batched = Multimodal.featurizeBatched(media, batchSize = 7)
+      .collect().sortBy(_.doc_id)
+    assert(batched.toSeq === rowWise.toSeq)
+  }
+
   test("featurize is partition-parallel, deterministic, fixed-width") {
     val media = Multimodal.mediaTable(spark, sf001)
     val f1 = Multimodal.featurize(media).collect().sortBy(_.doc_id)
