@@ -275,6 +275,87 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: each node adopts the smallest label among
+    * itself and its neighbors until fixpoint. The driver loop only
+    * controls ITERATION COUNT (bounded by component diameter); the data
+    * never leaves the cluster — the standard Spark shape for iterative
+    * graph algorithms. Edges here are the Jaccard-verified near-dup
+    * pairs, which are tiny relative to the corpus by construction. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node pulls the min label over {self} ∪ neighbors
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTERS: transitive closure of the verified pair set.
+    * The drop-doc_b rule (q72) keeps per-pair minima; this yields the
+    * canonical cluster id (= min doc_id in the component) and size —
+    * the "keep one representative per cluster" contract a curation
+    * pipeline actually wants. Oracle: DuckDB recursive CTE reachability. */
+  val qDedupComponents: GraftQuery = GraftQuery(
+    "q77_dedup_components",
+    s"""WITH RECURSIVE $bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |toks AS (SELECT doc_id, $shinglesSql AS t FROM documents),
+       |pairs AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM cand p
+       |  JOIN toks ta ON p.doc_a = ta.doc_id
+       |  JOIN toks tb ON p.doc_b = tb.doc_id
+       |  WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       |lbl AS (
+       |  SELECT n AS doc_id, least(n, MIN(m)) AS cluster_id
+       |  FROM reach GROUP BY n)
+       |SELECT doc_id, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size
+       |FROM lbl
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = withJaccardToks(
+        candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash)
+    qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
+    qDedupComponents)
 }

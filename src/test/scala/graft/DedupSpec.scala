@@ -89,6 +89,14 @@ class DedupSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("connected components: chains collapse to min label, disjoint clusters stay apart") {
+    // chain 1-2-3-4 (via consecutive pairs) + separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("property: agg-form dedup always yields unique keys and preserves key set") {
     forAllSeeded(Gen.nonEmptyListOf(Gen.chooseNum(0, 9)), n = 10) { ks =>
       val df = ks.zipWithIndex.map { case (k, i) => (k.toString, i.toLong) }
