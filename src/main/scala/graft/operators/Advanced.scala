@@ -378,8 +378,64 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  /** First-touch conversion funnel: first view, first click at-or-after
+    * that view, first purchase at-or-after that click; users bucketed by
+    * the deepest stage reached. Three ordered min-aggregates + left
+    * joins — every step is an exact min over µs timestamps, so staging
+    * is engine-deterministic. */
+  val qFunnel: GraftQuery = GraftQuery(
+    "q78_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_buy
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      |  GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |staged AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN p.user_id IS NOT NULL THEN 3
+      |         WHEN c.user_id IS NOT NULL THEN 2
+      |         WHEN v.user_id IS NOT NULL THEN 1
+      |         ELSE 0 END AS stage
+      |  FROM u
+      |  LEFT JOIN v ON u.user_id = v.user_id
+      |  LEFT JOIN c ON u.user_id = c.user_id
+      |  LEFT JOIN p ON u.user_id = p.user_id)
+      |SELECT stage, COUNT(*) AS n_users
+      |FROM staged GROUP BY stage
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, "user_id").where(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, "user_id").where(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+    val u = ev.select("user_id").distinct()
+    u.join(v.select(col("user_id"), lit(1).as("has_v")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("has_c")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("has_p")), Seq("user_id"), "left")
+      .select(
+        when(col("has_p").isNotNull, 3)
+          .when(col("has_c").isNotNull, 2)
+          .when(col("has_v").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
-    qGapFill, qForwardFill)
+    qGapFill, qForwardFill, qFunnel)
 }
