@@ -41,12 +41,22 @@ object Dedup {
     * near-unique, so only genuine near-duplicates overlap. (Switching
     * from unigram token sets cut the sf0.1 candidate-pair count from
     * 876k noise pairs to the 25 true near-dup pairs.) */
-  def shingles(text: Column): Column = {
-    val toks = split(lower(text), " ")
+  def shingles(text: Column): Column = shinglesFromToks(split(lower(text), " "))
+
+  /** Shingles from a pre-bound token-array column. Callers that care
+    * about throughput MUST bind the tokenization to a real column
+    * first ([[tokenizedDocs]]): Spark does not eliminate common
+    * subexpressions inside higher-order-function lambdas, so passing
+    * the raw split() expression re-tokenizes the text once per
+    * shingle slice. */
+  def shinglesFromToks(toks: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (shingleWidth - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(shingleWidth)))))
-  }
+
+  /** (doc_id, __toks) projection — the bound-column tokenization. */
+  private def tokenizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("__toks"))
 
   /** Band b's minhashes: minima over non-overlapping 8-hex-char slices
     * of ONE md5 digest per shingle — a 32-hex md5 yields four
@@ -62,7 +72,8 @@ object Dedup {
     * materialized as an explicit column (not a repeated subtree), so
     * each shingle is md5'd exactly once. */
   def docBands(docs: DataFrame): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val withSh = tokenizedDocs(docs)
+      .select(col("doc_id"), shinglesFromToks(col("__toks")).as("sh"))
     val digests = withSh.select(
       col("doc_id"), transform(col("sh"), w => md5(w)).as("m"))
     val bands = array((0 until bandsPerDoc).map(b =>
@@ -94,7 +105,8 @@ object Dedup {
   /** (doc_id, toks) shingle-set relation — compute once, reuse/persist
     * across both sides of pair joins. */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("toks"))
+    tokenizedDocs(docs)
+      .select(col("doc_id"), shinglesFromToks(col("__toks")).as("toks"))
 
   /** Exact Jaccard over distinct-shingle sets, for candidate verification. */
   def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame =

@@ -46,7 +46,11 @@ object TextAdvanced {
       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
+    // repartition the COMPACT doc relation before the ~100x token
+    // explosion: the exchange moves the small side; the expansion (and
+    // its partial aggregation) then runs at full parallelism even when
+    // the input arrives as few large row groups (one scan task).
+    val docs = Tables.documents(s, d).repartition(32)
     val exploded = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("term"))
     val tf = exploded.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -75,12 +79,17 @@ object TextAdvanced {
       |FROM big GROUP BY bigram
       |ORDER BY n DESC, bigram
       |LIMIT 20""".stripMargin) { (s, d) =>
-    val t = split(lower(col("text")), " ")
+    // bind the token array to a COLUMN before the lambda: Spark does
+    // not CSE subexpressions inside higher-order-function lambdas, so
+    // inlining split() here would re-tokenize the text once per
+    // element (measured 30x slower)
+    val t = col("__toks")
     val bigrams = filter(
       transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
         i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))),
       x => x.isNotNull)
-    Tables.documents(s, d)
+    Tables.documents(s, d).repartition(32)
+      .select(split(lower(col("text")), " ").as("__toks"))
       .select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
