@@ -36,6 +36,29 @@ class StreamsSpec extends SparkSpecBase {
     assert(firstWindow.head.getLong(1) === 1L)
   }
 
+  test("foreachBatch parquet sink persists every micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "k")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === 3)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("streaming hourly aggregation equals the batch equivalent") {
     val streamed = Streams.hourlyCounts(spark, sf001)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
