@@ -295,13 +295,26 @@ object Dedup {
     * graph algorithms. Edges here are the Jaccard-verified near-dup
     * pairs, which are tiny relative to the corpus by construction. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // the fixpoint loop runs many tiny jobs over the (small) pair set:
+    // size its shuffle parallelism to the data, not the CPU count —
+    // per-iteration scheduling overhead dominates otherwise. Restored
+    // after the loop; batch queries keep their tuning.
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevPartitions = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
+    // the edge list is read 2x per iteration — persist it for the
+    // duration of the fixpoint loop (released before returning; every
+    // iteration's label relation is materialized by its convergence
+    // check, so the final labels survive the unpersist)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    try while (!converged && i < maxIters) {
       // each node pulls the min label over {self} ∪ neighbors
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
@@ -316,7 +329,9 @@ object Dedup {
       labels = next
       converged = changed == 0
       i += 1
-    }
+    } finally spark.conf.set(partKey, prevPartitions)
+    labels.count() // pin the final label relation into its cache
+    edges.unpersist()
     labels
   }
 
