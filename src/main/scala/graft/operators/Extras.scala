@@ -284,7 +284,45 @@ object Extras {
       .orderBy("entity_key")
   }
 
+  /** Boolean/conditional aggregate surface: bool_and/bool_or/count_if
+    * (all order-insensitive, engine-exact). */
+  val qBoolAggs: GraftQuery = GraftQuery(
+    "q79_bool_aggs",
+    """SELECT event_type,
+      |  bool_and(value > 0) AS all_positive,
+      |  bool_or(value > 900) AS any_huge,
+      |  CAST(count_if(value > 500) AS BIGINT) AS n_large,
+      |  bool_and(user_id IS NOT NULL) AS users_complete
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("event_type").agg(
+      bool_and(col("value") > 0).as("all_positive"),
+      bool_or(col("value") > 900).as("any_huge"),
+      count_if(col("value") > 500).as("n_large"),
+      bool_and(col("user_id").isNotNull).as("users_complete"))
+      .orderBy("event_type")
+  }
+
+  /** String aggregation (listagg shape): collection order is engine-
+    * arbitrary, so the list is SORTED before joining — the only
+    * deterministic form of string_agg. */
+  val qStringAgg: GraftQuery = GraftQuery(
+    "q80_string_agg",
+    """SELECT l_returnflag,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      |  CAST(COUNT(DISTINCT l_linestatus) AS INTEGER) AS n_statuses
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+      size(collect_set(col("l_linestatus"))).as("n_statuses"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
-    qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName)
+    qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
+    qBoolAggs, qStringAgg)
 }
