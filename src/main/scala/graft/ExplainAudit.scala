@@ -22,6 +22,8 @@ object ExplainAudit {
       .select(graft.functions.TextFunctions.distinctTokens(lower(col("text"))).as("t"))
     time("simhash_native  (5k docs)")(
       toks.select(sum(pmod(graft.operators.Dedup.simhash64(col("t")), lit(1000000L)))).collect())
+    time("simhash_md5     (5k docs)")(
+      toks.select(sum(pmod(org.apache.spark.sql.graftshim.SimHashMd5(col("t")), lit(1000000L)))).collect())
     time("simhash_composed(5k docs)")(
       toks.select(sum(pmod(graft.operators.Dedup.simhash64Composed(col("t")), lit(1000000L)))).collect())
     val embAll = graft.sources.Tables.embeddings(spark, d)
