@@ -23,6 +23,31 @@ class RangeJoinSpec extends SparkSpecBase {
       (3L, 104L), (3L, 105L)))            // crosses three bins, hi inclusive
   }
 
+  test("property: band join equals brute force on random boundary-heavy instances") {
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      // values biased onto exact bin multiples to stress inclusivity
+      def v(): Double =
+        if (rnd.nextBoolean()) rnd.nextInt(10) * 10.0 else rnd.nextDouble() * 100
+      val probe0 = (0 until 30).map { i =>
+        val a = v(); val b = v()
+        (i.toLong, math.min(a, b), math.max(a, b))
+      }
+      val build0 = (0 until 40).map(i => (100L + i, v()))
+      val probe = probe0.toDF("pid", "lo", "hi")
+      val build = build0.toDF("bid", "pt")
+      val got = RangeJoin.bandJoin(probe, build,
+          col("lo"), col("hi"), col("pt"), binWidth = 10.0)
+        .select("pid", "bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (pid, lo, hi) <- probe0
+        (bid, pt) <- build0 if pt >= lo && pt <= hi
+      } yield (pid, bid)).toSet
+      assert(got === expected)
+    }
+  }
+
   test("binned plan equals the naive inequality join on real data") {
     val events = graft.sources.Tables.events(spark, sf001)
       .select(col("event_id"), col("value"))
