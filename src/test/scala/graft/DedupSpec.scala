@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpecBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("property: components equal brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    (0 until 5).foreach { _ =>
+      val edges = (0 until 12).map(_ => (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val parent = scala.collection.mutable.Map((0L to 15L).map(n => n -> n): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node id in the component
+      val expected = nodes.map { n =>
+        val root = find(n)
+        n -> nodes.filter(m => find(m) == root).min
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("property: agg-form dedup always yields unique keys and preserves key set") {
     forAllSeeded(Gen.nonEmptyListOf(Gen.chooseNum(0, 9)), n = 10) { ks =>
       val df = ks.zipWithIndex.map { case (k, i) => (k.toString, i.toLong) }
