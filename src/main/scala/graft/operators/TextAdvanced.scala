@@ -224,6 +224,58 @@ object TextAdvanced {
       .orderBy("lang", "source")
   }
 
+  /** Redaction pass (PII-scrub shape): numeric literals and quoted
+    * values masked from the raw event props, with audit counts —
+    * the pattern is deliberately dialect-neutral (char classes only)
+    * so Java regex and RE2-style engines agree. */
+  val qRedact: GraftQuery = GraftQuery(
+    "q81_redact",
+    """SELECT event_id,
+      |  regexp_replace(regexp_replace(props, '[0-9]+(\.[0-9]+)?', '<NUM>', 'g'),
+      |                 '"[a-z]+"', '<STR>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(props, '[0-9]+(\.[0-9]+)?')) AS INTEGER) AS n_nums_masked,
+      |  CAST(len(regexp_extract_all(props, '"[a-z]+"')) AS INTEGER) AS n_strs_masked
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      regexp_replace(regexp_replace(col("props"), "[0-9]+(\\.[0-9]+)?", "<NUM>"),
+        "\"[a-z]+\"", "<STR>").as("redacted"),
+      size(regexp_extract_all(col("props"), lit("[0-9]+(\\.[0-9]+)?"), lit(0)))
+        .as("n_nums_masked"),
+      size(regexp_extract_all(col("props"), lit("\"[a-z]+\""), lit(0)))
+        .as("n_strs_masked"))
+      .orderBy("event_id")
+  }
+
+  /** Repetition detection (training-data quality): type-token ratio
+    * and the highest single-token repeat count per document. Ints and
+    * one exact division — engine-stable. */
+  val qRepetition: GraftQuery = GraftQuery(
+    "q82_repetition",
+    """WITH counts AS (
+      |  SELECT doc_id, term, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+      |  GROUP BY doc_id, term)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(MAX(c) AS INTEGER) AS max_repeat,
+      |  CAST(COUNT(*) AS DOUBLE) / SUM(c) AS type_token_ratio
+      |FROM counts
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_distinct_tokens"),
+        sum(col("c")).as("n_tokens"),
+        max(col("c")).cast("int").as("max_repeat"),
+        (count(lit(1)).cast("double") / sum(col("c"))).as("type_token_ratio"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,
-    qCurationPipeline)
+    qCurationPipeline, qRedact, qRepetition)
 }
