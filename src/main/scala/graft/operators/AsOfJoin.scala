@@ -112,5 +112,41 @@ object AsOfJoin {
       .orderBy("event_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qAsOfJoin)
+  /** As-of with TOLERANCE: each purchase matched to the same user's
+    * latest click, but only if it landed within the preceding hour —
+    * the bounded-lookback form every feature-store join uses. The
+    * match is computed as an unbounded as-of carrying the matched
+    * time, then aged out with one CASE (identical semantics to a
+    * tolerance-aware join, no second pass). */
+  val qAsOfTolerance: GraftQuery = GraftQuery(
+    "q84_asof_tolerance",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.click_id END AS recent_click_id,
+      |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+      |       THEN CAST(floor(epoch(c.ts)) AS BIGINT) END AS recent_click_sec
+      |FROM purchases p
+      |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val joined = asOf(purchases, clicks, key = "user_id",
+      leftTime = "ts", rightTime = "ts",
+      payload = Seq("click_id" -> "m_click_id", "ts" -> "m_click_ts"))
+    val fresh = col("m_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+    joined.select(
+      col("event_id"), col("user_id"),
+      when(fresh, col("m_click_id")).as("recent_click_id"),
+      when(fresh, unix_timestamp(col("m_click_ts"))).as("recent_click_sec"))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qAsOfJoin, qAsOfTolerance)
 }

@@ -68,5 +68,24 @@ object Skew {
       .orderBy("event_type")
   }
 
-  def all: Seq[GraftQuery] = Seq(qSaltedAgg)
+  /** Salted JOIN against the plain-join oracle: replicate-small /
+    * salt-big must be result-identical to the direct equi-join. */
+  val qSaltedJoin: GraftQuery = GraftQuery(
+    "q83_salted_join",
+    """SELECT c.c_mktsegment,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val big = Tables.events(s, d).select(col("user_id").as("c_custkey"), col("value"))
+    val small = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(big, small, "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qSaltedAgg, qSaltedJoin)
 }
