@@ -214,6 +214,50 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Symmetric int8 quantization of the embedding column (the storage
+    * form a 100 TB vector corpus actually keeps): per-vector scale =
+    * max|x|/127, codes = floor(x/scale + 0.5) ∈ [-127, 127]. Only
+    * integer code statistics and the (deterministic one-division)
+    * scale are emitted; rounding is floor(+0.5) — identical half-up
+    * semantics in both engines, unlike round()'s half-even ties. */
+  val qQuantizeInt8: GraftQuery = GraftQuery(
+    "q85_quantize_int8",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e,
+      |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127 AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS codes
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |  codes[1] AS q1, codes[2] AS q2, codes[3] AS q3, codes[4] AS q4,
+      |  CAST(len(list_filter(codes, c -> c > 0)) AS INTEGER) AS n_pos,
+      |  CAST(len(list_filter(codes, c -> c < 0)) AS INTEGER) AS n_neg,
+      |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS sum_abs
+      |FROM q
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = col("e")
+    val scale = greatest(array_max(transform(e, x => abs(x))), lit(1e-30)) / 127
+    val codes = transform(col("e"), x => floor(x / col("scale") + 0.5).cast("long"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", scale)
+      .withColumn("codes", codes)
+      .select(
+        col("vec_id"), col("scale"),
+        element_at(col("codes"), 1).as("q1"),
+        element_at(col("codes"), 2).as("q2"),
+        element_at(col("codes"), 3).as("q3"),
+        element_at(col("codes"), 4).as("q4"),
+        size(filter(col("codes"), c => c > 0)).as("n_pos"),
+        size(filter(col("codes"), c => c < 0)).as("n_neg"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c)).as("sum_abs"))
+      .orderBy("vec_id")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup)
+    Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup, qQuantizeInt8)
 }
