@@ -434,8 +434,48 @@ object Advanced {
       .orderBy("stage")
   }
 
+  /** TPC-H Q21 shape (multi-EXISTS decorrelation): suppliers whose
+    * line shipped late (> 90 days after the order date) in a
+    * multi-supplier order where NO other supplier was late — a semi
+    * join and an anti join against the same relation with non-equi
+    * conditions, the classic blame-assignment query. */
+  val qBlameSuppliers: GraftQuery = GraftQuery(
+    "q86_blame_suppliers",
+    """WITH li AS (
+      |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |late AS (
+      |  SELECT * FROM li WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |SELECT s.s_name, COUNT(*) AS numwait
+      |FROM late l1
+      |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM li l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    val late = li.where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    late
+      .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
-    qGapFill, qForwardFill, qFunnel)
+    qGapFill, qForwardFill, qFunnel, qBlameSuppliers)
 }

@@ -36,6 +36,37 @@ class StreamsSpec extends SparkSpecBase {
     assert(firstWindow.head.getLong(1) === 1L)
   }
 
+  test("stateful streaming runs on the RocksDB state store provider") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("id", "k")
+        .dropDuplicates("id")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rocks_dedup").start()
+      try {
+        input.addData((1L, "a"), (1L, "dup"), (2L, "b"))
+        q.processAllAvailable()
+        input.addData((2L, "dup"), (3L, "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("rocks_dedup").select("id")
+        .collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === Seq(1L, 2L, 3L)) // duplicates dropped across batches
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch parquet sink persists every micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
