@@ -441,15 +441,14 @@ object Advanced {
     * conditions, the classic blame-assignment query. */
   val qBlameSuppliers: GraftQuery = GraftQuery(
     "q86_blame_suppliers",
-    """WITH li AS (
-      |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
-      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-      |late AS (
-      |  SELECT * FROM li WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    """WITH late AS (
+      |  SELECT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
       |SELECT s.s_name, COUNT(*) AS numwait
       |FROM late l1
       |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
-      |WHERE EXISTS (SELECT 1 FROM li l2
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
       |              WHERE l2.l_orderkey = l1.l_orderkey
       |                AND l2.l_suppkey <> l1.l_suppkey)
       |  AND NOT EXISTS (SELECT 1 FROM late l3
@@ -458,12 +457,15 @@ object Advanced {
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 10""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d),
-        col("l_orderkey") === col("o_orderkey"))
-      .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
-    val late = li.where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
-    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    // the EXISTS side needs only lineitem (a late row's order exists by
+    // construction) — joining orders there would add a pure-waste
+    // fact-fact shuffle; only the lateness filter needs o_orderdate
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .select("l_orderkey", "l_suppkey")
+    val l2 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
     val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
     late
       .join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
