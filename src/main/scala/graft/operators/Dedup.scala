@@ -294,7 +294,10 @@ object Dedup {
     * never leaves the cluster — the standard Spark shape for iterative
     * graph algorithms. Edges here are the Jaccard-verified near-dup
     * pairs, which are tiny relative to the corpus by construction. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** NOTE: the returned label relation is persisted (its lineage is
+    * the whole iterative chain); the caller owns releasing it with
+    * `.unpersist()` — q77 memoizes one per (session, corpus). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     // the fixpoint loop runs many tiny jobs over the (small) pair set:
     // size its shuffle parallelism to the data, not the CPU count —
@@ -330,10 +333,21 @@ object Dedup {
       converged = changed == 0
       i += 1
     } finally spark.conf.set(partKey, prevPartitions)
+    // min-label propagation needs O(component diameter) rounds: a
+    // silent partial result would surface only as wrong cluster ids,
+    // so a non-converged exit is an error, never a return value
+    require(converged,
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(component diameter exceeds maxIters)")
     labels.count() // pin the final label relation into its cache
     edges.unpersist()
     labels
   }
+
+  /** Component labels per (session, corpus) — bounded like the other
+    * indexes, so repeated q77 runs don't accumulate persisted loops. */
+  private val componentIndex =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   /** Near-dup CLUSTERS: transitive closure of the verified pair set.
     * The drop-doc_b rule (q72) keeps per-pair minima; this yields the
@@ -370,11 +384,14 @@ object Dedup {
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size
        |FROM lbl
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = withJaccardToks(
-        candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
-      .where(col("jaccard") >= 0.9)
-      .select("doc_a", "doc_b")
-    val labels = connectedComponents(pairs)
+    val labels = componentIndex.getOrElseUpdate(
+      (System.identityHashCode(s), d), {
+        val pairs = withJaccardToks(
+            candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
+          .where(col("jaccard") >= 0.9)
+          .select("doc_a", "doc_b")
+        connectedComponents(pairs)
+      })
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window

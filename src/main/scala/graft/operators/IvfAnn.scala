@@ -42,7 +42,7 @@ object IvfAnn {
 
   /** Centroids as a small DataFrame (cell, centroid array) — broadcast
     * side of the query-routing join. */
-  private def centroidDf(spark: SparkSession, model: KMeansModel): DataFrame = {
+  private[graft] def centroidDf(spark: SparkSession, model: KMeansModel): DataFrame = {
     import spark.implicits._
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
@@ -101,10 +101,10 @@ object IvfAnn {
     * reuses; modeled here exactly like the dedup family's signature
     * index (bounded: one entry per corpus per session). */
   private val ivfIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Index]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), Index]
 
   def indexedBuild(spark: SparkSession, sfDir: String, numCells: Int): Index =
-    ivfIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    ivfIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir, numCells), {
       val idx = build(Tables.embeddings(spark, sfDir), numCells)
       idx.copy(assigned = idx.assigned.persist())
     })

@@ -82,12 +82,14 @@ object TextAdvanced {
     // bind the token array to a COLUMN before the lambda: Spark does
     // not CSE subexpressions inside higher-order-function lambdas, so
     // inlining split() here would re-tokenize the text once per
-    // element (measured 30x slower)
+    // element (measured 30x slower). Single-token docs yield an empty
+    // array explicitly — element_at past the end THROWS under Spark
+    // 4's default ANSI mode (where the DuckDB oracle NULLs + filters).
     val t = col("__toks")
-    val bigrams = filter(
-      transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))),
-      x => x.isNotNull)
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
     Tables.documents(s, d).repartition(32)
       .select(split(lower(col("text")), " ").as("__toks"))
       .select(explode(bigrams).as("bigram"))
@@ -112,9 +114,12 @@ object TextAdvanced {
        |GROUP BY t.doc_id, b.doc_id
        |ORDER BY train_doc, bench_doc""".stripMargin) { (s, d) =>
     // reuse the persisted per-corpus shingle index (built once for the
-    // dedup family) instead of re-shingling both sides
+    // dedup family) instead of re-shingling both sides. The source
+    // lookup joins on doc_id WITHOUT a broadcast hint: it is
+    // corpus-sized (one row per document), so forcing it to the driver
+    // would break exactly at the scale this query is designed for.
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val ex = Dedup.indexedShingleSets(s, d).join(broadcast(src), "doc_id")
+    val ex = Dedup.indexedShingleSets(s, d).join(src, "doc_id")
       .select(col("doc_id"), col("source"), explode(col("toks")).as("sh"))
     ex.where(col("source") === "src0").select(col("doc_id").as("bench_doc"), col("sh"))
       .join(ex.where(col("source") =!= "src0")

@@ -92,8 +92,9 @@ class DedupSpec extends SparkSpecBase {
   test("connected components: chains collapse to min label, disjoint clusters stay apart") {
     // chain 1-2-3-4 (via consecutive pairs) + separate pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val labels = Dedup.connectedComponents(pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    labels.unpersist()
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
@@ -114,8 +115,9 @@ class DedupSpec extends SparkSpecBase {
         val root = find(n)
         n -> nodes.filter(m => find(m) == root).min
       }.toMap
-      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val labels = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      labels.unpersist()
       assert(got === expected)
     }
   }

@@ -8,10 +8,7 @@ class IvfAnnSpec extends SparkSpecBase {
   test("IVF search returns k ranked neighbors and achieves useful recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val index = IvfAnn.build(emb, numCells = 8)
-    import spark.implicits._
-    val centroids = index.model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
+    val centroids = IvfAnn.centroidDf(spark, index.model)
     val approx = IvfAnn.search(index.assigned, centroids, col("vec_id") < 16, k = 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 16, 5)
