@@ -30,6 +30,7 @@ object SparkEntry {
       operators.IvfAnn.all ++
       operators.Advanced.all ++
       operators.TextAdvanced.all ++
+      operators.ModelQueries.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 
