@@ -476,8 +476,78 @@ object Advanced {
       .limit(10)
   }
 
+  /** 7-day sliding distinct users per day. Distinct-over-window frames
+    * aren't supported by window functions, and a BETWEEN range join
+    * scans days × activity; instead each (user, active-day) pair is
+    * EXPLODED into the ≤7 observation days it contributes to — an
+    * equi-aggregation whose cost is 7× the distinct activity relation
+    * regardless of corpus size. */
+  val qSlidingMau: GraftQuery = GraftQuery(
+    "q89_sliding_mau",
+    """WITH acts AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |  FROM events),
+      |span AS (SELECT max(day) AS d1 FROM acts),
+      |contrib AS (
+      |  SELECT CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS DATE) AS obs_day,
+      |         user_id
+      |  FROM acts)
+      |SELECT obs_day AS day, COUNT(DISTINCT user_id) AS mau7
+      |FROM contrib, span WHERE obs_day <= span.d1
+      |GROUP BY obs_day
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val acts = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      .distinct()
+    val span = acts.agg(max(col("day")).as("d1"))
+    acts
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("obs_day"),
+        col("user_id"))
+      .crossJoin(broadcast(span))
+      .where(col("obs_day") <= col("d1"))
+      .groupBy(col("obs_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("mau7"))
+      .orderBy("day")
+  }
+
+  /** Weekly retention cohorts: users grouped by first-seen week, with
+    * week+1 and week+2 return rates (both engines truncate weeks to
+    * ISO Monday). */
+  val qRetention: GraftQuery = GraftQuery(
+    "q90_retention",
+    """WITH firstw AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      |  FROM events)
+      |SELECT f.cohort_week,
+      |  COUNT(DISTINCT f.user_id) AS cohort_size,
+      |  COUNT(DISTINCT CASE WHEN a.act_week = f.cohort_week + 7 THEN f.user_id END) AS retained_w1,
+      |  COUNT(DISTINCT CASE WHEN a.act_week = f.cohort_week + 14 THEN f.user_id END) AS retained_w2
+      |FROM firstw f JOIN activity a ON f.user_id = a.user_id
+      |GROUP BY f.cohort_week
+      |ORDER BY f.cohort_week""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val firstw = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val activity = ev
+      .select(col("user_id").as("a_user"),
+        date_trunc("week", col("ts")).cast("date").as("act_week"))
+      .distinct()
+    firstw.join(activity, col("user_id") === col("a_user"))
+      .groupBy("cohort_week")
+      .agg(
+        countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(col("act_week") === date_add(col("cohort_week"), 7),
+          col("user_id"))).as("retained_w1"),
+        countDistinct(when(col("act_week") === date_add(col("cohort_week"), 14),
+          col("user_id"))).as("retained_w2"))
+      .orderBy("cohort_week")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
-    qGapFill, qForwardFill, qFunnel, qBlameSuppliers)
+    qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention)
 }

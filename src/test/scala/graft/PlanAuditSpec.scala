@@ -56,9 +56,10 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q63: a single-row corpus-count literal cross-joined in.
     //  - q75: calendar × event-type grid — both sides are bounded
     //    aggregates (days in span, distinct types).
+    //  - q89: a single-row max-day literal cross-joined in.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
-        "q75_gap_fill")
+        "q75_gap_fill", "q89_sliding_mau")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
