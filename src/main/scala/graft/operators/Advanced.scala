@@ -529,12 +529,15 @@ object Advanced {
       |GROUP BY f.cohort_week
       |ORDER BY f.cohort_week""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
-    val firstw = ev.groupBy("user_id")
-      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
     val activity = ev
       .select(col("user_id").as("a_user"),
         date_trunc("week", col("ts")).cast("date").as("act_week"))
       .distinct()
+    // date_trunc is monotonic, so trunc(min(ts)) = min(trunc(ts)): the
+    // cohort week derives from the (much smaller) distinct activity
+    // relation instead of a second full-corpus aggregate
+    val firstw = activity.groupBy(col("a_user").as("user_id"))
+      .agg(min(col("act_week")).as("cohort_week"))
     firstw.join(activity, col("user_id") === col("a_user"))
       .groupBy("cohort_week")
       .agg(

@@ -335,10 +335,16 @@ object Dedup {
     } finally spark.conf.set(partKey, prevPartitions)
     // min-label propagation needs O(component diameter) rounds: a
     // silent partial result would surface only as wrong cluster ids,
-    // so a non-converged exit is an error, never a return value
-    require(converged,
-      s"connectedComponents did not converge in $maxIters iterations " +
-        "(component diameter exceeds maxIters)")
+    // so a non-converged exit is an error, never a return value —
+    // with its cached relations released first (nobody owns them
+    // after a throw)
+    if (!converged) {
+      edges.unpersist()
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(component diameter exceeds maxIters)")
+    }
     labels.count() // pin the final label relation into its cache
     edges.unpersist()
     labels

@@ -96,10 +96,11 @@ object IvfAnn {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF index per (session, corpus) — at 100 TB the quantizer fit +
-    * assignment is a one-off batch job whose output every ANN query
-    * reuses; modeled here exactly like the dedup family's signature
-    * index (bounded: one entry per corpus per session). */
+  /** IVF index per (session, corpus, numCells) — at 100 TB the
+    * quantizer fit + assignment is a one-off batch job whose output
+    * every ANN query reuses; modeled here exactly like the dedup
+    * family's signature index (bounded: one persisted Index per
+    * distinct cell-count configuration per corpus per session). */
   private val ivfIndex =
     scala.collection.concurrent.TrieMap.empty[(Int, String, Int), Index]
 
