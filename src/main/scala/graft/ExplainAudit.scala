@@ -31,6 +31,21 @@ object ExplainAudit {
       graft.operators.Similarity.bruteForceTopK(embAll, col("vec_id") >= 0, 10).count())
     time("topk_window (2k q x 2k corpus)")(
       graft.operators.Similarity.bruteForceTopKWindow(embAll, col("vec_id") >= 0, 10).count())
+    // q03 decomposition: the per-order pre-aggregation (single-task
+    // scan + partial agg over the one-row-group lineitem file) vs the
+    // full query — quantifies the local scan floor docs/SCALE.md notes
+    val li = graft.sources.Tables.lineitem(spark, d)
+    time("q03_perorder_agg (600k rows)")(
+      li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))))
+        .count())
+    time("q03_full")(
+      graft.SparkEntry.queries("q03_top_customers")(spark, d).count())
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("q03_full_noaqe")(
+      graft.SparkEntry.queries("q03_top_customers")(spark, d).count())
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.stop()
   }
 }
