@@ -22,10 +22,12 @@ object DataQuality {
   def notNull(c: Column): DqTest = df => df.where(c.isNull)
 
   /** dbt built-in `unique` (schema.yml:18), compiled form:
-    * GROUP BY key HAVING count(*) > 1 (operator A1). Hash aggregate;
-    * Catalyst plans partial+final automatically. */
+    * WHERE col IS NOT NULL GROUP BY key HAVING count(*) > 1 (operator
+    * A1). The null pre-filter matches dbt exactly — duplicate NULLs
+    * are not uniqueness violations (that's `not_null`'s job). */
   def unique(c: Column): DqTest =
-    df => df.groupBy(c).agg(count(lit(1)).as("n")).where(col("n") > 1)
+    df => df.where(c.isNotNull)
+      .groupBy(c).agg(count(lit(1)).as("n")).where(col("n") > 1)
 
   /** custom_positive_test.sql:1-5: rows where col <= 0. */
   def positive(c: Column): DqTest = df => df.where(c <= 0)

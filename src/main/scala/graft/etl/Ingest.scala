@@ -12,9 +12,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - chunked read → partition-parallel `spark.read.csv`; chunk size
   *    becomes `spark.sql.files.maxPartitionBytes` — no loop, no
   *    driver-side memory ceiling to work around.
-  *  - truncate-then-append → one atomic `SaveMode.Overwrite` write
-  *    (same idempotent full-reload contract, minus the window where
-  *    the reference's table is empty mid-load).
+  *  - truncate-then-append → stage-then-swap full reload (same
+  *    idempotent contract; the live directory is replaced only after
+  *    the new data is fully written, so readers never observe the
+  *    empty mid-load window the reference's TRUNCATE exposes, and a
+  *    mid-write failure leaves the previous load intact).
   *  - the 13-chunk cap → `limit(rowCap)`. NOTE: like the reference's
   *    "first 13 chunks", WHICH rows survive the cap is not defined —
   *    Spark takes them from whichever partitions answer first.
@@ -28,12 +30,26 @@ object Ingest {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", true).option("inferSchema", true).csv(path)
 
-  /** S2: idempotent full reload with volume cap (ETL.py:33-58). */
+  /** S2: idempotent full reload with volume cap (ETL.py:33-58).
+    * limit() plans a GlobalLimit that funnels the cap to ONE partition;
+    * the repartition after it restores a partition-parallel write (the
+    * shuffle moves only the capped rows). Stage-then-swap keeps the
+    * previous load readable until the new one is complete. */
   def load(spark: SparkSession, csvPath: String, targetDir: String,
       rowCap: Int = referenceRowCap): Long = {
+    val staging = s"$targetDir.__staging"
     readCsv(spark, csvPath)
       .limit(rowCap)
-      .write.mode(SaveMode.Overwrite).parquet(targetDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    def delete(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(delete)
+      f.delete()
+    }
+    val target = new java.io.File(targetDir)
+    if (target.exists()) delete(target)
+    require(new java.io.File(staging).renameTo(target),
+      s"staging swap failed for $targetDir")
     spark.read.parquet(targetDir).count()
   }
 }

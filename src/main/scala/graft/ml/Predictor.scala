@@ -35,17 +35,25 @@ object Predictor {
       nTrain: Long, nTest: Long)
 
   def fit(data: DataFrame, numTrees: Int = 200): FitResult = {
+    // persist the split once: fit, evaluate, and both counts otherwise
+    // each re-run the source scan AND the split sampling
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
-    val assembler = new VectorAssembler()
-      .setInputCols(featureCols).setOutputCol("features")
-    val rf = new RandomForestRegressor()
-      .setNumTrees(numTrees).setSeed(42)
-      .setLabelCol("label").setFeaturesCol("features")
-    val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
-    val preds = model.transform(test)
-    val rmse = new RegressionEvaluator().setMetricName("rmse")
-      .setLabelCol("label").setPredictionCol("prediction").evaluate(preds)
-    FitResult(model, rmse, train.count(), test.count())
+      .map(_.persist())
+    try {
+      val assembler = new VectorAssembler()
+        .setInputCols(featureCols).setOutputCol("features")
+      val rf = new RandomForestRegressor()
+        .setNumTrees(numTrees).setSeed(42)
+        .setLabelCol("label").setFeaturesCol("features")
+      val model = new Pipeline().setStages(Array(assembler, rf)).fit(train)
+      val preds = model.transform(test)
+      val rmse = new RegressionEvaluator().setMetricName("rmse")
+        .setLabelCol("label").setPredictionCol("prediction").evaluate(preds)
+      FitResult(model, rmse, train.count(), test.count())
+    } finally {
+      train.unpersist()
+      test.unpersist()
+    }
   }
 
   /** M5: single-row inference, 2dp-rounded like Application.py:16-23. */

@@ -102,11 +102,19 @@ object TaxiModels {
     * which must shuffle every row then sort within partitions. Same
     * keep-one-per-key contract; tie-break on tied order keys is
     * nondeterministic in BOTH forms (core_texi.sql:32 makes all rows
-    * tie on ingestion_date within a run — SURVEY §2.6). */
+    * tie on ingestion_date within a run — SURVEY §2.6).
+    *
+    * The ordering key is wrapped in a never-null struct
+    * (isNotNull, orderCol): bare max_by IGNORES rows whose ordering
+    * value is NULL, so a key whose order column is NULL in every row
+    * would emit one all-NULL row instead of keeping a real one (the
+    * window form orders NULLs last but always keeps a row). With the
+    * wrapper, non-null order values still win over null ones. */
   def dedupNewestAggForm(df: DataFrame, key: String, orderCol: String): DataFrame = {
     val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    val ordKey = struct(col(orderCol).isNotNull.as("_has"), col(orderCol).as("_v"))
     df.groupBy(col(key).as("__k"))
-      .agg(max_by(payload, col(orderCol)).as("__row"))
+      .agg(max_by(payload, ordKey).as("__row"))
       .select(col("__row.*"))
   }
 

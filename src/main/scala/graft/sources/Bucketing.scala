@@ -34,8 +34,11 @@ object Bucketing {
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).hint("merge").join(spark.table(rightTable), key)
 
-  /** True iff the executed plan of `df` contains no shuffle exchange. */
+  /** True iff the executed plan of `df` contains no shuffle exchange.
+    * Matches any `Exchange <distribution>` line (hash, range, single
+    * partition) while excluding `BroadcastExchange`, which is not a
+    * shuffle. */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
-      !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+    "(?<!Broadcast)Exchange".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).isEmpty
 }

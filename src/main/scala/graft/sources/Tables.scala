@@ -31,7 +31,12 @@ object Tables {
   /** `events.ts` is nanosecond-precision parquet, which Spark 4
     * refuses to read as TimestampType. Read nanos as long
     * (legacy.parquet.nanosAsLong) and truncate to microseconds —
-    * exactly what DuckDB does on read, so oracle comparisons agree. */
+    * exactly what DuckDB does on read, so oracle comparisons agree.
+    * NOTE: the legacy flag is deliberately left set for the session
+    * (schema resolution happens eagerly here, but the vectorized
+    * reader may consult it again at execution); any nanos-precision
+    * parquet in this engine reads as long by design — always load
+    * events through THIS method, never plain spark.read.parquet. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events").withColumn("ts", nanosToTimestamp(col("ts")))

@@ -21,6 +21,12 @@ class DataQualitySpec extends SparkSpecBase {
     assert(v.length === 1 && v(0).getLong(0) === 4L)
   }
 
+  test("unique ignores NULL keys like dbt (duplicate NULLs are not_null's job)") {
+    val withNulls = Seq(Some(1L), None, None, Some(2L))
+      .toDF("id")
+    assert(unique(col("id"))(withNulls).count() === 0)
+  }
+
   test("positive flags <= 0 (custom_positive_test.sql:1-5)") {
     assert(DataQuality.positive(col("speed"))(df).count() === 1)
   }

@@ -122,6 +122,16 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("agg-form dedup keeps a REAL row when the order column is all-NULL for a key") {
+    val df = Seq(("k", null: java.lang.Long, "a"), ("k", null: java.lang.Long, "b"),
+      ("m", 5L: java.lang.Long, "c"), ("m", null: java.lang.Long, "d"))
+      .toDF("unique_id", "ord", "payload")
+    val out = TaxiModels.dedupNewestAggForm(df, "unique_id", "ord")
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(out("k").isDefined, "all-NULL order key must still keep a real row")
+    assert(out("m") === Some("c")) // non-null order value wins over null
+  }
+
   test("property: agg-form dedup always yields unique keys and preserves key set") {
     forAllSeeded(Gen.nonEmptyListOf(Gen.chooseNum(0, 9)), n = 10) { ks =>
       val df = ks.zipWithIndex.map { case (k, i) => (k.toString, i.toLong) }
