@@ -20,4 +20,30 @@ class SparkEntrySpec extends SparkSpecBase {
   test("query names are unique") {
     assert(SparkEntry.catalog.map(_.name).distinct.size === SparkEntry.catalog.size)
   }
+
+  test("query numbering is well-formed and collision-free") {
+    val nums = SparkEntry.catalog.map { q =>
+      val m = "^q(\\d+)_[a-z0-9_]+$".r.findFirstMatchIn(q.name)
+      assert(m.isDefined, s"bad query name: ${q.name}")
+      m.get.group(1).toInt
+    }
+    assert(nums.distinct.size === nums.size, "duplicate query numbers")
+  }
+
+  test("every oracle references only known testdata tables") {
+    val known = graft.sources.Tables.all.toSet
+    val tableRef = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    val cteOrAlias = Set("unnest", "range", "generate_series")
+    SparkEntry.catalog.flatMap(q => q.oracle.map(q.name -> _)).foreach {
+      case (name, sql) =>
+        // CTE names defined in this SQL are legal reference targets
+        // optional (cols) list covers recursive CTE headers like reach(n, m)
+        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+          .findAllMatchIn(sql).map(_.group(1)).toSet
+        tableRef.findAllMatchIn(sql).map(_.group(1)).foreach { t =>
+          assert(known(t) || ctes(t) || cteOrAlias(t),
+            s"$name references unknown relation '$t'")
+        }
+    }
+  }
 }
