@@ -32,10 +32,14 @@ class SparkEntrySpec extends SparkSpecBase {
 
   test("every oracle references only known testdata tables") {
     val known = graft.sources.Tables.all.toSet
-    val tableRef = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    // negative lookbehind excludes IS [NOT] DISTINCT FROM comparisons
+    val tableRef = "(?i)(?:(?<!distinct )FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
     val cteOrAlias = Set("unnest", "range", "generate_series")
     SparkEntry.catalog.flatMap(q => q.oracle.map(q.name -> _)).foreach {
-      case (name, sql) =>
+      case (name, rawSql) =>
+        val sql = rawSql.linesIterator // strip -- comments before scanning
+          .map(l => l.indexOf("--") match { case -1 => l; case i => l.take(i) })
+          .mkString("\n")
         // CTE names defined in this SQL are legal reference targets
         // optional (cols) list covers recursive CTE headers like reach(n, m)
         val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
