@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Advanced.all ++
       operators.TextAdvanced.all ++
       operators.ModelQueries.all ++
+      operators.PgRender.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 

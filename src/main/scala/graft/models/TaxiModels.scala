@@ -3,6 +3,8 @@ package graft.models
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftshim.PgFloat8Text
+import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Reference-parity transformation models: the dbt `raw_texi` /
   * `core_texi` pipeline re-expressed Spark-first.
@@ -28,26 +30,50 @@ object TaxiModels {
     * semantics (NULL renders as '' but separators are kept —
     * core_texi.sql:10-30, operator E2). `concat_ws` would *skip*
     * separators of null args, so build with `concat` over
-    * coalesce(cast-to-string, ''). */
+    * coalesce(render-to-string, ''). */
   def surrogateKeyInput(cols: Seq[Column]): Column =
     concat(cols.flatMap(c =>
       Seq(coalesce(c.cast("string"), lit("")), lit("-"))).dropRight(1): _*)
 
   def uniqueId(cols: Seq[Column]): Column = md5(surrogateKeyInput(cols))
 
+  /** One key column rendered as Postgres would render it in `||`
+    * concatenation: float8 through [[PgFloat8Text]] (`15.0`→`15`, PG
+    * notation thresholds), everything else via Spark's string cast
+    * (already PG-identical for int/bigint/date and for timestamps at
+    * the whole-second/fractional-trimmed form both engines print).
+    * float4 key columns don't exist in any covered pipeline; they'd
+    * need a float-precision shortest renderer, not a double widen. */
+  def pgText(c: Column, dt: DataType): Column = dt match {
+    case DoubleType => PgFloat8Text(c)
+    case _          => c.cast("string")
+  }
+
+  /** Schema-aware surrogate-key input: same concat/NULL contract as the
+    * Column-only overload, but each column is rendered PG-canonically
+    * per its actual type — the E2 parity form (the reference's key
+    * includes three float8 columns, core_texi.sql:11-30). */
+  def surrogateKeyInput(df: DataFrame, names: Seq[String]): Column =
+    concat(names.flatMap { n =>
+      Seq(coalesce(pgText(col(n), df.schema(n).dataType), lit("")), lit("-"))
+    }.dropRight(1): _*)
+
+  def uniqueId(df: DataFrame, names: Seq[String]): Column =
+    md5(surrogateKeyInput(df, names))
+
   /** Core model (core_texi.sql:8-101): full reference semantics.
     * `ingestionDate` injectable for deterministic tests (E4 is
     * `current_date`, nondeterministic by design — SURVEY §5.2). */
   def coreTexi(raw: DataFrame, ingestionDate: Column = current_date()): DataFrame = {
-    val keyCols = Seq("VendorID", "tpep_pickup_datetime", "tpep_dropoff_datetime",
+    val keyNames = Seq("VendorID", "tpep_pickup_datetime", "tpep_dropoff_datetime",
       "passenger_count", "RateCodeID", "payment_type", "dropoff_longitude",
-      "dropoff_latitude", "fare_amount").map(col)
+      "dropoff_latitude", "fare_amount")
     // typed projection + rename (core_texi.sql:31-51, operators P2/E3)
     val transformed = raw
       .where(col("tpep_pickup_datetime").isNotNull &&
              col("tpep_dropoff_datetime").isNotNull) // F1, core_texi.sql:53-55
       .select(
-        uniqueId(keyCols).as("unique_id"),                    // E1, :10-31
+        uniqueId(raw, keyNames).as("unique_id"),              // E1/E2, :10-31
         ingestionDate.cast("date").as("ingestion_date"),      // E4, :32
         col("VendorID").cast("int").as("vendor_id"),
         col("tpep_pickup_datetime").cast("timestamp").as("pickup_datetime"),

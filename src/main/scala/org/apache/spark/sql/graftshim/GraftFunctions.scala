@@ -17,5 +17,7 @@ object GraftFunctions {
       exprs => SimHash64(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("simhash_md5",
       exprs => SimHashMd5(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("pg_float8_text",
+      exprs => PgFloat8Text(exprs.head), "scala_udf")
   }
 }

@@ -1,0 +1,107 @@
+package org.apache.spark.sql.graftshim
+
+import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Renders a DOUBLE exactly as PostgreSQL's `float8out` does (PG >= 12,
+  * default `extra_float_digits = 1`): the shortest decimal digit string
+  * that round-trips to the same double, printed in fixed notation when
+  * the decimal exponent e (of the leading digit) satisfies -4 <= e <= 14
+  * and in `d[.ddd]e(+|-)XX` scientific notation otherwise, with no
+  * trailing `.0` on integral values and a minimum two-digit exponent.
+  *
+  * Why it exists (operator E2, SURVEY §7.4): the reference's md5
+  * surrogate key concatenates float8 staging columns
+  * (/root/reference/dbt_project_old/dbt_postgres/models/core_texi.sql:10-31),
+  * so key parity with Postgres requires byte-identical float text.
+  * Spark's `cast(double as string)` follows Java (`15.0`, `1.0E7`,
+  * `1.0E-4`) and diverges from PG (`15`, `10000000`, `0.0001`) on
+  * integral values and in notation thresholds (Java switches to
+  * scientific outside [1e-3, 1e7); PG outside [1e-4, 1e15)).
+  *
+  * Digit selection: correctly-rounded HALF_EVEN reduction of the exact
+  * binary value to the fewest significant digits that round-trip — the
+  * same digits Ryu's shortest mode (PG src/common/d2s.c) emits. Integral
+  * values below 1e15 take a digits-free fast path (exact long print).
+  */
+case class PgFloat8Text(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(PgFloat8Text.render(input.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = PgFloat8Text.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = UTF8String.fromString($obj.render($c));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PgFloat8Text =
+    copy(child = newChild)
+}
+
+object PgFloat8Text {
+
+  /** PG float8out rendering of one double (see class doc). */
+  def render(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) return "NaN"
+    if (d == java.lang.Double.POSITIVE_INFINITY) return "Infinity"
+    if (d == java.lang.Double.NEGATIVE_INFINITY) return "-Infinity"
+    if (d == 0.0d) {
+      // PG prints the sign of negative zero
+      return if (java.lang.Double.doubleToRawLongBits(d) != 0L) "-0" else "0"
+    }
+    val ad = math.abs(d)
+    // integral fixed-notation fast path: < 1e15 < 2^53, so the long is exact
+    if (ad == Math.rint(ad) && ad < 1e15) return java.lang.Long.toString(d.toLong)
+
+    // shortest round-trip digits: correctly rounded to p significant
+    // digits for the smallest p (<= 17) that parses back to the value
+    val exact = new JBigDecimal(ad)
+    var p = 1
+    var bd = exact.round(new MathContext(1, RoundingMode.HALF_EVEN))
+    while (bd.doubleValue() != ad) {
+      p += 1
+      bd = exact.round(new MathContext(p, RoundingMode.HALF_EVEN))
+    }
+    val stripped = bd.stripTrailingZeros()
+    val digits = stripped.unscaledValue().toString
+    val e = stripped.precision() - stripped.scale() - 1 // exponent of leading digit
+
+    val sb = new java.lang.StringBuilder(26)
+    if (d < 0) sb.append('-')
+    if (e >= -4 && e <= 14) {
+      if (e >= digits.length - 1) { // integral (only reachable via rint edge cases)
+        sb.append(digits)
+        var i = digits.length - 1
+        while (i < e) { sb.append('0'); i += 1 }
+      } else if (e >= 0) {
+        sb.append(digits, 0, e + 1).append('.').append(digits, e + 1, digits.length)
+      } else {
+        sb.append("0.")
+        var i = e
+        while (i < -1) { sb.append('0'); i += 1 }
+        sb.append(digits)
+      }
+    } else {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
+      sb.append('e').append(if (e >= 0) '+' else '-')
+      val ae = math.abs(e)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    }
+    sb.toString
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(PgFloat8Text(ColumnBridge.expression(c)))
+}
