@@ -33,8 +33,11 @@ object Ingest {
   /** S2: idempotent full reload with volume cap (ETL.py:33-58).
     * limit() plans a GlobalLimit that funnels the cap to ONE partition;
     * the repartition after it restores a partition-parallel write (the
-    * shuffle moves only the capped rows). Stage-then-swap keeps the
-    * previous load readable until the new one is complete. */
+    * shuffle moves only the capped rows). The rename-aside swap
+    * (graft.spark.FsOps) keeps the previous load recoverable until the
+    * new one is fully in place; readers see at most a two-rename gap —
+    * vs the reference's TRUNCATE, which exposes an empty table for the
+    * whole chunk-append loop. */
   def load(spark: SparkSession, csvPath: String, targetDir: String,
       rowCap: Int = referenceRowCap): Long = {
     val staging = s"$targetDir.__staging"
@@ -42,14 +45,7 @@ object Ingest {
       .limit(rowCap)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode(SaveMode.Overwrite).parquet(staging)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete()
-    }
-    val target = new java.io.File(targetDir)
-    if (target.exists()) delete(target)
-    require(new java.io.File(staging).renameTo(target),
-      s"staging swap failed for $targetDir")
+    graft.spark.FsOps.swapInto(spark, staging, targetDir)
     spark.read.parquet(targetDir).count()
   }
 }

@@ -28,12 +28,21 @@ import scala.collection.mutable
   *  - [[Materialization.Incremental]]: dbt's incremental contract —
   *    first run is a full build; later runs upsert by `uniqueKey`
   *    (new rows replace existing rows with the same key, everything
-  *    else is preserved). On plain parquet that is
-  *    existing ANTI-JOIN new ∪ new, rewritten — at 100 TB the same
-  *    contract rides a table format's MERGE instead, but the model
-  *    API is unchanged. The build function may inspect the existing
+  *    else is preserved). The build function may inspect the existing
   *    output (passed as dep "this" when present) to pre-filter its
   *    input, mirroring dbt's is_incremental() idiom.
+  *
+  *    Unpartitioned, the upsert is existing ANTI-JOIN new ∪ new,
+  *    rewritten whole — O(table) per run. WITH `partitionBy`, the run
+  *    is partition-pruned (dbt's insert_overwrite shape, upsert
+  *    semantics kept): only partitions that appear in the new batch
+  *    are re-merged and physically replaced; every other partition's
+  *    files are left byte-identical — O(touched partitions) per run,
+  *    the plain-parquet analogue of a table format's MERGE. Contract
+  *    caveat (same as dbt insert_overwrite): a key must not MOVE
+  *    across partitions between runs — the stale copy in the old,
+  *    untouched partition would survive. Partition by a stable
+  *    function of the key (date, bucket) and this cannot arise.
   */
 sealed trait Materialization
 object Materialization {
@@ -111,6 +120,20 @@ final class ModelRegistry(sources: Map[String, DataFrame]) {
       val built = m.build(depMap)
 
       (m.materialization, existing) match {
+        case (Materialization.Incremental(key), Some(cur)) if m.partitionBy.nonEmpty =>
+          // partition-pruned upsert: merge only partitions the new batch
+          // touches, then swap exactly those partition dirs into place.
+          // The touched set is bounded by the batch's partition count —
+          // broadcast it so the semi-join never shuffles the table.
+          import org.apache.spark.sql.functions.{broadcast, col}
+          val parts = m.partitionBy
+          val touched = built.select(parts.map(col): _*).distinct()
+          val curTouched = cur.join(broadcast(touched), parts, "left_semi")
+          val merged = curTouched.join(built.select(key).distinct(),
+            Seq(key), "left_anti").unionByName(built)
+          val tmp = s"$path.__staging"
+          write(merged, m, tmp)
+          graft.spark.FsOps.swapPartitions(spark, tmp, path, parts.size)
         case (Materialization.Incremental(key), Some(cur)) =>
           // upsert: keep current rows whose key is absent from the new
           // batch, add every new row. Stage to a temp dir first — the
@@ -119,10 +142,7 @@ final class ModelRegistry(sources: Map[String, DataFrame]) {
             Seq(key), "left_anti").unionByName(built)
           val tmp = s"$path.__staging"
           write(merged, m, tmp)
-          val target = new java.io.File(path)
-          delete(target)
-          require(new java.io.File(tmp).renameTo(target),
-            s"staging swap failed for $path")
+          graft.spark.FsOps.swapInto(spark, tmp, path)
         case _ =>
           write(built, m, path)
       }
@@ -136,10 +156,5 @@ final class ModelRegistry(sources: Map[String, DataFrame]) {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
       .parquet(path)
-  }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
   }
 }

@@ -58,17 +58,11 @@ object Snapshot {
       history.unionByName(kept).unionByName(opened)
     }
 
-    // stage + swap: the plan reads `path` lazily (see ModelRegistry)
+    // stage + rename-aside swap: the plan reads `path` lazily, and the
+    // previous snapshot must survive any mid-swap failure (FsOps doc)
     val tmp = s"$path.__staging"
     next.write.mode(SaveMode.Overwrite).parquet(tmp)
-    if (exists) {
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(del); f.delete()
-      }
-      del(new java.io.File(path))
-    }
-    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
-      s"staging swap failed for $path")
+    graft.spark.FsOps.swapInto(spark, tmp, path)
     spark.read.parquet(path)
   }
 

@@ -93,6 +93,37 @@ class ModelRegistrySpec extends SparkSpecBase {
     assert(got === Map(1 -> "a", 2 -> "b", 3 -> "c")) // stale rows filtered out
   }
 
+  test("partitioned incremental rewrites ONLY touched partitions, byte-identically elsewhere") {
+    import graft.model.Materialization
+    val dir = java.nio.file.Files.createTempDirectory("graft_incp").toString
+    def regFor(rows: Seq[(Int, String, String)]) = {
+      val reg = new ModelRegistry(Map("src" -> rows.toDF("id", "v", "day")))
+      reg.register(Model("inc", Seq("src"), partitionBy = Seq("day"),
+        materialization = Materialization.Incremental("id"))(m => m("src")))
+      reg
+    }
+    regFor(Seq((1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"))).run(spark, dir)
+    def partFiles(day: String): Map[String, (Long, Long)] =
+      new java.io.File(s"$dir/inc/day=$day").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val d2Before = partFiles("d2")
+    assert(d2Before.nonEmpty)
+    // run 2 touches only d1: id=2 updated in place, id=4 new
+    val r2 = regFor(Seq((2, "B!", "d1"), (4, "e", "d1"))).run(spark, dir)
+    val got = r2("inc").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got === Map(1 -> ("a", "d1"), 2 -> ("B!", "d1"),
+      3 -> ("c", "d2"), 4 -> ("e", "d1")))
+    // the untouched d2 partition was not rewritten: same files, same
+    // bytes, same mtimes
+    assert(partFiles("d2") === d2Before)
+    // and no staging/aside residue is left behind
+    val residue = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.contains("__staging") || n.contains("__old"))
+    assert(residue.isEmpty)
+  }
+
   test("run materializes in topo order with overwrite semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
     val reg = new ModelRegistry(sources)
