@@ -83,11 +83,16 @@ object Advanced {
     val sn = Tables.nation(s, d)
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val vol = dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2))
+    // nation/region are bounded dimensions (25/5 rows at any SF) →
+    // forced broadcast. customer/supplier SCALE with SF, so they get no
+    // hint: AQE picks broadcast while they fit the threshold and falls
+    // back to a shuffled join beyond it — forcing them would OOM the
+    // driver at the 100 TB target.
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(cn), c("c_nationkey") === cn("n_nationkey"))
       .join(broadcast(r), cn("n_regionkey") === r("r_regionkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(sn), sup("s_nationkey") === col("sn_key"))
       .select(year(col("o_orderdate")).as("o_year"), vol.as("vol"), col("supp_nation"))
       .groupBy("o_year")

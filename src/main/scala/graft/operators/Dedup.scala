@@ -302,7 +302,11 @@ object Dedup {
     // the fixpoint loop runs many tiny jobs over the (small) pair set:
     // size its shuffle parallelism to the data, not the CPU count —
     // per-iteration scheduling overhead dominates otherwise. Restored
-    // after the loop; batch queries keep their tuning.
+    // after the loop; batch queries keep their tuning. NOTE: the conf
+    // is session-global, so a query running CONCURRENTLY on the same
+    // SparkSession would be re-tuned mid-flight — safe under the
+    // single-threaded driver harness; a multi-tenant driver should run
+    // this on spark.newSession() (session-scoped conf, shared catalog).
     val partKey = "spark.sql.shuffle.partitions"
     val prevPartitions = spark.conf.get(partKey)
     spark.conf.set(partKey, "8")

@@ -33,7 +33,14 @@ object ModelQueries {
 
   private def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    p.toFile.deleteOnExit()
+    // deleteOnExit can't remove non-empty dirs — recursive-delete hook
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete()
+      }
+      del(p.toFile)
+    }
     p.toString
   }
 

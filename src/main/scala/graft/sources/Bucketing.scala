@@ -35,10 +35,11 @@ object Bucketing {
     spark.table(leftTable).hint("merge").join(spark.table(rightTable), key)
 
   /** True iff the executed plan of `df` contains no shuffle exchange.
-    * Matches any `Exchange <distribution>` line (hash, range, single
-    * partition) while excluding `BroadcastExchange`, which is not a
-    * shuffle. */
+    * Matches the shuffle distributions explicitly (hash, range, single
+    * partition, round-robin) rather than a Broadcast lookbehind: a
+    * `ReusedExchange ..., BroadcastExchange ...` line is NOT a shuffle,
+    * but would end in "Exchange" and defeat the lookbehind form. */
   def isShuffleFree(df: DataFrame): Boolean =
-    "(?<!Broadcast)Exchange".r
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)".r
       .findFirstIn(df.queryExecution.executedPlan.toString).isEmpty
 }

@@ -25,7 +25,10 @@ object Streams {
     * comfortably and cut per-batch fixed cost 4x vs the batch-tuned 32.
     * (At production volume this knob is sized to state bytes per
     * partition, not to CPU count.) Restored after the query stops so
-    * batch queries in the same session keep their tuning. */
+    * batch queries in the same session keep their tuning. NOTE: the
+    * conf is session-global — a concurrent query on the same session
+    * would see it; safe under the single-threaded driver harness, use
+    * spark.newSession() per stream in a multi-tenant driver. */
   private def withStreamShufflePartitions[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
