@@ -20,20 +20,57 @@ import org.apache.spark.sql.functions._
   *  - Jaccard verification joins candidate PAIRS (tiny relative to the
   *    corpus) back to token sets — never all-pairs.
   *
-  * MinHash here is min-over-md5-slices: each shingle is md5'd ONCE and
-  * all four minhashes are minima over non-overlapping 8-hex-char
-  * windows of that digest — engine-portable (md5 is byte-identical
-  * everywhere) at one hash per shingle total. (An xxhash64 variant was
-  * measured and removed: with one hash per shingle, signature cost is
-  * dominated by shingle construction, not hashing — md5 equals xxhash
-  * within noise while staying oracle-portable.)
+  * MinHash here is min-over-md5-slices ([[MinHashScheme]]): each
+  * shingle is digested ceil(numHashes/4) times and every minhash is a
+  * minimum over a non-overlapping 8-hex-char window — engine-portable
+  * (md5 is byte-identical everywhere) at ~one hash per shingle for the
+  * default 4×2 scheme. (An xxhash64 variant was measured and removed:
+  * with one hash per shingle, signature cost is dominated by shingle
+  * construction, not hashing — md5 equals xxhash within noise while
+  * staying oracle-portable.)
   */
+/** LSH banding scheme: `numHashes` 32-bit minhashes split into `bands`
+  * bands of r = numHashes/bands rows. Candidate probability for a pair
+  * at jaccard j is the S-curve 1 - (1 - j^r)^b; tune (r, b) so the
+  * curve's inflection (≈ (1/b)^(1/r)) sits at the target threshold —
+  * a production corpus picks these per dedup policy, they are not
+  * constants of the algorithm.
+  *
+  * 32-bit hash i is the i-th 8-hex-char slice of a concatenation of
+  * ceil(numHashes/4) md5 digests per shingle; digest j > 0 salts the
+  * shingle with chr(1)||j (engine-portable), digest 0 is the unsalted
+  * md5 — so the default 4-hash scheme's signatures are byte-identical
+  * to the fixed-constant form this generalizes. */
+final case class MinHashScheme(numHashes: Int, bands: Int) {
+  require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+  val rowsPerBand: Int = numHashes / bands
+  val numDigests: Int = (numHashes + 3) / 4
+
+  /** P(some band collides | true jaccard j) under ideal minhashes. */
+  def candidateProb(j: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand.toDouble), bands.toDouble)
+
+  /** Concatenated per-shingle digests, 8 hex chars per hash function. */
+  private[operators] def digestsCol(w: Column): Column =
+    if (numDigests == 1) md5(w)
+    else concat((0 until numDigests).map(j =>
+      if (j == 0) md5(w) else md5(concat(w, lit("\u0001" + j)))): _*)
+
+  /** DuckDB spelling of [[digestsCol]] for a shingle expression `w`. */
+  private[operators] def digestsSql(w: String): String =
+    if (numDigests == 1) s"md5($w)"
+    else (0 until numDigests).map(j =>
+      if (j == 0) s"md5($w)" else s"md5($w || chr(1) || '$j')").mkString(" || ")
+}
+
+object MinHashScheme {
+  /** Round-2-compatible default: 4 hashes × 2 bands (threshold ≈ 0.71). */
+  val default: MinHashScheme = MinHashScheme(4, 2)
+}
+
 object Dedup {
 
-  val numHashes = 4
-  val bandsPerDoc = 2 // 2 bands × 2 minhashes each
   val shingleWidth = 3
-  private val rowsPerBand = numHashes / bandsPerDoc
 
   /** Distinct `shingleWidth`-word shingles of lowercased text. Shingles
     * (not unigrams) are what make MinHash discriminative: random texts
@@ -59,25 +96,26 @@ object Dedup {
     docs.select(col("doc_id"), split(lower(col("text")), " ").as("__toks"))
 
   /** Band b's minhashes: minima over non-overlapping 8-hex-char slices
-    * of ONE md5 digest per shingle — a 32-hex md5 yields four
-    * independent 32-bit hash functions, so the whole 2-band × 2-row
-    * signature costs exactly one hash per shingle. */
-  private def bandFromDigests(m: Column, b: Int): Column =
-    md5(concat_ws("|", (0 until rowsPerBand).map { i =>
-      val slice = b * rowsPerBand + i
+    * of the per-shingle digest string — an md5 yields four independent
+    * 32-bit hash functions, so a signature costs ceil(numHashes/4)
+    * hashes per shingle (one, for the default scheme). */
+  private def bandFromDigests(m: Column, b: Int, sch: MinHashScheme): Column =
+    md5(concat_ws("|", (0 until sch.rowsPerBand).map { i =>
+      val slice = b * sch.rowsPerBand + i
       array_min(transform(m, x => substring(x, 8 * slice + 1, 8)))
     }: _*))
 
   /** doc_id → (band_id, band_hash) rows. The digest array is
     * materialized as an explicit column (not a repeated subtree), so
-    * each shingle is md5'd exactly once. */
-  def docBands(docs: DataFrame): DataFrame = {
+    * each shingle is digested exactly once. */
+  def docBands(docs: DataFrame,
+      sch: MinHashScheme = MinHashScheme.default): DataFrame = {
     val withSh = tokenizedDocs(docs)
       .select(col("doc_id"), shinglesFromToks(col("__toks")).as("sh"))
     val digests = withSh.select(
-      col("doc_id"), transform(col("sh"), w => md5(w)).as("m"))
-    val bands = array((0 until bandsPerDoc).map(b =>
-      struct(lit(b).as("band_id"), bandFromDigests(col("m"), b).as("band_hash"))): _*)
+      col("doc_id"), transform(col("sh"), w => sch.digestsCol(w)).as("m"))
+    val bands = array((0 until sch.bands).map(b =>
+      struct(lit(b).as("band_id"), bandFromDigests(col("m"), b, sch).as("band_hash"))): _*)
     digests.select(col("doc_id"), explode(bands).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
@@ -87,8 +125,9 @@ object Dedup {
     * self-join sides share an IDENTICAL exchange — Spark's exchange
     * reuse then computes the signature pipeline once, with no persist
     * (no session-lifetime cache to leak). */
-  def candidatePairs(docs: DataFrame): DataFrame =
-    candidatePairsFromBands(docBands(docs))
+  def candidatePairs(docs: DataFrame,
+      sch: MinHashScheme = MinHashScheme.default): DataFrame =
+    candidatePairsFromBands(docBands(docs, sch))
 
   def candidatePairsFromBands(rawBands: DataFrame): DataFrame = {
     val bands = rawBands.repartition(col("band_id"), col("band_hash"))
@@ -164,21 +203,26 @@ object Dedup {
       s"i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + ${w - 1}), ' ')))"
   }
 
-  private def bandSqlFromDigests(b: Int): String =
-    "md5(concat_ws('|', " + (0 until rowsPerBand).map { i =>
-      val slice = b * rowsPerBand + i
+  private def bandSqlFromDigests(b: Int, sch: MinHashScheme): String =
+    "md5(concat_ws('|', " + (0 until sch.rowsPerBand).map { i =>
+      val slice = b * sch.rowsPerBand + i
       s"list_aggregate(list_transform(m, x -> substring(x, ${8 * slice + 1}, 8)), 'min')"
     }.mkString(", ") + "))"
 
-  private[operators] val bandsCte: String =
+  /** DuckDB rendering of [[docBands]] for any scheme. */
+  private[operators] def bandsCteFor(sch: MinHashScheme): String = {
+    val unions = (0 until sch.bands).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${bandSqlFromDigests(b, sch)} AS band_hash FROM sigs")
+      .mkString("\n    UNION ALL\n    ")
     s"""sigs AS (
-       |  SELECT doc_id, list_transform($shinglesSql, w -> md5(w)) AS m
+       |  SELECT doc_id, list_transform($shinglesSql, w -> ${sch.digestsSql("w")}) AS m
        |  FROM documents),
        |bands AS (
        |  SELECT doc_id, band_id, band_hash FROM (
-       |    SELECT doc_id, 0 AS band_id, ${bandSqlFromDigests(0)} AS band_hash FROM sigs
-       |    UNION ALL
-       |    SELECT doc_id, 1 AS band_id, ${bandSqlFromDigests(1)} AS band_hash FROM sigs))""".stripMargin
+       |    $unions))""".stripMargin
+  }
+
+  private[operators] val bandsCte: String = bandsCteFor(MinHashScheme.default)
 
   /** The signature relation is an INDEX: built once per (session,
     * corpus), reused by every census/pair query — the way a production
@@ -186,11 +230,12 @@ object Dedup {
     * re-shingling the corpus per query. Bounded cache (one persisted
     * relation per corpus per session), not a per-invocation leak. */
   private val bandsIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String, MinHashScheme), DataFrame]
 
-  def indexedBands(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
-    bandsIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir),
-      docBands(Tables.documents(spark, sfDir)).persist())
+  def indexedBands(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      sch: MinHashScheme = MinHashScheme.default): DataFrame =
+    bandsIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir, sch),
+      docBands(Tables.documents(spark, sfDir), sch).persist())
 
   /** Shingle-set relation as a second per-corpus index: the Jaccard
     * verification joins it TWICE (doc_a side, doc_b side) — without the
@@ -246,6 +291,39 @@ object Dedup {
     headline = true) { (s, d) =>
     withJaccardToks(candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
       .where(col("jaccard") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** A second, sharper banding scheme oracle-checked end to end:
+    * 8 hashes × 4 bands (r=2, threshold ≈ 0.71 with a much steeper
+    * S-curve tail — higher recall at j≥0.9 at 2x signature cost).
+    * Exercises the multi-digest path (2 salted md5s per shingle) that
+    * the default single-digest scheme never touches. */
+  private val sch8x4 = MinHashScheme(8, 4)
+
+  val qDedupMinhash8x4: GraftQuery = GraftQuery(
+    "q92_minhash_8x4_pairs",
+    s"""WITH ${bandsCteFor(sch8x4)},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, $shinglesSql AS t FROM documents)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(ta.t, tb.t))) AS jaccard
+       |FROM pairs p
+       |JOIN toks ta ON p.doc_a = ta.doc_id
+       |JOIN toks tb ON p.doc_b = tb.doc_id
+       |WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    withJaccardToks(candidatePairsFromBands(indexedBands(s, d, sch8x4)),
+        indexedShingleSets(s, d))
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -411,5 +489,5 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
-    qDedupComponents)
+    qDedupComponents, qDedupMinhash8x4)
 }

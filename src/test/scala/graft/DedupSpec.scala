@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, MinHashScheme}
 import graft.functions.TextFunctions
 import graft.models.TaxiModels
 import org.apache.spark.sql.functions._
@@ -120,6 +120,79 @@ class DedupSpec extends SparkSpecBase {
       labels.unpersist()
       assert(got === expected)
     }
+  }
+
+  test("parameterized schemes: 8x4 bands produce 4 band rows per doc, default unchanged") {
+    val docs = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val def4 = Dedup.docBands(docs).collect()
+    assert(def4.map(_.getInt(1)).sorted.toSeq === Seq(0, 1))
+    val got8 = Dedup.docBands(docs, MinHashScheme(8, 4)).collect()
+    assert(got8.map(_.getInt(1)).sorted.toSeq === Seq(0, 1, 2, 3))
+    // band 0 of the 8x4 scheme uses the same two hash slices as band 0
+    // of the default scheme (digest 0, slices 0-1) → identical hash
+    val d0 = def4.find(_.getInt(1) == 0).get.getString(2)
+    val g0 = got8.find(_.getInt(1) == 0).get.getString(2)
+    assert(d0 === g0)
+  }
+
+  /** Measured LSH recall matches the S-curve P(candidate) = 1-(1-j^r)^b.
+    * Plants pairs across the jaccard range by perturbing a controlled
+    * number of tokens, computes each pair's TRUE shingle jaccard, and
+    * checks the observed candidate frequency in high-j and mid-j bands
+    * against the scheme's predicted mean ± 4σ (binomial). Also: the
+    * steeper 8x4 scheme must recall at least as much as 4x2 minus
+    * sampling noise on the same corpus. */
+  test("property: LSH candidate recall tracks the banding S-curve for both schemes") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.tabulate(4000)(i => s"w$i")
+    val nPairs = 120
+    val docLen = 24
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val pairIds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0 until nPairs).foreach { p =>
+      val base = Seq.fill(docLen)(vocab(rnd.nextInt(vocab.length)))
+      // perturb 0..6 token positions → jaccard from 1.0 down to ~0.4
+      val nEdits = rnd.nextInt(7)
+      val editPos = rnd.shuffle((0 until docLen).toList).take(nEdits).toSet
+      val dup = base.zipWithIndex.map { case (t, i) =>
+        if (editPos(i)) vocab(rnd.nextInt(vocab.length)) else t
+      }
+      val (ida, idb) = (2L * p, 2L * p + 1)
+      docs += ((ida, base.mkString(" "))); docs += ((idb, dup.mkString(" ")))
+      pairIds += ((ida, idb))
+    }
+    val df = docs.toSeq.toDF("doc_id", "text")
+    // true shingle jaccard per planted pair, computed exactly in Scala
+    def shingleSet(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val textOf = docs.toMap
+    val trueJ = pairIds.map { case (a, b) =>
+      val (sa, sb) = (shingleSet(textOf(a)), shingleSet(textOf(b)))
+      (a, b) -> sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }.toMap
+
+    def recallCheck(sch: MinHashScheme): Double = {
+      val cand = Dedup.candidatePairs(df, sch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (band <- Seq(("high", 0.85, 1.01), ("mid", 0.45, 0.75))) {
+        val (label, lo, hi) = band
+        val inBand = trueJ.filter { case (_, j) => j >= lo && j < hi }.toSeq
+        val ps = inBand.map { case (_, j) => sch.candidateProb(j) }
+        val n = inBand.size
+        assert(n >= 10, s"degenerate fixture: only $n pairs in $label band")
+        val expected = ps.sum / n
+        val sigma = math.sqrt(ps.map(p => p * (1 - p)).sum) / n
+        val got = inBand.count { case (pair, _) => cand(pair) }.toDouble / n
+        assert(math.abs(got - expected) <= 4 * sigma + 0.02,
+          s"$sch $label-j recall $got vs S-curve $expected (sigma $sigma, n=$n)")
+      }
+      trueJ.count { case (pair, j) => j >= 0.85 && cand(pair) }.toDouble /
+        math.max(1, trueJ.count { case (_, j) => j >= 0.85 })
+    }
+    val recall4x2 = recallCheck(MinHashScheme.default)
+    val recall8x4 = recallCheck(MinHashScheme(8, 4))
+    assert(recall8x4 >= recall4x2 - 0.05,
+      s"8x4 high-j recall $recall8x4 should not trail 4x2 $recall4x2")
   }
 
   test("agg-form dedup keeps a REAL row when the order column is all-NULL for a key") {
