@@ -103,6 +103,22 @@ object Similarity {
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
   }
 
+  /** Symmetric per-vector int8 quantization (q85's storage form, shared
+    * with the quantized search path): scale = max|x|/127, codes =
+    * floor(x/scale + 0.5) ∈ [-127, 127]. floor(+0.5) half-up rounding
+    * is engine-identical (round() half-even ties are not). */
+  def int8Scale(e: Column): Column =
+    greatest(array_max(transform(e, x => abs(x))), lit(1e-30)) / 127
+
+  def int8Codes(e: Column, scale: Column): Column =
+    transform(e, x => floor(x / scale + 0.5).cast("long"))
+
+  /** Integer dot product of two code arrays — EXACT in both engines
+    * (|code| ≤ 127, so a 64-dim dot is ≤ ~1.03M, exact in long AND in
+    * double). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   // ---- oracle-paired queries ----
 
   private def planeSqlList(p: Array[Int]): String =
@@ -239,13 +255,10 @@ object Similarity {
       |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS sum_abs
       |FROM q
       |ORDER BY vec_id""".stripMargin) { (s, d) =>
-    val e = col("e")
-    val scale = greatest(array_max(transform(e, x => abs(x))), lit(1e-30)) / 127
-    val codes = transform(col("e"), x => floor(x / col("scale") + 0.5).cast("long"))
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("scale", scale)
-      .withColumn("codes", codes)
+      .withColumn("scale", int8Scale(col("e")))
+      .withColumn("codes", int8Codes(col("e"), col("scale")))
       .select(
         col("vec_id"), col("scale"),
         element_at(col("codes"), 1).as("q1"),
@@ -258,6 +271,88 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Quantized ANN search END TO END (the form a 100 TB corpus actually
+    * serves): score every (query, neighbor) with the int8 approximate
+    * cosine — integer dot products over the 64-byte code arrays, exact
+    * in both engines — keep the top-20 candidates per query via the
+    * bounded-heap TopKByScore (partial-aggregatable: the exchange
+    * carries ≤ 20 rows per query per partition), then RESCORE only
+    * those candidates with exact float cosine and emit the top-5.
+    * At scale the prefilter pass reads 4x fewer bytes than float32
+    * scoring and the exact pass touches 20 vectors per query, not the
+    * corpus. Approximate scores order candidates; ties break by id —
+    * both engines rank identically because the int dots are exact. */
+  val qInt8PrefilterTopK: GraftQuery = GraftQuery(
+    "q93_int8_prefilter_topk",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e,
+      |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127 AS scale
+      |  FROM v),
+      |codes AS (
+      |  SELECT vec_id, e,
+      |    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS c
+      |  FROM s),
+      |norms AS (
+      |  SELECT vec_id, e, CAST(c AS DOUBLE[]) AS cd,
+      |    list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS self_dot
+      |  FROM codes),
+      |approx AS (
+      |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |    q.e AS q_emb, n.e AS n_emb,
+      |    list_dot_product(q.cd, n.cd) / sqrt(q.self_dot) / sqrt(n.self_dot) AS acos_,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_dot_product(q.cd, n.cd) / sqrt(q.self_dot) / sqrt(n.self_dot) DESC,
+      |               n.vec_id) AS arank
+      |  FROM norms q JOIN norms n ON n.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 8),
+      |rescored AS (
+      |  SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY list_cosine_similarity(q_emb, n_emb) DESC, neighbor_id) AS rank
+      |  FROM approx WHERE arank <= 20)
+      |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+      |FROM rescored WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", int8Scale(col("e")))
+      .withColumn("c", int8Codes(col("e"), col("scale")))
+      .withColumn("self_dot", intDot(col("c"), col("c")))
+    val queries = base.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("c").as("qc"), col("self_dot").as("q_sd"))
+    val corpus = base.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("c").as("nc"), col("self_dot").as("n_sd"))
+    val approx = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("acos_",
+        intDot(col("qc"), col("nc")).cast("double") /
+          sqrt(col("q_sd").cast("double")) / sqrt(col("n_sd").cast("double")))
+    // bounded-heap prefilter: top-20 ids by approximate score, ties by
+    // id — then fetch the 20 float vectors per query by key for the
+    // exact rescore (at scale: a point-lookup join, not a corpus scan)
+    val cands = approx.groupBy("query_id")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("acos_"), col("neighbor_id"), 20).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val embSrc = Tables.embeddings(s, d)
+    val rescore = embSrc
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(cands), "neighbor_id")
+      .join(broadcast(embSrc
+        .where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))), "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(cosine(col("q_emb"), col("n_emb")).desc, col("neighbor_id"))
+    rescore.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup, qQuantizeInt8)
+    Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup, qQuantizeInt8,
+      qInt8PrefilterTopK)
 }

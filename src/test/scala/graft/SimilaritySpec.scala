@@ -76,6 +76,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(diffs.count() === 0)
   }
 
+  test("int8 prefilter+rescore recalls the exact top-5 almost entirely") {
+    val exact = operators.Similarity.qSimTopK.fn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = operators.Similarity.qInt8PrefilterTopK.fn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    // int8 keeps ~2 decimal digits of each coordinate; with a 20-wide
+    // candidate pool the exact top-5 should survive near-fully
+    assert(recall >= 0.9, s"int8-prefiltered recall@5 = $recall")
+  }
+
   test("hyperplanes are seed-stable ±1 (same LCG regeneration matches)") {
     val rnd = new java.util.Random(42)
     val regen = Array.fill(Similarity.numPlanes, Similarity.dim)(
