@@ -67,6 +67,53 @@ class StreamsSpec extends SparkSpecBase {
     }
   }
 
+  /** Checkpoint recovery: kill a stateful query mid-input, restart it
+    * from the same checkpoint, feed the rest — the file-source log must
+    * not replay phase-1 files into the sink, and the RESTORED dedup
+    * state must still drop phase-2 rows whose keys arrived in phase 1.
+    * Exactly-once is asserted by equality with an uninterrupted run. */
+  test("restart from checkpoint is exactly-once and restores dedup state") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    def addFile(dir: java.nio.file.Path, name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, dir.resolve(name))
+    }
+    val phase1 = (0L until 300L).map(i => (i, s"a$i"))
+    val phase2 = (200L until 500L).map(i => (i, s"b$i")) // 100 keys overlap phase 1
+    def run(tag: String, chunks: Seq[Seq[(Long, String)]]): Set[Long] = {
+      val src = java.nio.file.Files.createDirectories(root.resolve(s"$tag/src"))
+      val out = root.resolve(s"$tag/out").toString
+      val chk = root.resolve(s"$tag/chk").toString
+      chunks.zipWithIndex.foreach { case (rows, i) =>
+        addFile(src, s"$i.parquet", rows)
+        // one query INSTANCE per chunk: started, drained, STOPPED —
+        // the next instance resumes from the checkpoint
+        val q = spark.readStream.schema(schema).parquet(src.toString)
+          .dropDuplicates("id")
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSet
+    }
+    val interrupted = run("restart", Seq(phase1, phase2))
+    val single = run("single", Seq(phase1 ++ phase2))
+    assert(interrupted === (0L until 500L).toSet) // each key exactly once
+    assert(interrupted === single)
+    // and the sink holds no duplicate ids at the row level either
+    val dupes = spark.read.parquet(root.resolve("restart/out").toString)
+      .groupBy("id").count().where(col("count") > 1).count()
+    assert(dupes === 0)
+  }
+
   test("foreachBatch parquet sink persists every micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
