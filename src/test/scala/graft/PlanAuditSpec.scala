@@ -57,9 +57,12 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q75: calendar × event-type grid — both sides are bounded
     //    aggregates (days in span, distinct types).
     //  - q89: a single-row max-day literal cross-joined in.
+    //  - q93: the int8 prefilter scores queries × corpus BY DESIGN —
+    //    that's the cheap approximate tier (4x less I/O than float);
+    //    only the 20 survivors per query reach exact rescoring.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
-        "q75_gap_fill", "q89_sliding_mau")
+        "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
