@@ -121,28 +121,9 @@ final class ModelRegistry(sources: Map[String, DataFrame]) {
 
       (m.materialization, existing) match {
         case (Materialization.Incremental(key), Some(cur)) if m.partitionBy.nonEmpty =>
-          // partition-pruned upsert: merge only partitions the new batch
-          // touches, then swap exactly those partition dirs into place.
-          // The touched set is bounded by the batch's partition count —
-          // broadcast it so the semi-join never shuffles the table.
-          import org.apache.spark.sql.functions.{broadcast, col}
-          val parts = m.partitionBy
-          val touched = built.select(parts.map(col): _*).distinct()
-          val curTouched = cur.join(broadcast(touched), parts, "left_semi")
-          val merged = curTouched.join(built.select(key).distinct(),
-            Seq(key), "left_anti").unionByName(built)
-          val tmp = s"$path.__staging"
-          write(merged, m, tmp)
-          graft.spark.FsOps.swapPartitions(spark, tmp, path, parts.size)
+          Upsert.partitionPruned(spark, built, cur, path, key, m.partitionBy)
         case (Materialization.Incremental(key), Some(cur)) =>
-          // upsert: keep current rows whose key is absent from the new
-          // batch, add every new row. Stage to a temp dir first — the
-          // plan reads `path` lazily and cannot overwrite it in place.
-          val merged = cur.join(built.select(key).distinct(),
-            Seq(key), "left_anti").unionByName(built)
-          val tmp = s"$path.__staging"
-          write(merged, m, tmp)
-          graft.spark.FsOps.swapInto(spark, tmp, path)
+          Upsert.fullRewrite(spark, built, cur, path, key)
         case _ =>
           write(built, m, path)
       }

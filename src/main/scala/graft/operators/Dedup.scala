@@ -129,6 +129,20 @@ object Dedup {
       sch: MinHashScheme = MinHashScheme.default): DataFrame =
     candidatePairsFromBands(docBands(docs, sch))
 
+  /** Candidate pairs of a NEW BATCH against an existing corpus index —
+    * the daily-ingest form of near-dup detection: the corpus side is
+    * the persisted band index (built once, appended to), the batch side
+    * is signed fresh, and the join is batch-bands × corpus-bands on the
+    * band key. Cost is O(batch × collision rate), independent of how
+    * the corpus grew — a self-join over corpus ∪ batch would re-pay the
+    * whole corpus every day. */
+  def crossCorpusCandidates(batchBands: DataFrame, corpusBands: DataFrame): DataFrame =
+    batchBands.as("b").join(corpusBands.as("c"),
+        col("b.band_id") === col("c.band_id") &&
+        col("b.band_hash") === col("c.band_hash"))
+      .select(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
+      .distinct()
+
   def candidatePairsFromBands(rawBands: DataFrame): DataFrame = {
     val bands = rawBands.repartition(col("band_id"), col("band_hash"))
     val a = bands.as("a")
@@ -327,6 +341,43 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental (batch-vs-corpus) near-dup detection, oracle-checked:
+    * odd doc_ids play the arriving batch, even doc_ids the indexed
+    * corpus. Each batch doc is flagged with its best corpus match at
+    * jaccard ≥ 0.9 — the admission decision a curation pipeline makes
+    * per ingest, costed against the index instead of the corpus. */
+  val qDedupBatchVsCorpus: GraftQuery = GraftQuery(
+    "q94_dedup_batch_vs_corpus",
+    s"""WITH $bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS doc_batch, c.doc_id AS doc_corpus
+       |  FROM bands b JOIN bands c
+       |    ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+       |  WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+       |toks AS (
+       |  SELECT doc_id, $shinglesSql AS t FROM documents)
+       |SELECT doc_batch, doc_corpus,
+       |  CAST(len(list_intersect(tb.t, tc.t)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(tb.t, tc.t))) AS jaccard
+       |FROM cand
+       |JOIN toks tb ON doc_batch = tb.doc_id
+       |JOIN toks tc ON doc_corpus = tc.doc_id
+       |WHERE CAST(len(list_intersect(tb.t, tc.t)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(tb.t, tc.t))) >= 0.9
+       |ORDER BY doc_batch, doc_corpus""".stripMargin) { (s, d) =>
+    val bands = indexedBands(s, d)
+    val pairs = crossCorpusCandidates(
+      bands.where(pmod(col("doc_id"), lit(2)) === 1),
+      bands.where(pmod(col("doc_id"), lit(2)) === 0))
+      .withColumnRenamed("doc_batch", "doc_a")
+      .withColumnRenamed("doc_corpus", "doc_b")
+    withJaccardToks(pairs, indexedShingleSets(s, d))
+      .where(col("jaccard") >= 0.9)
+      .select(col("doc_a").as("doc_batch"), col("doc_b").as("doc_corpus"),
+        col("jaccard"))
+      .orderBy("doc_batch", "doc_corpus")
+  }
+
   /** DuckDB rendering of the md5-60-bit SimHash (SimHashMd5): rebuild
     * each token's 60-bit value with exact BIGINT nibble arithmetic
     * (16^14 > 2^53, so float math would corrupt it), then 60 ±1-vote
@@ -489,5 +540,5 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
-    qDedupComponents, qDedupMinhash8x4)
+    qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus)
 }

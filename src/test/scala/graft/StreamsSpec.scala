@@ -137,6 +137,42 @@ class StreamsSpec extends SparkSpecBase {
     assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  /** Streaming incremental materialization: each micro-batch upserts
+    * into a partitioned parquet table through the same partition-pruned
+    * merge the batch model framework uses — partitions untouched by a
+    * micro-batch are not rewritten. */
+  test("foreachBatch drives partition-pruned incremental upsert per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinc").toString
+    val path = s"$dir/table"
+    val input = MemoryStream[(Long, String, Double)]
+    val q = input.toDF().toDF("id", "day", "v")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.model.Upsert.streamingBatch(spark, b, path, "id", Seq("day"))
+      }
+      .start()
+    def d2Files: Map[String, (Long, Long)] =
+      new java.io.File(s"$path/day=d2").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    try {
+      input.addData((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0))
+      q.processAllAvailable()
+      val before = d2Files
+      input.addData((2L, "d1", 20.0), (4L, "d1", 4.0)) // touches only d1
+      q.processAllAvailable()
+      val got = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (r.getAs[Double]("v"), r.getAs[String]("day"))).toMap
+      assert(got === Map(1L -> (1.0, "d1"), 2L -> (20.0, "d1"),
+        3L -> (3.0, "d2"), 4L -> (4.0, "d1")))
+      assert(d2Files === before, "untouched partition was rewritten")
+    } finally q.stop()
+  }
+
   test("streaming hourly aggregation equals the batch equivalent") {
     val streamed = Streams.hourlyCounts(spark, sf001)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
