@@ -118,6 +118,42 @@ object TextQueries {
       .orderBy("event_id")
   }
 
+  /** Unicode NFC normalization (graftshim.NfcNormalize, codegen'd vs a
+    * UDF): decomposed and composed forms of the same text must
+    * fingerprint identically before dedup. The corpus text is ASCII, so
+    * a decomposed suffix (`e` + combining acute U+0301) is appended
+    * deterministically — DuckDB's chr() is code-point-based (Spark's
+    * char() is mod-256, so the Spark side embeds the literal), and both
+    * engines' length() counts code points: 2 before composition, 1
+    * after. The normalized bytes themselves are hash-compared. */
+  val qNfcNormalize: GraftQuery = GraftQuery(
+    "q95_nfc_normalize",
+    """WITH dirty AS (
+      |  SELECT doc_id, text || ' caf' || chr(101) || chr(769) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(t) AS INTEGER) AS raw_len,
+      |  CAST(length(nfc_normalize(t)) AS INTEGER) AS nfc_len,
+      |  t = nfc_normalize(t) AS was_normalized,
+      |  right(nfc_normalize(t), 4) AS norm_tail,
+      |  md5(nfc_normalize(t)) AS norm_fp
+      |FROM dirty
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.graftshim.NfcNormalize
+    val dirty = concat(col("text"), lit(" caf"), lit("e"), lit("\u0301"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), dirty.as("t"))
+      .select(
+        col("doc_id"),
+        length(col("t")).as("raw_len"),
+        length(NfcNormalize(col("t"))).as("nfc_len"),
+        (col("t") === NfcNormalize(col("t"))).as("was_normalized"),
+        substring(NfcNormalize(col("t")), -4, 4).as("norm_tail"),
+        md5(NfcNormalize(col("t"))).as("norm_fp"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
-    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qExtractNumbers)
+    qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qExtractNumbers,
+    qNfcNormalize)
 }

@@ -19,5 +19,7 @@ object GraftFunctions {
       exprs => SimHashMd5(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("pg_float8_text",
       exprs => PgFloat8Text(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 }

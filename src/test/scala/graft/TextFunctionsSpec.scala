@@ -60,4 +60,26 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(fps(0) === fps(1))
     assert(fps(0) === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
   }
+
+  test("nfc_normalize composes decomposed sequences, is idempotent, preserves ASCII") {
+    import org.apache.spark.sql.graftshim.NfcNormalize
+    val decomposed = "cafe\u0301" // e + combining acute U+0301
+    val composed = "caf\u00e9"    // precomposed e-acute
+    val got = Seq((decomposed, composed, "plain ascii", null: String))
+      .toDF("dec", "comp", "ascii", "nul")
+      .select(
+        NfcNormalize(col("dec")).as("n_dec"),
+        NfcNormalize(col("comp")).as("n_comp"),
+        NfcNormalize(NfcNormalize(col("dec"))).as("n_idem"),
+        NfcNormalize(col("ascii")).as("n_ascii"),
+        NfcNormalize(col("nul")).as("n_nul"),
+        length(col("dec")).as("len_dec"),
+        length(NfcNormalize(col("dec"))).as("len_norm")).first()
+    assert(got.getString(0) === composed)
+    assert(got.getString(1) === composed)
+    assert(got.getString(2) === composed)
+    assert(got.getString(3) === "plain ascii")
+    assert(got.isNullAt(4))
+    assert(got.getInt(5) === 5 && got.getInt(6) === 4)
+  }
 }
