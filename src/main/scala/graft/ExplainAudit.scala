@@ -26,6 +26,11 @@ object ExplainAudit {
       toks.select(sum(pmod(org.apache.spark.sql.graftshim.SimHashMd5(col("t")), lit(1000000L)))).collect())
     time("simhash_composed(5k docs)")(
       toks.select(sum(pmod(graft.operators.Dedup.simhash64Composed(col("t")), lit(1000000L)))).collect())
+    val bigEmb = graft.ScaleBench.synthVecs(spark, d, 100000)
+    time("lsh_sig_fused   (100k vecs)")(
+      bigEmb.select(sum(length(graft.operators.Similarity.lshSignature(col("embedding"))))).collect())
+    time("lsh_sig_composed(100k vecs)")(
+      bigEmb.select(sum(length(graft.operators.Similarity.lshSignatureComposed(col("embedding"))))).collect())
     val embAll = graft.sources.Tables.embeddings(spark, d)
     time("topk_agg    (2k q x 2k corpus)")(
       graft.operators.Similarity.bruteForceTopK(embAll, col("vec_id") >= 0, 10).count())

@@ -61,8 +61,16 @@ object Similarity {
       zip_with(v, lit(p.map(_.toDouble)), (x, h) => x.cast("double") * h),
       lit(0.0), (acc, x) => acc + x)
 
-  /** 8-char '0'/'1' LSH bucket signature for an embedding column. */
+  /** 8-char '0'/'1' LSH bucket signature: fused single-pass expression
+    * (all 8 projections in one vector traversal, no per-plane
+    * zip_with allocation — see graftshim.HyperplaneSignature;
+    * bit-compatible with [[lshSignatureComposed]], which is kept as
+    * the built-ins benchmark baseline). */
   def lshSignature(v: Column): Column =
+    org.apache.spark.sql.graftshim.HyperplaneSignature(v, hyperplanes)
+
+  /** Composed-builtins form: one zip_with+aggregate pass PER plane. */
+  def lshSignatureComposed(v: Column): Column =
     concat(hyperplanes.toIndexedSeq.map(p =>
       when(planeDot(v, p) >= 0, "1").otherwise("0")): _*)
 

@@ -76,6 +76,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(diffs.count() === 0)
   }
 
+  test("fused LSH signature is bit-identical to the composed form, incl. edge cases") {
+    val rnd = new scala.util.Random(3)
+    val vecs: Seq[(Long, Seq[Float])] =
+      (0L until 200L).map(i => i -> Seq.fill(64)(rnd.nextFloat() * 2 - 1)) ++
+        Seq(200L -> Seq.fill(64)(0f),        // all-zero → every plane '>= 0'
+          201L -> Seq.fill(10)(1f),          // wrong width → degenerate all-'0'
+          202L -> Seq.fill(70)(1f))          // too long → degenerate all-'0'
+    val df = vecDf(vecs)
+    val diffs = df.select(
+        operators.Similarity.lshSignature(col("embedding")).as("fused"),
+        operators.Similarity.lshSignatureComposed(col("embedding")).as("composed"))
+      .where(col("fused") =!= col("composed"))
+    assert(diffs.count() === 0)
+    // null element → every projection null → all-'0' (composed parity)
+    val withNull = Seq(1L -> Seq(1f, 2f)).toDF("vec_id", "embedding")
+      .select(transform(col("embedding"),
+        (x, i) => when(i === 0, lit(null)).otherwise(x)).as("embedding"))
+    assert(withNull.select(operators.Similarity.lshSignature(col("embedding")))
+      .first().getString(0) === "00000000")
+  }
+
   test("int8 prefilter+rescore recalls the exact top-5 almost entirely") {
     val exact = operators.Similarity.qSimTopK.fn(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
