@@ -26,6 +26,13 @@ object ExplainAudit {
       toks.select(sum(pmod(org.apache.spark.sql.graftshim.SimHashMd5(col("t")), lit(1000000L)))).collect())
     time("simhash_composed(5k docs)")(
       toks.select(sum(pmod(graft.operators.Dedup.simhash64Composed(col("t")), lit(1000000L)))).collect())
+    val bigDocs = graft.ScaleBench.synthDocs(spark, d, 100000)._1.persist()
+    bigDocs.count()
+    time("minhash_bands_fused   (100k docs)")(
+      graft.operators.Dedup.docBands(bigDocs).select(sum(length(col("band_hash")))).collect())
+    time("minhash_bands_composed(100k docs)")(
+      graft.operators.Dedup.docBandsComposed(bigDocs).select(sum(length(col("band_hash")))).collect())
+    bigDocs.unpersist()
     val bigEmb = graft.ScaleBench.synthVecs(spark, d, 100000)
     time("lsh_sig_fused   (100k vecs)")(
       bigEmb.select(sum(length(graft.operators.Similarity.lshSignature(col("embedding"))))).collect())

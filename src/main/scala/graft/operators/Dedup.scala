@@ -105,10 +105,22 @@ object Dedup {
       array_min(transform(m, x => substring(x, 8 * slice + 1, 8)))
     }: _*))
 
-  /** doc_id → (band_id, band_hash) rows. The digest array is
-    * materialized as an explicit column (not a repeated subtree), so
-    * each shingle is digested exactly once. */
+  /** doc_id → (band_id, band_hash) rows, via the fused single-pass
+    * banding expression (graftshim.MinHashBandHashes — no shingle /
+    * digest / slice arrays materialized; byte-identical to
+    * [[docBandsComposed]], which stays as the built-ins baseline). */
   def docBands(docs: DataFrame,
+      sch: MinHashScheme = MinHashScheme.default): DataFrame =
+    tokenizedDocs(docs)
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graftshim.MinHashBandHashes(
+          col("__toks"), sch.numHashes, sch.bands, shingleWidth)))
+      .select(col("doc_id"), col("pos").cast("int").as("band_id"),
+        col("col").as("band_hash"))
+
+  /** Built-ins-composed banding (shingle array → digest array → sliced
+    * minima → band md5) — the form the fused expression must match. */
+  def docBandsComposed(docs: DataFrame,
       sch: MinHashScheme = MinHashScheme.default): DataFrame = {
     val withSh = tokenizedDocs(docs)
       .select(col("doc_id"), shinglesFromToks(col("__toks")).as("sh"))

@@ -122,6 +122,44 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("fused banding expression equals the composed pipeline on edge-case corpora") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta"),   // exactly width tokens → one shingle
+      (3L, "one two"),          // fewer than width → one short shingle
+      (4L, "solo"),             // single token
+      (5L, ""),                 // empty text → [""] token
+      (6L, "x y x y x y"),      // duplicate shingles
+      (7L, "Mixed CASE text Mixed CASE text here"))
+      .toDF("doc_id", "text")
+    for (sch <- Seq(MinHashScheme.default, MinHashScheme(8, 4), MinHashScheme(12, 3))) {
+      val fused = Dedup.docBands(docs, sch).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val composed = Dedup.docBandsComposed(docs, sch).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(fused === composed, s"scheme $sch")
+    }
+    // property: random token multisets (with nulls) agree too
+    forAllSeeded(Gen.listOf(Gen.oneOf(Gen.const(null: String),
+        Gen.oneOf("a", "bb", "ccc", "dd d", ""))), n = 15) { toksList =>
+      val df = Seq(Tuple1(toksList)).toDF("__toks")
+        .select(lit(1L).as("doc_id"), col("__toks"))
+      val fused = df.select(org.apache.spark.sql.graftshim.MinHashBandHashes(
+        col("__toks"), 4, 2, 3)).first().getSeq[String](0)
+      val composed = df.select(
+          Dedup.shinglesFromToks(col("__toks")).as("sh"))
+        .select(transform(col("sh"), w => md5(w)).as("m"))
+        .select((0 until 2).map(b =>
+          md5(concat_ws("|",
+            array_min(transform(col("m"), x => substring(x, 8 * (b * 2) + 1, 8))),
+            array_min(transform(col("m"), x => substring(x, 8 * (b * 2 + 1) + 1, 8)))))
+            .as(s"b$b")): _*)
+        .first()
+      assert(fused === Seq(composed.getString(0), composed.getString(1)))
+    }
+  }
+
   test("parameterized schemes: 8x4 bands produce 4 band rows per doc, default unchanged") {
     val docs = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val def4 = Dedup.docBands(docs).collect()
