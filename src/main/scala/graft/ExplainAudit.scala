@@ -32,6 +32,12 @@ object ExplainAudit {
       graft.operators.Dedup.docBands(bigDocs).select(sum(length(col("band_hash")))).collect())
     time("minhash_bands_composed(100k docs)")(
       graft.operators.Dedup.docBandsComposed(bigDocs).select(sum(length(col("band_hash")))).collect())
+    time("shingle_set_fused   (100k docs)")(
+      bigDocs.select(split(lower(col("text")), " ").as("t"))
+        .select(sum(size(graft.operators.Dedup.shinglesFromToks(col("t"))))).collect())
+    time("shingle_set_composed(100k docs)")(
+      bigDocs.select(split(lower(col("text")), " ").as("t"))
+        .select(sum(size(graft.operators.Dedup.shinglesFromToksComposed(col("t"))))).collect())
     bigDocs.unpersist()
     val bigEmb = graft.ScaleBench.synthVecs(spark, d, 100000)
     time("lsh_sig_fused   (100k vecs)")(

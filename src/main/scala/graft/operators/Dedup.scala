@@ -80,13 +80,19 @@ object Dedup {
     * 876k noise pairs to the 25 true near-dup pairs.) */
   def shingles(text: Column): Column = shinglesFromToks(split(lower(text), " "))
 
-  /** Shingles from a pre-bound token-array column. Callers that care
-    * about throughput MUST bind the tokenization to a real column
-    * first ([[tokenizedDocs]]): Spark does not eliminate common
+  /** Shingles from a pre-bound token-array column — fused single-pass
+    * expression (graftshim.ShingleSet). Callers that care about
+    * throughput MUST bind the tokenization to a real column first
+    * ([[tokenizedDocs]]): Spark does not eliminate common
     * subexpressions inside higher-order-function lambdas, so passing
     * the raw split() expression re-tokenizes the text once per
     * shingle slice. */
   def shinglesFromToks(toks: Column): Column =
+    org.apache.spark.sql.graftshim.ShingleSet(toks, shingleWidth)
+
+  /** Built-ins-composed shingling — the form the fused expression must
+    * match element-for-element (spec-asserted). */
+  def shinglesFromToksComposed(toks: Column): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (shingleWidth - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(shingleWidth)))))

@@ -122,6 +122,17 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("fused shingle set equals the composed form element-for-element") {
+    forAllSeeded(Gen.listOf(Gen.oneOf(Gen.const(null: String),
+        Gen.oneOf("a", "bb", "ccc", "d", ""))), n = 20) { toksList =>
+      val df = Seq(Tuple1(toksList)).toDF("__toks")
+      val got = df.select(
+        Dedup.shinglesFromToks(col("__toks")).as("fused"),
+        Dedup.shinglesFromToksComposed(col("__toks")).as("composed")).first()
+      assert(got.getSeq[String](0) === got.getSeq[String](1), s"toks=$toksList")
+    }
+  }
+
   test("fused banding expression equals the composed pipeline on edge-case corpora") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon"),
