@@ -89,6 +89,12 @@ object ScaleBench {
       targetVecs: Int = 100000): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
 
+    // drop whatever the catalog pass left cached (band/shingle/IVF
+    // indexes): the probe times ITS pipelines, and executor-memory
+    // pressure from stale caches showed up as a 5x swing in the IVF
+    // stage when run after the 95-query catalog sweep
+    spark.catalog.clearCache()
+
     // ---- dedup asymptotics ----
     val (docsWithRep, factor) = synthDocs(spark, sfDir, targetDocs)
     val docs = docsWithRep.persist()

@@ -21,5 +21,19 @@ object GraftFunctions {
       exprs => PgFloat8Text(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("nfc_normalize",
       exprs => NfcNormalize(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_set",
+      exprs => ShingleSet(exprs(0), intLit(exprs(1))), "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_bands",
+      exprs => MinHashBandHashes(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+        intLit(exprs(3))), "scala_udf")
   }
+
+  /** SQL-literal int argument (width/hash/band counts are plan-time
+    * constants, not data). */
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal argument, got $other")
+    }
 }

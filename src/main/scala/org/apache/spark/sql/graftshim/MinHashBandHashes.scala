@@ -28,9 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Why: the composed form materializes the shingle array, a distinct
   * pass, a digest array, and 4 sliced arrays per band per doc — this
-  * allocates none of them, so signature building (the dominant cost of
-  * corpus dedup — 16 s of the 100k-doc ScaleBench stage) is one warm
-  * loop per document.
+  * allocates none of them. Signature building is the dominant cost of
+  * corpus dedup; at 100k docs (ExplainAudit) the fused form measures
+  * 2.3 s vs 15.3 s composed.
   */
 case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int,
     shingleWidth: Int)

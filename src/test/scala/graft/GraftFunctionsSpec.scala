@@ -19,4 +19,25 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(r.getLong(1) === viaColumn.getLong(0))
     assert(r.getLong(2) === viaColumn.getLong(1))
   }
+
+  test("dedup/text expressions reach SQL: shingle_set, minhash_bands, nfc_normalize, pg_float8_text") {
+    GraftFunctions.register(spark)
+    Seq((Seq("a", "b", "c", "d"), "café", 15.0))
+      .toDF("toks", "txt", "d").createOrReplaceTempView("gfuncs")
+    val r = spark.sql(
+      """SELECT shingle_set(toks, 3) AS sh, minhash_bands(toks, 4, 2, 3) AS mb,
+        |  nfc_normalize(txt) AS nrm, pg_float8_text(d) AS pgd FROM gfuncs""".stripMargin).head()
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    val viaColumn = spark.table("gfuncs")
+      .select(graft.operators.Dedup.shinglesFromToks($"toks"),
+        org.apache.spark.sql.graftshim.MinHashBandHashes($"toks", 4, 2, 3)).head()
+    assert(r.getSeq[String](0) === viaColumn.getSeq[String](0))
+    assert(r.getSeq[String](1) === viaColumn.getSeq[String](1))
+    assert(r.getString(2) === "café")
+    assert(r.getString(3) === "15")
+    // non-literal config arguments are a registration-time error
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_bands(toks, CAST(length(txt) AS INT), 2, 3) FROM gfuncs").head())
+    assert(err.getMessage.contains("literal"))
+  }
 }
