@@ -69,6 +69,22 @@ object IvfAnn {
     * exactly the window form's (c_sim desc, cell asc). Embeddings
     * don't ride through the aggregate; they re-attach by key. */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    // centroids are bounded (cell count — the one documented driver-
+    // side collect); scoring every vector against them is then a
+    // single fused expression in the scan stage: no N × C join, no
+    // shuffle, no per-pair materialization of two float arrays.
+    val cents = centroids.select(col("cell").cast("long"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    emb.select(col("vec_id"), col("embedding"),
+      org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), cents)
+        .as("cell"))
+  }
+
+  /** Join+bounded-heap formulation of [[assign]] — kept as the
+    * distributed-centroids baseline (what assign degrades to if the
+    * centroid set ever outgrew the driver) and as the equivalence
+    * check for the expression form. */
+  def assignJoined(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val best = emb.crossJoin(broadcast(centroids))
       .withColumn("c_sim", Similarity.cosine(col("embedding"), col("centroid")))
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("c_sim"))

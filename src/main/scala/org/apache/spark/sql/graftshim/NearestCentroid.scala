@@ -1,0 +1,92 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Max-cosine centroid assignment as ONE expression over the vector
+  * column: the centroid matrix (bounded — cell count, the documented
+  * driver-side exception) rides into codegen via a reference object,
+  * and each vector is scored against every centroid in a single fused
+  * loop. No N × C join, so no 25M-row materialization of both float
+  * arrays through a BroadcastNestedLoopJoin — at 100k × 256 the
+  * join+aggregate formulation was memory-bandwidth/GC-bound with
+  * minute-scale variance; this is a flops-bound scan stage.
+  *
+  * Scoring is bit-compatible with [[CosineSimilarity]]: per-centroid
+  * cos = dot / √|v|² / √|c|², each accumulated left-to-right (centroid
+  * norms precomputed the same way). Ties pick the lowest cell id —
+  * centroids are scored in ascending id order and only a strictly
+  * greater cos displaces the best.
+  */
+case class NearestCentroid(child: Expression, cellIds: Seq[Long],
+    centroids: Seq[Seq[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(cellIds.nonEmpty && cellIds.size == centroids.size)
+  require(cellIds == cellIds.sorted, "centroids must arrive in ascending cell order")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+
+  @transient private lazy val ids: Array[Long] = cellIds.toArray
+  @transient private lazy val matrix: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    matrix.map(NearestCentroid.sqNorm)
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.best(input.asInstanceOf[ArrayData], ids, matrix, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = NearestCentroid.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val matRef = ctx.addReferenceObj("matrix", matrix, "float[][]")
+    val normRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $obj.best($c, $idsRef, $matRef, $normRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+
+  private[graftshim] def sqNorm(c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val x = c(i).toDouble; s += x * x; i += 1 }
+    s
+  }
+
+  def best(v: ArrayData, ids: Array[Long], matrix: Array[Array[Float]],
+      norms: Array[Double]): Long = {
+    val n = v.numElements()
+    // vector norm once, same accumulation as the fused cosine's |a|²
+    var nv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+    val snv = math.sqrt(nv)
+    var bestId = ids(0)
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      val dim = math.min(n, cent.length)
+      var dot = 0.0
+      i = 0
+      while (i < dim) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+      val cos = dot / snv / math.sqrt(norms(c))
+      if (c == 0 || cos > bestCos) { bestCos = cos; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  def apply(v: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v),
+      sorted.map(_._1), sorted.map(_._2.toIndexedSeq)))
+  }
+}

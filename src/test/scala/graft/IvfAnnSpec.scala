@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 
 class IvfAnnSpec extends SparkSpecBase {
 
+  test("expression-form assignment equals the join+heap form cell-for-cell") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val centroids = graft.operators.IvfAnn.fixedCentroids(emb, 10)
+    val viaExpr = graft.operators.IvfAnn.assign(emb, centroids)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = graft.operators.IvfAnn.assignJoined(emb, centroids)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr === viaJoin)
+  }
+
   test("IVF search returns k ranked neighbors and achieves useful recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val index = IvfAnn.build(emb, numCells = 8)

@@ -76,6 +76,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(diffs.count() === 0)
   }
 
+  test("dot/precomputed-norm cosine is bit-identical to the fused cosine") {
+    import org.apache.spark.sql.graftshim.DotProduct
+    val rnd = new scala.util.Random(9)
+    val df = vecDf((0L until 300L).map(i =>
+      i -> Seq.fill(64)(rnd.nextFloat() * 4 - 2)))
+    val pairs = df.crossJoin(df.select(col("embedding").as("e2")).limit(5))
+    val diffs = pairs.select(
+        operators.Similarity.cosine(col("embedding"), col("e2")).as("fused"),
+        (DotProduct(col("embedding"), col("e2")) /
+          sqrt(DotProduct(col("embedding"), col("embedding"))) /
+          sqrt(DotProduct(col("e2"), col("e2")))).as("split"))
+      .where(col("fused") =!= col("split"))
+    assert(diffs.count() === 0)
+  }
+
   test("fused LSH signature is bit-identical to the composed form, incl. edge cases") {
     val rnd = new scala.util.Random(3)
     val vecs: Seq[(Long, Seq[Float])] =
