@@ -54,7 +54,11 @@ object TextAdvanced {
     val exploded = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("term"))
     val tf = exploded.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = exploded.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df DERIVES from tf (one row per (doc, term) already): the token
+    // explosion is scanned once, and the exploded→distinct shuffle the
+    // naive form pays disappears — at corpus scale that was the second
+    // full pass over every token
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy((col("tf").cast("double") * col("n_docs") / col("df")).desc, col("term"))
