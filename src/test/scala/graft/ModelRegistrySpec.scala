@@ -124,6 +124,33 @@ class ModelRegistrySpec extends SparkSpecBase {
     assert(residue.isEmpty)
   }
 
+  test("partitioned incremental handles multi-level partitioning (nested leaf swap)") {
+    import graft.model.Materialization
+    val dir = java.nio.file.Files.createTempDirectory("graft_incp2").toString
+    def regFor(rows: Seq[(Int, String, String, String)]) = {
+      val reg = new ModelRegistry(Map("src" -> rows.toDF("id", "v", "region", "day")))
+      reg.register(Model("inc", Seq("src"), partitionBy = Seq("region", "day"),
+        materialization = Materialization.Incremental("id"))(m => m("src")))
+      reg
+    }
+    regFor(Seq((1, "a", "eu", "d1"), (2, "b", "eu", "d2"),
+      (3, "c", "us", "d1"))).run(spark, dir)
+    def leafFiles(rel: String): Map[String, Long] =
+      new java.io.File(s"$dir/inc/$rel").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val euD2 = leafFiles("region=eu/day=d2")
+    val usD1 = leafFiles("region=us/day=d1")
+    // run 2 touches only (eu, d1): update id=1, insert id=4
+    val r2 = regFor(Seq((1, "A!", "eu", "d1"), (4, "d", "eu", "d1"))).run(spark, dir)
+    val got = r2("inc").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(got === Map(1 -> ("A!", "eu", "d1"), 2 -> ("b", "eu", "d2"),
+      3 -> ("c", "us", "d1"), 4 -> ("d", "eu", "d1")))
+    assert(leafFiles("region=eu/day=d2") === euD2)
+    assert(leafFiles("region=us/day=d1") === usD1)
+  }
+
   test("run materializes in topo order with overwrite semantics") {
     val dir = java.nio.file.Files.createTempDirectory("graft_models").toString
     val reg = new ModelRegistry(sources)
