@@ -29,5 +29,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
       (exprs: Seq[Expression]) => SimHashMd5(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("pg_float8_text"),
+      new ExpressionInfo(classOf[PgFloat8Text].getName, "pg_float8_text"),
+      (exprs: Seq[Expression]) => PgFloat8Text(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (exprs: Seq[Expression]) =>
+        ShingleSet(exprs(0), GraftFunctions.intLit(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandHashes].getName, "minhash_bands"),
+      (exprs: Seq[Expression]) => MinHashBandHashes(exprs(0),
+        GraftFunctions.intLit(exprs(1)), GraftFunctions.intLit(exprs(2)),
+        GraftFunctions.intLit(exprs(3)))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

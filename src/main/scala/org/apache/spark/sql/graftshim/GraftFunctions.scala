@@ -26,11 +26,14 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("minhash_bands",
       exprs => MinHashBandHashes(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
         intLit(exprs(3))), "scala_udf")
+    registry.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** SQL-literal int argument (width/hash/band counts are plan-time
     * constants, not data). */
-  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+  private[graftshim] def intLit(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(

@@ -23,5 +23,9 @@ class GraftExtensionsSpec extends graft.SparkSpecBase {
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(null),
         org.apache.spark.sql.catalyst.expressions.Literal(null)))
     assert(e.isInstanceOf[CosineSimilarity])
+    // the full function surface stays in lockstep with GraftFunctions
+    for (name <- Seq("simhash_md5", "pg_float8_text", "nfc_normalize",
+        "shingle_set", "minhash_bands", "dot_product"))
+      assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 }

@@ -137,6 +137,33 @@ class StreamsSpec extends SparkSpecBase {
     assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  /** dropDuplicatesWithinWatermark — the BOUNDED-STATE production form
+    * of streaming dedup (plain dropDuplicates keeps every key forever):
+    * duplicates arriving within the watermark delay are dropped; state
+    * for keys older than the watermark is eligible for eviction, which
+    * is exactly the contract's bound. */
+  test("watermarked streaming dedup drops in-window duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(min: Int) = new java.sql.Timestamp(60000L * min)
+    val q = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_dedup").start()
+    try {
+      input.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L)) // dup of k=1 in-window
+      q.processAllAvailable()
+      input.addData((ts(5), 1L), (ts(6), 3L))              // still in-window dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wm_dedup").select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L)) // each key exactly once within the window
+  }
+
   /** Streaming incremental materialization: each micro-batch upserts
     * into a partitioned parquet table through the same partition-pruned
     * merge the batch model framework uses — partitions untouched by a
