@@ -554,8 +554,79 @@ object Advanced {
       .orderBy("cohort_week")
   }
 
+  /** Event-time RANGE window frame: per-user rolling 1-hour value sum
+    * — the frame is bounded by a TIME OFFSET, not a row count, so a
+    * user's burst of events all fall in each other's window while
+    * sparse events see only themselves. Ordered on the epoch second
+    * (integer — both engines' RANGE arithmetic is exact); the frame
+    * sum is an exact decimal. One shuffle on user_id; frames evaluate
+    * within the sorted partition. */
+  val qRollingTimeWindow: GraftQuery = GraftQuery(
+    "q96_rolling_time_window",
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h,
+      |  CAST(COUNT(*) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(s, d).select(
+      col("user_id"), col("event_id"),
+      sum(col("value").cast("decimal(14,2)")).over(w).cast("double").as("sum_1h"),
+      count(lit(1)).over(w).as("n_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Gaps-and-islands: consecutive-active-day streaks per user (island
+    * key = day minus the per-user day rank — constant within a run of
+    * consecutive days). Emits per-user streak stats; the whole query
+    * is two window passes plus one aggregate, no self-joins. */
+  val qActivityStreaks: GraftQuery = GraftQuery(
+    "q97_activity_streaks",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, day,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+      |      AS island
+      |  FROM days),
+      |streaks AS (
+      |  SELECT user_id, island, COUNT(*) AS streak_len,
+      |    MIN(day) AS streak_start
+      |  FROM islands GROUP BY user_id, island)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+      |  MIN(streak_start) AS first_day
+      |FROM streaks
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    val islands = days.withColumn("island",
+      date_sub(col("day"),
+        row_number().over(Window.partitionBy("user_id").orderBy("day"))))
+    islands.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak_len"), min(col("day")).as("streak_start"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max(col("streak_len")).as("longest_streak"),
+        min(col("streak_start")).as("first_day"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
-    qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention)
+    qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention,
+    qRollingTimeWindow, qActivityStreaks)
 }
