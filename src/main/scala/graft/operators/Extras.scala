@@ -321,8 +321,68 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** DISCRETE quantiles (percentile_disc semantics: smallest value
+    * whose cumulative distribution reaches p) — composed identically
+    * on both sides from cume_dist, so the definition is pinned rather
+    * than trusting two engines' quantile_disc to agree on ties. */
+  val qQuantileDisc: GraftQuery = GraftQuery(
+    "q98_quantile_disc",
+    """WITH cd AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  MIN(CASE WHEN cd >= 0.5 THEN l_quantity END) AS p50_disc,
+      |  MIN(CASE WHEN cd >= 0.9 THEN l_quantity END) AS p90_disc,
+      |  MIN(CASE WHEN cd >= 0.99 THEN l_quantity END) AS p99_disc
+      |FROM cd
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        cume_dist().over(w).as("cd"))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("cd") >= 0.5, col("l_quantity"))).as("p50_disc"),
+        min(when(col("cd") >= 0.9, col("l_quantity"))).as("p90_disc"),
+        min(when(col("cd") >= 0.99, col("l_quantity"))).as("p99_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Mode (most frequent value) per group with a DETERMINISTIC tie
+    * rule (ties → smallest value) — composed as count + rank instead
+    * of the engines' mode(), whose tie choice is implementation-
+    * defined. Two hash aggregates + a tiny window over per-group
+    * value counts. */
+  val qModeDeterministic: GraftQuery = GraftQuery(
+    "q99_mode",
+    """WITH counts AS (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+      |ranked AS (
+      |  SELECT l_returnflag, l_quantity, n,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY n DESC, l_quantity) AS rn
+      |  FROM counts)
+      |SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+      |FROM ranked WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("n").as("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
-    qBoolAggs, qStringAgg)
+    qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic)
 }
