@@ -169,36 +169,74 @@ object ScaleBench {
       "ann_buckets_sec" -> tVb)
 
     // bucketed top-k (q32 shape): 16 queries against their buckets only
+    def topkSet(df: DataFrame): Set[(Long, Long)] = df.collect()
+      .flatMap(r => r.getSeq[Long](1).map(r.getLong(0) -> _)).toSet
+    var bucketed: Set[(Long, Long)] = Set.empty
     val (_, tBtk) = time {
       val q = sigs.where(col("vec_id") < 16)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("bucket"))
       val e = sigs.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
-      e.join(broadcast(q),
+      bucketed = topkSet(e.join(broadcast(q),
           col("bucket") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
         .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
         .groupBy("query_id")
         .agg(org.apache.spark.sql.graftshim.TopKByScore(
           col("cos"), col("neighbor_id"), 3).as("top"))
-        .count()
+        .select(col("query_id"), col("top.id")))
     }
     out ++= Seq("ann_bucket_topk_sec" -> tBtk)
+
+    // approximate-tier QUALITY at this scale, not just speed: recall@3
+    // of single-bucket and multi-probe LSH vs exact brute force — the
+    // artifact carries the full recall/cost curve every round
+    val (exact, tExact) = time(topkSet(
+      Similarity.bruteForceTopK(vecs, col("vec_id") < 16, 3)
+        .groupBy("query_id").agg(collect_list(col("neighbor_id")).as("ids"))
+        .select(col("query_id"), col("ids"))))
+    def recallOf(approx: Set[(Long, Long)]): Double =
+      if (exact.nonEmpty) exact.intersect(approx).size.toDouble / exact.size
+      else -1.0
+    var multiprobe: Set[(Long, Long)] = Set.empty
+    val (_, tMp) = time {
+      val q = sigs.where(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(Similarity.multiProbeSignatures(col("bucket"))).as("probe"))
+      val e = sigs.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
+      multiprobe = topkSet(e.join(broadcast(q),
+          col("probe") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graftshim.TopKByScore(
+          col("cos"), col("neighbor_id"), 3).as("top"))
+        .select(col("query_id"), col("top.id")))
+    }
+    out ++= Seq("ann_exact_topk_sec" -> tExact,
+      "ann_multiprobe_topk_sec" -> tMp,
+      "ann_bucket_recall3" -> recallOf(bucketed),
+      "ann_multiprobe_recall3" -> recallOf(multiprobe))
 
     // IVF (q55 shape) at ~256 cells: assignment is N x C, search probes
     // nProbe cells per query
     val stride = math.max(1L, nVecs / 256).toInt
     val centroids = IvfAnn.fixedCentroids(vecs, stride)
+    var ivfTop: Set[(Long, Long)] = Set.empty
     val (_, tIvf) = time {
       // the index is built once and persisted (its production shape);
       // search reads it for both the query side and the probed cells
       val assigned = IvfAnn.assign(vecs, centroids).persist()
-      try IvfAnn.search(assigned, centroids, col("vec_id") < 16, k = 3, nProbe = 2)
-        .count()
+      try ivfTop = IvfAnn
+        .search(assigned, centroids, col("vec_id") < 16, k = 3, nProbe = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
       finally assigned.unpersist()
     }
     out ++= Seq("ivf_cells" -> math.ceil(nVecs.toDouble / stride),
-      "ivf_assign_search_sec" -> tIvf)
+      "ivf_assign_search_sec" -> tIvf,
+      "ivf_recall3" ->
+        (if (exact.nonEmpty) exact.intersect(ivfTop).size.toDouble / exact.size
+         else -1.0))
     vecs.unpersist()
 
     out.toSeq

@@ -74,6 +74,20 @@ object Similarity {
     concat(hyperplanes.toIndexedSeq.map(p =>
       when(planeDot(v, p) >= 0, "1").otherwise("0")): _*)
 
+  /** Multi-probe bucket set: the signature plus its `numPlanes`
+    * Hamming-distance-1 variants. A near neighbor that lands one
+    * plane-flip away (the most likely miss — near-orthogonal
+    * projections flip sign under small perturbations) is recovered by
+    * probing the adjacent buckets, trading ~(numPlanes+1)x candidate
+    * volume (still corpus/2^bits per bucket) for a large recall gain —
+    * the standard multi-probe LSH refinement. */
+  def multiProbeSignatures(sig: Column): Column =
+    array((sig +: (0 until numPlanes).map { i =>
+      concat(substring(sig, 1, i),
+        when(substring(sig, i + 1, 1) === "1", "0").otherwise("1"),
+        substring(sig, i + 2, numPlanes - i - 1))
+    }): _*)
+
   /** Exact brute-force top-k cosine neighbors for a query set.
     * queryFilter selects the query rows; broadcast side is the query
     * set (small), stream side the corpus (arbitrarily large).
@@ -360,7 +374,56 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe LSH top-k: each query probes its own bucket AND the 8
+    * Hamming-distance-1 buckets — neighbors that a single plane-flip
+    * pushed into an adjacent bucket (the dominant single-table miss)
+    * come back, at ~9 bucket-scans per query instead of one, still
+    * orders of magnitude under a corpus scan. A corpus vector lives in
+    * exactly one bucket and the 9 probes are distinct, so no candidate
+    * dedup is needed. */
+  val qSimMultiProbeTopK: GraftQuery = GraftQuery(
+    "q100_sim_multiprobe_topk",
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, $signatureSql AS bucket FROM embeddings),
+       |probes AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+       |    CASE WHEN r.p = 0 THEN q.bucket
+       |         ELSE substring(q.bucket, 1, r.p - 1) ||
+       |              (CASE substring(q.bucket, r.p, 1) WHEN '1' THEN '0' ELSE '1' END) ||
+       |              substring(q.bucket, r.p + 1, 8 - r.p)
+       |    END AS probe
+       |  FROM sigs q CROSS JOIN (SELECT CAST(unnest(range(0, 9)) AS INTEGER) AS p) r
+       |  WHERE q.vec_id < 16),
+       |scored AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM probes p JOIN sigs e
+       |    ON p.probe = e.bucket AND e.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("bucket"))
+    val q = sigs.where(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(multiProbeSignatures(col("bucket"))).as("probe"))
+    val e = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+      col("bucket").as("n_bucket"))
+    val scored = e.join(broadcast(q),
+        col("probe") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup, qQuantizeInt8,
-      qInt8PrefilterTopK)
+      qInt8PrefilterTopK, qSimMultiProbeTopK)
 }
