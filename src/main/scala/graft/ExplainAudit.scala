@@ -39,11 +39,13 @@ object ExplainAudit {
       bigDocs.select(split(lower(col("text")), " ").as("t"))
         .select(sum(size(graft.operators.Dedup.shinglesFromToksComposed(col("t"))))).collect())
     bigDocs.unpersist()
-    val bigEmb = graft.ScaleBench.synthVecs(spark, d, 100000)
+    val bigEmb = graft.ScaleBench.synthVecs(spark, d, 100000).persist()
+    bigEmb.count() // materialize: the timings compare SIGNATURE passes only
     time("lsh_sig_fused   (100k vecs)")(
       bigEmb.select(sum(length(graft.operators.Similarity.lshSignature(col("embedding"))))).collect())
     time("lsh_sig_composed(100k vecs)")(
       bigEmb.select(sum(length(graft.operators.Similarity.lshSignatureComposed(col("embedding"))))).collect())
+    bigEmb.unpersist()
     val embAll = graft.sources.Tables.embeddings(spark, d)
     time("topk_agg    (2k q x 2k corpus)")(
       graft.operators.Similarity.bruteForceTopK(embAll, col("vec_id") >= 0, 10).count())

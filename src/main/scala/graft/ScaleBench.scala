@@ -168,23 +168,27 @@ object ScaleBench {
       "ann_bucket_mean" -> vb.getDouble(2),
       "ann_buckets_sec" -> tVb)
 
-    // bucketed top-k (q32 shape): 16 queries against their buckets only
+    // bucketed and multi-probe top-k (q32/q100 shapes) share one
+    // pipeline; only the query side's probe column differs
     def topkSet(df: DataFrame): Set[(Long, Long)] = df.collect()
       .flatMap(r => r.getSeq[Long](1).map(r.getLong(0) -> _)).toSet
-    var bucketed: Set[(Long, Long)] = Set.empty
-    val (_, tBtk) = time {
-      val q = sigs.where(col("vec_id") < 16)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("bucket"))
+    def probedTopk(queries: DataFrame): Set[(Long, Long)] = {
       val e = sigs.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
-      bucketed = topkSet(e.join(broadcast(q),
-          col("bucket") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
+      topkSet(e.join(broadcast(queries),
+          col("probe") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
         .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
         .groupBy("query_id")
         .agg(org.apache.spark.sql.graftshim.TopKByScore(
           col("cos"), col("neighbor_id"), 3).as("top"))
         .select(col("query_id"), col("top.id")))
+    }
+    val qside = sigs.where(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    var bucketed: Set[(Long, Long)] = Set.empty
+    val (_, tBtk) = time {
+      bucketed = probedTopk(qside.withColumnRenamed("bucket", "probe"))
     }
     out ++= Seq("ann_bucket_topk_sec" -> tBtk)
 
@@ -200,18 +204,8 @@ object ScaleBench {
       else -1.0
     var multiprobe: Set[(Long, Long)] = Set.empty
     val (_, tMp) = time {
-      val q = sigs.where(col("vec_id") < 16)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(Similarity.multiProbeSignatures(col("bucket"))).as("probe"))
-      val e = sigs.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
-      multiprobe = topkSet(e.join(broadcast(q),
-          col("probe") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
-        .groupBy("query_id")
-        .agg(org.apache.spark.sql.graftshim.TopKByScore(
-          col("cos"), col("neighbor_id"), 3).as("top"))
-        .select(col("query_id"), col("top.id")))
+      multiprobe = probedTopk(qside.select(col("query_id"), col("q_emb"),
+        explode(Similarity.multiProbeSignatures(col("bucket"))).as("probe")))
     }
     out ++= Seq("ann_exact_topk_sec" -> tExact,
       "ann_multiprobe_topk_sec" -> tMp,

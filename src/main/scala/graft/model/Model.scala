@@ -111,8 +111,12 @@ final class ModelRegistry(sources: Map[String, DataFrame]) {
     topoOrder.map { n =>
       val m = models(n)
       val path = s"$outDir/$n"
+      // scheme-aware existence check (local Files.exists would report
+      // false for every hdfs:// path, silently degrading incremental
+      // runs to batch-only overwrites)
       val existing: Option[DataFrame] =
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        if (graft.spark.FsOps.fs(spark, path)
+            .exists(new org.apache.hadoop.fs.Path(path)))
           scala.util.Try(spark.read.parquet(path)).toOption
         else None
       val depMap = m.deps.map(d => d -> done(d)).toMap ++

@@ -21,8 +21,14 @@ object Upsert {
     * mapping (a key that MOVES partitions leaves its old copy behind). */
   def partitionPruned(spark: SparkSession, batch: DataFrame, cur: DataFrame,
       path: String, key: String, partitionBy: Seq[String]): Unit = {
-    val touched = batch.select(partitionBy.map(col): _*).distinct()
-    val curTouched = cur.join(broadcast(touched), partitionBy, "left_semi")
+    val touched = batch.select(
+      partitionBy.map(c => col(c).as(s"__t_$c")): _*).distinct()
+    // NULL-SAFE semi-join: a plain column-list semi-join never matches a
+    // NULL partition value, so current rows in the NULL partition would
+    // be dropped when a batch touches it (the dir is still swapped)
+    val touchedCond = partitionBy
+      .map(c => cur(c) <=> touched(s"__t_$c")).reduce(_ && _)
+    val curTouched = cur.join(broadcast(touched), touchedCond, "left_semi")
     val merged = curTouched.join(batch.select(key).distinct(),
       Seq(key), "left_anti").unionByName(batch)
     val tmp = s"$path.__staging"

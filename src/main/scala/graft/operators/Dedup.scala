@@ -97,9 +97,15 @@ object Dedup {
       sequence(lit(1), greatest(size(toks) - (shingleWidth - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(shingleWidth)))))
 
-  /** (doc_id, __toks) projection — the bound-column tokenization. */
+  /** (doc_id, __toks) projection — the bound-column tokenization.
+    * NULL text coalesces to an EMPTY token array: the fused shingle /
+    * banding expressions are null-in/null-out, while the composed
+    * forms propagate a null array into a [""]-shingle — normalizing
+    * here keeps both forms on the identical "null doc behaves as empty
+    * doc" semantics. */
   private def tokenizedDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), " ").as("__toks"))
+    docs.select(col("doc_id"),
+      coalesce(split(lower(col("text")), " "), expr("array()")).as("__toks"))
 
   /** Band b's minhashes: minima over non-overlapping 8-hex-char slices
     * of the per-shingle digest string — an md5 yields four independent

@@ -74,7 +74,11 @@ object HyperplaneSignature {
       }
       var j = 0
       while (j < p) {
-        out(j) = if (acc(j) >= 0) '1'.toByte else '0'.toByte
+        // Spark SQL comparisons treat NaN as larger than any value, so
+        // the composed `planeDot >= 0` yields '1' for NaN — match it
+        // (Java's primitive >= would say false)
+        out(j) = if (acc(j) >= 0 || java.lang.Double.isNaN(acc(j)))
+          '1'.toByte else '0'.toByte
         j += 1
       }
     }

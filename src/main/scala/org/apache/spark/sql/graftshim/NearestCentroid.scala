@@ -73,11 +73,26 @@ object NearestCentroid {
     var c = 0
     while (c < matrix.length) {
       val cent = matrix(c)
-      val dim = math.min(n, cent.length)
-      var dot = 0.0
-      i = 0
-      while (i < dim) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
-      val cos = dot / snv / math.sqrt(norms(c))
+      val cos = if (cent.length == n) {
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += v.getFloat(i).toDouble * cent(i).toDouble; i += 1 }
+        dot / snv / math.sqrt(norms(c))
+      } else {
+        // dim mismatch: CosineSimilarity truncates ALL THREE
+        // accumulators to the common prefix — replicate exactly rather
+        // than mixing a truncated dot with full-length norms
+        val dim = math.min(n, cent.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        i = 0
+        while (i < dim) {
+          val x = v.getFloat(i).toDouble
+          val y = cent(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        dot / math.sqrt(na) / math.sqrt(nb)
+      }
       if (c == 0 || cos > bestCos) { bestCos = cos; bestId = ids(c) }
       c += 1
     }

@@ -124,6 +124,26 @@ class ModelRegistrySpec extends SparkSpecBase {
     assert(residue.isEmpty)
   }
 
+  test("partitioned incremental preserves existing rows in the NULL partition") {
+    import graft.model.Materialization
+    val dir = java.nio.file.Files.createTempDirectory("graft_incnull").toString
+    def regFor(rows: Seq[(Int, String, String)]) = {
+      val reg = new ModelRegistry(Map("src" -> rows.toDF("id", "v", "day")))
+      reg.register(Model("inc", Seq("src"), partitionBy = Seq("day"),
+        materialization = Materialization.Incremental("id"))(m => m("src")))
+      reg
+    }
+    regFor(Seq((1, "a", null), (2, "b", null), (3, "c", "d1"))).run(spark, dir)
+    // batch touches the NULL partition: id=2 updated, id=4 new — a
+    // null-unsafe semi-join would drop ids 1 and 2 while still
+    // swapping the __HIVE_DEFAULT_PARTITION__ directory
+    val r2 = regFor(Seq((2, "B!", null), (4, "e", null))).run(spark, dir)
+    val got = r2("inc").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(got === Map(1 -> ("a", None), 2 -> ("B!", None),
+      3 -> ("c", Some("d1")), 4 -> ("e", None)))
+  }
+
   test("partitioned incremental handles multi-level partitioning (nested leaf swap)") {
     import graft.model.Materialization
     val dir = java.nio.file.Files.createTempDirectory("graft_incp2").toString

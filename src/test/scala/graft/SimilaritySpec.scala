@@ -97,7 +97,10 @@ class SimilaritySpec extends SparkSpecBase {
       (0L until 200L).map(i => i -> Seq.fill(64)(rnd.nextFloat() * 2 - 1)) ++
         Seq(200L -> Seq.fill(64)(0f),        // all-zero → every plane '>= 0'
           201L -> Seq.fill(10)(1f),          // wrong width → degenerate all-'0'
-          202L -> Seq.fill(70)(1f))          // too long → degenerate all-'0'
+          202L -> Seq.fill(70)(1f),          // too long → degenerate all-'0'
+          // NaN projections: Spark SQL's >= ranks NaN above everything
+          // → '1' bits; Java's primitive >= would disagree
+          203L -> (Float.NaN +: Seq.fill(63)(1f)))
     val df = vecDf(vecs)
     val diffs = df.select(
         operators.Similarity.lshSignature(col("embedding")).as("fused"),
