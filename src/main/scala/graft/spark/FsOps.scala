@@ -40,11 +40,14 @@ object FsOps {
     require(depth > 0, "swapPartitions needs at least one partition column")
     val f = fs(spark, target)
     val stgRoot = f.makeQualified(new Path(staging))
+    // A partition leaf is exactly a Hive-style `col=value` directory;
+    // selecting on that shape (rather than excluding `_`/`.` prefixes)
+    // keeps partition columns with unusual names (`_day=...`) while
+    // still skipping `_SUCCESS`, `_temporary`, `.spark-staging-*`.
     def leaves(p: Path, d: Int): Seq[Path] =
       if (d == 0) Seq(p)
       else f.listStatus(p).toSeq
-        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
         .flatMap(s => leaves(s.getPath, d - 1))
     for (leaf <- leaves(stgRoot, depth)) {
       val rel = leaf.toString.stripPrefix(stgRoot.toString).stripPrefix("/")

@@ -14,6 +14,13 @@ import org.apache.spark.sql.types._
   * left-to-right accumulation as the fused cosine's norm term),
   * `dot / sqrt(na) / sqrt(nb)` is bit-for-bit the fused cosine at a
   * third of the per-pair flops.
+  *
+  * SQL-surface semantics (documented in the registered ExpressionInfo):
+  * a dimension mismatch truncates both arrays to the common prefix —
+  * intentionally identical to [[CosineSimilarity]] so precomputed-norm
+  * rewrites stay bit-compatible — and NULL elements read as 0.0.
+  * Callers needing strict dimensional checks must validate
+  * `size(a) = size(b)` upstream.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

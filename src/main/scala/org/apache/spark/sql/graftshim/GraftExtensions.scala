@@ -50,7 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.intLit(exprs(3)))))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, null, "dot_product",
+        "dot_product(a, b) - Dot product of two ARRAY<FLOAT> columns. " +
+          "On a dimension mismatch the arrays are truncated to the common " +
+          "prefix (matching cosine_sim), and NULL elements contribute 0.0; " +
+          "callers needing strict dimensional checks must validate " +
+          "cardinality/size upstream.", null),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

@@ -93,7 +93,15 @@ object NearestCentroid {
         }
         dot / math.sqrt(na) / math.sqrt(nb)
       }
-      if (c == 0 || cos > bestCos) { bestCos = cos; bestId = ids(c) }
+      // Spark's ordering places NaN above every value (the window/join
+      // baseline's max-by does too), so a NaN cos — zero-norm vector or
+      // centroid — must displace any finite best, a finite cos must
+      // never displace a NaN best, and NaN-vs-NaN is a tie (lowest id
+      // wins by arrival order).
+      val displaces =
+        if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(bestCos)
+        else !java.lang.Double.isNaN(bestCos) && cos > bestCos
+      if (c == 0 || displaces) { bestCos = cos; bestId = ids(c) }
       c += 1
     }
     bestId

@@ -63,14 +63,18 @@ object PgFloat8Text {
     // integral fixed-notation fast path: < 1e15 < 2^53, so the long is exact
     if (ad == Math.rint(ad) && ad < 1e15) return java.lang.Long.toString(d.toLong)
 
-    // shortest round-trip digits: correctly rounded to p significant
-    // digits for the smallest p (<= 17) that parses back to the value
+    // shortest round-trip digits: the smallest p (<= 17) at which some
+    // p-digit decimal parses back to the value. The correctly-rounded
+    // HALF_EVEN candidate is tried first, but near binade boundaries it
+    // can fail to round-trip while its immediate neighbor on the
+    // p-digit grid does (Ryu/PG emits that neighbor) — so both grid
+    // neighbors are tested before widening to p+1.
     val exact = new JBigDecimal(ad)
-    var p = 1
-    var bd = exact.round(new MathContext(1, RoundingMode.HALF_EVEN))
-    while (bd.doubleValue() != ad) {
+    var p = 0
+    var bd: JBigDecimal = null
+    while (bd == null) {
       p += 1
-      bd = exact.round(new MathContext(p, RoundingMode.HALF_EVEN))
+      bd = shortestAt(exact, ad, p)
     }
     val stripped = bd.stripTrailingZeros()
     val digits = stripped.unscaledValue().toString
@@ -100,6 +104,22 @@ object PgFloat8Text {
       sb.append(ae)
     }
     sb.toString
+  }
+
+  /** The p-significant-digit decimal that parses back to `ad`, or null
+    * if none exists at this precision. The HALF_EVEN rounding of the
+    * exact binary value is the closest grid point and usually works;
+    * when it doesn't, its ±1-unscaled grid neighbors are the only other
+    * p-digit decimals that can fall inside `ad`'s rounding interval. */
+  private def shortestAt(exact: JBigDecimal, ad: Double, p: Int): JBigDecimal = {
+    val c = exact.round(new MathContext(p, RoundingMode.HALF_EVEN))
+    if (c.doubleValue() == ad) return c
+    val one = java.math.BigInteger.ONE
+    val up = new JBigDecimal(c.unscaledValue().add(one), c.scale())
+    if (up.stripTrailingZeros().precision() <= p && up.doubleValue() == ad) return up
+    val dn = new JBigDecimal(c.unscaledValue().subtract(one), c.scale())
+    if (dn.stripTrailingZeros().precision() <= p && dn.doubleValue() == ad) return dn
+    null
   }
 
   def apply(c: Column): Column =
