@@ -55,7 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "On a dimension mismatch the arrays are truncated to the common " +
           "prefix (matching cosine_sim), and NULL elements contribute 0.0; " +
           "callers needing strict dimensional checks must validate " +
-          "cardinality/size upstream.", null),
+          // 5th arg "" (not null): in the 11-arg ExpressionInfo ctor this
+          // slot is `arguments`, which must be non-null — null trips the
+          // ctor assertion under -ea and renders "Extended Usage: null".
+          "cardinality/size upstream.", ""),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
   }
 }

@@ -109,15 +109,28 @@ object PgFloat8Text {
   /** The p-significant-digit decimal that parses back to `ad`, or null
     * if none exists at this precision. The HALF_EVEN rounding of the
     * exact binary value is the closest grid point and usually works;
-    * when it doesn't, its ±1-unscaled grid neighbors are the only other
-    * p-digit decimals that can fall inside `ad`'s rounding interval. */
+    * when it doesn't, the adjacent points on the p-significant-digit
+    * grid are the only other p-digit decimals that can fall inside
+    * `ad`'s rounding interval. The down-neighbor needs care across a
+    * decade boundary: when c's unscaled value is a power of ten (e.g.
+    * c = 1000000 at p = 7) the true grid neighbor below is one digit
+    * finer (999999.9, unscaled 9999999 at scale+1), not unscaled−1
+    * at c's own scale (999999). HALF_EVEN already yields the nearest
+    * grid point, so that neighbor is unreachable in practice — but the
+    * true grid neighbor is computed anyway so the "only other p-digit
+    * decimals" claim above holds literally. */
   private def shortestAt(exact: JBigDecimal, ad: Double, p: Int): JBigDecimal = {
     val c = exact.round(new MathContext(p, RoundingMode.HALF_EVEN))
     if (c.doubleValue() == ad) return c
     val one = java.math.BigInteger.ONE
-    val up = new JBigDecimal(c.unscaledValue().add(one), c.scale())
+    val ten = java.math.BigInteger.TEN
+    val u = c.unscaledValue()
+    val up = new JBigDecimal(u.add(one), c.scale())
     if (up.stripTrailingZeros().precision() <= p && up.doubleValue() == ad) return up
-    val dn = new JBigDecimal(c.unscaledValue().subtract(one), c.scale())
+    val dn =
+      if (u.equals(ten.pow(c.precision() - 1))) // decade boundary: step onto the finer grid
+        new JBigDecimal(u.multiply(ten).subtract(one), c.scale() + 1)
+      else new JBigDecimal(u.subtract(one), c.scale())
     if (dn.stripTrailingZeros().precision() <= p && dn.doubleValue() == ad) return dn
     null
   }
