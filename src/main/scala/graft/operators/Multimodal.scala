@@ -6,19 +6,34 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing (north-star): media as opaque `binary`
-  * payloads alongside a typed metadata struct, with a partition-batched
-  * featurize step. The media decode itself is STUBBED (no image/audio
-  * libs in this container) behind [[FakeDecoder]] — a deterministic
-  * stand-in with the same interface a real decoder would have. The
-  * Spark-side plumbing — schema, batch shape, partition-parallel
-  * featurize, pushdown-friendly metadata — is real and tested.
+/** Multimodal columns (north-star): media as opaque `binary` payloads
+  * alongside a typed metadata struct, with a partition-batched
+  * featurize step.
+  *
+  * Two decode paths exist:
+  *  - [[PngDecoder]] — a REAL image codec (`javax.imageio`, JDK public
+  *    API): genuine PNG payloads are synthesized per document
+  *    (deterministic pixel pattern → `ImageIO.write`), decoded back
+  *    through `ImageIO.read`, and width/height/band-count/per-channel
+  *    pixel sums are extracted from the decoded raster. Because the
+  *    pixel pattern is an affine function of (x, y, doc_id) mod 256
+  *    and PNG is lossless, the t2 oracle recomputes every feature
+  *    exactly in SQL (`generate_series` over the pixel grid) — a
+  *    byte-true end-to-end check that real bytes passed through a
+  *    real codec (q101).
+  *  - [[FakeDecoder]] — the original md5-derived stand-in, kept as the
+  *    audio/"video" plumbing contract (q33/q34): those media types
+  *    have no codec in this container, so the stub exercises the
+  *    schema/batch/partition shape with an oracle-reproducible
+  *    derivation.
   *
   * Scale design: payloads never shuffle. Featurization is
   * mapPartitions (one decoder init per partition, the Scala analog of
-  * a Pandas-UDF batch), metadata-only queries prune the binary column
-  * at the parquet scan, and derived features are small fixed-width
-  * columns safe to aggregate/join downstream.
+  * a Pandas-UDF batch; `javax.imageio.ImageReader` instances are
+  * non-thread-safe and reusable, exactly the resource shape that
+  * needs per-partition init), metadata-only queries prune the binary
+  * column at the parquet scan, and derived features are small
+  * fixed-width columns safe to aggregate/join downstream.
   */
 object Multimodal {
 
@@ -106,6 +121,171 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Real image codec path (q101): synthesize → PNG encode → PNG decode
+  // ------------------------------------------------------------------
+
+  /** A real PNG payload column: doc_id plus the encoded image bytes. */
+  case class ImageRow(doc_id: Long, png: Array[Byte])
+
+  /** Features extracted from the DECODED raster (not the metadata):
+    * dimensions, band count, and exact per-channel pixel sums — all
+    * integers, so the oracle comparison is hash-exact. */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+      n_channels: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic fixture geometry/pixels, shared verbatim by the
+    * synthesizer (Scala) and the oracle (SQL): images stay small
+    * (≤ 32×28) so the SQL pixel-grid recompute is cheap at any SF. */
+  def imgWidth(docId: Long): Int  = (16 + docId % 17).toInt
+  def imgHeight(docId: Long): Int = (16 + (docId * 7) % 13).toInt
+  /** Channel c (0=R,1=G,2=B) value at pixel (x, y). */
+  def pixel(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((x * 3L + y * 5L + docId * 7L + c * 11L) % 256L).toInt
+
+  /** Encode the fixture pattern for `docId` as a real PNG via the JDK
+    * codec. PNG is lossless, so the decoded raster must reproduce
+    * [[pixel]] exactly. */
+  def synthPng(docId: Long): Array[Byte] = {
+    val (w, h) = (imgWidth(docId), imgHeight(docId))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixel(docId, x, y, 0) << 16) |
+            (pixel(docId, x, y, 1) << 8) |
+            pixel(docId, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream(w * h * 3 / 2)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  object PngDecoder {
+    /** Constructions observed JVM-wide — local-mode specs assert
+      * decoder-init-per-PARTITION (not per row) through this. */
+    val inits = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** A real, stateful image decoder: holds one reusable (non-thread-
+    * safe) `javax.imageio.ImageReader`, the resource shape that makes
+    * per-partition init mandatory. Disk caching is disabled so decode
+    * never touches local tmp. */
+  final class PngDecoder {
+    PngDecoder.inits.incrementAndGet()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+    def decode(docId: Long, png: Array[Byte]): ImageFeatures = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      reader.setInput(iis, true, true)
+      val img = try reader.read(0) finally iis.close()
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sr += raster.getSample(x, y, 0)
+          sg += raster.getSample(x, y, 1)
+          sb += raster.getSample(x, y, 2)
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(docId, w, h, bands, sr, sg, sb)
+    }
+
+    def decodeBatch(batch: Seq[ImageRow]): Seq[ImageFeatures] =
+      batch.map(r => decode(r.doc_id, r.png))
+
+    def close(): Unit = reader.dispose()
+  }
+
+  /** Distributed fixture table: one real PNG payload per document.
+    * Synthesis runs inside the partition (encoder is also per-
+    * partition state); only doc_id crosses from the scan. */
+  def imageTable(spark: SparkSession, sfDir: String): Dataset[ImageRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => ImageRow(id, synthPng(id))))
+  }
+
+  /** The real-codec featurize: one [[PngDecoder]] per partition,
+    * payloads consumed locally, only fixed-width integer features
+    * survive. The decoder is disposed when the partition iterator is
+    * exhausted. */
+  def decodeImages(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val dec = new PngDecoder
+      new Iterator[ImageFeatures] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h) dec.close()
+          h
+        }
+        def next(): ImageFeatures = { val r = rows.next(); dec.decode(r.doc_id, r.png) }
+      }
+    }
+  }
+
+  /** Batch-shaped real-codec featurize (the `mapInPandas` calling
+    * convention): the decoder sees fixed-size batches; batch size
+    * bounds peak payload memory per task. */
+  def decodeImagesBatched(images: Dataset[ImageRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val dec = new PngDecoder
+      rows.grouped(batchSize).flatMap(dec.decodeBatch)
+    }
+  }
+
+  /** SQL recompute of one channel's pixel sum over the fixture grid. */
+  private def channelSumSql(c: Int): String =
+    s"CAST(SUM((x * 3 + y * 5 + doc_id * 7 + $c * 11) % 256) AS BIGINT)"
+
+  /** Real-codec round trip, oracle-checked end to end: Spark
+    * synthesizes genuine PNG bytes, decodes them through
+    * `javax.imageio`, and emits raster-derived features; DuckDB
+    * recomputes the same features analytically from the fixture
+    * formulas over a generated pixel grid. Any codec, byte, or
+    * raster-order defect breaks the hash match. */
+  val qImageDecode: GraftQuery = GraftQuery(
+    "q101_image_decode",
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |         16 + doc_id % 17 AS w,
+       |         16 + (doc_id * 7) % 13 AS h
+       |  FROM documents),
+       |px AS (
+       |  -- range() takes no lateral args in DuckDB: enumerate the max
+       |  -- grid (w <= 32, h <= 28 by construction) and filter per image
+       |  SELECT d.doc_id, d.w, d.h, xs.x, ys.y
+       |  FROM dims d
+       |  JOIN range(0, 32) AS xs(x) ON xs.x < d.w
+       |  JOIN range(0, 28) AS ys(y) ON ys.y < d.h)
+       |SELECT doc_id,
+       |  CAST(MAX(w) AS INTEGER) AS width,
+       |  CAST(MAX(h) AS INTEGER) AS height,
+       |  CAST(3 AS INTEGER) AS n_channels,
+       |  ${channelSumSql(0)} AS sum_r,
+       |  ${channelSumSql(1)} AS sum_g,
+       |  ${channelSumSql(2)} AS sum_b
+       |FROM px
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    decodeImages(imageTable(s, d)).toDF().orderBy("doc_id")
+  }
+
   /** Oracle-paired slice of the plumbing: binary payload length and a
     * content digest — byte-level semantics both engines agree on.
     * (The stubbed decode features are covered rows-only + ScalaTest.) */
@@ -159,5 +339,5 @@ object Multimodal {
     featurize(mediaTable(s, d)).toDF().orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMediaFeatures)
+  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMediaFeatures, qImageDecode)
 }

@@ -34,6 +34,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(batched.toSeq === rowWise.toSeq)
   }
 
+  test("synthPng emits genuine PNG bytes and the JDK codec round-trips the pattern") {
+    val docId = 42L
+    val png = Multimodal.synthPng(docId)
+    // real container format: PNG magic, not a fake blob
+    assert((png(0) & 0xff) === 0x89)
+    assert(new String(png.slice(1, 4), "US-ASCII") === "PNG")
+    val dec = new Multimodal.PngDecoder
+    val f = dec.decode(docId, png)
+    dec.close()
+    val (w, h) = (Multimodal.imgWidth(docId), Multimodal.imgHeight(docId))
+    assert(f.width === w)
+    assert(f.height === h)
+    assert(f.n_channels === 3)
+    def expectedSum(c: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixel(docId, x, y, c).toLong).sum
+    assert(f.sum_r === expectedSum(0))
+    assert(f.sum_g === expectedSum(1))
+    assert(f.sum_b === expectedSum(2))
+  }
+
+  test("PNG decoder initializes once per partition, not per row") {
+    val images = Multimodal.imageTable(spark, sf001).repartition(5)
+    Multimodal.PngDecoder.inits.set(0L)
+    val n = Multimodal.decodeImages(images).count()
+    assert(n > 0)
+    val inits = Multimodal.PngDecoder.inits.get()
+    // one decoder per non-empty partition (≤ 5), never one per row
+    assert(inits >= 1 && inits <= 5, s"decoder inits = $inits for $n rows")
+  }
+
+  test("batched image decode equals the row-wise path") {
+    val images = Multimodal.imageTable(spark, sf001)
+    val rowWise = Multimodal.decodeImages(images).collect().sortBy(_.doc_id)
+    val batched = Multimodal.decodeImagesBatched(images, batchSize = 7)
+      .collect().sortBy(_.doc_id)
+    assert(batched.toSeq === rowWise.toSeq)
+  }
+
   test("featurize is partition-parallel, deterministic, fixed-width") {
     val media = Multimodal.mediaTable(spark, sf001)
     val f1 = Multimodal.featurize(media).collect().sortBy(_.doc_id)
