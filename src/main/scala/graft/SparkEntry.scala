@@ -30,6 +30,7 @@ object SparkEntry {
       operators.IvfAnn.all ++
       operators.Advanced.all ++
       operators.TextAdvanced.all ++
+      operators.TextVector.all ++
       operators.ModelQueries.all ++
       operators.PgRender.all ++
       streaming.Streams.all ++

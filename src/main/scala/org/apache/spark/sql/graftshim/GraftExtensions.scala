@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.intLit(exprs(1)), GraftFunctions.intLit(exprs(2)),
         GraftFunctions.intLit(exprs(3)))))
     ext.injectFunction((
+      FunctionIdentifier("char_gram_vector"),
+      new ExpressionInfo(classOf[CharGramVector].getName, "char_gram_vector"),
+      (exprs: Seq[Expression]) =>
+        CharGramVector(exprs(0), GraftFunctions.intLit(exprs(1)))))
+    ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, null, "dot_product",
         "dot_product(a, b) - Dot product of two ARRAY<FLOAT> columns. " +

@@ -26,6 +26,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("minhash_bands",
       exprs => MinHashBandHashes(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
         intLit(exprs(3))), "scala_udf")
+    registry.createOrReplaceTempFunction("char_gram_vector",
+      exprs => CharGramVector(exprs(0), intLit(exprs(1))), "scala_udf")
     registry.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
   }

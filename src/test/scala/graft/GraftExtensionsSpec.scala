@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends graft.SparkSpecBase {
     assert(e.isInstanceOf[CosineSimilarity])
     // the full function surface stays in lockstep with GraftFunctions
     for (name <- Seq("simhash_md5", "pg_float8_text", "nfc_normalize",
-        "shingle_set", "minhash_bands", "dot_product"))
+        "shingle_set", "minhash_bands", "dot_product", "char_gram_vector"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
 }
