@@ -96,6 +96,31 @@ object Streams {
     spark.table(name).orderBy("user_id", "event_type")
   }
 
+  /** BOUNDED-STATE streaming dedup — the production form: duplicates
+    * arriving within the watermark delay are dropped and state older
+    * than the watermark is evicted, so state holds one entry per key
+    * seen in the last hour of event time instead of one per key EVER
+    * (plain dropDuplicates grows without bound on an unbounded key
+    * domain — a non-starter at 100 TB/day). Emitted keys equal batch
+    * DISTINCT whenever each key's duplicates arrive within the delay
+    * of its first occurrence — trivially true here (the file source
+    * delivers one micro-batch) and the contract a production deployer
+    * sizes the delay for; the multi-batch eviction/re-emission
+    * semantics are pinned by StreamsSpec. */
+  def streamDedupWithinWatermarkKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_wm_dedup"
+    withStreamShufflePartitions(spark) {
+      val q = readEventsStream(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
   /** Stateful sessionization with flatMapGroupsWithState: per-user
     * event-time gap > 1h starts a new session (the streaming form of
     * Relational.q20Sessionize — same session count contract). State is
@@ -236,6 +261,16 @@ object Streams {
     streamDedupKeys(s, d)
   }
 
+  /** Watermark-bounded streaming dedup, oracle = batch DISTINCT keys
+    * (same contract as q42, different state physics: q42's state is
+    * every-key-ever, this one's is keys within the watermark). */
+  val qStreamDedupWatermark: GraftQuery = GraftQuery(
+    "q104_stream_dedup_watermark",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    streamDedupWithinWatermarkKeys(s, d)
+  }
+
   /** Stateful streaming sessionization, oracle = the batch lag-gap SQL
     * (identical session semantics ⇒ identical counts). */
   val qStreamSessions: GraftQuery = GraftQuery(
@@ -257,6 +292,6 @@ object Streams {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(qStreamHourly, qStreamDedup, qStreamSessions, qStreamStaticJoin,
-      qStreamStreamJoin)
+    Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
+      qStreamStaticJoin, qStreamStreamJoin)
 }
