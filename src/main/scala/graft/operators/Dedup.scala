@@ -167,17 +167,59 @@ object Dedup {
       .select(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
       .distinct()
 
-  def candidatePairsFromBands(rawBands: DataFrame): DataFrame = {
-    val bands = rawBands.repartition(col("band_id"), col("band_hash"))
-    val a = bands.as("a")
-    val b = bands.as("b")
+  /** Pairs-per-bucket safety cap. Synthetic/real corpora sit nowhere
+    * near it (measured p99 bucket = 2, max = 13 at 101k docs), so the
+    * guard is a no-op on normal data — it exists for the adversarial
+    * shape: a flood of empty/boilerplate documents collapses to ONE
+    * shingle set, one band bucket of size m, and m²/2 candidate pairs
+    * (re-quadratic). */
+  val defaultBucketCap = 1000
+
+  /** Candidate pairs with the oversize-bucket guard: buckets larger
+    * than `cap` are salt-split into ⌈size/cap⌉ groups by doc-id hash,
+    * and pairs generate within a salt group only — bounding a bucket's
+    * contribution to ~size·cap/2 (linear in size) instead of size²/2.
+    * The lost cross-group pairs are boilerplate-flood internals: their
+    * members still interlink within groups (enough for the clustering
+    * path to flag them), and EXACT duplicates — which such floods are —
+    * are already caught by the md5 hash-dedup path (q26). Buckets at
+    * or under the cap take salt 0 everywhere, so on normal data the
+    * result is IDENTICAL to the unguarded join (spec-pinned).
+    *
+    * Physics: bucket sizes come from a window count over the same
+    * (band_id, band_hash) partitioning the join needs — no extra
+    * exchange on the normal path; [[oversizeBucketReport]] is the
+    * observability side (log/alert on capped buckets). */
+  def candidatePairsFromBands(rawBands: DataFrame,
+      cap: Int = defaultBucketCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash")
+    val salted = rawBands.repartition(col("band_id"), col("band_hash"))
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("salt",
+        when(col("bsize") <= cap, lit(0L))
+          .otherwise(pmod(hash(col("doc_id")).cast("long"),
+            ceil(col("bsize").cast("double") / cap).cast("long"))))
+    val a = salted.as("a")
+    val b = salted.as("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
+        col("a.salt") === col("b.salt") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Buckets the guard would split at `cap` — the alerting surface a
+    * production run logs (a non-empty report means someone is feeding
+    * boilerplate floods into the dedup corpus). */
+  def oversizeBucketReport(rawBands: DataFrame,
+      cap: Int = defaultBucketCap): DataFrame =
+    rawBands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") > cap)
+      .orderBy(col("bsize").desc, col("band_id"))
 
   /** (doc_id, toks) shingle-set relation — compute once, reuse/persist
     * across both sides of pair joins. */

@@ -277,4 +277,35 @@ class DedupSpec extends SparkSpecBase {
         assert(k1.forall(c => c.isDigit || ('a' to 'f').contains(c)))
     }
   }
+
+  test("bucket guard: degenerate boilerplate corpus yields bounded pair counts") {
+    import spark.implicits._
+    // 400 identical boilerplate docs (one shingle set → one bucket per
+    // band) + 20 normal docs: unguarded pair volume is quadratic
+    val boiler = (0 until 400).map(i => (i.toLong, "lorem ipsum dolor sit amet " * 3))
+    val normal = (400 until 420).map(i => (i.toLong, s"unique document number $i with words ${i * 7} ${i * 13}"))
+    val docs = (boiler ++ normal).toDF("doc_id", "text")
+    val bands = Dedup.docBands(docs)
+    val cap = 50
+    val guarded = Dedup.candidatePairsFromBands(bands, cap).count()
+    val unguarded = Dedup.candidatePairsFromBands(bands, Int.MaxValue).count()
+    assert(unguarded >= 400L * 399 / 2) // the quadratic flood is real
+    // each oversize bucket contributes at most ~size·cap/2 pairs
+    assert(guarded <= 400L * cap / 2 + 100,
+      s"guarded=$guarded not bounded by size*cap/2")
+    assert(guarded < unguarded / 3)
+    // the report surfaces exactly the flooded buckets
+    val report = Dedup.oversizeBucketReport(bands, cap).collect()
+    assert(report.nonEmpty)
+    assert(report.forall(_.getAs[Long]("bsize") === 400L))
+  }
+
+  test("bucket guard is a no-op on normal data (guarded == unguarded pair set)") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val bands = Dedup.docBands(docs)
+    def pairSet(cap: Int) = Dedup.candidatePairsFromBands(bands, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(Dedup.defaultBucketCap) === pairSet(Int.MaxValue))
+    assert(Dedup.oversizeBucketReport(bands).count() === 0)
+  }
 }
