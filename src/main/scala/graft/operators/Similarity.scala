@@ -228,6 +228,38 @@ object Similarity {
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** One-off batch job: persist the signed corpus BUCKETED BY the LSH
+    * signature (sources.Bucketing). Every signature-keyed operation
+    * after that — near-dup pair joins, bucket probes — reads bucket i
+    * against bucket i straight off disk: no signature recompute, no
+    * exchange. At 100 TB this converts each re-run's corpus shuffle
+    * (the dominant cost of a daily dedup/ANN sweep) into a mapper-side
+    * merge; re-signing only ever happens for new batches. */
+  def writeSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, table: String, numBuckets: Int = 8): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding")).as("bucket")),
+      table, "bucket", numBuckets)
+
+  /** The re-run path: embedding near-dup pairs (q48 semantics) from
+    * the persisted signature index. Both join sides are the same
+    * bucketed table, so the self-join is exchange-free (spec-audited
+    * via Bucketing.isShuffleFree); the merge hint keeps Spark from
+    * broadcasting away the bucket layout on small inputs. */
+  def nearDupPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, minCos: Double): DataFrame = {
+    val idx = spark.table(table)
+    val a = idx.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"),
+      col("bucket"))
+    val b = idx.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"),
+      col("bucket"))
+    a.hint("merge").join(b, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b") &&
+        cosine(col("e_a"), col("e_b")) >= minCos)
+      .select("vec_a", "vec_b")
+  }
+
   // ---- oracle-paired queries ----
 
   private def planeSqlList(p: Array[Int]): String =

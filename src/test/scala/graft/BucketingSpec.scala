@@ -36,4 +36,24 @@ class BucketingSpec extends SparkSpecBase {
       s"expected no exchange:\n${bucketed.queryExecution.executedPlan}")
     assert(!Bucketing.isShuffleFree(plain)) // sanity: plain join shuffles
   }
+
+  test("signature-index re-run path: near-dup pairs with zero exchange, q48 parity") {
+    import org.apache.spark.sql.functions._
+    resetTable("b_sig_index")
+    graft.operators.Similarity.writeSignatureIndex(spark, sf001, "b_sig_index")
+
+    val rerun = graft.operators.Similarity
+      .nearDupPairsFromIndex(spark, "b_sig_index", 0.3)
+    assert(Bucketing.isShuffleFree(rerun),
+      s"expected no exchange on the re-run path:\n${rerun.queryExecution.executedPlan}")
+
+    // parity with the from-scratch q48 pipeline (signature recompute +
+    // shuffled self-join)
+    val scratch = graft.operators.Similarity.qEmbeddingNearDup
+      .fn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexed = rerun.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed === scratch)
+  }
 }
