@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * alongside a typed metadata struct, with a partition-batched
   * featurize step.
   *
-  * Two decode paths exist:
+  * Three decode paths exist:
   *  - [[PngDecoder]] — a REAL image codec (`javax.imageio`, JDK public
   *    API): genuine PNG payloads are synthesized per document
   *    (deterministic pixel pattern → `ImageIO.write`), decoded back
@@ -18,12 +18,16 @@ import org.apache.spark.sql.types._
   *    pixel sums are extracted from the decoded raster. Because the
   *    pixel pattern is an affine function of (x, y, doc_id) mod 256
   *    and PNG is lossless, the t2 oracle recomputes every feature
-  *    exactly in SQL (`generate_series` over the pixel grid) — a
-  *    byte-true end-to-end check that real bytes passed through a
-  *    real codec (q101).
+  *    exactly in SQL (a generated pixel grid) — a byte-true
+  *    end-to-end check that real bytes passed through a real codec
+  *    (q101).
+  *  - [[WavDecoder]] — a REAL audio codec (`javax.sound.sampled`):
+  *    RIFF/WAVE payloads written and parsed by `AudioSystem`, with
+  *    format-header fields and exact PCM sample statistics oracle-
+  *    checked the same way (q105).
   *  - [[FakeDecoder]] — the original md5-derived stand-in, kept as the
-  *    audio/"video" plumbing contract (q33/q34): those media types
-  *    have no codec in this container, so the stub exercises the
+  *    generic plumbing contract (q33/q34) and the stand-in for video,
+  *    the one media type with no JDK codec; the stub exercises the
   *    schema/batch/partition shape with an oracle-reproducible
   *    derivation.
   *
@@ -249,6 +253,137 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Real audio codec path (q105): synthesize → WAV encode → WAV decode
+  // ------------------------------------------------------------------
+
+  /** A real RIFF/WAVE payload column. */
+  case class AudioRow(doc_id: Long, wav: Array[Byte])
+
+  /** Features from the DECODED audio stream: format header fields plus
+    * exact integer sample statistics. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, sum_samples: Long, min_sample: Int,
+      max_sample: Int)
+
+  /** Fixture signal, shared verbatim with the SQL oracle: mono 16-bit
+    * PCM at 8 kHz, `64 + doc_id % 97` frames, sample i =
+    * (doc_id·7 + i·13) mod 4096 − 2048. */
+  def audioFrames(docId: Long): Int = (64 + docId % 97).toInt
+  def audioSample(docId: Long, i: Int): Int =
+    (((docId * 7L + i * 13L) % 4096L) - 2048L).toInt
+
+  /** Encode the fixture signal as a real WAV via the JDK codec
+    * (javax.sound.sampled — header layout, chunk sizes, and
+    * little-endian PCM packing come from AudioSystem, not hand-rolled
+    * bytes). PCM is lossless: decode must reproduce [[audioSample]]. */
+  def synthWav(docId: Long): Array[Byte] = {
+    val n = audioFrames(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian 16-bit
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream(44 + pcm.length)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  object WavDecoder {
+    /** Constructions observed JVM-wide (per-partition init check). */
+    val inits = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** Real audio decoder: parses the RIFF/WAVE container through
+    * `AudioSystem.getAudioInputStream` (format negotiation, header
+    * validation), then reads the PCM frames back out. Stateless apart
+    * from its reusable frame buffer — still one instance per
+    * partition, the same resource shape as [[PngDecoder]]. */
+  final class WavDecoder {
+    WavDecoder.inits.incrementAndGet()
+    private var buf = new Array[Byte](1 << 12)
+
+    def decode(docId: Long, wav: Array[Byte]): AudioFeatures = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val nBytes = (nFrames * fmt.getFrameSize).toInt
+        if (buf.length < nBytes) buf = new Array[Byte](nBytes)
+        var off = 0
+        while (off < nBytes) {
+          val r = ais.read(buf, off, nBytes - off)
+          require(r > 0, s"truncated WAV payload for doc $docId")
+          off += r
+        }
+        var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+        var i = 0
+        while (i < nBytes) {
+          // 16-bit little-endian signed
+          val s = ((buf(i) & 0xff) | (buf(i + 1) << 8)).toShort.toInt
+          sum += s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          i += 2
+        }
+        AudioFeatures(docId, fmt.getSampleRate.toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, nFrames, sum, mn, mx)
+      } finally ais.close()
+    }
+  }
+
+  /** Distributed WAV fixture table — one real RIFF/WAVE payload per
+    * document, synthesized inside the partition. */
+  def audioTable(spark: SparkSession, sfDir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => AudioRow(id, synthWav(id))))
+  }
+
+  /** Real-codec audio featurize: one [[WavDecoder]] per partition. */
+  def decodeAudio(audio: Dataset[AudioRow]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      val dec = new WavDecoder
+      rows.map(r => dec.decode(r.doc_id, r.wav))
+    }
+  }
+
+  /** Audio round trip, oracle-checked end to end: Spark writes genuine
+    * RIFF/WAVE bytes through the JDK codec and decodes them back;
+    * DuckDB recomputes every feature analytically from the fixture
+    * formulas. PCM is lossless and all stats are exact integers. */
+  val qAudioDecode: GraftQuery = GraftQuery(
+    "q105_audio_decode",
+    """WITH dims AS (
+      |  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+      |samp AS (
+      |  -- range() takes no lateral args: enumerate max frames (<=160)
+      |  SELECT d.doc_id, d.n,
+      |         CAST((d.doc_id * 7 + i.i * 13) % 4096 - 2048 AS INTEGER) AS s
+      |  FROM dims d JOIN range(0, 161) AS i(i) ON i.i < d.n)
+      |SELECT doc_id,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(16 AS INTEGER) AS bits,
+      |  CAST(MAX(n) AS BIGINT) AS n_frames,
+      |  CAST(SUM(s) AS BIGINT) AS sum_samples,
+      |  MIN(s) AS min_sample,
+      |  MAX(s) AS max_sample
+      |FROM samp
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    decodeAudio(audioTable(s, d)).toDF().orderBy("doc_id")
+  }
+
   /** SQL recompute of one channel's pixel sum over the fixture grid. */
   private def channelSumSql(c: Int): String =
     s"CAST(SUM((x * 3 + y * 5 + doc_id * 7 + $c * 11) % 256) AS BIGINT)"
@@ -339,5 +474,6 @@ object Multimodal {
     featurize(mediaTable(s, d)).toDF().orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qBinaryMeta, qMediaFeatures, qImageDecode)
+  def all: Seq[GraftQuery] =
+    Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qAudioDecode)
 }

@@ -73,6 +73,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(batched.toSeq === rowWise.toSeq)
   }
 
+  test("synthWav emits genuine RIFF/WAVE bytes and the JDK codec round-trips the signal") {
+    val docId = 17L
+    val wav = Multimodal.synthWav(docId)
+    assert(new String(wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val dec = new Multimodal.WavDecoder
+    val f = dec.decode(docId, wav)
+    val n = Multimodal.audioFrames(docId)
+    val samples = (0 until n).map(Multimodal.audioSample(docId, _))
+    assert(f.sample_rate === 8000)
+    assert(f.channels === 1)
+    assert(f.bits === 16)
+    assert(f.n_frames === n.toLong)
+    assert(f.sum_samples === samples.map(_.toLong).sum)
+    assert(f.min_sample === samples.min)
+    assert(f.max_sample === samples.max)
+  }
+
+  test("WAV decoder initializes once per partition and is repartition-stable") {
+    val audio = Multimodal.audioTable(spark, sf001).repartition(5)
+    Multimodal.WavDecoder.inits.set(0L)
+    val a1 = Multimodal.decodeAudio(audio).collect().sortBy(_.doc_id)
+    val inits = Multimodal.WavDecoder.inits.get()
+    assert(a1.nonEmpty)
+    assert(inits >= 1 && inits <= 5, s"decoder inits = $inits for ${a1.length} rows")
+    val a2 = Multimodal.decodeAudio(Multimodal.audioTable(spark, sf001))
+      .collect().sortBy(_.doc_id)
+    assert(a1.toSeq === a2.toSeq)
+  }
+
   test("featurize is partition-parallel, deterministic, fixed-width") {
     val media = Multimodal.mediaTable(spark, sf001)
     val f1 = Multimodal.featurize(media).collect().sortBy(_.doc_id)
