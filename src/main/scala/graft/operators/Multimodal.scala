@@ -211,7 +211,65 @@ object Multimodal {
     def decodeBatch(batch: Seq[ImageRow]): Seq[ImageFeatures] =
       batch.map(r => decode(r.doc_id, r.png))
 
+    /** Decode + RESIZE: 2×2 box downsample with floor-average per
+      * channel (odd edges cropped) — integer-exact semantics, unlike
+      * AffineTransformOp/getScaledInstance whose resampling rounding
+      * is implementation-defined and thus un-oracle-able. Emits the
+      * resized geometry and per-channel sums of the RESIZED raster. */
+    def decodeResized(docId: Long, png: Array[Byte]): ResizedFeatures = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      reader.setInput(iis, true, true)
+      val img = try reader.read(0) finally iis.close()
+      val raster = img.getRaster
+      val (w2, h2) = (img.getWidth / 2, img.getHeight / 2)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var by = 0
+      while (by < h2) {
+        var bx = 0
+        while (bx < w2) {
+          val (x, y) = (2 * bx, 2 * by)
+          var c = 0
+          while (c < 3) {
+            val v = (raster.getSample(x, y, c) + raster.getSample(x + 1, y, c) +
+              raster.getSample(x, y + 1, c) + raster.getSample(x + 1, y + 1, c)) / 4
+            c match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case _ => sb += v
+            }
+            c += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ResizedFeatures(docId, w2, h2, sr, sg, sb)
+    }
+
     def close(): Unit = reader.dispose()
+  }
+
+  /** Features of the 2×-downsampled image (q107). */
+  case class ResizedFeatures(doc_id: Long, r_width: Int, r_height: Int,
+      rsum_r: Long, rsum_g: Long, rsum_b: Long)
+
+  /** Decode-and-resize featurize over the PNG fixture table. */
+  def resizeImages(images: Dataset[ImageRow]): Dataset[ResizedFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val dec = new PngDecoder
+      new Iterator[ResizedFeatures] {
+        def hasNext: Boolean = {
+          val more = rows.hasNext
+          if (!more) dec.close()
+          more
+        }
+        def next(): ResizedFeatures = {
+          val r = rows.next(); dec.decodeResized(r.doc_id, r.png)
+        }
+      }
+    }
   }
 
   /** Distributed fixture table: one real PNG payload per document.
@@ -251,6 +309,210 @@ object Multimodal {
       val dec = new PngDecoder
       rows.grouped(batchSize).flatMap(dec.decodeBatch)
     }
+  }
+
+  /** SQL recompute of one channel's RESIZED sum: floor-average of each
+    * 2×2 block of the analytic pixel pattern. */
+  private def resizedSumSql(c: Int): String = {
+    def p(dx: Int, dy: Int) =
+      s"((bx * 2 + $dx) * 3 + (by * 2 + $dy) * 5 + doc_id * 7 + $c * 11) % 256"
+    s"CAST(SUM((${p(0, 0)} + ${p(1, 0)} + ${p(0, 1)} + ${p(1, 1)}) // 4) AS BIGINT)"
+  }
+
+  /** Decode + resize, oracle-checked end to end: the real-codec decode
+    * of q101 followed by an exact 2×2 box downsample; DuckDB rebuilds
+    * the resized raster's statistics analytically over the block
+    * grid. Odd edges crop (w→w//2), so the geometry check also pins
+    * the crop rule. */
+  val qImageResize: GraftQuery = GraftQuery(
+    "q107_image_resize",
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |         (16 + doc_id % 17) // 2 AS w2,
+       |         (16 + (doc_id * 7) % 13) // 2 AS h2
+       |  FROM documents),
+       |blocks AS (
+       |  SELECT d.doc_id, d.w2, d.h2, xs.bx, ys.by
+       |  FROM dims d
+       |  JOIN range(0, 16) AS xs(bx) ON xs.bx < d.w2
+       |  JOIN range(0, 14) AS ys(by) ON ys.by < d.h2)
+       |SELECT doc_id,
+       |  CAST(MAX(w2) AS INTEGER) AS r_width,
+       |  CAST(MAX(h2) AS INTEGER) AS r_height,
+       |  ${resizedSumSql(0)} AS rsum_r,
+       |  ${resizedSumSql(1)} AS rsum_g,
+       |  ${resizedSumSql(2)} AS rsum_b
+       |FROM blocks
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    resizeImages(imageTable(s, d)).toDF().orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Real multi-frame (video-like) codec path (q106): animated GIF
+  // through javax.imageio, with FRAME SAMPLING at decode
+  // ------------------------------------------------------------------
+
+  /** A real animated-GIF payload column. */
+  case class VideoRow(doc_id: Long, gif: Array[Byte])
+
+  /** Features from the decoded frame sequence: container frame count
+    * plus exact gray-sums of the SAMPLED frames only (every
+    * [[frameStride]]th) — the frame-sample pattern a video pipeline
+    * uses to avoid decoding every frame of every clip. */
+  case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, n_sampled: Int, sum_gray_sampled: Long)
+
+  val frameStride = 3
+
+  /** Fixture geometry/signal shared with the SQL oracle: 2–8 frames of
+    * small grayscale images; gray(x,y,f) = (x·3 + y·5 + f·17 +
+    * doc_id·7) mod 256. GIF is indexed-color: with a 256-entry
+    * grayscale palette the round trip is lossless. */
+  def vidFrames(docId: Long): Int = (2 + docId % 7).toInt
+  def vidWidth(docId: Long): Int  = (8 + docId % 9).toInt
+  def vidHeight(docId: Long): Int = (8 + (docId * 3) % 7).toInt
+  def vidGray(docId: Long, x: Int, y: Int, f: Int): Int =
+    ((x * 3L + y * 5L + f * 17L + docId * 7L) % 256L).toInt
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = (0 until 256).map(_.toByte).toArray
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  /** Encode the fixture frames as a real animated GIF via the JDK
+    * sequence writer (`prepareWriteSequence`/`writeToSequence`). */
+  def synthGif(docId: Long): Array[Byte] = {
+    val (w, h, nf) = (vidWidth(docId), vidHeight(docId), vidFrames(docId))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, vidGray(docId, x, y, f))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  object GifDecoder {
+    val inits = new java.util.concurrent.atomic.AtomicLong(0L)
+  }
+
+  /** Real multi-frame decoder with frame sampling: the container's
+    * frame count comes from `getNumImages`, but only every
+    * [[frameStride]]th frame is actually DECODED (`reader.read(f)` is
+    * random-access) — the rest are skipped, which is the whole point
+    * of frame sampling at 100 TB of video. Gray values are read
+    * through getRGB (palette-permutation safe: the gray level is the
+    * color, not the index). */
+  final class GifDecoder {
+    GifDecoder.inits.incrementAndGet()
+    private val reader =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+
+    def decode(docId: Long, gif: Array[Byte]): VideoFeatures = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      try {
+        reader.setInput(iis, false, true)
+        val nf = reader.getNumImages(true)
+        var (sum, sampled) = (0L, 0)
+        var (w, h) = (0, 0)
+        var f = 0
+        while (f < nf) {
+          val img = reader.read(f)
+          w = img.getWidth; h = img.getHeight
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          sampled += 1
+          f += frameStride
+        }
+        VideoFeatures(docId, w, h, nf, sampled, sum)
+      } finally iis.close()
+    }
+
+    def close(): Unit = reader.dispose()
+  }
+
+  /** Distributed GIF fixture table. */
+  def videoTable(spark: SparkSession, sfDir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => VideoRow(id, synthGif(id))))
+  }
+
+  /** Frame-sampled featurize: one [[GifDecoder]] per partition. */
+  def decodeVideo(video: Dataset[VideoRow]): Dataset[VideoFeatures] = {
+    import video.sparkSession.implicits._
+    video.mapPartitions { rows =>
+      val dec = new GifDecoder
+      new Iterator[VideoFeatures] {
+        def hasNext: Boolean = {
+          val more = rows.hasNext
+          if (!more) dec.close()
+          more
+        }
+        def next(): VideoFeatures = { val r = rows.next(); dec.decode(r.doc_id, r.gif) }
+      }
+    }
+  }
+
+  /** Multi-frame round trip with frame sampling, oracle-checked end to
+    * end: real animated-GIF bytes through the JDK sequence writer and
+    * reader; DuckDB recomputes the sampled-frame gray sums from the
+    * fixture formulas (frames f ≡ 0 mod stride only). */
+  val qVideoDecode: GraftQuery = GraftQuery(
+    "q106_video_frame_sample",
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |         8 + doc_id % 9 AS w,
+       |         8 + (doc_id * 3) % 7 AS h,
+       |         2 + doc_id % 7 AS nf
+       |  FROM documents),
+       |px AS (
+       |  SELECT d.doc_id, d.w, d.h, d.nf, xs.x, ys.y, fs.f
+       |  FROM dims d
+       |  JOIN range(0, 17) AS xs(x) ON xs.x < d.w
+       |  JOIN range(0, 15) AS ys(y) ON ys.y < d.h
+       |  JOIN range(0, 8)  AS fs(f) ON fs.f < d.nf AND fs.f % $frameStride = 0)
+       |SELECT doc_id,
+       |  CAST(MAX(w) AS INTEGER) AS width,
+       |  CAST(MAX(h) AS INTEGER) AS height,
+       |  CAST(MAX(nf) AS INTEGER) AS n_frames,
+       |  CAST(COUNT(DISTINCT f) AS INTEGER) AS n_sampled,
+       |  CAST(SUM((x * 3 + y * 5 + f * 17 + doc_id * 7) % 256) AS BIGINT) AS sum_gray_sampled
+       |FROM px
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    decodeVideo(videoTable(s, d)).toDF().orderBy("doc_id")
   }
 
   // ------------------------------------------------------------------
@@ -475,5 +737,6 @@ object Multimodal {
   }
 
   def all: Seq[GraftQuery] =
-    Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qAudioDecode)
+    Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
+      qVideoDecode)
 }

@@ -103,6 +103,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a1.toSeq === a2.toSeq)
   }
 
+  test("decodeResized = exact 2x2 box downsample of the decoded raster, odd edges cropped") {
+    val docId = 5L // w=21 h=16: odd width exercises the crop
+    assert(Multimodal.imgWidth(docId) % 2 === 1)
+    val dec = new Multimodal.PngDecoder
+    val r = dec.decodeResized(docId, Multimodal.synthPng(docId))
+    dec.close()
+    val (w, h) = (Multimodal.imgWidth(docId), Multimodal.imgHeight(docId))
+    assert(r.r_width === w / 2)
+    assert(r.r_height === h / 2)
+    def expected(c: Int): Long =
+      (for (by <- 0 until h / 2; bx <- 0 until w / 2) yield {
+        val (x, y) = (2 * bx, 2 * by)
+        ((Multimodal.pixel(docId, x, y, c) + Multimodal.pixel(docId, x + 1, y, c) +
+          Multimodal.pixel(docId, x, y + 1, c) + Multimodal.pixel(docId, x + 1, y + 1, c)) / 4).toLong
+      }).sum
+    assert(r.rsum_r === expected(0))
+    assert(r.rsum_g === expected(1))
+    assert(r.rsum_b === expected(2))
+  }
+
+  test("synthGif emits a real animated GIF; frame-sampled decode matches the signal") {
+    val docId = 23L
+    val gif = Multimodal.synthGif(docId)
+    assert(new String(gif.slice(0, 6), "US-ASCII").startsWith("GIF8"))
+    val dec = new Multimodal.GifDecoder
+    val f = dec.decode(docId, gif)
+    dec.close()
+    val (w, h, nf) = (Multimodal.vidWidth(docId), Multimodal.vidHeight(docId),
+      Multimodal.vidFrames(docId))
+    assert(f.width === w)
+    assert(f.height === h)
+    assert(f.n_frames === nf)
+    val sampledFrames = (0 until nf by Multimodal.frameStride)
+    assert(f.n_sampled === sampledFrames.size)
+    val expected = (for (fr <- sampledFrames; y <- 0 until h; x <- 0 until w)
+      yield Multimodal.vidGray(docId, x, y, fr).toLong).sum
+    assert(f.sum_gray_sampled === expected)
+  }
+
   test("featurize is partition-parallel, deterministic, fixed-width") {
     val media = Multimodal.mediaTable(spark, sf001)
     val f1 = Multimodal.featurize(media).collect().sortBy(_.doc_id)
