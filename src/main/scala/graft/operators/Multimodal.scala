@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * alongside a typed metadata struct, with a partition-batched
   * featurize step.
   *
-  * Three decode paths exist:
+  * Four decode paths exist:
   *  - [[PngDecoder]] — a REAL image codec (`javax.imageio`, JDK public
   *    API): genuine PNG payloads are synthesized per document
   *    (deterministic pixel pattern → `ImageIO.write`), decoded back
@@ -25,11 +25,15 @@ import org.apache.spark.sql.types._
   *    RIFF/WAVE payloads written and parsed by `AudioSystem`, with
   *    format-header fields and exact PCM sample statistics oracle-
   *    checked the same way (q105).
+  *  - [[GifDecoder]] — a REAL multi-frame container (animated GIF via
+  *    the `javax.imageio` sequence writer/reader) standing in for
+  *    video: frame-sampled decode (q106) plus the exact resize path
+  *    (q107) complete the brief's decode/feature-extract/resize/
+  *    frame-sample quartet on genuine codec round trips.
   *  - [[FakeDecoder]] — the original md5-derived stand-in, kept as the
-  *    generic plumbing contract (q33/q34) and the stand-in for video,
-  *    the one media type with no JDK codec; the stub exercises the
+  *    generic plumbing contract (q33/q34): it exercises the
   *    schema/batch/partition shape with an oracle-reproducible
-  *    derivation.
+  *    derivation independent of any codec.
   *
   * Scale design: payloads never shuffle. Featurization is
   * mapPartitions (one decoder init per partition, the Scala analog of
