@@ -551,7 +551,44 @@ object Similarity {
     }
   }
 
+  /** Batch-vs-corpus incremental embedding near-dup — the daily-ingest
+    * shape (the embedding analog of the dedup family's q94): the NEW
+    * batch (every 10th vector here) is signed fresh and joined against
+    * the existing corpus's signature index; cost is O(batch ×
+    * collision rate), independent of corpus growth, where a corpus ∪
+    * batch self-join would re-pay the whole corpus every day. In
+    * production the corpus side IS the bucketed signature index
+    * ([[writeSignatureIndex]]), making the join exchange-free on the
+    * corpus side. */
+  val qEmbeddingBatchVsCorpus: GraftQuery = GraftQuery(
+    "q108_embedding_batch_vs_corpus",
+    s"""WITH sigs AS (
+       |  SELECT vec_id, embedding, $signatureSql AS bucket FROM embeddings),
+       |batch AS (
+       |  SELECT * FROM sigs WHERE vec_id % 10 = 0),
+       |corpus AS (
+       |  SELECT * FROM sigs WHERE vec_id % 10 <> 0)
+       |SELECT b.vec_id AS vec_batch, c.vec_id AS vec_corpus
+       |FROM batch b JOIN corpus c ON b.bucket = c.bucket
+       |WHERE list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+       |                             CAST(c.embedding AS DOUBLE[])) >= 0.2
+       |ORDER BY vec_batch, vec_corpus""".stripMargin) { (s, d) =>
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        lshSignature(col("embedding")).as("bucket"))
+    val batch = sigs.where(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("vec_batch"), col("embedding").as("e_b"),
+        col("bucket"))
+    val corpus = sigs.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      .select(col("vec_id").as("vec_corpus"), col("embedding").as("e_c"),
+        col("bucket").as("bucket_c"))
+    corpus.join(broadcast(batch), col("bucket") === col("bucket_c"))
+      .where(cosine(col("e_b"), col("e_c")) >= 0.2)
+      .select("vec_batch", "vec_corpus")
+      .orderBy("vec_batch", "vec_corpus")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup, qQuantizeInt8,
-      qInt8PrefilterTopK, qSimMultiProbeTopK)
+      qInt8PrefilterTopK, qSimMultiProbeTopK, qEmbeddingBatchVsCorpus)
 }
