@@ -87,7 +87,11 @@ object Bench {
       println(s"""{"metric":"scale","values":${jsonObj(scale)},"sf":"$sfDir"}""")
     }
 
-    val runsStr = runTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // decimal-comma locale would corrupt the driver-parsed JSON
+    val runsStr = runTotals
+      .map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+      .mkString("[", ",", "]")
     // total_min = the min-of-passes statistic rounds 1-4 reported, for
     // cross-round continuity; total_median is the headline going forward
     val totalMin = if (runTotals.isEmpty) -1.0 else runTotals.min

@@ -53,18 +53,11 @@ object RecallSweep {
       println(f"$name%-28s $recall%9.3f $candsPerQ%10.0f $sec%7.2f")
     }
 
-    // ---- LSH single + multi table ----
+    // ---- LSH single + multi table (counting the SAME candidate join
+    // the top-k ranks, via the shared helper) ----
     def lshRun(numTables: Int, radius: Int): Unit = {
-      val corpus = vecs.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("n_emb"),
-        explode(Similarity.multiTableKeys(col("embedding"), numTables)).as("n_key"))
-      val q = vecs.where(queryFilter)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          explode(Similarity.multiTableProbeKeys(col("embedding"), numTables, radius)).as("probe"))
-      val joined = corpus.join(broadcast(q),
-          col("probe") === col("n_key") && col("neighbor_id") =!= col("query_id"))
       val (nCands, _) = time(
-        joined.select("query_id", "neighbor_id").distinct().count())
+        Similarity.multiTableCandidates(vecs, queryFilter, numTables, radius).count())
       val (top, sec) = time(pairSet(
         Similarity.multiTableTopK(vecs, queryFilter, 3, numTables, radius)))
       report(s"lsh L=$numTables hamming<=$radius", nCands.toDouble / nQueries, sec, top)

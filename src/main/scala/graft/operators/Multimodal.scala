@@ -263,16 +263,8 @@ object Multimodal {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       val dec = new PngDecoder
-      new Iterator[ResizedFeatures] {
-        def hasNext: Boolean = {
-          val more = rows.hasNext
-          if (!more) dec.close()
-          more
-        }
-        def next(): ResizedFeatures = {
-          val r = rows.next(); dec.decodeResized(r.doc_id, r.png)
-        }
-      }
+      closeOnTaskEnd(() => dec.close())
+      rows.map(r => dec.decodeResized(r.doc_id, r.png))
     }
   }
 
@@ -285,22 +277,23 @@ object Multimodal {
       .mapPartitions(ids => ids.map(id => ImageRow(id, synthPng(id))))
   }
 
+  /** Dispose the decoder when the TASK completes — reliable even when
+    * a consumer terminates the partition iterator early (limit, take),
+    * where an exhaustion-triggered close would never run. Null context
+    * (driver-local eval in tests) falls back to GC. */
+  private def closeOnTaskEnd(close: () => Unit): Unit =
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+
   /** The real-codec featurize: one [[PngDecoder]] per partition,
     * payloads consumed locally, only fixed-width integer features
-    * survive. The decoder is disposed when the partition iterator is
-    * exhausted. */
+    * survive. The decoder is disposed on task completion. */
   def decodeImages(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       val dec = new PngDecoder
-      new Iterator[ImageFeatures] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h) dec.close()
-          h
-        }
-        def next(): ImageFeatures = { val r = rows.next(); dec.decode(r.doc_id, r.png) }
-      }
+      closeOnTaskEnd(() => dec.close())
+      rows.map(r => dec.decode(r.doc_id, r.png))
     }
   }
 
@@ -311,6 +304,7 @@ object Multimodal {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
       val dec = new PngDecoder
+      closeOnTaskEnd(() => dec.close())
       rows.grouped(batchSize).flatMap(dec.decodeBatch)
     }
   }
@@ -478,14 +472,8 @@ object Multimodal {
     import video.sparkSession.implicits._
     video.mapPartitions { rows =>
       val dec = new GifDecoder
-      new Iterator[VideoFeatures] {
-        def hasNext: Boolean = {
-          val more = rows.hasNext
-          if (!more) dec.close()
-          more
-        }
-        def next(): VideoFeatures = { val r = rows.next(); dec.decode(r.doc_id, r.gif) }
-      }
+      closeOnTaskEnd(() => dec.close())
+      rows.map(r => dec.decode(r.doc_id, r.gif))
     }
   }
 

@@ -102,6 +102,8 @@ object Similarity {
     * Generalizes [[multiProbeSignatures]]; probes are distinct by
     * construction so no candidate dedup is needed within one table. */
   def hammingProbes(sig: Column, radius: Int): Column = {
+    require(radius >= 0 && radius <= 2,
+      s"hammingProbes supports radius 0..2, got $radius")
     def flip(s: Column, i: Int): Column =
       concat(substring(s, 1, i),
         when(substring(s, i + 1, 1) === "1", "0").otherwise("1"),
@@ -143,24 +145,32 @@ object Similarity {
     * candidates are deduped BEFORE the bounded-heap top-k (identical
     * (q, n, cos) triples — the cosine is bit-identical across tables). */
   def multiTableTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      numTables: Int = 4, radius: Int = 1): DataFrame = {
+      numTables: Int = 4, radius: Int = 1): DataFrame =
+    multiTableCandidates(emb, queryFilter, numTables, radius)
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+
+  /** The multi-table candidate join itself — deduped, scored
+    * (query_id, neighbor_id, cos) — shared by [[multiTableTopK]] and
+    * the ScaleBench/RecallSweep cost metrics so the candidates being
+    * COUNTED are by construction the candidates being RANKED. */
+  def multiTableCandidates(emb: DataFrame, queryFilter: Column,
+      numTables: Int, radius: Int): DataFrame = {
     val corpus = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"),
       explode(multiTableKeys(col("embedding"), numTables)).as("n_key"))
     val q = emb.where(queryFilter)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         explode(multiTableProbeKeys(col("embedding"), numTables, radius)).as("probe"))
-    val scored = corpus.join(broadcast(q),
+    corpus.join(broadcast(q),
         col("probe") === col("n_key") && col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("n_emb")).as("cos"))
       .distinct()
-    scored.groupBy("query_id")
-      .agg(org.apache.spark.sql.graftshim.TopKByScore(
-        col("cos"), col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"))
   }
 
   /** Recall-targeting surface: the number of tables needed to reach
