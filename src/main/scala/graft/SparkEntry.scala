@@ -28,9 +28,11 @@ object SparkEntry {
       operators.Skew.all ++
       operators.Extras.all ++
       operators.IvfAnn.all ++
+      operators.PqAnn.all ++
       operators.Advanced.all ++
       operators.TextAdvanced.all ++
       operators.TextVector.all ++
+      operators.TrainingPipeline.all ++
       operators.ModelQueries.all ++
       operators.PgRender.all ++
       streaming.Streams.all ++

@@ -4,6 +4,7 @@ import graft.GraftQuery
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -285,6 +286,73 @@ object TextAdvanced {
       .orderBy("doc_id")
   }
 
+  /** BM25 retrieval scoring for a fixed 3-term query, with the same
+    * libm-free discipline as q63: the idf factor is the rational
+    * (N - df + 0.5)/(df + 0.5) instead of its log (ln is not
+    * bit-specified across engines; the rational form preserves the
+    * per-term ordering), and both sides spell the arithmetic with
+    * identical parenthesization so every IEEE operation sequence —
+    * and therefore every output bit — matches. Corpus stats
+    * (N, df, Σdl) reduce to ONE row that is broadcast back over the
+    * docs: at 100 TB this is a map-side scan + a 1-row crossjoin, no
+    * per-doc shuffle at all (the ORDER BY exists for the oracle). */
+  val qBm25: GraftQuery = {
+    val terms = Seq("join", "scan", "vector")
+    val termFeatSql = terms.map(t =>
+      s"    CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")
+    val termDfSql = terms.map(t =>
+      s"    CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")
+    // every fractional constant is CAST to DOUBLE: a bare 0.5 parses
+    // as DECIMAL in DuckDB, and BIGINT+DECIMAL chains round under
+    // decimal arithmetic — off-by-one-ulp vs Spark's double path
+    def scoreSql(t: String): String =
+      s"(((n_docs - df_$t) + CAST(0.5 AS DOUBLE)) / (df_$t + CAST(0.5 AS DOUBLE))) * " +
+        s"((tf_$t * CAST(2.2 AS DOUBLE)) / " +
+        s"(tf_$t + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+        s"(CAST(0.75 AS DOUBLE) * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))))"
+    GraftQuery(
+      "q113_bm25_score",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |feat AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |$termFeatSql
+         |  FROM toks),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |$termDfSql
+         |  FROM feat)
+         |SELECT doc_id, dl,
+         |  ${terms.map(t => s"CAST(tf_$t AS INTEGER) AS tf_$t").mkString(", ")},
+         |  ((${scoreSql(terms(0))} + ${scoreSql(terms(1))}) + ${scoreSql(terms(2))}) AS score
+         |FROM feat CROSS JOIN stats
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = col("__toks")
+      val feat = Tables.documents(s, d)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("__toks"))
+        .select(
+          col("doc_id") +: size(t).cast("long").as("dl") +:
+            terms.map(w =>
+              size(filter(t, x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
+      val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))
+      val stats = feat.agg(aggCols.head, aggCols.tail: _*)
+      // identical shape to the SQL: rational idf × saturated tf, with
+      // dl normalized by (Σdl / N); parenthesization mirrored exactly
+      def score(w: String): Column =
+        (((col("n_docs") - col(s"df_$w")) + lit(0.5)) / (col(s"df_$w") + lit(0.5))) *
+          ((col(s"tf_$w") * lit(2.2)) /
+            (col(s"tf_$w") + (lit(1.2) * (lit(0.25) +
+              (lit(0.75) * (col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))))))
+      feat.crossJoin(broadcast(stats))
+        .select(
+          col("doc_id") +: col("dl") +:
+            terms.map(w => col(s"tf_$w").cast("int").as(s"tf_$w")) :+
+            ((score(terms(0)) + score(terms(1))) + score(terms(2))).as("score"): _*)
+        .orderBy("doc_id")
+    }
+  }
+
   def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,
-    qCurationPipeline, qRedact, qRepetition)
+    qCurationPipeline, qRedact, qRepetition, qBm25)
 }

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.functions.TextFunctions.tokenCount
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for an LLM training-data pipeline: the
+  * steps that turn a curated document pool into trainable shards —
+  * mixture sampling, held-out splitting, sequence packing, and the
+  * dataset report card. These extend the north-star surface (SURVEY
+  * §0 driver mandate) beyond curation (Dedup/TextQueries) into the
+  * assembly stage; no counterpart exists in the reference
+  * (Data-ETL-with-DBT stops at the modeled table + RF features).
+  *
+  * All four are deterministic by construction — sampling and
+  * splitting decisions are pure functions of md5(doc_id), packing
+  * offsets are window sums over a total order — so every one is
+  * DuckDB-oracle-checkable AND reproducible run-to-run at any
+  * parallelism (re-partitioning cannot change a single decision; the
+  * same property that makes the q07/q08 dedup tie-breaks safe).
+  *
+  * 100 TB scale notes:
+  *  - q109/q110 are stateless per-row filters/projections over a hash
+  *    of the key — no shuffle at all in production (the ORDER BY here
+  *    exists only for oracle determinism). This is why hash-gate
+  *    sampling beats `TABLESAMPLE`/`rand()`: it is reproducible,
+  *    join-stable (the same doc_id samples identically in every
+  *    derived table), and needs no coordination.
+  *  - q111 packs per (lang, shard) where shard is itself a hash
+  *    digit: the window sort is bounded by a shard, not a language,
+  *    so a 90%-English corpus does not serialize into one partition
+  *    — the standard two-level pack (shard independently, each shard
+  *    emits contiguous sequence ids namespaced by shard).
+  *  - q112 is a rollup aggregate: partial aggregation map-side, one
+  *    shuffle on the grouping sets.
+  */
+object TrainingPipeline {
+
+  /** Per-language mixture weights as 4-hex-digit gate thresholds over
+    * the first 16 bits of md5(doc_id): keep iff hex prefix < gate.
+    * en 0.9=0xe666, es/de 0.5=0x8000, fr 0.25=0x4000, zh 0.125=0x2000.
+    * Lowercase-hex string comparison == numeric comparison (md5 output
+    * is lowercase fixed-width in both Spark and DuckDB). */
+  private val mixGates: Seq[(String, String)] =
+    Seq("en" -> "e666", "es" -> "8000", "de" -> "8000", "fr" -> "4000", "zh" -> "2000")
+
+  private def sampleKey: Column = substring(md5(col("doc_id").cast("string")), 1, 4)
+
+  private def gateFor(lang: Column): Column =
+    mixGates.foldLeft(lit("0000")) { case (acc, (l, g)) =>
+      when(lang === l, lit(g)).otherwise(acc)
+    }
+
+  private val mixGateSql: String =
+    mixGates.map { case (l, g) => s"WHEN '$l' THEN '$g'" }
+      .mkString("CASE lang ", " ", " ELSE '0000' END")
+
+  /** Deterministic stratified mixture sampling: down-weight each
+    * language to a target fraction with a pure hash gate. */
+  val qStratifiedMix: GraftQuery = GraftQuery(
+    "q109_stratified_mix",
+    s"""SELECT doc_id, lang, source, n_chars,
+       |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+       |FROM documents
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < $mixGateSql
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("sample_key", sampleKey)
+      .where(col("sample_key") < gateFor(col("lang")))
+      .select("doc_id", "lang", "source", "n_chars", "sample_key")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split: 256 hash buckets from the
+    * first md5 byte; test < 0x0d (~5%), val < 0x27 (~10%), else train.
+    * Hash-split (vs random) keeps membership stable across reruns and
+    * derived tables — a doc can never leak between splits. */
+  val qTrainSplit: GraftQuery = GraftQuery(
+    "q110_train_split",
+    """WITH tagged AS (
+      |  SELECT doc_id, lang,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN bucket < '0d' THEN 'test'
+      |       WHEN bucket < '27' THEN 'val'
+      |       ELSE 'train' END AS split
+      |FROM tagged
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("bucket") < "0d", "test")
+          .when(col("bucket") < "27", "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Concat-and-chunk sequence packing (budget 2048 tokens): within
+    * each (lang, shard) stream, documents are concatenated in doc_id
+    * order and chunked into fixed-budget sequences; each doc reports
+    * its start offset and the [first_seq, last_seq] span it lands in.
+    * The shard level (a hash digit) is what makes this distributable:
+    * each shard packs independently under its own window sort. */
+  val qPackSequences: GraftQuery = GraftQuery(
+    "q111_pack_sequences",
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, lang, shard, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      |  FROM toks)
+      |SELECT doc_id, lang, shard, n_tok, start_tok,
+      |  start_tok // 2048 AS first_seq,
+      |  (start_tok + n_tok - 1) // 2048 AS last_seq,
+      |  (start_tok + n_tok - 1) // 2048 - start_tok // 2048 + 1 AS n_seqs
+      |FROM packed
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_seq", expr("start_tok DIV 2048"))
+      .withColumn("last_seq", expr("(start_tok + n_tok - 1) DIV 2048"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .orderBy("doc_id")
+  }
+
+  /** Dataset report card: per-(lang, source) rollup of document count,
+    * token volume, exact-dup distinct content count, and mean length —
+    * the summary a data-mixture decision reads. */
+  val qCorpusCard: GraftQuery = GraftQuery(
+    "q112_corpus_card",
+    """SELECT lang, source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  count(DISTINCT md5(lower(text))) AS n_unique,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+      |FROM documents
+      |GROUP BY ROLLUP(lang, source)
+      |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .rollup("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        countDistinct(md5(lower(col("text")))).as("n_unique"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("mean_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard)
+}

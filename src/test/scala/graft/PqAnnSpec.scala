@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.PqAnn
+
+class PqAnnSpec extends SparkSpecBase {
+
+  test("codebook/query/lut literals are exact binary fractions (oracle-printable)") {
+    val all = PqAnn.codebook.flatten.flatten ++ PqAnn.query ++ PqAnn.lut.flatten
+    all.foreach { v =>
+      assert(v * 4 == math.rint(v * 4), s"$v is not a quarter")
+      assert(v == v.toString.toDouble, s"$v does not round-trip via toString")
+    }
+    // centroids must not be degenerate: >1 distinct centroid per subspace
+    PqAnn.codebook.foreach(cs => assert(cs.distinct.length > 1))
+  }
+
+  test("q114 PQ ADC top-k: codes in range, adc_dist consistent with the lut, deterministic") {
+    val rows = SparkEntry.queries("q114_pq_adc_topk")(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val codes = (1 to 8).map(r.getInt)
+      codes.foreach(c => assert(c >= 0 && c < PqAnn.nCentroids))
+      val adc = r.getDouble(9)
+      val fromLut = codes.zipWithIndex.map { case (c, s) => PqAnn.lut(s)(c) }.reduceLeft(_ + _)
+      assert(adc == fromLut, s"vec ${r.getLong(0)}: adc=$adc lut=$fromLut")
+    }
+    // exact re-rank output is sorted by exact_dist then vec_id
+    val keys = rows.map(r => (r.getDouble(10), r.getLong(0))).toSeq
+    assert(keys == keys.sorted)
+    val again = SparkEntry.queries("q114_pq_adc_topk")(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

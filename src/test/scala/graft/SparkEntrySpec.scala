@@ -33,7 +33,8 @@ class SparkEntrySpec extends SparkSpecBase {
   test("every oracle references only known testdata tables") {
     val known = graft.sources.Tables.all.toSet
     // negative lookbehind excludes IS [NOT] DISTINCT FROM comparisons
-    val tableRef = "(?i)(?:(?<!distinct )FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    // \b keeps identifiers like tf_join from matching the JOIN keyword
+    val tableRef = "(?i)\\b(?:(?<!distinct )FROM|(?<![a-z0-9_])JOIN)\\s+([a-z_][a-z0-9_]*)".r
     val cteOrAlias = Set("unnest", "range", "generate_series")
     SparkEntry.catalog.flatMap(q => q.oracle.map(q.name -> _)).foreach {
       case (name, rawSql) =>
