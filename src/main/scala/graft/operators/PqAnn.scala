@@ -94,19 +94,14 @@ object PqAnn {
         s"(CAST(embedding[${j + 1}] AS DOUBLE) - ${sqlNum(query(j))}))"
     }.mkString("(", " + ", ")")
 
-  // ---- Spark side, mirroring the SQL's operation order exactly ----
+  // ---- Spark side ----
+  // Encoding goes through the fused graftshim.PqEncode codegen
+  // expression (one tight loop per row over the reference-object
+  // codebook); its arithmetic mirrors the generated SQL bit-for-bit.
+  // The composed form (unrolled per-centroid distances +
+  // array_position argmin) measured 0.4 ms/row — see PqEncode docs.
 
   private def emb(i: Int): Column = element_at(col("embedding"), i + 1).cast("double")
-
-  private def centDist(s: Int, c: Int): Column =
-    (0 until subDim).map { j =>
-      val d = emb(s * subDim + j) - lit(codebook(s)(c)(j)); d * d
-    }.reduceLeft(_ + _)
-
-  private def code(s: Int): Column = {
-    val dlist = array((0 until nCentroids).map(c => centDist(s, c)): _*)
-    (array_position(dlist, array_min(dlist)) - 1).cast("int")
-  }
 
   private def exactDist: Column =
     (0 until dims).map { j =>
@@ -142,9 +137,11 @@ object PqAnn {
          |ORDER BY exact_dist, vec_id
          |LIMIT 10""".stripMargin) { (s, d) =>
       val coded = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          org.apache.spark.sql.graftshim.PqEncode(col("embedding"), codebook).as("codes"))
         .select(
           col("vec_id") +: col("embedding") +:
-            (0 until subspaces).map(i => code(i).as(s"c$i")): _*)
+            (0 until subspaces).map(i => element_at(col("codes"), i + 1).as(s"c$i")): _*)
       val adcDist = (0 until subspaces).map { i =>
         // lut lookup: literal 8-entry array indexed by the code
         element_at(array(lut(i).map(lit): _*), col(s"c$i") + 1)

@@ -14,6 +14,40 @@ class PqAnnSpec extends SparkSpecBase {
     PqAnn.codebook.foreach(cs => assert(cs.distinct.length > 1))
   }
 
+  test("PqEncode matches a naive per-subspace argmin recompute, codegen == interpreted") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graftshim.PqEncode
+    val df = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding"),
+        PqEncode(col("embedding"), PqAnn.codebook).as("codes"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val codes = r.getSeq[Int](2)
+      val expect = (0 until PqAnn.subspaces).map { s =>
+        val dists = (0 until PqAnn.nCentroids).map { c =>
+          (0 until PqAnn.subDim).map { j =>
+            val d = vec(s * PqAnn.subDim + j).toDouble - PqAnn.codebook(s)(c)(j); d * d
+          }.reduceLeft(_ + _)
+        }
+        dists.indexOf(dists.min)
+      }
+      assert(codes == expect, s"vec ${r.getLong(0)}")
+    }
+    val interp = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try df.collect().map(_.getSeq[Int](2)).toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", prev)
+      }
+    }
+    assert(rows.map(_.getSeq[Int](2)).toSeq == interp)
+  }
+
   test("q114 PQ ADC top-k: codes in range, adc_dist consistent with the lut, deterministic") {
     val rows = SparkEntry.queries("q114_pq_adc_topk")(spark, sf001).collect()
     assert(rows.length == 10)
