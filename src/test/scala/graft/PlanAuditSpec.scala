@@ -60,9 +60,13 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q93: the int8 prefilter scores queries × corpus BY DESIGN —
     //    that's the cheap approximate tier (4x less I/O than float);
     //    only the 20 survivors per query reach exact rescoring.
+    //  - q113: BM25 needs the corpus-wide (N, avgdl) pair on every
+    //    scored row — a single aggregated row cross-joined in, the
+    //    same bounded shape as q63/q89.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
-        "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk")
+        "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
+        "q113_bm25_score")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
