@@ -33,6 +33,9 @@ object SparkEntry {
       operators.TextAdvanced.all ++
       operators.TextVector.all ++
       operators.TrainingPipeline.all ++
+      operators.NgramStats.all ++
+      operators.SemDedup.all ++
+      operators.Formats.all ++
       operators.ModelQueries.all ++
       operators.PgRender.all ++
       streaming.Streams.all ++

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram statistics for LLM-data curation: n-gram language-
+  * model fluency scoring (the CCNet-style "does this look like the
+  * reference corpus" filter) and duplicated-n-gram span detection
+  * (the substring-level dedup signal of Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better" — document-level dedup
+  * misses the boilerplate that repeats INSIDE otherwise-unique docs).
+  *
+  * Both are log-free by design, like q63's rational tf-idf: ln() is
+  * not bit-specified across libm implementations, so instead of
+  * log-perplexity the fluency score is the pooled smoothed
+  * conditional probability — integer count sums (exact at any
+  * parallelism) and ONE correctly-rounded double division at the end.
+  * Same ranking semantics as perplexity for filtering (monotone in
+  * the evidence), engine-stable to the last bit.
+  *
+  * 100 TB scale notes:
+  *  - The LM relations (bigram counts, context counts) are
+  *    Zipf-compact relative to the token stream; the score join is
+  *    token-stream × compact-vocabulary — the same physics as q63's
+  *    tf×df join, never doc × doc. Context counts DERIVE from the
+  *    bigram counts (one token-explosion pass, not two).
+  *  - The vocabulary size is a single aggregated row cross-joined in
+  *    (the q63/q89/q113 bounded-broadcast shape).
+  *  - Duplicated-span counts are one hash aggregate over the exploded
+  *    5-gram stream plus a re-join on the gram key; partial (map-side)
+  *    aggregation collapses within-partition repeats before the
+  *    exchange, so boilerplate — the very thing being measured —
+  *    SHRINKS the shuffle rather than skewing it.
+  */
+object NgramStats {
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+
+  /** (doc_id, w1, w2) adjacent-token pairs; docs with <2 tokens yield
+    * no rows (sequence() would need a guard — same q64 footgun). */
+  private def bigrams(docs: DataFrame): DataFrame =
+    toks(docs).where(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+
+  private val bigSql: String =
+    """SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |              FROM documents))""".stripMargin
+
+  /** Bigram-LM fluency scoring, CCNet-style: train an add-one-smoothed
+    * bigram model on the even-doc_id half of the corpus, score every
+    * document (with ≥1 bigram) by pooled smoothed conditional
+    * probability (Σcb + n) / (Σc1 + n·V) plus its model hit rate.
+    * Training on a deterministic hash-half (not the whole corpus)
+    * keeps the score honest: unseen text pays the smoothing floor. */
+  val qLmFluency: GraftQuery = GraftQuery(
+    "q115_lm_fluency",
+    s"""WITH big AS (
+       |  $bigSql),
+       |lm_big AS (
+       |  SELECT w1, w2, count(*) AS cb FROM big
+       |  WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+       |lm_ctx AS (
+       |  SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM lm_big GROUP BY w1),
+       |vocab AS (
+       |  SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |        FROM documents WHERE doc_id % 2 = 0)),
+       |scored AS (
+       |  SELECT b.doc_id,
+       |    CAST(count(*) AS INTEGER) AS n_bigrams,
+       |    CAST(count(*) FILTER (lb.cb IS NOT NULL) AS INTEGER) AS n_hit,
+       |    CAST(sum(COALESCE(lb.cb, 0)) AS BIGINT) AS sum_cb,
+       |    CAST(sum(COALESCE(lc.c1, 0)) AS BIGINT) AS sum_c1
+       |  FROM big b
+       |  LEFT JOIN lm_big lb ON b.w1 = lb.w1 AND b.w2 = lb.w2
+       |  LEFT JOIN lm_ctx lc ON b.w1 = lc.w1
+       |  GROUP BY b.doc_id)
+       |SELECT doc_id, n_bigrams, n_hit, sum_cb, sum_c1,
+       |  CAST(sum_cb + n_bigrams AS DOUBLE)
+       |    / CAST(sum_c1 + n_bigrams * v AS DOUBLE) AS fluency,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS hit_rate
+       |FROM scored CROSS JOIN vocab
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).repartition(32)
+    val big = bigrams(docs)
+    val lmBig = big.where(col("doc_id") % 2 === 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // context counts derive from the bigram counts — the q63 trick:
+    // the token explosion is aggregated once, never re-scanned
+    val lmCtx = lmBig.groupBy("w1").agg(sum("cb").as("c1"))
+    val vocab = toks(docs).where(col("doc_id") % 2 === 0)
+      .select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    big
+      .join(lmBig, Seq("w1", "w2"), "left")
+      .join(lmCtx, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        count(col("cb")).cast("int").as("n_hit"),
+        sum(coalesce(col("cb"), lit(0L))).as("sum_cb"),
+        sum(coalesce(col("c1"), lit(0L))).as("sum_c1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n_bigrams"), col("n_hit"),
+        col("sum_cb"), col("sum_c1"),
+        ((col("sum_cb") + col("n_bigrams")).cast("double")
+          / (col("sum_c1") + col("n_bigrams") * col("v")).cast("double"))
+          .as("fluency"),
+        (col("n_hit").cast("double") / col("n_bigrams").cast("double"))
+          .as("hit_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated 5-gram span statistics: for every document (with ≥5
+    * tokens), the fraction of its 5-gram positions whose gram occurs
+    * ≥2 times corpus-wide — high dup_frac flags boilerplate-heavy
+    * documents that exact/MinHash document-level dedup keeps. */
+  val qDupNgramSpans: GraftQuery = GraftQuery(
+    "q117_dup_ngram_spans",
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+      |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |              FROM documents))),
+      |counts AS (
+      |  SELECT g, count(*) AS n FROM grams GROUP BY g)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_grams,
+      |  CAST(count(*) FILTER (c.n >= 2) AS INTEGER) AS n_dup,
+      |  CAST(count(*) FILTER (c.n >= 2) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dup_frac
+      |FROM grams JOIN counts c USING (g)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).repartition(32)
+    val grams = toks(docs).where(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 4)).as("i"), col("t"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(5))).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
+    grams.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        count(when(col("n") >= 2, 1)).cast("int").as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qLmFluency, qDupNgramSpans)
+}

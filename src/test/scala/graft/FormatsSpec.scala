@@ -41,4 +41,19 @@ class FormatsSpec extends SparkSpecBase {
       s"partition filter must reach the scan:\n$plan")
     assert(back.count() === o.where(col("o_year") === 1996).count())
   }
+
+  test("q118 writes genuine JSON Lines: one parseable object per line") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q118_jsonl_roundtrip")(spark, sf001).count()
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + Integer.toHexString(sf001.hashCode))
+    val parts = out.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty, s"no JSONL part files under $out")
+    val firstLine = scala.io.Source.fromFile(parts.minBy(_.getName))
+      .getLines().next()
+    // a JSON object per line, keyed by the documents schema
+    assert(firstLine.startsWith("{") && firstLine.endsWith("}"))
+    assert(firstLine.contains("\"doc_id\""))
+  }
 }

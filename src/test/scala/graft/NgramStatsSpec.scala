@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property checks for the n-gram corpus statistics (q115/q117). */
+class NgramStatsSpec extends SparkSpecBase {
+
+  private lazy val fluency =
+    SparkEntry.queries("q115_lm_fluency")(spark, sf001).cache()
+  private lazy val spans =
+    SparkEntry.queries("q117_dup_ngram_spans")(spark, sf001).cache()
+
+  test("q115: training-half documents are fully covered by the LM") {
+    // every bigram of an even doc_id was trained on (cb >= 1 for all)
+    val trainMiss = fluency
+      .where(col("doc_id") % 2 === 0 && col("n_hit") =!= col("n_bigrams"))
+      .count()
+    assert(trainMiss === 0L)
+  }
+
+  test("q115: fluency and hit_rate are probabilities; counts consistent") {
+    val bad = fluency.where(
+      col("fluency") <= 0 || col("fluency") > 1 ||
+        col("hit_rate") < 0 || col("hit_rate") > 1 ||
+        col("n_hit") > col("n_bigrams") || col("n_bigrams") <= 0 ||
+        col("sum_cb") > col("sum_c1")).count()
+    assert(bad === 0L)
+  }
+
+  test("q115: the LM separates its training half from unseen text") {
+    // scored-on-train docs must average a strictly higher hit rate
+    val Array(tr, te) = fluency
+      .groupBy((col("doc_id") % 2 === 0).as("train"))
+      .agg(avg("hit_rate").as("hr"))
+      .orderBy(col("train").desc)
+      .collect().map(_.getDouble(1))
+    assert(tr === 1.0) // by construction
+    assert(te < tr, s"held-out hit rate $te should be below training $tr")
+  }
+
+  test("q117: a planted exact duplicate pair has dup_frac 1.0") {
+    import spark.implicits._
+    // two identical 10-token docs + one all-unique-token doc
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en", "src", 19L),
+      (2L, "a b c d e f g h i j", "en", "src", 19L),
+      (3L, "k l m n o p q r s t", "en", "src", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ngram").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // q117 needs only the documents table in the sf dir
+    val out = SparkEntry.queries("q117_dup_ngram_spans")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Double]("dup_frac") === 1.0)
+    assert(out(1).getAs[Double]("dup_frac") === 1.0)
+    assert(out(2).getAs[Double]("dup_frac") === 0.0)
+    assert(out(0).getAs[Int]("n_grams") === 6) // 10 tokens -> 6 5-grams
+  }
+
+  test("q117: dup counts never exceed totals; short docs are absent") {
+    val bad = spans.where(
+      col("n_dup") > col("n_grams") || col("n_grams") <= 0 ||
+        col("dup_frac") < 0 || col("dup_frac") > 1).count()
+    assert(bad === 0L)
+    // every emitted doc has >= 5 tokens (>= 1 5-gram position)
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("nt"))
+    val short = spans.join(docs, "doc_id").where(col("nt") < 5).count()
+    assert(short === 0L)
+  }
+}
