@@ -34,6 +34,8 @@ object SparkEntry {
       operators.TextVector.all ++
       operators.TrainingPipeline.all ++
       operators.NgramStats.all ++
+      operators.CurationFunnel.all ++
+      operators.Bpe.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ModelQueries.all ++

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Curation funnel v2 (q119): the end-to-end corpus-curation pass a
+  * training-data pipeline runs before assembly, composing this
+  * round's gates in sequence and reporting the per-language funnel —
+  * the artifact a data-mixture decision actually reads.
+  *
+  *   g0 all documents
+  *   g1 exact dedup            keep the min-doc_id copy per
+  *                             md5(lower(text)) group (q26 rule)
+  *   g2 duplicated-span gate   drop boilerplate: 5·n_dup > 3·n_grams
+  *                             (dup_frac > 0.6); docs with <5 tokens
+  *                             carry no span signal and pass
+  *   g3 LM fluency gate        CCNet-style: keep docs whose pooled
+  *                             smoothed conditional probability is
+  *                             ≥ 1/30; docs with <2 tokens are
+  *                             unscorable and drop (CCNet discards
+  *                             unscorable docs)
+  *
+  * EVERY gate decision is exact integer arithmetic — group-min
+  * equality, 5·n_dup ≤ 3·n_grams, 30·(Σcb+n) ≥ Σc1+n·V — so no
+  * threshold can flip on engine fp; the thresholds themselves are
+  * rationals applied by cross-multiplication. (q115/q117 emit the
+  * same evidence as DOUBLE scores for ranking; the funnel re-derives
+  * its decisions from the integer counts instead of comparing
+  * doubles.)
+  *
+  * Scale: three hash aggregates over one token explosion each, all
+  * with map-side partials; the only corpus-row joins are key-compact
+  * (md5 groups, gram vocabulary, bigram vocabulary) — the funnel
+  * inherits each component's 100 TB physics, and the final report is
+  * |langs| rows.
+  */
+object CurationFunnel {
+
+  val qCurationFunnel: GraftQuery = GraftQuery(
+    "q119_curation_funnel",
+    s"""WITH ${NgramStats.lmScoredSql},
+       |${NgramStats.dupSpanSql},
+       |exact AS (
+       |  SELECT doc_id, lang,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_exact
+       |  FROM documents),
+       |gates AS (
+       |  SELECT e.doc_id, e.lang, e.keep_exact,
+       |    COALESCE(5 * ss.n_dup <= 3 * ss.n_grams, TRUE) AS keep_span,
+       |    COALESCE(30 * (sc.sum_cb + sc.n_bigrams)
+       |      >= sc.sum_c1 + sc.n_bigrams * v.v, FALSE) AS keep_fluency
+       |  FROM exact e
+       |  LEFT JOIN span_stats ss ON e.doc_id = ss.doc_id
+       |  LEFT JOIN scored sc ON e.doc_id = sc.doc_id
+       |  CROSS JOIN vocab v)
+       |SELECT lang,
+       |  CAST(count(*) AS INTEGER) AS n_total,
+       |  CAST(count(*) FILTER (keep_exact) AS INTEGER) AS n_exact,
+       |  CAST(count(*) FILTER (keep_exact AND keep_span) AS INTEGER) AS n_span,
+       |  CAST(count(*) FILTER (keep_exact AND keep_span AND keep_fluency)
+       |    AS INTEGER) AS n_kept
+       |FROM gates
+       |GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).repartition(32)
+    val exact = docs.select(col("doc_id"), col("lang"),
+      (col("doc_id") === min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(lower(col("text"))))))
+        .as("keep_exact"))
+    val spans = NgramStats.dupSpanCounts(docs)
+      .select(col("doc_id"), (lit(5) * col("n_dup") <= lit(3) * col("n_grams"))
+        .as("keep_span_raw"))
+    val scored = NgramStats.lmScoredCounts(docs)
+      .crossJoin(broadcast(NgramStats.lmVocab(docs)))
+      .select(col("doc_id"),
+        (lit(30) * (col("sum_cb") + col("n_bigrams"))
+          >= col("sum_c1") + col("n_bigrams") * col("v"))
+          .as("keep_fluency_raw"))
+    exact
+      .join(spans, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("lang"), col("keep_exact"),
+        coalesce(col("keep_span_raw"), lit(true)).as("keep_span"),
+        coalesce(col("keep_fluency_raw"), lit(false)).as("keep_fluency"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).cast("int").as("n_total"),
+        count(when(col("keep_exact"), 1)).cast("int").as("n_exact"),
+        count(when(col("keep_exact") && col("keep_span"), 1)).cast("int")
+          .as("n_span"),
+        count(when(col("keep_exact") && col("keep_span") && col("keep_fluency"), 1))
+          .cast("int").as("n_kept"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  def all: Seq[GraftQuery] = Seq(qCurationFunnel)
+}

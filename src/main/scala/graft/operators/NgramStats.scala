@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   * Same ranking semantics as perplexity for filtering (monotone in
   * the evidence), engine-stable to the last bit.
   *
+  * The building-block relations (scored counts, span counts, vocab)
+  * are exposed to the curation funnel (q119), which re-applies them
+  * as pure-integer gates.
+  *
   * 100 TB scale notes:
   *  - The LM relations (bigram counts, context counts) are
   *    Zipf-compact relative to the token stream; the score join is
@@ -36,7 +40,7 @@ import org.apache.spark.sql.functions._
   */
 object NgramStats {
 
-  private def toks(docs: DataFrame): DataFrame =
+  private[operators] def toks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
 
   /** (doc_id, w1, w2) adjacent-token pairs; docs with <2 tokens yield
@@ -49,21 +53,17 @@ object NgramStats {
         element_at(col("t"), col("i")).as("w1"),
         element_at(col("t"), col("i") + 1).as("w2"))
 
-  private val bigSql: String =
+  private[operators] val bigSql: String =
     """SELECT doc_id, t[i] AS w1, t[i+1] AS w2
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
       |              FROM documents))""".stripMargin
 
-  /** Bigram-LM fluency scoring, CCNet-style: train an add-one-smoothed
-    * bigram model on the even-doc_id half of the corpus, score every
-    * document (with ≥1 bigram) by pooled smoothed conditional
-    * probability (Σcb + n) / (Σc1 + n·V) plus its model hit rate.
-    * Training on a deterministic hash-half (not the whole corpus)
-    * keeps the score honest: unseen text pays the smoothing floor. */
-  val qLmFluency: GraftQuery = GraftQuery(
-    "q115_lm_fluency",
-    s"""WITH big AS (
+  /** The LM-scoring CTE chain shared by q115 and q119: per-document
+    * exact counts (n_bigrams, n_hit, sum_cb, sum_c1) against the
+    * even-doc_id-trained bigram model. */
+  private[operators] val lmScoredSql: String =
+    s"""big AS (
        |  $bigSql),
        |lm_big AS (
        |  SELECT w1, w2, count(*) AS cb FROM big
@@ -83,23 +83,23 @@ object NgramStats {
        |  FROM big b
        |  LEFT JOIN lm_big lb ON b.w1 = lb.w1 AND b.w2 = lb.w2
        |  LEFT JOIN lm_ctx lc ON b.w1 = lc.w1
-       |  GROUP BY b.doc_id)
-       |SELECT doc_id, n_bigrams, n_hit, sum_cb, sum_c1,
-       |  CAST(sum_cb + n_bigrams AS DOUBLE)
-       |    / CAST(sum_c1 + n_bigrams * v AS DOUBLE) AS fluency,
-       |  CAST(n_hit AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS hit_rate
-       |FROM scored CROSS JOIN vocab
-       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).repartition(32)
+       |  GROUP BY b.doc_id)""".stripMargin
+
+  /** 1-row LM vocabulary size over the even-doc_id training half. */
+  private[operators] def lmVocab(docs: DataFrame): DataFrame =
+    toks(docs).where(col("doc_id") % 2 === 0)
+      .select(explode(col("t")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+
+  /** Per-document exact LM evidence counts (Spark mirror of
+    * [[lmScoredSql]]'s `scored` CTE). */
+  private[operators] def lmScoredCounts(docs: DataFrame): DataFrame = {
     val big = bigrams(docs)
     val lmBig = big.where(col("doc_id") % 2 === 0)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // context counts derive from the bigram counts — the q63 trick:
     // the token explosion is aggregated once, never re-scanned
     val lmCtx = lmBig.groupBy("w1").agg(sum("cb").as("c1"))
-    val vocab = toks(docs).where(col("doc_id") % 2 === 0)
-      .select(explode(col("t")).as("tok"))
-      .agg(countDistinct(col("tok")).as("v"))
     big
       .join(lmBig, Seq("w1", "w2"), "left")
       .join(lmCtx, Seq("w1"), "left")
@@ -109,7 +109,26 @@ object NgramStats {
         count(col("cb")).cast("int").as("n_hit"),
         sum(coalesce(col("cb"), lit(0L))).as("sum_cb"),
         sum(coalesce(col("c1"), lit(0L))).as("sum_c1"))
-      .crossJoin(broadcast(vocab))
+  }
+
+  /** Bigram-LM fluency scoring, CCNet-style: train an add-one-smoothed
+    * bigram model on the even-doc_id half of the corpus, score every
+    * document (with ≥1 bigram) by pooled smoothed conditional
+    * probability (Σcb + n) / (Σc1 + n·V) plus its model hit rate.
+    * Training on a deterministic hash-half (not the whole corpus)
+    * keeps the score honest: unseen text pays the smoothing floor. */
+  val qLmFluency: GraftQuery = GraftQuery(
+    "q115_lm_fluency",
+    s"""WITH $lmScoredSql
+       |SELECT doc_id, n_bigrams, n_hit, sum_cb, sum_c1,
+       |  CAST(sum_cb + n_bigrams AS DOUBLE)
+       |    / CAST(sum_c1 + n_bigrams * v AS DOUBLE) AS fluency,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS hit_rate
+       |FROM scored CROSS JOIN vocab
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).repartition(32)
+    lmScoredCounts(docs)
+      .crossJoin(broadcast(lmVocab(docs)))
       .select(col("doc_id"), col("n_bigrams"), col("n_hit"),
         col("sum_cb"), col("sum_c1"),
         ((col("sum_cb") + col("n_bigrams")).cast("double")
@@ -120,29 +139,27 @@ object NgramStats {
       .orderBy("doc_id")
   }
 
-  /** Duplicated 5-gram span statistics: for every document (with ≥5
-    * tokens), the fraction of its 5-gram positions whose gram occurs
-    * ≥2 times corpus-wide — high dup_frac flags boilerplate-heavy
-    * documents that exact/MinHash document-level dedup keeps. */
-  val qDupNgramSpans: GraftQuery = GraftQuery(
-    "q117_dup_ngram_spans",
-    """WITH grams AS (
+  /** The duplicated-5-gram CTE chain shared by q117 and q119:
+    * per-document gram totals and corpus-duplicated gram counts. */
+  private[operators] val dupSpanSql: String =
+    """grams AS (
       |  SELECT doc_id,
       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
       |              FROM documents))),
-      |counts AS (
-      |  SELECT g, count(*) AS n FROM grams GROUP BY g)
-      |SELECT doc_id,
-      |  CAST(count(*) AS INTEGER) AS n_grams,
-      |  CAST(count(*) FILTER (c.n >= 2) AS INTEGER) AS n_dup,
-      |  CAST(count(*) FILTER (c.n >= 2) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE) AS dup_frac
-      |FROM grams JOIN counts c USING (g)
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).repartition(32)
+      |gram_counts AS (
+      |  SELECT g, count(*) AS n FROM grams GROUP BY g),
+      |span_stats AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS INTEGER) AS n_grams,
+      |    CAST(count(*) FILTER (c.n >= 2) AS INTEGER) AS n_dup
+      |  FROM grams JOIN gram_counts c USING (g)
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** Per-document (n_grams, n_dup) — Spark mirror of [[dupSpanSql]]'s
+    * `span_stats` CTE. */
+  private[operators] def dupSpanCounts(docs: DataFrame): DataFrame = {
     val grams = toks(docs).where(size(col("t")) >= 5)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - 4)).as("i"), col("t"))
@@ -154,6 +171,21 @@ object NgramStats {
       .agg(
         count(lit(1)).cast("int").as("n_grams"),
         count(when(col("n") >= 2, 1)).cast("int").as("n_dup"))
+  }
+
+  /** Duplicated 5-gram span statistics: for every document (with ≥5
+    * tokens), the fraction of its 5-gram positions whose gram occurs
+    * ≥2 times corpus-wide — high dup_frac flags boilerplate-heavy
+    * documents that exact/MinHash document-level dedup keeps. */
+  val qDupNgramSpans: GraftQuery = GraftQuery(
+    "q117_dup_ngram_spans",
+    s"""WITH $dupSpanSql
+       |SELECT doc_id, n_grams, n_dup,
+       |  CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+       |FROM span_stats
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).repartition(32)
+    dupSpanCounts(docs)
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_grams").cast("double"))
           .as("dup_frac"))
