@@ -161,6 +161,45 @@ object TrainingPipeline {
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
   }
 
+  /** Overlapping-window document chunking (RAG / context-window prep):
+    * 200-code-point windows at stride 150, each chunk carried as
+    * (start, length, md5) — the md5 makes the oracle prove every chunk
+    * BYTE, not just the offsets. Chunk k starts at 1+150k while that
+    * offset is inside the text: ceil(len/150) chunks, so consecutive
+    * chunks overlap by 50 and the tail chunk may be short. Pure per-row
+    * explode — no shuffle at all in production (the ORDER BY is oracle
+    * determinism only); at 100 TB this fuses into whatever scans the
+    * corpus next, exactly like the q109/q110 hash gates. */
+  val qChunkDocuments: GraftQuery = GraftQuery(
+    "q122_chunk_documents",
+    """WITH chunks AS (
+      |  SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+      |    CAST(1 + 150 * k AS INTEGER) AS chunk_start,
+      |    substring(text, CAST(1 + 150 * k AS INTEGER), 200) AS chunk
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(0, (length(text) + 149) // 150)) AS k
+      |        FROM documents))
+      |SELECT doc_id, chunk_idx, chunk_start,
+      |  CAST(length(chunk) AS INTEGER) AS chunk_len,
+      |  md5(chunk) AS chunk_md5
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          // DIV, not `/`: Spark's / is double division even on longs
+          expr("CAST(length(text) + 149 AS BIGINT) DIV 150") - 1)).as("k"))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
+        (lit(1) + lit(150) * col("k")).cast("int").as("chunk_start"),
+        col("text").substr((lit(1) + lit(150) * col("k")).cast("int"), lit(200))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard)
+    Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
+      qChunkDocuments)
 }
