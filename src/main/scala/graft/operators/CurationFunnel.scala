@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.GraftQuery
-import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** Curation funnel v2 (q119): the end-to-end corpus-curation pass a
@@ -63,17 +62,18 @@ object CurationFunnel {
        |FROM gates
        |GROUP BY lang
        |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).repartition(32)
-    val exact = docs.select(col("doc_id"), col("lang"),
+    // every relation below derives from the ONE persisted tokenized
+    // index — the funnel touches the corpus once, not six times
+    val tk = NgramStats.indexedDocToks(s, d)
+    val exact = tk.select(col("doc_id"), col("lang"),
       (col("doc_id") === min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(lower(col("text"))))))
+        org.apache.spark.sql.expressions.Window.partitionBy(col("content_md5"))))
         .as("keep_exact"))
-    val spans = NgramStats.dupSpanCounts(docs)
+    val spans = NgramStats.dupSpanCounts(tk)
       .select(col("doc_id"), (lit(5) * col("n_dup") <= lit(3) * col("n_grams"))
         .as("keep_span_raw"))
-    val scored = NgramStats.lmScoredCounts(docs)
-      .crossJoin(broadcast(NgramStats.lmVocab(docs)))
+    val scored = NgramStats.lmScoredCounts(tk)
+      .crossJoin(broadcast(NgramStats.lmVocab(tk)))
       .select(col("doc_id"),
         (lit(30) * (col("sum_cb") + col("n_bigrams"))
           >= col("sum_c1") + col("n_bigrams") * col("v"))

@@ -40,13 +40,28 @@ import org.apache.spark.sql.functions._
   */
 object NgramStats {
 
-  private[operators] def toks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+  /** Tokenized per-corpus index — (doc_id, lang, content_md5, t) —
+    * persisted per (session, corpus) like Dedup.indexedShingleSets:
+    * the LM relations, the span stats, the vocabulary, and the
+    * funnel's exact-dedup key are all separate consumers of the same
+    * token stream, and without the index each one re-scans and
+    * re-tokenizes the corpus (q115 planned 3 full scans, q119 6). A
+    * production pipeline materializes this once next to the corpus. */
+  private val docToksIndex =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[operators] def indexedDocToks(spark: SparkSession, sfDir: String): DataFrame =
+    docToksIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      Tables.documents(spark, sfDir).repartition(32)
+        .select(col("doc_id"), col("lang"),
+          md5(lower(col("text"))).as("content_md5"),
+          split(lower(col("text")), " ").as("t"))
+        .persist())
 
   /** (doc_id, w1, w2) adjacent-token pairs; docs with <2 tokens yield
     * no rows (sequence() would need a guard — same q64 footgun). */
-  private def bigrams(docs: DataFrame): DataFrame =
-    toks(docs).where(size(col("t")) >= 2)
+  private def bigrams(toksDf: DataFrame): DataFrame =
+    toksDf.where(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
       .select(col("doc_id"),
@@ -86,15 +101,15 @@ object NgramStats {
        |  GROUP BY b.doc_id)""".stripMargin
 
   /** 1-row LM vocabulary size over the even-doc_id training half. */
-  private[operators] def lmVocab(docs: DataFrame): DataFrame =
-    toks(docs).where(col("doc_id") % 2 === 0)
+  private[operators] def lmVocab(toksDf: DataFrame): DataFrame =
+    toksDf.where(col("doc_id") % 2 === 0)
       .select(explode(col("t")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
 
   /** Per-document exact LM evidence counts (Spark mirror of
     * [[lmScoredSql]]'s `scored` CTE). */
-  private[operators] def lmScoredCounts(docs: DataFrame): DataFrame = {
-    val big = bigrams(docs)
+  private[operators] def lmScoredCounts(toksDf: DataFrame): DataFrame = {
+    val big = bigrams(toksDf)
     val lmBig = big.where(col("doc_id") % 2 === 0)
       .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // context counts derive from the bigram counts — the q63 trick:
@@ -126,9 +141,9 @@ object NgramStats {
        |  CAST(n_hit AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS hit_rate
        |FROM scored CROSS JOIN vocab
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).repartition(32)
-    lmScoredCounts(docs)
-      .crossJoin(broadcast(lmVocab(docs)))
+    val tk = indexedDocToks(s, d)
+    lmScoredCounts(tk)
+      .crossJoin(broadcast(lmVocab(tk)))
       .select(col("doc_id"), col("n_bigrams"), col("n_hit"),
         col("sum_cb"), col("sum_c1"),
         ((col("sum_cb") + col("n_bigrams")).cast("double")
@@ -159,8 +174,8 @@ object NgramStats {
 
   /** Per-document (n_grams, n_dup) — Spark mirror of [[dupSpanSql]]'s
     * `span_stats` CTE. */
-  private[operators] def dupSpanCounts(docs: DataFrame): DataFrame = {
-    val grams = toks(docs).where(size(col("t")) >= 5)
+  private[operators] def dupSpanCounts(toksDf: DataFrame): DataFrame = {
+    val grams = toksDf.where(size(col("t")) >= 5)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - 4)).as("i"), col("t"))
       .select(col("doc_id"),
@@ -184,8 +199,7 @@ object NgramStats {
        |  CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
        |FROM span_stats
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d).repartition(32)
-    dupSpanCounts(docs)
+    dupSpanCounts(indexedDocToks(s, d))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_grams").cast("double"))
           .as("dup_frac"))

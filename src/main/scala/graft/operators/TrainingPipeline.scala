@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * assembly stage; no counterpart exists in the reference
   * (Data-ETL-with-DBT stops at the modeled table + RF features).
   *
-  * All four are deterministic by construction — sampling and
+  * All of these are deterministic by construction — sampling and
   * splitting decisions are pure functions of md5(doc_id), packing
   * offsets are window sums over a total order — so every one is
   * DuckDB-oracle-checkable AND reproducible run-to-run at any
