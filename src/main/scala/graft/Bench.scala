@@ -65,9 +65,16 @@ object Bench {
     // 2000-char tail must land on the short headline line below.
 
     // full-catalog single warm pass (warm = the run itself for
-    // non-headline queries; relative cross-round diffs are what matter)
+    // non-headline queries; relative cross-round diffs are what matter).
+    // The spark.ml fits are timed FIRST: their driver-side job storms
+    // (200 trees x depth levels) are sensitive to accumulated JVM/
+    // session state — measured 9 s on a fresh-ish session vs 108 s
+    // after ~300 query executions, with the plain SQL queries
+    // unaffected. Timing them before the backlog measures the
+    // operator, not the harness history.
     if (withCatalog) {
-      val catalog: Seq[(String, Double)] = SparkEntry.catalog.map { q =>
+      val (mlQs, restQs) = SparkEntry.catalog.partition(_.name.contains("_ml_"))
+      val catalog: Seq[(String, Double)] = (mlQs ++ restQs).map { q =>
         val sec = try {
           q.fn(spark, sfDir).count() // warm
           time(q.fn(spark, sfDir).count())
