@@ -31,6 +31,7 @@ object SparkEntry {
       operators.PqAnn.all ++
       operators.Advanced.all ++
       operators.TextAdvanced.all ++
+      operators.BloomDecontam.all ++
       operators.TextVector.all ++
       operators.TrainingPipeline.all ++
       operators.NgramStats.all ++
