@@ -149,6 +149,49 @@ object ScaleBench {
       "planted_pairs" -> nPlanted.toDouble,
       "planted_recall" -> (if (nPlanted > 0) recalled.toDouble / nPlanted else -1.0),
       "verify_sec" -> tVerify)
+
+    // ---- decontamination forms (q65/q123 shape) at 100k docs ----
+    // a ~0.1% doc slice plays the benchmark; the three forms flag the
+    // same doc set (bloom has no false negatives) — what differs is
+    // the physics: broadcast join (today's exact path), shuffle join
+    // (what exact degrades to once the benchmark side outgrows the
+    // broadcast threshold), and the bloom literal prefilter (stays a
+    // scan expression at ANY benchmark size; 1e9 bits = 128 MB)
+    val benchSh = toks.where(pmod(col("doc_id"), lit(1000)) === 0)
+      .select(explode(col("toks")).as("sh")).distinct().persist()
+    val nBenchSh = benchSh.count()
+    val trainSh = toks.where(pmod(col("doc_id"), lit(1000)) =!= 0)
+      .select(col("doc_id"), explode(col("toks")).as("sh"))
+    val nTrainSh = trainSh.count()
+    val (nFlagBcast, tExactBcast) = time(
+      trainSh.join(broadcast(benchSh), "sh").select("doc_id").distinct().count())
+    val (nFlagShuffle, tExactShuffle) = time(
+      trainSh.hint("shuffle_hash")
+        .join(benchSh.hint("shuffle_hash"), "sh")
+        .select("doc_id").distinct().count())
+    val bloom = benchSh
+      .agg(org.apache.spark.sql.graftshim.BloomSketch
+        .agg(xxhash64(col("sh")), 100000L, 1L << 22).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    def bloomPruned = trainSh.where(org.apache.spark.sql.graftshim.BloomSketch
+      .mightContain(bloom, xxhash64(col("sh"))))
+    val (nSurvivors, tBloomScan) = time(bloomPruned.count())
+    val (nFlagBloom, tBloomE2e) = time(
+      bloomPruned.join(broadcast(benchSh), "sh")
+        .select("doc_id").distinct().count())
+    out ++= Seq(
+      "decontam_bench_shingles" -> nBenchSh.toDouble,
+      "decontam_train_shingles" -> nTrainSh.toDouble,
+      "decontam_docs_flagged" -> nFlagBcast.toDouble,
+      "decontam_docs_flagged_shuffle" -> nFlagShuffle.toDouble,
+      "decontam_docs_flagged_bloom" -> nFlagBloom.toDouble,
+      "decontam_exact_bcast_sec" -> tExactBcast,
+      "decontam_exact_shuffle_sec" -> tExactShuffle,
+      "decontam_bloom_scan_sec" -> tBloomScan,
+      "decontam_bloom_e2e_sec" -> tBloomE2e,
+      "decontam_bloom_survivor_frac" ->
+        (if (nTrainSh > 0) nSurvivors.toDouble / nTrainSh else -1.0))
+    benchSh.unpersist()
     Seq(verified, toks, pairs, bands, docs).foreach(_.unpersist())
 
     // ---- ANN asymptotics ----
