@@ -1,12 +1,13 @@
 package graft.operators
 
 import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Curation funnel v2 (q119): the end-to-end corpus-curation pass a
-  * training-data pipeline runs before assembly, composing this
-  * round's gates in sequence and reporting the per-language funnel —
-  * the artifact a data-mixture decision actually reads.
+/** Curation funnel v2 (q119) and the training-example assembly that
+  * consumes it (q124): the end-to-end pass a training-data pipeline
+  * runs before shipping a corpus.
   *
   *   g0 all documents
   *   g1 exact dedup            keep the min-doc_id copy per
@@ -31,41 +32,40 @@ import org.apache.spark.sql.functions._
   * Scale: three hash aggregates over one token explosion each, all
   * with map-side partials; the only corpus-row joins are key-compact
   * (md5 groups, gram vocabulary, bigram vocabulary) — the funnel
-  * inherits each component's 100 TB physics, and the final report is
-  * |langs| rows.
+  * inherits each component's 100 TB physics. q119's report is
+  * |langs| rows; q124's assembly adds one corpus-keyed left join to
+  * the embeddings table (both sides hash-partitioned on the id — at
+  * 100 TB this is THE join you bucket both tables on).
   */
 object CurationFunnel {
 
-  val qCurationFunnel: GraftQuery = GraftQuery(
-    "q119_curation_funnel",
-    s"""WITH ${NgramStats.lmScoredSql},
+  /** The gate CTE chain shared by q119/q124: per-doc (lang, n_tok,
+    * keep_exact, keep_span, keep_fluency). */
+  private val gatesSql: String =
+    s"""${NgramStats.lmScoredSql},
        |${NgramStats.dupSpanSql},
        |exact AS (
        |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
        |    doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keep_exact
        |  FROM documents),
        |gates AS (
-       |  SELECT e.doc_id, e.lang, e.keep_exact,
+       |  SELECT e.doc_id, e.lang, e.n_tok, e.keep_exact,
        |    COALESCE(5 * ss.n_dup <= 3 * ss.n_grams, TRUE) AS keep_span,
        |    COALESCE(30 * (sc.sum_cb + sc.n_bigrams)
        |      >= sc.sum_c1 + sc.n_bigrams * v.v, FALSE) AS keep_fluency
        |  FROM exact e
        |  LEFT JOIN span_stats ss ON e.doc_id = ss.doc_id
        |  LEFT JOIN scored sc ON e.doc_id = sc.doc_id
-       |  CROSS JOIN vocab v)
-       |SELECT lang,
-       |  CAST(count(*) AS INTEGER) AS n_total,
-       |  CAST(count(*) FILTER (keep_exact) AS INTEGER) AS n_exact,
-       |  CAST(count(*) FILTER (keep_exact AND keep_span) AS INTEGER) AS n_span,
-       |  CAST(count(*) FILTER (keep_exact AND keep_span AND keep_fluency)
-       |    AS INTEGER) AS n_kept
-       |FROM gates
-       |GROUP BY lang
-       |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
-    // every relation below derives from the ONE persisted tokenized
-    // index — the funnel touches the corpus once, not six times
+       |  CROSS JOIN vocab v)""".stripMargin
+
+  /** Spark mirror of the `gates` CTE — every relation derives from
+    * the ONE persisted tokenized index (the corpus is touched once,
+    * not six times). */
+  private[operators] def gateDecisions(s: SparkSession, d: String): DataFrame = {
     val tk = NgramStats.indexedDocToks(s, d)
     val exact = tk.select(col("doc_id"), col("lang"),
+      size(col("t")).as("n_tok"),
       (col("doc_id") === min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("content_md5"))))
         .as("keep_exact"))
@@ -81,9 +81,24 @@ object CurationFunnel {
     exact
       .join(spans, Seq("doc_id"), "left")
       .join(scored, Seq("doc_id"), "left")
-      .select(col("lang"), col("keep_exact"),
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("keep_exact"),
         coalesce(col("keep_span_raw"), lit(true)).as("keep_span"),
         coalesce(col("keep_fluency_raw"), lit(false)).as("keep_fluency"))
+  }
+
+  val qCurationFunnel: GraftQuery = GraftQuery(
+    "q119_curation_funnel",
+    s"""WITH $gatesSql
+       |SELECT lang,
+       |  CAST(count(*) AS INTEGER) AS n_total,
+       |  CAST(count(*) FILTER (keep_exact) AS INTEGER) AS n_exact,
+       |  CAST(count(*) FILTER (keep_exact AND keep_span) AS INTEGER) AS n_span,
+       |  CAST(count(*) FILTER (keep_exact AND keep_span AND keep_fluency)
+       |    AS INTEGER) AS n_kept
+       |FROM gates
+       |GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+    gateDecisions(s, d)
       .groupBy("lang")
       .agg(
         count(lit(1)).cast("int").as("n_total"),
@@ -95,5 +110,41 @@ object CurationFunnel {
       .orderBy(col("lang").asc_nulls_first)
   }
 
-  def all: Seq[GraftQuery] = Seq(qCurationFunnel)
+  /** Training-example assembly: funnel survivors, hash-split (q110
+    * rule, so membership is stable across reruns and derived tables),
+    * left-joined to the embedding modality by id. The fully-assembled,
+    * split-tagged, multi-modal example table is what a trainer reads;
+    * emb_dim/label are NULL where the modality is missing — the
+    * assembly reports coverage instead of silently dropping docs. */
+  val qAssembleExamples: GraftQuery = GraftQuery(
+    "q124_assemble_examples",
+    s"""WITH $gatesSql,
+       |kept AS (
+       |  SELECT doc_id, lang, n_tok FROM gates
+       |  WHERE keep_exact AND keep_span AND keep_fluency)
+       |SELECT k.doc_id, k.lang, k.n_tok,
+       |  CASE WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
+       |       WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < '27' THEN 'val'
+       |       ELSE 'train' END AS split,
+       |  e.label,
+       |  CAST(len(e.embedding) AS INTEGER) AS emb_dim
+       |FROM kept k LEFT JOIN embeddings e ON e.vec_id = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+    val kept = gateDecisions(s, d)
+      .where(col("keep_exact") && col("keep_span") && col("keep_fluency"))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), col("label"),
+        size(col("embedding")).as("emb_dim"))
+    kept
+      .withColumn("split",
+        when(bucket < "0d", "test").when(bucket < "27", "val")
+          .otherwise("train"))
+      .join(emb, Seq("doc_id"), "left")
+      .select("doc_id", "lang", "n_tok", "split", "label", "emb_dim")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qCurationFunnel, qAssembleExamples)
 }

@@ -22,6 +22,20 @@ class CurationFunnelSpec extends SparkSpecBase {
     assert(total === Tables.documents(spark, sf001).count())
   }
 
+  test("q124: one example per kept doc, valid splits, modality coverage") {
+    val ex = SparkEntry.queries("q124_assemble_examples")(spark, sf001).cache()
+    val kept = funnel.agg(sum("n_kept")).first().getLong(0)
+    assert(ex.count() === kept)
+    assert(ex.select("doc_id").distinct().count() === kept)
+    val badSplit = ex.where(!col("split").isin("train", "val", "test")).count()
+    assert(badSplit === 0L)
+    // embeddings cover vec_id = doc_id on this fixture: every example
+    // with a matching vector reports its dimensionality
+    val dims = ex.where(col("emb_dim").isNotNull)
+      .select("emb_dim").distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims.isEmpty || dims === Seq(64))
+  }
+
   test("each gate does real work on this corpus") {
     val r = funnel.agg(sum("n_total"), sum("n_exact"), sum("n_span"),
       sum("n_kept")).first()

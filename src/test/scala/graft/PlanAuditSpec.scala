@@ -63,13 +63,14 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q113: BM25 needs the corpus-wide (N, avgdl) pair on every
     //    scored row — a single aggregated row cross-joined in, the
     //    same bounded shape as q63/q89.
-    //  - q115/q119: the LM vocabulary size is the same single-
+    //  - q115/q119/q124: the LM vocabulary size is the same single-
     //    aggregated-row cross join (smoothing denominator on every
     //    scored doc).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
-        "q113_bm25_score", "q115_lm_fluency", "q119_curation_funnel")
+        "q113_bm25_score", "q115_lm_fluency", "q119_curation_funnel",
+        "q124_assemble_examples")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
