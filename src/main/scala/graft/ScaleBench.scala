@@ -169,10 +169,13 @@ object ScaleBench {
       trainSh.hint("shuffle_hash")
         .join(benchSh.hint("shuffle_hash"), "sh")
         .select("doc_id").distinct().count())
-    val bloom = benchSh
+    // build is timed too (aggregate pass + driver collect of the
+    // sketch): the bloom form's end-to-end cost is build + scan +
+    // confirm, and hiding the build would flatter it vs the joins
+    val (bloom, tBloomBuild) = time(benchSh
       .agg(org.apache.spark.sql.graftshim.BloomSketch
         .agg(xxhash64(col("sh")), 100000L, 1L << 22).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf"))
     def bloomPruned = trainSh.where(org.apache.spark.sql.graftshim.BloomSketch
       .mightContain(bloom, xxhash64(col("sh"))))
     val (nSurvivors, tBloomScan) = time(bloomPruned.count())
@@ -187,6 +190,7 @@ object ScaleBench {
       "decontam_docs_flagged_bloom" -> nFlagBloom.toDouble,
       "decontam_exact_bcast_sec" -> tExactBcast,
       "decontam_exact_shuffle_sec" -> tExactShuffle,
+      "decontam_bloom_build_sec" -> tBloomBuild,
       "decontam_bloom_scan_sec" -> tBloomScan,
       "decontam_bloom_e2e_sec" -> tBloomE2e,
       "decontam_bloom_survivor_frac" ->

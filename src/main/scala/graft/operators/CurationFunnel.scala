@@ -123,9 +123,7 @@ object CurationFunnel {
        |  SELECT doc_id, lang, n_tok FROM gates
        |  WHERE keep_exact AND keep_span AND keep_fluency)
        |SELECT k.doc_id, k.lang, k.n_tok,
-       |  CASE WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'test'
-       |       WHEN substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < '27' THEN 'val'
-       |       ELSE 'train' END AS split,
+       |  ${TrainingPipeline.splitSqlCase("k.doc_id")} AS split,
        |  e.label,
        |  CAST(len(e.embedding) AS INTEGER) AS emb_dim
        |FROM kept k LEFT JOIN embeddings e ON e.vec_id = k.doc_id
@@ -133,14 +131,11 @@ object CurationFunnel {
     val kept = gateDecisions(s, d)
       .where(col("keep_exact") && col("keep_span") && col("keep_fluency"))
       .select(col("doc_id"), col("lang"), col("n_tok"))
-    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id").as("doc_id"), col("label"),
         size(col("embedding")).as("emb_dim"))
     kept
-      .withColumn("split",
-        when(bucket < "0d", "test").when(bucket < "27", "val")
-          .otherwise("train"))
+      .withColumn("split", TrainingPipeline.splitColumn(col("doc_id")))
       .join(emb, Seq("doc_id"), "left")
       .select("doc_id", "lang", "n_tok", "split", "label", "emb_dim")
       .orderBy("doc_id")

@@ -74,29 +74,39 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
-  /** Deterministic train/val/test split: 256 hash buckets from the
-    * first md5 byte; test < 0x0d (~5%), val < 0x27 (~10%), else train.
-    * Hash-split (vs random) keeps membership stable across reruns and
-    * derived tables — a doc can never leak between splits. */
+  /** Split-gate thresholds over the first md5 byte (256 buckets):
+    * test < 0x0d (~5%), val < 0x27 (~10%), else train. ONE definition
+    * — q110 and every consumer that re-derives split membership
+    * (q124's example assembly) share these, because the whole point of
+    * a hash split is that two tables can never disagree about a doc's
+    * split; duplicated literals would reintroduce that leak. */
+  private[operators] val splitTestGate = "0d"
+  private[operators] val splitValGate = "27"
+
+  private[operators] def splitColumn(id: Column): Column = {
+    val bucket = substring(md5(id.cast("string")), 1, 2)
+    when(bucket < splitTestGate, "test")
+      .when(bucket < splitValGate, "val")
+      .otherwise("train")
+  }
+
+  private[operators] def splitSqlCase(idExpr: String): String =
+    s"""CASE WHEN substring(md5(CAST($idExpr AS VARCHAR)), 1, 2) < '$splitTestGate' THEN 'test'
+       |       WHEN substring(md5(CAST($idExpr AS VARCHAR)), 1, 2) < '$splitValGate' THEN 'val'
+       |       ELSE 'train' END""".stripMargin
+
+  /** Deterministic train/val/test split — hash-split (vs random)
+    * keeps membership stable across reruns and derived tables: a doc
+    * can never leak between splits. */
   val qTrainSplit: GraftQuery = GraftQuery(
     "q110_train_split",
-    """WITH tagged AS (
-      |  SELECT doc_id, lang,
-      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
-      |  FROM documents)
-      |SELECT doc_id, lang,
-      |  CASE WHEN bucket < '0d' THEN 'test'
-      |       WHEN bucket < '27' THEN 'val'
-      |       ELSE 'train' END AS split
-      |FROM tagged
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    s"""SELECT doc_id, lang,
+       |  ${splitSqlCase("doc_id")} AS split
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 2))
-      .select(
-        col("doc_id"), col("lang"),
-        when(col("bucket") < "0d", "test")
-          .when(col("bucket") < "27", "val")
-          .otherwise("train").as("split"))
+      .select(col("doc_id"), col("lang"),
+        splitColumn(col("doc_id")).as("split"))
       .orderBy("doc_id")
   }
 
@@ -164,12 +174,18 @@ object TrainingPipeline {
   /** Overlapping-window document chunking (RAG / context-window prep):
     * 200-code-point windows at stride 150, each chunk carried as
     * (start, length, md5) — the md5 makes the oracle prove every chunk
-    * BYTE, not just the offsets. Chunk k starts at 1+150k while that
-    * offset is inside the text: ceil(len/150) chunks, so consecutive
-    * chunks overlap by 50 and the tail chunk may be short. Pure per-row
-    * explode — no shuffle at all in production (the ORDER BY is oracle
-    * determinism only); at 100 TB this fuses into whatever scans the
-    * corpus next, exactly like the q109/q110 hash gates. */
+    * BYTE, not just the offsets. Chunk count is
+    * 1 + ceil(max(len-200, 0)/150): a chunk is emitted only while the
+    * PREVIOUS window has not already reached end-of-text (the naive
+    * "while 1+150k <= len" rule emits a final chunk that is a strict
+    * sub-span of its predecessor whenever len mod 150 ∈ [1,50] —
+    * e.g. a 200-char doc would get chunk 151-200 inside chunk 1-200 —
+    * a duplicate retrieval candidate, never new text). Consecutive
+    * chunks overlap by 50; the tail chunk covers through the end.
+    * Pure per-row explode — no shuffle at all in production (the
+    * ORDER BY is oracle determinism only); at 100 TB this fuses into
+    * whatever scans the corpus next, exactly like the q109/q110 hash
+    * gates. */
   val qChunkDocuments: GraftQuery = GraftQuery(
     "q122_chunk_documents",
     """WITH chunks AS (
@@ -177,8 +193,9 @@ object TrainingPipeline {
       |    CAST(1 + 150 * k AS INTEGER) AS chunk_start,
       |    substring(text, CAST(1 + 150 * k AS INTEGER), 200) AS chunk
       |  FROM (SELECT doc_id, text,
-      |          unnest(range(0, (length(text) + 149) // 150)) AS k
-      |        FROM documents))
+      |          unnest(range(0, 1 + (greatest(length(text) - 200, 0) + 149) // 150)) AS k
+      |        FROM documents
+      |        WHERE length(text) >= 1))
       |SELECT doc_id, chunk_idx, chunk_start,
       |  CAST(length(chunk) AS INTEGER) AS chunk_len,
       |  md5(chunk) AS chunk_md5
@@ -189,7 +206,8 @@ object TrainingPipeline {
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           // DIV, not `/`: Spark's / is double division even on longs
-          expr("CAST(length(text) + 149 AS BIGINT) DIV 150") - 1)).as("k"))
+          expr("CAST(greatest(length(text) - 200, 0) + 149 AS BIGINT) DIV 150")))
+          .as("k"))
       .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
         (lit(1) + lit(150) * col("k")).cast("int").as("chunk_start"),
         col("text").substr((lit(1) + lit(150) * col("k")).cast("int"), lit(200))

@@ -22,11 +22,29 @@ import org.apache.spark.sql.types.BinaryType
 object BloomSketch {
 
   /** Aggregate a LongType hash column into a serialized bloom filter
-    * (one binary row). */
-  def agg(hash: Column, estimatedItems: Long, numBits: Long): Column =
+    * (one binary row).
+    *
+    * FAIL-LOUD GUARD: BloomFilterAggregate silently clamps numBits to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 2^26 = 67,108,864 — verified in the 4.1.2 bytecode: numBits =
+    * Math.min(requested, conf)). A silent clamp is the worst failure
+    * mode for a prefilter: results stay correct (no false negatives)
+    * while the FPR quietly approaches 1 and the pruning evaporates.
+    * Sizing a bigger sketch therefore REQUIRES raising that conf, and
+    * this wrapper refuses to build a sketch it knows would be
+    * truncated. */
+  def agg(hash: Column, estimatedItems: Long, numBits: Long): Column = {
+    val maxBits: Long = org.apache.spark.sql.internal.SQLConf.get
+      .getConf(org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+      .asInstanceOf[Long]
+    require(numBits <= maxBits,
+      s"numBits=$numBits exceeds spark.sql.optimizer.runtime.bloomFilter.maxNumBits=" +
+        s"$maxBits; Spark would SILENTLY clamp the sketch (FPR blows up while " +
+        "results stay correct). Raise the conf to size a bigger filter.")
     ColumnBridge.column(new BloomFilterAggregate(
       ColumnBridge.expression(hash),
       Literal(estimatedItems), Literal(numBits)).toAggregateExpression())
+  }
 
   /** Probe a serialized filter: true if `hash` might be a member
     * (no false negatives; false positives at the sized FPR). */

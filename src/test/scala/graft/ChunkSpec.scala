@@ -8,13 +8,17 @@ class ChunkSpec extends SparkSpecBase {
   test("planted doc: offsets, overlap, tail length, chunk bytes") {
     import spark.implicits._
     val text = ('a' to 'z').mkString * 14 // 364 chars -> chunks at 1,151,301
+    val covered = "x" * 200 // one full window covers it: exactly 1 chunk,
+    // no redundant 151-200 tail inside chunk 0
     val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
-    Seq((7L, text, "en", "s", text.length.toLong))
+    Seq((7L, text, "en", "s", text.length.toLong),
+      (8L, covered, "en", "s", 200L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = SparkEntry.queries("q122_chunk_documents")(spark, tmp).collect()
-    assert(out.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
-      Seq((0, 1, 200), (1, 151, 200), (2, 301, 64)))
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ===
+      Seq((7L, 0, 1, 200), (7L, 1, 151, 200), (7L, 2, 301, 64),
+        (8L, 0, 1, 200)))
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(s: String) =
       md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

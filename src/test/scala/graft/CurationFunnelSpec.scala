@@ -29,11 +29,12 @@ class CurationFunnelSpec extends SparkSpecBase {
     assert(ex.select("doc_id").distinct().count() === kept)
     val badSplit = ex.where(!col("split").isin("train", "val", "test")).count()
     assert(badSplit === 0L)
-    // embeddings cover vec_id = doc_id on this fixture: every example
-    // with a matching vector reports its dimensionality
-    val dims = ex.where(col("emb_dim").isNotNull)
-      .select("emb_dim").distinct().collect().map(_.getInt(0)).toSeq
-    assert(dims.isEmpty || dims === Seq(64))
+    // embeddings cover vec_id = doc_id 0..499 on this fixture, so the
+    // join must land for EVERY example — a NULL emb_dim means the join
+    // key broke, not a coverage gap
+    assert(ex.where(col("emb_dim").isNull).count() === 0L)
+    val dims = ex.select("emb_dim").distinct().collect().map(_.getInt(0)).toSeq
+    assert(dims === Seq(64))
   }
 
   test("each gate does real work on this corpus") {

@@ -12,7 +12,7 @@ object PlanProbe {
     else Seq("q115_lm_fluency", "q116_semantic_dedup", "q117_dup_ngram_spans",
       "q119_curation_funnel", "q121_bpe_top_pairs", "q122_chunk_documents")
     names.foreach { n =>
-      val p = SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      val p = SparkEntry.queries(n)(spark, TestSpark.sf001)
         .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
       val joins = p.linesIterator.filter(l =>
         l.contains("Join") || l.contains("Exchange") || l.contains("Window"))
