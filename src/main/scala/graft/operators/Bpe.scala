@@ -111,6 +111,42 @@ object Bpe {
       .orderBy("rank")
   }
 
+  /** Encode a symbol column with a FIXED learned merge list: the
+    * merges fold into one projection (rank order, the same greedy
+    * rule as training). Unlike the trainer's loop there is no
+    * re-analysis blowup here — this is a single plan with k nested
+    * lambdas, compiled once. */
+  private[operators] def encodeSyms(syms: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(syms)((c, m) => applyMerge(c, m.left, m.right))
+
+  /** Tokenize-with-learned-vocabulary (q125): learn 12 merges, then
+    * encode the corpus and report per-document BPE statistics. The
+    * encode pass runs on the DISTINCT word table (the same
+    * Zipf-compact relation the trainer iterates on) and joins the
+    * per-word token counts back to the doc→word stream — each vocab
+    * word is encoded exactly ONCE no matter how often it occurs, the
+    * shape a production tokenizer job uses. Rows-only like q120 (the
+    * merge loop has no SQL rendering); BpeSpec checks the encoder
+    * against the single-node reference symbol-for-symbol. */
+  val qBpeEncode: GraftQuery = GraftQuery.noOracle("q125_bpe_encode") { (s, d) =>
+    val docs = Tables.documents(s, d).repartition(32)
+    val merges = learn(docs, numMerges = 12)
+    val vocabEnc = wordFreq(docs) // distinct words, length >= 2
+      .select(col("w"),
+        size(encodeSyms(split(col("w"), ""), merges)).as("n_sym"))
+    val words = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("w"))
+    // single-char / empty words encode to themselves (no pair exists):
+    // they are absent from the vocab table and count 1 symbol each
+    words.join(vocabEnc, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1))).cast("long").as("n_bpe_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars_in_words"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-paired first iteration: the frequency-weighted adjacent
     * character-pair counts that select merge #1, top-20. Pairs are
     * rendered with substring (code-point semantics in both engines —
@@ -137,5 +173,5 @@ object Bpe {
       .limit(20)
   }
 
-  def all: Seq[GraftQuery] = Seq(qBpeMerges, qBpeTopPairs)
+  def all: Seq[GraftQuery] = Seq(qBpeMerges, qBpeTopPairs, qBpeEncode)
 }

@@ -65,6 +65,31 @@ class BpeSpec extends SparkSpecBase {
     assert(two(1) === Bpe.Merge(2, "aa", "a", 2L))
   }
 
+  test("q125: engine encoder matches the reference per document") {
+    val docs = Tables.documents(spark, sf001)
+    val merges = Bpe.learn(docs, numMerges = 12).map(m => (m.left, m.right))
+    def encRef(w: String): Long =
+      merges.foldLeft(w.split("").toVector) { case (syms, (l, r)) =>
+        refApply(syms, l, r)
+      }.length.toLong
+    val expected = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val toks = ws.map(w => if (w.length >= 2) encRef(w) else 1L).sum
+        r.getLong(0) -> (ws.length, toks)
+      }.toMap
+    val got = SparkEntry.queries("q125_bpe_encode")(spark, sf001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    assert(got === expected)
+    // BPE never increases token count below the character tokenization
+    val monotone = SparkEntry.queries("q125_bpe_encode")(spark, sf001)
+      .where(col("n_bpe_tokens") > col("n_chars_in_words")).count()
+    assert(monotone === 0L)
+  }
+
   test("q121 top pair equals the learner's first merge") {
     val top = SparkEntry.queries("q121_bpe_top_pairs")(spark, sf001)
       .limit(1).collect()(0)
