@@ -37,6 +37,7 @@ object SparkEntry {
       operators.NgramStats.all ++
       operators.CurationFunnel.all ++
       operators.Bpe.all ++
+      operators.LineDedup.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ModelQueries.all ++
