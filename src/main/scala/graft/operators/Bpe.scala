@@ -67,16 +67,22 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
           .otherwise(concat(acc, array(x))))
 
-  /** Learn up to `numMerges` merges with corpus support ≥ `minFreq`.
-    * Each generation is an EAGER localCheckpoint: persist alone keeps
-    * the logical plan growing one nested lambda per merge, and
-    * Catalyst's re-analysis of that chain turns exponential (measured:
-    * 12 merges 9 s, 20 merges OOM — on a 30-row table). Checkpointing
-    * truncates the lineage so every iteration plans depth-1 work; on a
-    * real cluster the same loop would use reliable checkpoint() if
-    * executor loss mid-train mattered. */
-  def learn(docs: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[Merge] = {
-    var gen = wordFreq(docs)
+  /** Learn up to `numMerges` merges with corpus support ≥ `minFreq`. */
+  def learn(docs: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[Merge] =
+    learnFromWords(wordFreq(docs), numMerges, minFreq)
+
+  /** Learn from a precomputed (w, freq) table — the corpus is scanned
+    * once even when the caller also needs the word table (q125 encodes
+    * over it after training). Each generation is an EAGER
+    * localCheckpoint: persist alone keeps the logical plan growing one
+    * nested lambda per merge, and Catalyst's re-analysis of that chain
+    * turns exponential (measured: 12 merges 9 s, 20 merges OOM — on a
+    * 30-row table). Checkpointing truncates the lineage so every
+    * iteration plans depth-1 work; on a real cluster the same loop
+    * would use reliable checkpoint() if executor loss mid-train
+    * mattered. */
+  def learnFromWords(wf: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[Merge] = {
+    var gen = wf
       .select(split(col("w"), "").as("syms"), col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
@@ -130,19 +136,25 @@ object Bpe {
     * against the single-node reference symbol-for-symbol. */
   val qBpeEncode: GraftQuery = GraftQuery.noOracle("q125_bpe_encode") { (s, d) =>
     val docs = Tables.documents(s, d).repartition(32)
-    val merges = learn(docs, numMerges = 12)
-    val vocabEnc = wordFreq(docs) // distinct words, length >= 2
+    // ONE corpus scan builds the word table; the trainer iterates on
+    // the checkpoint and the encoder reuses the same relation
+    val wf = wordFreq(docs).localCheckpoint()
+    val merges = learnFromWords(wf, numMerges = 12)
+    val vocabEnc = wf // distinct words, length >= 2
       .select(col("w"),
         size(encodeSyms(split(col("w"), ""), merges)).as("n_sym"))
     val words = docs.select(col("doc_id"),
       explode(split(lower(col("text")), " ")).as("w"))
-    // single-char / empty words encode to themselves (no pair exists):
-    // they are absent from the vocab table and count 1 symbol each
+    // words absent from the vocab table encode to themselves: a
+    // single-char word is 1 symbol, an EMPTY word (consecutive/
+    // leading/trailing spaces) is 0 — counting it as 1 would break
+    // the tokens <= chars invariant the spec asserts
     words.join(vocabEnc, Seq("w"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("int").as("n_words"),
-        sum(coalesce(col("n_sym"), lit(1))).cast("long").as("n_bpe_tokens"),
+        sum(coalesce(col("n_sym"), least(length(col("w")), lit(1))))
+          .cast("long").as("n_bpe_tokens"),
         sum(length(col("w"))).cast("long").as("n_chars_in_words"))
       .orderBy("doc_id")
   }

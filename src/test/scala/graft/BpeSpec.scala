@@ -76,7 +76,9 @@ class BpeSpec extends SparkSpecBase {
       .collect()
       .map { r =>
         val ws = r.getString(1).split(" ", -1)
-        val toks = ws.map(w => if (w.length >= 2) encRef(w) else 1L).sum
+        // empty word -> 0 symbols, single char -> 1, else encode
+        val toks = ws.map(w =>
+          if (w.length >= 2) encRef(w) else math.min(w.length, 1).toLong).sum
         r.getLong(0) -> (ws.length, toks)
       }.toMap
     val got = SparkEntry.queries("q125_bpe_encode")(spark, sf001)
@@ -88,6 +90,17 @@ class BpeSpec extends SparkSpecBase {
     val monotone = SparkEntry.queries("q125_bpe_encode")(spark, sf001)
       .where(col("n_bpe_tokens") > col("n_chars_in_words")).count()
     assert(monotone === 0L)
+  }
+
+  test("q125: empty words (space runs) count zero tokens, not one") {
+    import spark.implicits._
+    val docs = Seq((1L, "a  bb", "en", "s", 5L)) // double space -> empty word
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_empty").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q125_bpe_encode")(spark, tmp).collect()(0)
+    // words: ["a", "", "bb"]; no merges learnable (all pair freqs < 2)
+    assert((r.getInt(1), r.getLong(2), r.getLong(3)) === ((3, 3L, 3L)))
   }
 
   test("q121 top pair equals the learner's first merge") {
