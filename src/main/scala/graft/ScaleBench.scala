@@ -1,7 +1,8 @@
 package graft
 
-import graft.operators.{Dedup, IvfAnn, MinHashScheme, Similarity}
+import graft.operators.{Bpe, Dedup, IvfAnn, MinHashScheme, Similarity}
 import graft.sources.Tables
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +82,49 @@ object ScaleBench {
     val t0 = System.nanoTime()
     val r = f
     (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Spark jobs launched while `f` runs (listener bus is async — the
+    * post-run sleep lets the tail drain; both sides of an A/B carry
+    * the same bias, so ratios are clean). */
+  private def countJobs(spark: SparkSession)(f: => Unit): Int = {
+    val c = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = c.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; Thread.sleep(1000) }
+    finally spark.sparkContext.removeSparkListener(l)
+    c.get()
+  }
+
+  /** Synthetic Zipf word-frequency table — the BPE trainer's input
+    * relation, synthesized directly (the testdata vocabulary is ~30
+    * words, far too small for a 200-merge training run). Character
+    * distribution is Zipfian like natural text (so pair counts have
+    * the head-heavy shape the batcher exploits) and everything derives
+    * from splitmix64 hashes of the row index — deterministic, no RNG. */
+  def zipfWordTable(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // inverse-CDF over 26 letters, weight 1/(i+1)
+    val cum = (0 until 26).map(i => 1.0 / (i + 1)).scanLeft(0.0)(_ + _).tail
+    val h26 = cum.last
+    def zc(h: Long): Char = {
+      val u = ((h >>> 11).toDouble / (1L << 53).toDouble) * h26
+      ('a' + cum.indexWhere(u < _)).toChar
+    }
+    (1 to n).map { i =>
+      val len = 3 + (mix(i.toLong) & 0x7fffffff) % 8
+      val w = (0L until len).map(p => zc(mix(i.toLong * 131 + p + 1))).mkString
+      (w, math.max(1L, 1000000L / i))
+    }.groupBy(_._1).map { case (w, rows) => (w, rows.map(_._2).sum) }
+      .toSeq.toDF("w", "freq").repartition(32)
   }
 
   /** Runs the probe; returns flat metric map (stable key order for the
@@ -314,6 +358,48 @@ object ScaleBench {
       "ivf_recall3_op" -> recallOf(ivfTopOp),
       "ivf_search_op_sec" -> tIvfOp)
     vecs.unpersist()
+
+    // ---- BPE trainer driver-round-trip physics ----
+    // A/B on one synthetic 20k-word Zipf vocabulary: the sequential
+    // loop (topB=1, rounds-1..5 behavior) pays ~2-3 Spark jobs PER
+    // MERGE; the batched loop applies a provably-safe prefix per pass
+    // (Bpe.safeBatchLen), so jobs per merge drop by the average batch
+    // size. The sequential side runs fewer merges (same constant
+    // per-merge cost, bounded wall time); jobs-per-merge is the
+    // comparable statistic.
+    val bpeWf = zipfWordTable(spark, 20000).persist()
+    bpeWf.count()
+    val seqMerges = 60
+    var seqRes: Bpe.TrainResult = null
+    val seqJobs = countJobs(spark) {
+      // topB=1 + ckptEvery=1 IS the rounds-1..5 sequential loop
+      seqRes = Bpe.learnBatched(bpeWf, seqMerges, minFreq = 1L, topB = 1,
+        ckptEvery = 1)
+    }
+    val seqPerMerge = seqJobs.toDouble / math.max(1, seqRes.merges.size)
+    out ++= Seq(
+      "bpe_seq_merges" -> seqRes.merges.size.toDouble,
+      "bpe_seq_jobs" -> seqJobs.toDouble,
+      "bpe_jobs_per_merge_seq" -> seqPerMerge)
+    // (600-merge point measured once in docs/SCALE.md — ratio grows
+    // with depth as merged symbols diversify; 200 keeps bench wall
+    // time bounded)
+    for (batchMerges <- Seq(200)) {
+      var batRes: Bpe.TrainResult = null
+      val batJobs = countJobs(spark) {
+        batRes = Bpe.learnBatched(bpeWf, batchMerges, minFreq = 1L,
+          ckptEvery = 24)
+      }
+      val batPerMerge = batJobs.toDouble / math.max(1, batRes.merges.size)
+      out ++= Seq(
+        s"bpe_batched${batchMerges}_merges" -> batRes.merges.size.toDouble,
+        s"bpe_batched${batchMerges}_passes" -> batRes.passes.toDouble,
+        s"bpe_batched${batchMerges}_jobs" -> batJobs.toDouble,
+        s"bpe_jobs_per_merge_batched$batchMerges" -> batPerMerge,
+        s"bpe_job_reduction_ratio$batchMerges" ->
+          (if (batPerMerge > 0) seqPerMerge / batPerMerge else -1.0))
+    }
+    bpeWf.unpersist()
 
     out.toSeq
   }

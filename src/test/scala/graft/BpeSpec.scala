@@ -103,6 +103,95 @@ class BpeSpec extends SparkSpecBase {
     assert((r.getInt(1), r.getLong(2), r.getLong(3)) === ((3, 3L, 3L)))
   }
 
+  // ---- pure mirror of the BATCHED trainer: same safeBatchLen, pair
+  // counting and rewrite done in plain Scala so the prefix-safety
+  // argument can be property-tested against refBpe without paying a
+  // Spark job per random corpus ----
+  private def pureBatched(wf: Map[String, Long], numMerges: Int,
+      minFreq: Long, topB: Int): Seq[(Int, String, String, Long)] = {
+    var words = wf.toSeq.map { case (w, f) => (w.split("").toVector, f) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    val created = mutable.Set.empty[String]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      val rows = counts.toIndexedSeq
+        .sortBy { case ((l, r), n) => (-n, l, r) }
+        .take(topB)
+        .map { case ((l, r), n) => (l, r, n) }
+      if (rows.isEmpty || rows(0)._3 < minFreq) done = true
+      else {
+        val outside = if (rows.length == topB) rows.last._3 else 0L
+        var k = math.min(Bpe.safeBatchLen(rows, outside, created), numMerges - rank)
+        val freqCut = rows.indexWhere(_._3 < minFreq)
+        if (freqCut >= 0 && freqCut < k) { k = freqCut; done = true }
+        val batch = rows.take(k)
+        batch.foreach { case (l, r, n) =>
+          rank += 1; out += ((rank, l, r, n)); created += (l + r)
+        }
+        words = words.map { case (syms, f) =>
+          (batch.foldLeft(syms) { case (s, (l, r, _)) => refApply(s, l, r) }, f)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("batched prefix preserves the reference merge sequence on randomized corpora") {
+    // small alphabets force the adversarial cases the safety argument
+    // handles: conflicted pairs that keep their counts, risers like
+    // (c,ab) outranking later snapshot pairs, self-pairs, dense ties
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 300) {
+      val alphaN = 2 + rng.nextInt(3)
+      val alpha = "abcd".take(alphaN)
+      val words = (1 to (5 + rng.nextInt(40))).map { _ =>
+        val len = 2 + rng.nextInt(7)
+        (1 to len).map(_ => alpha(rng.nextInt(alphaN))).mkString
+      }
+      val wf = words.groupBy(identity).map { case (w, ws) =>
+        w -> (ws.size.toLong * (1 + rng.nextInt(5)))
+      }
+      val minFreq = 1L + rng.nextInt(2)
+      val want = refBpe(wf, numMerges = 25, minFreq = minFreq)
+      for (topB <- Seq(2, 8, 64)) {
+        val got = pureBatched(wf, numMerges = 25, minFreq = minFreq, topB = topB)
+        assert(got === want,
+          s"trial $trial topB=$topB minFreq=$minFreq wf=$wf")
+      }
+    }
+  }
+
+  test("safeBatchLen refuses the riser counterexample (skip-based batching is unsound)") {
+    // snapshot of {cab x100, de x90}: applying (a,b) creates riser
+    // (c,ab)@100, so neither the conflicted (c,a) nor the disjoint
+    // (d,e) may join (a,b)'s batch
+    val rows = IndexedSeq(("a", "b", 100L), ("c", "a", 100L), ("d", "e", 90L))
+    assert(Bpe.safeBatchLen(rows, 0L) === 1)
+    // self-pairs may only end a batch: "aaa" risers through itself
+    assert(Bpe.safeBatchLen(IndexedSeq(("a", "a", 200L), ("d", "e", 10L)), 0L) === 1)
+    // genuinely disjoint dominant pairs DO batch
+    val disjoint = IndexedSeq(("a", "b", 1000L), ("c", "d", 900L), ("e", "f", 800L))
+    assert(Bpe.safeBatchLen(disjoint, 0L) === 3)
+  }
+
+  test("Spark batched trainer equals the sequential reference at several batch widths") {
+    val docs = Tables.documents(spark, sf001)
+    val wfDf = Bpe.wordFreq(docs)
+    val wf = wfDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(wf, numMerges = 40, minFreq = 1L)
+    for (topB <- Seq(1, 8, 64)) {
+      val got = Bpe.learnBatched(wfDf, numMerges = 40, minFreq = 1L, topB = topB)
+      assert(got.merges.map(m => (m.rank, m.left, m.right, m.freq)) === want,
+        s"topB=$topB")
+      if (topB == 1) assert(got.passes >= got.merges.size) // sequential baseline
+      else if (got.merges.size > 1) assert(got.passes <= got.merges.size)
+    }
+  }
+
   test("q121 top pair equals the learner's first merge") {
     val top = SparkEntry.queries("q121_bpe_top_pairs")(spark, sf001)
       .limit(1).collect()(0)
