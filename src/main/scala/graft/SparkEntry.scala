@@ -29,10 +29,12 @@ object SparkEntry {
       operators.Extras.all ++
       operators.IvfAnn.all ++
       operators.PqAnn.all ++
+      operators.IvfPq.all ++
       operators.Advanced.all ++
       operators.TextAdvanced.all ++
       operators.BloomDecontam.all ++
       operators.TextVector.all ++
+      operators.QualityGate.all ++
       operators.TrainingPipeline.all ++
       operators.NgramStats.all ++
       operators.CurationFunnel.all ++

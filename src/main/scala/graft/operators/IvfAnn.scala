@@ -152,7 +152,7 @@ object IvfAnn {
     * so the probed FRACTION shrinks as data grows at constant nProbe. */
   val opNProbe = 32
 
-  private val cosSql =
+  private[operators] val cosSql =
     "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
 
   /** Fixed-centroid IVF, oracle-checked end to end: quantizer

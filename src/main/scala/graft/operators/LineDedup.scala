@@ -87,5 +87,105 @@ object LineDedup {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qLineDedup)
+  /** Content-defined (anchored) substring dedup — the overlap-aware
+    * successor to q126. q126's fixed 10-token blocks miss a duplicated
+    * span that straddles a block boundary, and fixed-STRIDE overlapping
+    * blocks would only catch copies whose offsets agree mod the stride;
+    * content-defined segmentation (the CDC idea, Lee et al.'s exact
+    * substring dedup at segment granularity) is ALIGNMENT-FREE: a
+    * token is an anchor iff the first hex digit of md5(token) is in
+    * {0,1,2} (≈3/16 of tokens, mean segment ≈5 tokens; md5 because it
+    * is bit-identical in Spark and DuckDB, unlike either engine's
+    * native hash), and every anchor starts a new segment. Two copies
+    * of a span therefore segment IDENTICALLY from the first anchor
+    * inside the span, wherever each copy sits in its document.
+    *
+    * Keep rule and rebuild are q126's, at segment granularity: a
+    * segment survives iff it is the corpus-wide first occurrence of
+    * its text (by doc_id, then start position); a document's kept
+    * tokens are re-concatenated in position order and md5'd, so the
+    * oracle byte-checks the rewrite. LineDedupSpec plants a straddling
+    * misaligned duplicate that q126 provably keeps and q128 removes.
+    *
+    * Boundary effects (by construction, not bugs): tokens before a
+    * copy's first internal anchor and after its last internal anchor
+    * segment together with surrounding novel text, so only the span's
+    * interior segments dedup — the price of alignment-freedom, shrinking
+    * as spans grow. A document with no anchors is one segment (degrades
+    * to exact doc-level dedup).
+    *
+    * 100 TB: same physics as q126 — one token-stream window keyed by
+    * doc_id (prefix-sum of anchor flags), one shuffle keyed by segment
+    * text (Zipf-compact groups), one per-doc regroup bounded by the
+    * doc's own tokens. */
+  val qAnchoredDedup: GraftQuery = GraftQuery(
+    "q128_anchored_substring_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE text IS NOT NULL),
+      |tokens AS (
+      |  SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+      |    CASE WHEN substring(md5(t[i]), 1, 1) IN ('0','1','2')
+      |      THEN 1 ELSE 0 END AS anchor
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+      |segged AS (
+      |  SELECT doc_id, pos, tok,
+      |    sum(anchor) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+      |  FROM tokens),
+      |segs AS (
+      |  SELECT doc_id, seg_id,
+      |    string_agg(tok, ' ' ORDER BY pos) AS seg_text,
+      |    min(pos) AS start_pos
+      |  FROM segged GROUP BY doc_id, seg_id),
+      |ranked AS (
+      |  SELECT doc_id, seg_id,
+      |    row_number() OVER (PARTITION BY seg_text
+      |      ORDER BY doc_id, start_pos) AS rn
+      |  FROM segs)
+      |SELECT g.doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_tok,
+      |  CAST(count(*) FILTER (r.rn > 1) AS INTEGER) AS n_removed,
+      |  md5(COALESCE(string_agg(CASE WHEN r.rn = 1 THEN g.tok END,
+      |    ' ' ORDER BY g.pos), '')) AS cleaned_md5
+      |FROM segged g JOIN ranked r USING (doc_id, seg_id)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d).where(col("text").isNotNull)
+      .repartition(32)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val tokens = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .withColumn("anchor",
+        when(substring(md5(col("tok")), 1, 1).isin("0", "1", "2"), 1)
+          .otherwise(0))
+    val segged = tokens.withColumn("seg_id",
+      sum(col("anchor")).over(Window.partitionBy("doc_id").orderBy("pos")))
+    val segs = segged.groupBy("doc_id", "seg_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")), " ").as("seg_text"),
+        min(col("pos")).as("start_pos"))
+    val ranked = segs.withColumn("rn",
+      row_number().over(
+        Window.partitionBy("seg_text").orderBy("doc_id", "start_pos")))
+    segged
+      .join(ranked.select("doc_id", "seg_id", "rn"), Seq("doc_id", "seg_id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_tok"),
+        count(when(col("rn") > 1, 1)).cast("int").as("n_removed"),
+        md5(coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("pos"), col("tok"))))),
+              e => e.getField("tok")),
+            " "),
+          lit(""))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qLineDedup, qAnchoredDedup)
 }

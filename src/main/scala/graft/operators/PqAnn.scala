@@ -52,6 +52,52 @@ object PqAnn {
     IndexedSeq.fill(dims)(it.next())
   }
 
+  /** Train per-subspace codebooks with Lloyd's k-means on a bounded
+    * vector sample — the PRODUCTION codebook path (faiss-style: the
+    * sample is a driver-side bounded transfer like the IVF centroids,
+    * the fit is trivial CPU). The fixed LCG codebook above exists for
+    * oracle exactness (q114/q127 embed it as exact SQL literals); a
+    * data-oblivious codebook quantizes real embedding distributions
+    * poorly (ScaleBench measured recall@3 0.07 fixed vs trained at
+    * 100k vectors) and 8 centroids/subspace (the oracle operating
+    * point, 24 bits/vector) cannot resolve fine-grained top-k either —
+    * production PQ is 8 BITS per subspace (PQ8x8, 64 bits/vector),
+    * the default here, so any deployment trains. Deterministic: init is
+    * the first k distinct subvectors in input order, ties in assignment
+    * break to the lowest centroid id. */
+  def trainCodebook(samples: IndexedSeq[IndexedSeq[Double]],
+      numCentroids: Int = 256,
+      iters: Int = 12): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    IndexedSeq.tabulate(subspaces) { s =>
+      val sub = samples.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      var cents: IndexedSeq[IndexedSeq[Double]] =
+        sub.distinct.take(numCentroids)
+      while (cents.size < numCentroids && cents.nonEmpty)
+        cents = cents :+ cents(cents.size % cents.size) // degenerate pad
+      require(cents.nonEmpty, "empty codebook training sample")
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(numCentroids, subDim)(0.0)
+        val cnt = Array.fill(numCentroids)(0L)
+        sub.foreach { v =>
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < numCentroids) {
+            var d = 0.0; var j = 0
+            while (j < subDim) { val t = v(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          cnt(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = IndexedSeq.tabulate(numCentroids)(c =>
+          if (cnt(c) == 0) cents(c)
+          else IndexedSeq.tabulate(subDim)(j => sums(c)(j) / cnt(c)))
+      }
+      cents
+    }
+
   /** ADC lookup table: lut(s)(c) = ||query_s - codebook(s)(c)||², an
     * exact multiple of 0.25 → prints exactly in decimal. */
   val lut: IndexedSeq[IndexedSeq[Double]] =
@@ -65,7 +111,7 @@ object PqAnn {
 
   /** Exact decimal rendering for the SQL literals (all values are
     * multiples of 0.25 with |v| < 100 — plain toString is exact). */
-  private def sqlNum(v: Double): String = {
+  private[operators] def sqlNum(v: Double): String = {
     val s = v.toString
     assert(v == s.toDouble && v * 4 == math.rint(v * 4), s"non-exact literal $v")
     s
@@ -75,20 +121,20 @@ object PqAnn {
 
   /** ((CAST(embedding[i] AS DOUBLE) - cᵢ)² + ...) left-assoc sum over
     * one subspace for one centroid; 1-based index into the list. */
-  private def centDistSql(s: Int, c: Int): String =
+  private[operators] def centDistSql(s: Int, c: Int): String =
     (0 until subDim).map { j =>
       val idx = s * subDim + j + 1
       s"((CAST(embedding[$idx] AS DOUBLE) - ${sqlNum(codebook(s)(c)(j))}) * " +
         s"(CAST(embedding[$idx] AS DOUBLE) - ${sqlNum(codebook(s)(c)(j))}))"
     }.mkString("(", " + ", ")")
 
-  private def codeSql(s: Int): String = {
+  private[operators] def codeSql(s: Int): String = {
     val dlist = (0 until nCentroids).map(c => centDistSql(s, c)).mkString("[", ", ", "]")
     // first index of the min → lowest-id tie-break; 0-based code
     s"CAST(list_position($dlist, list_aggregate($dlist, 'min')) - 1 AS INTEGER)"
   }
 
-  private def exactDistSql: String =
+  private[operators] def exactDistSql: String =
     (0 until dims).map { j =>
       s"((CAST(embedding[${j + 1}] AS DOUBLE) - ${sqlNum(query(j))}) * " +
         s"(CAST(embedding[${j + 1}] AS DOUBLE) - ${sqlNum(query(j))}))"
@@ -101,9 +147,9 @@ object PqAnn {
   // The composed form (unrolled per-centroid distances +
   // array_position argmin) measured 0.4 ms/row — see PqEncode docs.
 
-  private def emb(i: Int): Column = element_at(col("embedding"), i + 1).cast("double")
+  private[operators] def emb(i: Int): Column = element_at(col("embedding"), i + 1).cast("double")
 
-  private def exactDist: Column =
+  private[operators] def exactDist: Column =
     (0 until dims).map { j =>
       val d = emb(j) - lit(query(j)); d * d
     }.reduceLeft(_ + _)

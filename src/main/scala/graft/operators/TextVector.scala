@@ -27,7 +27,7 @@ object TextVector {
   /** SQL rebuild of [[CharGramVector.accumulate]]: gram hashes per
     * document (code-point indexed — DuckDB substring/length are
     * character-based, matching the expression's code-point alphabet). */
-  private val gramsSql: String =
+  private[operators] val gramsSql: String =
     """SELECT doc_id, list_transform(range(1, length(text) - 1), i ->
       |    ((unicode(substring(text, CAST(i AS INTEGER), 1)) * 961
       |      + unicode(substring(text, CAST(i AS INTEGER) + 1, 1)) * 31
@@ -36,7 +36,7 @@ object TextVector {
 
   // CAST to BIGINT: DuckDB list_sum yields HUGEINT, which would
   // type-mismatch Spark's LongType in the driver compare
-  private val vecSql: String =
+  private[operators] val vecSql: String =
     s"""SELECT doc_id, list_transform(range(0, $dim), d ->
        |    CAST(coalesce(list_sum(list_transform(list_filter(hs, h -> h % $dim = d),
        |      h -> CASE WHEN (h // 65536) % 2 = 0 THEN 1 ELSE -1 END)), 0) AS BIGINT)) AS v

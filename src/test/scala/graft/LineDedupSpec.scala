@@ -30,6 +30,72 @@ class LineDedupSpec extends SparkSpecBase {
     assert(out(2).getString(3) === md5hex(b3)) // only the unique block
   }
 
+  // pure mirror of q128's segmentation rule, for building expected
+  // values in the planted tests
+  private def isAnchor(tok: String): Boolean =
+    "012".contains(md5hex(tok).head)
+
+  private def segments(toks: Seq[String]): Seq[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[String]]
+    toks.foreach { t =>
+      // seg_id(p) = count of anchors at positions <= p: an anchor
+      // always starts a new segment; a leading non-anchor run is seg 0
+      if (out.isEmpty || isAnchor(t))
+        out += scala.collection.mutable.ArrayBuffer.empty[String]
+      out.last += t
+    }
+    out.map(_.toSeq).toSeq
+  }
+
+  test("q128: straddling misaligned duplicate that q126 misses is removed") {
+    import spark.implicits._
+    // word pool with known anchor status under md5 (first hex in 0-2)
+    val pool = (1 to 200).map(i => s"w$i")
+    val anchors = pool.filter(isAnchor)
+    val plains = pool.filterNot(isAnchor)
+    assert(anchors.size >= 6 && plains.size >= 40)
+    // span X: ~16 tokens with 3 interior anchors — its interior
+    // segments are content-defined, so both copies segment identically
+    val x = Seq(plains(0), plains(1), anchors(0), plains(2), plains(3),
+      plains(4), anchors(1), plains(5), plains(6), plains(7),
+      anchors(2), plains(8), plains(9), plains(10), plains(11), plains(12))
+    // doc A: X at offset 0; doc B: X at offset 7 (misaligned vs any
+    // 10-token block grid AND vs a 5-stride grid), novel text around
+    val fillB = Seq(plains(20), plains(21), plains(22), plains(23),
+      plains(24), plains(25), plains(26))
+    val tailB = Seq(plains(30), plains(31))
+    val docA = x.mkString(" ")
+    val docB = (fillB ++ x ++ tailB).mkString(" ")
+    val docs = Seq(
+      (1L, docA, "en", "s", 0L),
+      (2L, docB, "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anchored").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // q126 (fixed 10-token blocks) provably misses the straddler:
+    // no 10-aligned block of doc B equals any block of doc A
+    val q126 = SparkEntry.queries("q126_line_dedup")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(q126.map(_.getInt(2)).toSeq === Seq(0, 0),
+      "fixed-block dedup should miss the misaligned straddling span")
+
+    // q128 removes the duplicated interior segments of B's copy
+    val q128 = SparkEntry.queries("q128_anchored_substring_dedup")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(q128(0).getInt(2) === 0, "first occurrence (doc A) keeps everything")
+    assert(q128(0).getString(3) === md5hex(docA))
+    // expected removal: segments of B that also occur in A, in
+    // first-occurrence order — computed with the pure segmentation mirror
+    val segsA = segments(docA.split(" ").toSeq).map(_.mkString(" "))
+    val segsB = segments(docB.split(" ").toSeq).map(_.mkString(" "))
+    val dupB = segsB.filter(segsA.contains)
+    assert(dupB.nonEmpty, "fixture must contain duplicated interior segments")
+    val keptB = segsB.filterNot(segsA.contains)
+    assert(q128(1).getInt(2) === dupB.map(_.split(" ").length).sum)
+    assert(q128(1).getString(3) === md5hex(keptB.flatMap(_.split(" ")).mkString(" ")))
+  }
+
   test("corpus invariants: counts conserved; near-dup docs lose blocks") {
     val r = SparkEntry.queries("q126_line_dedup")(spark, sf001).cache()
     assert(r.where(col("n_removed") > col("n_blocks") || col("n_blocks") <= 0)
