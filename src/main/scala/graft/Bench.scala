@@ -73,7 +73,10 @@ object Bench {
     // unaffected. Timing them before the backlog measures the
     // operator, not the harness history.
     if (withCatalog) {
-      val (mlQs, restQs) = SparkEntry.catalog.partition(_.name.contains("_ml_"))
+      // explicit set: every query that triggers a spark.ml iterative fit
+      // (q50's KMeans included — a bare "_ml_" name filter missed it)
+      val mlFitting = Set("q36_ml_rf_fit", "q50_ivf_topk")
+      val (mlQs, restQs) = SparkEntry.catalog.partition(q => mlFitting(q.name))
       val catalog: Seq[(String, Double)] = (mlQs ++ restQs).map { q =>
         val sec = try {
           q.fn(spark, sfDir).count() // warm
@@ -102,7 +105,13 @@ object Bench {
     // total_min = the min-of-passes statistic rounds 1-4 reported, for
     // cross-round continuity; total_median is the headline going forward
     val totalMin = if (runTotals.isEmpty) -1.0 else runTotals.min
-    println(s"""{"metric":"total_median","value":$total,"unit":"sec","total_min":$totalMin,"queries":${jsonObj(results)},"runs":$runsStr,"spread":$spread,"sf":"$sfDir"}""")
+    // canary: q01 is code-untouched since round 1, so its median is a
+    // pure box-speed probe; total/canary is the box-normalized headline
+    // (this machine's ambient speed swings 30-60% round-to-round, and
+    // raw deltas kept reading as phantom regressions)
+    val canary = results.toMap.getOrElse("q01_pricing_summary", -1.0)
+    val totalPerCanary = if (canary > 0) total / canary else -1.0
+    println(s"""{"metric":"total_median","value":$total,"unit":"sec","total_min":$totalMin,"canary":$canary,"total_median_per_canary":$totalPerCanary,"queries":${jsonObj(results)},"runs":$runsStr,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

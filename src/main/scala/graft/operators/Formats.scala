@@ -38,11 +38,15 @@ object Formats {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
-    // deterministic per-corpus scratch path; overwrite keeps reruns
-    // (bench warm passes, repeated Verify) idempotent
+    // per-corpus AND per-process scratch path: the sanitized corpus
+    // path (not its hashCode — two dirs can collide) keys reruns in
+    // one JVM idempotently via overwrite, and the pid component keeps
+    // two JVMs over the same corpus (bench racing a spec) from
+    // overwriting each other mid-read
     val tmp = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      "graft_jsonl_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
     Tables.documents(s, d).write.mode("overwrite").json(tmp)
     s.read.schema(docsSchema).json(tmp)
       .groupBy("lang")

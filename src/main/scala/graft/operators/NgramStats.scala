@@ -60,7 +60,7 @@ object NgramStats {
 
   /** (doc_id, w1, w2) adjacent-token pairs; docs with <2 tokens yield
     * no rows (sequence() would need a guard — same q64 footgun). */
-  private def bigrams(toksDf: DataFrame): DataFrame =
+  private[operators] def bigrams(toksDf: DataFrame): DataFrame =
     toksDf.where(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
@@ -172,14 +172,18 @@ object NgramStats {
       |  FROM grams JOIN gram_counts c USING (g)
       |  GROUP BY doc_id)""".stripMargin
 
-  /** Per-document (n_grams, n_dup) — Spark mirror of [[dupSpanSql]]'s
-    * `span_stats` CTE. */
-  private[operators] def dupSpanCounts(toksDf: DataFrame): DataFrame = {
-    val grams = toksDf.where(size(col("t")) >= 5)
+  /** (doc_id, g) 5-gram stream; docs with <5 tokens yield no rows. */
+  private[operators] def gramStream(toksDf: DataFrame): DataFrame =
+    toksDf.where(size(col("t")) >= 5)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - 4)).as("i"), col("t"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("t"), col("i"), lit(5))).as("g"))
+
+  /** Per-document (n_grams, n_dup) — Spark mirror of [[dupSpanSql]]'s
+    * `span_stats` CTE. */
+  private[operators] def dupSpanCounts(toksDf: DataFrame): DataFrame = {
+    val grams = gramStream(toksDf)
     val counts = grams.groupBy("g").agg(count(lit(1)).as("n"))
     grams.join(counts, "g")
       .groupBy("doc_id")

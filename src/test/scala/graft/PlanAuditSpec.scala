@@ -44,6 +44,59 @@ class PlanAuditSpec extends SparkSpecBase {
       "aggregate must have a map-side partial phase")
   }
 
+  test("q127: ADC scan is cell-pruned by a broadcast semi join, exact re-rank bounded") {
+    val p = plan("q127_ivfpq_topk")
+    // the probed-cells semi join must gate the codes scan: PQ encode +
+    // ADC arithmetic run on probed rows only, never the corpus
+    assert(p.contains("LeftSemi"), "probed-cell gating must be a semi join")
+    assert(p.contains("pqencode"), "PQ encode expression missing from plan")
+    // node ids are post-order (children numbered before parents):
+    // "gated" = the pqencode projection's id is ABOVE the semi join's
+    val joinId = "BroadcastHashJoin LeftSemi[^(]*\\((\\d+)\\)".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+      .getOrElse(fail("no LeftSemi node id"))
+    val encId = p.split("\n\n").collectFirst {
+      case b if b.contains("pqencode") && b.trim.startsWith("(") =>
+        b.trim.drop(1).takeWhile(_.isDigit).toInt
+    }.getOrElse(fail("no details node containing pqencode"))
+    assert(encId > joinId,
+      s"PQ encode (node $encId) must sit ABOVE the semi join (node $joinId)")
+    assert(p.contains("TakeOrderedAndProject"), "ADC/exact top-k must not global-sort")
+  }
+
+  test("q130: batch curation never rescans the corpus documents") {
+    // warm the per-(session, corpus) indexes, then audit a subsequent
+    // batch run's physical plan: corpus statistics must be served from
+    // cache (InMemoryTableScanExec — a programmatic walk, because the
+    // string rendering inlines each cached relation's ORIGINAL plan and
+    // its corpus scans would false-positive), and every parquet scan of
+    // the documents table in the executed tree must sit beneath the
+    // batch-predicate filter — the old corpus is read by ZERO scans.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    SparkEntry.queries("q130_incremental_funnel")(spark, sf001).count()
+    val phys = SparkEntry.queries("q130_incremental_funnel")(spark, sf001)
+      .queryExecution.sparkPlan
+    assert(phys.collect { case i: InMemoryTableScanExec => i }.nonEmpty,
+      "corpus indexes must be served from cache")
+    def isBatchFilter(f: FilterExec): Boolean = {
+      val c = f.condition.toString
+      c.matches("(?s).*pmod\\(doc_id#\\d+L?, 5\\) = 4.*") &&
+        !c.contains("NOT (pmod")
+    }
+    var docScans = 0
+    def walk(p: SparkPlan, gated: Boolean): Unit = p match {
+      case f: FilterExec => walk(f.child, gated || isBatchFilter(f))
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")) =>
+        docScans += 1
+        assert(gated, s"ungated documents scan in the batch hot path:\n$s")
+      case other => other.children.foreach(walk(_, gated))
+    }
+    walk(phys, gated = false)
+    assert(docScans > 0, "expected at least one batch-side documents scan")
+  }
+
   test("no oracle-paired query uses a cartesian or nested-loop join") {
     // the two forms that blow up at scale; every join in the catalog
     // should be hash/broadcast/sort-merge after candidate pruning.
@@ -66,11 +119,13 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q115/q119/q124: the LM vocabulary size is the same single-
     //    aggregated-row cross join (smoothing denominator on every
     //    scored doc).
+    //  - q130: the merged vocabulary size (two single-row aggregates
+    //    summed, then the q115-style broadcast onto scored docs).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
         "q113_bm25_score", "q115_lm_fluency", "q119_curation_funnel",
-        "q124_assemble_examples")
+        "q124_assemble_examples", "q130_incremental_funnel")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
