@@ -481,6 +481,142 @@ object ScaleBench {
     }
     bpeWf.unpersist()
 
+    // ---- 1M-doc / 1M-vector sweep ----
+    // One decade is thin evidence for "linear": the 100k exponents
+    // above compare quarter-vs-full INSIDE one corpus size. This stage
+    // re-measures the load-bearing asymptotics a full decade up and
+    // reports the cross-decade growth exponent against the 100k run.
+    // Slim by design (the 100k stage owns the full matrix): dedup
+    // buckets/pairs/recall/verify, bloom decontamination, and the ANN
+    // operating point vs exact — the IVF/PQ/BPE families keep their
+    // 100k evidence (their per-query cost is cell/sample-bounded, not
+    // corpus-bounded, so the decade adds little). SPARK_GRAFT_SWEEP=0
+    // skips; any other value overrides the 1M default.
+    val sweepN = sys.env.get("SPARK_GRAFT_SWEEP").map(_.toInt)
+      .getOrElse(1000000)
+    if (sweepN > 0 && sweepN > targetDocs)
+      out ++= sweepAt(spark, sfDir, sweepN, nDocs, pairsFull)
+
+    out.toSeq
+  }
+
+  /** The decade-up probe: same operator pipelines, reduced metric set.
+    * `baseDocs`/`basePairs` are the 100k stage's corpus size and
+    * candidate-pair count — the cross-decade exponent
+    * log(pairs_M/pairs_100k)/log(n_M/n_100k) is the headline number. */
+  private def sweepAt(spark: SparkSession, sfDir: String, target: Int,
+      baseDocs: Long, basePairs: Long): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    spark.catalog.clearCache()
+
+    val (docsWithRep, _) = synthDocs(spark, sfDir, target)
+    val docs = docsWithRep.persist()
+    val (nDocs, tSynth) = time(docs.count())
+    out ++= Seq("m1_docs_n" -> nDocs.toDouble, "m1_docs_synth_sec" -> tSynth)
+
+    val sch = MinHashScheme.default
+    val bands = Dedup.docBands(docs, sch).persist()
+    val (bucketStats, tBands) = time {
+      bands.groupBy("band_id", "band_hash").agg(count(lit(1)).as("bsize"))
+        .agg(max(col("bsize")).as("max"),
+          expr("percentile(bsize, 0.99)").as("p99"), avg(col("bsize")).as("mean"))
+        .first()
+    }
+    out ++= Seq("m1_minhash_bucket_max" -> bucketStats.getLong(0).toDouble,
+      "m1_minhash_bucket_p99" -> bucketStats.getDouble(1),
+      "m1_minhash_bucket_mean" -> bucketStats.getDouble(2),
+      "m1_minhash_bands_sec" -> tBands)
+
+    val pairs = Dedup.candidatePairsFromBands(bands).persist()
+    val (nPairs, tCand) = time(pairs.count())
+    val exponent =
+      if (basePairs > 0 && nPairs > 0 && nDocs > baseDocs)
+        math.log(nPairs.toDouble / basePairs) /
+          math.log(nDocs.toDouble / baseDocs)
+      else -1.0
+    out ++= Seq("m1_cand_pairs" -> nPairs.toDouble,
+      "m1_cand_pairs_sec" -> tCand,
+      "m1_cand_growth_exponent_decade" -> exponent)
+
+    // planted recall through the full verify pipeline — the join is
+    // bounded by the candidate-pair relation (linear per the exponent
+    // above), so no cap is needed at 1M; the timing IS the evidence
+    val toks = Dedup.shingleSets(docs).persist()
+    val verified = Dedup.withJaccardToks(pairs, toks)
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").persist()
+    val (nVerified, tVerify) = time(verified.count())
+    val planted = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"))
+    val nPlanted = planted.count()
+    val recalled = verified.join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
+    out ++= Seq("m1_verified_pairs" -> nVerified.toDouble,
+      "m1_planted_recall" ->
+        (if (nPlanted > 0) recalled.toDouble / nPlanted else -1.0),
+      "m1_verify_sec" -> tVerify)
+    verified.unpersist()
+
+    // bloom decontamination at the decade: survivor fraction is the
+    // scan-side selectivity claim — it should hold ~constant as the
+    // corpus grows (it is a property of the sketch, not the corpus)
+    val benchSh = toks.where(pmod(col("doc_id"), lit(1000)) === 0)
+      .select(explode(col("toks")).as("sh")).distinct().persist()
+    benchSh.count()
+    val trainSh = toks.where(pmod(col("doc_id"), lit(1000)) =!= 0)
+      .select(col("doc_id"), explode(col("toks")).as("sh"))
+    val nTrainSh = trainSh.count()
+    val (bloom, tBloomBuild) = time(benchSh
+      .agg(org.apache.spark.sql.graftshim.BloomSketch
+        .agg(xxhash64(col("sh")), 100000L, 1L << 22).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+    val (nSurvivors, tBloomScan) = time(
+      trainSh.where(org.apache.spark.sql.graftshim.BloomSketch
+        .mightContain(bloom, xxhash64(col("sh")))).count())
+    out ++= Seq(
+      "m1_bloom_build_sec" -> tBloomBuild,
+      "m1_bloom_scan_sec" -> tBloomScan,
+      "m1_bloom_survivor_frac" ->
+        (if (nTrainSh > 0) nSurvivors.toDouble / nTrainSh else -1.0))
+    benchSh.unpersist()
+    Seq(toks, pairs, bands, docs).foreach(_.unpersist())
+
+    // ANN at the decade: the q100 operating point vs exact brute force
+    // — recall should HOLD as the corpus grows (more tables' candidates
+    // per query grow with the data) while the probed fraction shrinks
+    val vecs = synthVecs(spark, sfDir, target).persist()
+    val nVecs = vecs.count()
+    val qStride = math.max(1L, nVecs / 64)
+    val queryFilter = pmod(col("vec_id"), lit(qStride)) === 0
+    def topkSet(df: DataFrame): Set[(Long, Long)] = df.collect()
+      .flatMap(r => r.getSeq[Long](1).map(r.getLong(0) -> _)).toSet
+    val (exact, tExact) = time(topkSet(
+      Similarity.bruteForceTopK(vecs, queryFilter, 3)
+        .groupBy("query_id").agg(collect_list(col("neighbor_id")).as("ids"))
+        .select(col("query_id"), col("ids"))))
+    var multitable: Set[(Long, Long)] = Set.empty
+    val (_, tMt) = time {
+      multitable = Similarity
+        .multiTableTopK(vecs, queryFilter, 3, Similarity.opTables, Similarity.opRadius)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    }
+    val mtCands = Similarity
+      .multiTableCandidates(vecs, queryFilter, Similarity.opTables, Similarity.opRadius)
+      .count()
+    val nQueries = exact.map(_._1).size
+    out ++= Seq("m1_vecs_n" -> nVecs.toDouble,
+      "m1_ann_exact_topk_sec" -> tExact,
+      "m1_ann_multitable_recall3" ->
+        (if (exact.nonEmpty) exact.intersect(multitable).size.toDouble / exact.size
+         else -1.0),
+      "m1_ann_multitable_topk_sec" -> tMt,
+      "m1_ann_multitable_cands_per_q" ->
+        (if (nQueries > 0) mtCands.toDouble / nQueries else -1.0),
+      "m1_ann_probed_frac" ->
+        (if (nQueries > 0 && nVecs > 0) mtCands.toDouble / nQueries / nVecs
+         else -1.0))
+    vecs.unpersist()
+
     out.toSeq
   }
 

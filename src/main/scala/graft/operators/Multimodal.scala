@@ -297,6 +297,39 @@ object Multimodal {
     }
   }
 
+  /** Executor-global decoder pool for STREAMING featurize: a micro-
+    * batch pipeline runs the same mapPartitions stage every trigger,
+    * and per-task construction would re-pay decoder init (codec
+    * lookup, native buffers, for an NN featurizer the model load —
+    * the expensive part this machinery models) once per micro-batch ×
+    * partition, forever. Borrow/return against a JVM-wide queue makes
+    * constructions bounded by PEAK TASK CONCURRENCY for the session
+    * lifetime, independent of trigger count — MultimodalSpec drives
+    * multiple micro-batches through [[decodeImagesPooled]] and asserts
+    * the init counter stays put after the first batch. Decoders live
+    * until JVM exit (the executor-singleton convention; a bounded pool
+    * of heavyweight models would add an eviction cap here). */
+  object PngDecoderPool {
+    private val pool = new java.util.concurrent.ConcurrentLinkedQueue[PngDecoder]()
+    def borrow(): PngDecoder = Option(pool.poll()).getOrElse(new PngDecoder)
+    def ret(d: PngDecoder): Unit = pool.offer(d)
+  }
+
+  /** [[decodeImages]] with pooled decoders — the streaming form. The
+    * borrowed decoder is returned on task COMPLETION (not iterator
+    * exhaustion: limit/take may abandon the iterator early); without a
+    * task context (driver-local eval in tests) the decoder is simply
+    * not pooled, keeping the iterator lazy. */
+  def decodeImagesPooled(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val dec = PngDecoderPool.borrow()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => PngDecoderPool.ret(dec)))
+      rows.map(r => dec.decode(r.doc_id, r.png))
+    }
+  }
+
   /** Batch-shaped real-codec featurize (the `mapInPandas` calling
     * convention): the decoder sees fixed-size batches; batch size
     * bounds peak payload memory per task. */
@@ -648,8 +681,9 @@ object Multimodal {
     * recomputes the same features analytically from the fixture
     * formulas over a generated pixel grid. Any codec, byte, or
     * raster-order defect breaks the hash match. */
-  val qImageDecode: GraftQuery = GraftQuery(
-    "q101_image_decode",
+  /** Shared by q101 and the streaming form q131 (identical feature
+    * contract — only the execution mode differs). */
+  private[graft] val imageDecodeOracleSql: String =
     s"""WITH dims AS (
        |  SELECT doc_id,
        |         16 + doc_id % 17 AS w,
@@ -671,7 +705,10 @@ object Multimodal {
        |  ${channelSumSql(2)} AS sum_b
        |FROM px
        |GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |ORDER BY doc_id""".stripMargin
+
+  val qImageDecode: GraftQuery = GraftQuery(
+    "q101_image_decode", imageDecodeOracleSql) { (s, d) =>
     decodeImages(imageTable(s, d)).toDF().orderBy("doc_id")
   }
 

@@ -291,7 +291,83 @@ object Streams {
     sessionCounts(s, d)
   }
 
+  /** Documents table as a file stream (same symlink staging as the
+    * events stream). `srcDir` overrides the staged directory — the
+    * spec stages a MULTI-FILE copy to force multiple micro-batches. */
+  private[graft] def readDocsStream(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val dir = srcDir.getOrElse {
+      val streamDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_stream_docs",
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(streamDir)
+      val link = streamDir.resolve("documents.parquet")
+      val target = java.nio.file.Paths.get(sfDir, "documents.parquet")
+      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+          java.nio.file.Files.readSymbolicLink(link) != target)
+        java.nio.file.Files.delete(link)
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link, target)
+      streamDir.toString
+    }
+    val reader = spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** Streaming multimodal featurize: the q101 decode pipeline run as a
+    * micro-batch stream — foreachBatch synthesizes the PNG payloads and
+    * decodes them through the EXECUTOR-GLOBAL decoder pool
+    * ([[graft.operators.Multimodal.decodeImagesPooled]]), appending
+    * fixed-width features to a parquet sink. foreachBatch is the right
+    * streaming shape for a featurize stage: the batch is a plain
+    * DataFrame, so the exact batch code (same typed mapPartitions, same
+    * decoder discipline) serves both modes, and the sink is a real
+    * table a trainer can read mid-stream. Decoder constructions are
+    * bounded by peak task concurrency for the session lifetime — NOT
+    * by trigger count (MultimodalSpec drives 3 micro-batches and
+    * pins the counter); payloads are born and consumed inside the
+    * partition, so no image bytes ever cross an exchange or land in
+    * the sink.
+    *
+    * Oracle: q101's analytic pixel recompute — the streaming execution
+    * must produce byte-identical features to the batch path. */
+  def streamImageFeatures(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_imgfeat").toString
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.select(col("doc_id"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val imgs = batch.select(col("doc_id")).as[Long]
+            .mapPartitions(ids => ids.map(id =>
+              graft.operators.Multimodal.ImageRow(id,
+                graft.operators.Multimodal.synthPng(id))))(
+              org.apache.spark.sql.Encoders.product[graft.operators.Multimodal.ImageRow])
+          graft.operators.Multimodal.decodeImagesPooled(imgs)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
+  /** Streaming featurize, oracle = q101's analytic recompute. */
+  val qStreamImageDecode: GraftQuery = GraftQuery(
+    "q131_stream_image_decode",
+    graft.operators.Multimodal.imageDecodeOracleSql) { (s, d) =>
+    streamImageFeatures(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
-      qStreamStaticJoin, qStreamStreamJoin)
+      qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode)
 }

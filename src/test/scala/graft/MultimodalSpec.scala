@@ -65,6 +65,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(inits >= 1 && inits <= 5, s"decoder inits = $inits for $n rows")
   }
 
+  test("streaming featurize reuses pooled decoders ACROSS micro-batches") {
+    import org.apache.spark.sql.functions.col
+    // stage the documents as 3 parquet files + maxFilesPerTrigger=1 →
+    // 3 micro-batches through the SAME foreachBatch decode stage
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_docs").toString
+    graft.sources.Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val nFiles = new java.io.File(src).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 3, s"fixture must span ≥3 files, got $nFiles")
+    Multimodal.PngDecoder.inits.set(0L)
+    val out = graft.streaming.Streams.streamImageFeatures(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+    assert(out.count() === graft.sources.Tables.documents(spark, sf001).count())
+    val inits = Multimodal.PngDecoder.inits.get()
+    // each micro-batch runs 1 task (one input file); tasks execute
+    // sequentially across triggers, so the pool hands the SAME decoder
+    // to every batch — constructions stay at peak concurrency (≤2 with
+    // scheduling jitter; 0 if an earlier test already stocked the
+    // pool), NOT one per (batch × partition) ≥ 3
+    assert(inits <= 2,
+      s"pooled decoder constructed $inits times across $nFiles micro-batches")
+
+    // features must be byte-identical to the batch path (q101 contract)
+    val batch = Multimodal.decodeImages(Multimodal.imageTable(spark, sf001))
+      .toDF().orderBy("doc_id").collect()
+    assert(out.orderBy("doc_id").collect().toSeq === batch.toSeq)
+    assert(out.where(col("sum_r") <= 0).count() === 0)
+  }
+
   test("batched image decode equals the row-wise path") {
     val images = Multimodal.imageTable(spark, sf001)
     val rowWise = Multimodal.decodeImages(images).collect().sortBy(_.doc_id)
