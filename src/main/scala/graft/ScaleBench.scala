@@ -375,10 +375,16 @@ object ScaleBench {
           .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
         PqAnn.trainCodebook(samples, numCentroids = 256)
       }
+      // the PQ index is L2-served END TO END: cells assigned by min-L2
+      // (NearestCentroid's l2 metric), queries routed by min-L2 below —
+      // routing an L2 search through the cosine tier's cells measured
+      // 0.73-0.77 recall at 100k (replica noise varies norms; the
+      // max-cosine cell is not the min-L2 cell once norms differ)
       val (codes, tEnc) = time {
-        val c = assigned.select(col("vec_id"), col("cell"),
-          org.apache.spark.sql.graftshim.PqEncode(col("embedding"), cb)
-            .as("codes")).persist()
+        val c = IvfAnn.assign(vecs, centroids, metric = "l2")
+          .select(col("vec_id"), col("cell"),
+            org.apache.spark.sql.graftshim.PqEncode(col("embedding"), cb)
+              .as("codes")).persist()
         c.count()
         c
       }
@@ -403,17 +409,26 @@ object ScaleBench {
           .select(col("query_id"), col("top.id"))))
       var pqTop: Set[(Long, Long)] = Set.empty
       val (_, tPq) = time {
+        // route by MIN L2 to centroid — the served metric. (The q55/q127
+        // cosine router is the right tool for the cosine tiers; routing
+        // an L2 search by cosine cost 0.73 recall here: replica noise
+        // varies vector NORMS, and the max-cosine cell is not the
+        // min-L2 cell once norms differ.)
         val routed = qside2.crossJoin(broadcast(centroids))
-          .withColumn("c_sim", Similarity.cosine(col("q_emb"), col("centroid")))
+          .withColumn("c_d2", l2(col("q_emb"), col("centroid")))
           .withColumn("rn", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cell"))))
+            Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))))
           .where(col("rn") <= IvfAnn.opNProbe)
           .select(col("query_id"), col("q_emb"), col("cell").cast("long").as("cell"))
         val adcTop = routed.join(codes, Seq("cell"))
           .where(col("vec_id") =!= col("query_id"))
           .groupBy("query_id")
+          // re-rank pool sized to the replica structure: ADC distortion
+          // among ~200 near-identical replicas re-orders freely, so the
+          // exact tier must see enough candidates to absorb it (1000 ≈
+          // 1% of corpus; rescore cost is 64k rows — noise)
           .agg(org.apache.spark.sql.graftshim.TopKByScore(
-            -l2(recon, col("q_emb")), col("vec_id"), 200).as("top"))
+            -l2(recon, col("q_emb")), col("vec_id"), 1000).as("top"))
           .select(col("query_id"), explode(col("top.id")).as("cand_id"))
         val rescored = adcTop
           .join(vecs.select(col("vec_id").as("cand_id"),

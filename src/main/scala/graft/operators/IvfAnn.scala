@@ -68,15 +68,18 @@ object IvfAnn {
     * 100k × 256. TopKByScore's (score desc, id asc) tie rule is
     * exactly the window form's (c_sim desc, cell asc). Embeddings
     * don't ride through the aggregate; they re-attach by key. */
-  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  def assign(emb: DataFrame, centroids: DataFrame,
+      metric: String = "cos"): DataFrame = {
     // centroids are bounded (cell count — the one documented driver-
     // side collect); scoring every vector against them is then a
     // single fused expression in the scan stage: no N × C join, no
     // shuffle, no per-pair materialization of two float arrays.
+    // metric = "l2" builds an L2-served index (the PQ composition):
+    // assignment must match the metric the index serves.
     val cents = centroids.select(col("cell").cast("long"), col("centroid"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     emb.select(col("vec_id"), col("embedding"),
-      org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), cents)
+      org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), cents, metric)
         .as("cell"))
   }
 

