@@ -388,10 +388,6 @@ object ScaleBench {
         c.count()
         c
       }
-      val cbLit = (0 until PqAnn.subspaces).map(s =>
-        array(cb(s).map(c => array(c.map(lit): _*)): _*))
-      val recon = concat((0 until PqAnn.subspaces).map(s =>
-        element_at(cbLit(s), element_at(col("codes"), s + 1) + 1)): _*)
       val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
         aggregate(zip_with(a, b, (x, y) => {
           val d = x.cast("double") - y.cast("double"); d * d
@@ -407,6 +403,31 @@ object ScaleBench {
           .agg(org.apache.spark.sql.graftshim.TopKByScore(
             -l2(col("embedding"), col("q_emb")), col("vec_id"), 3).as("top"))
           .select(col("query_id"), col("top.id"))))
+      // ADC top-1000 + exact re-rank, over an arbitrary (query, code)
+      // candidate relation — the gated and ungated variants below run
+      // THIS same pipeline and differ only in the routing gate. The
+      // re-rank pool is sized to the replica structure: ADC distortion
+      // among ~200 near-identical replicas re-orders freely, so the
+      // exact tier must see enough candidates to absorb it (1000 ≈ 1%
+      // of corpus; 400 measured 0.86 recall, 1000 measures 0.95).
+      // PqAdcDist is the fused codegen ADC (bit-parity-spec'd vs the
+      // reconstruct+zip_with composed form it replaced, which
+      // allocated per row, evaluated interpreted lambdas, and
+      // dominated this stage ~8x)
+      def adcPipeline(cands: DataFrame): Set[(Long, Long)] = topkOf(
+        cands.where(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id")
+          .agg(org.apache.spark.sql.graftshim.TopKByScore(
+            -org.apache.spark.sql.graftshim.PqAdcDist(
+              col("codes"), col("q_emb"), cb), col("vec_id"), 1000).as("top"))
+          .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+          .join(vecs.select(col("vec_id").as("cand_id"),
+            col("embedding").as("c_emb")), Seq("cand_id"))
+          .join(qside2, Seq("query_id"))
+          .groupBy("query_id")
+          .agg(org.apache.spark.sql.graftshim.TopKByScore(
+            -l2(col("c_emb"), col("q_emb")), col("cand_id"), 3).as("top"))
+          .select(col("query_id"), col("top.id")))
       var pqTop: Set[(Long, Long)] = Set.empty
       val (_, tPq) = time {
         // route by MIN L2 to centroid — the served metric. (The q55/q127
@@ -420,34 +441,32 @@ object ScaleBench {
             Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))))
           .where(col("rn") <= IvfAnn.opNProbe)
           .select(col("query_id"), col("q_emb"), col("cell").cast("long").as("cell"))
-        val adcTop = routed.join(codes, Seq("cell"))
-          .where(col("vec_id") =!= col("query_id"))
-          .groupBy("query_id")
-          // re-rank pool sized to the replica structure: ADC distortion
-          // among ~200 near-identical replicas re-orders freely, so the
-          // exact tier must see enough candidates to absorb it (1000 ≈
-          // 1% of corpus; rescore cost is 64k rows — noise)
-          .agg(org.apache.spark.sql.graftshim.TopKByScore(
-            -l2(recon, col("q_emb")), col("vec_id"), 1000).as("top"))
-          .select(col("query_id"), explode(col("top.id")).as("cand_id"))
-        val rescored = adcTop
-          .join(vecs.select(col("vec_id").as("cand_id"),
-            col("embedding").as("c_emb")), Seq("cand_id"))
-          .join(qside2, Seq("query_id"))
-          .groupBy("query_id")
-          .agg(org.apache.spark.sql.graftshim.TopKByScore(
-            -l2(col("c_emb"), col("q_emb")), col("cand_id"), 3).as("top"))
-          .select(col("query_id"), col("top.id"))
-        pqTop = topkOf(rescored)
+        pqTop = adcPipeline(routed.join(codes, Seq("cell")))
       }
       val pqRecall =
         if (exactL2.nonEmpty) exactL2.intersect(pqTop).size.toDouble / exactL2.size
+        else -1.0
+      // the q114 shape on the same index — the IDENTICAL pipeline with
+      // the routing gate removed (ADC over every code row) — so the
+      // composition's effect is a measured A/B, not an argument. On
+      // this in-memory corpus the fused ADC is so cheap that the
+      // ungated scan is CPU-trivial; the 100 TB difference is I/O
+      // (cell-partition pruning of a codes table that no longer fits
+      // in memory), which recall parity here licenses.
+      var fullTop: Set[(Long, Long)] = Set.empty
+      val (_, tFull) = time {
+        fullTop = adcPipeline(codes.crossJoin(broadcast(qside2)))
+      }
+      val fullRecall =
+        if (exactL2.nonEmpty) exactL2.intersect(fullTop).size.toDouble / exactL2.size
         else -1.0
       codes.unpersist()
       out ++= Seq(
         "ivfpq_codebook_train_sec" -> tTrain,
         "ivfpq_encode_sec" -> tEnc,
         "ivfpq_exact_l2_sec" -> tExactL2,
+        "ivfpq_fullscan_sec" -> tFull,
+        "ivfpq_fullscan_recall3" -> fullRecall,
         "ivfpq_search_sec" -> tPq,
         "ivfpq_recall3" -> pqRecall)
     }

@@ -72,9 +72,12 @@ object PqAnn {
       val sub = samples.map(v => v.slice(s * subDim, (s + 1) * subDim))
       var cents: IndexedSeq[IndexedSeq[Double]] =
         sub.distinct.take(numCentroids)
-      while (cents.size < numCentroids && cents.nonEmpty)
-        cents = cents :+ cents(cents.size % cents.size) // degenerate pad
       require(cents.nonEmpty, "empty codebook training sample")
+      // degenerate sample (< numCentroids distinct subvectors): pad by
+      // cycling — duplicate centroids are harmless, first-min ties win
+      val distinctN = cents.size
+      while (cents.size < numCentroids)
+        cents = cents :+ cents(cents.size % distinctN)
       for (_ <- 1 to iters) {
         val sums = Array.fill(numCentroids, subDim)(0.0)
         val cnt = Array.fill(numCentroids)(0L)
