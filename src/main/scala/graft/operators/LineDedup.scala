@@ -187,5 +187,76 @@ object LineDedup {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qLineDedup, qAnchoredDedup)
+  /** Intra-document repeated-block trimming — the per-document
+    * complement of q126. q126 removes the corpus-wide duplicate
+    * blocks; this pass removes a block repeated WITHIN one document
+    * (boilerplate headers, chorus-style repetition, copy-paste loops —
+    * the spans q82 measures but nothing yet removed), keeping each
+    * doc's first occurrence. Cross-document copies are deliberately
+    * untouched: both docs keep their own first occurrence (the spec
+    * pins this against q126's behavior on the same planted rows).
+    *
+    * The scale point IS the plan shape: the keep decision needs no
+    * other row, so the whole rewrite is ONE narrow projection over
+    * `text` built from higher-order array functions (split → block
+    * transform → indexed filter keeping block i iff its first
+    * occurrence index is i → rejoin+md5). Zero joins, zero windows,
+    * zero aggregates — the only exchange in the plan is the
+    * presentation orderBy (plan-audited). At 100 TB this runs at
+    * full scan speed with map-side parallelism and nothing to spill.
+    * Cost is quadratic in the DOCUMENT'S OWN block count
+    * (array_position scans the doc's block list per block) — bounded
+    * by web-document lengths, never the corpus; a pathological
+    * book-length doc would use q126's keyed window restricted to
+    * doc_id, trading a shuffle for linearity.
+    *
+    * Oracle: the rebuilt text's md5 rides in the output, so the hash
+    * match byte-checks the rewrite (q126's discipline). Both engines
+    * filter NULL text (q128's convention); empty text is one empty
+    * block, kept, md5("") on both sides.
+    */
+  val qIntraDocDedup: GraftQuery = GraftQuery(
+    "q132_intradoc_dedup",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+       |  WHERE text IS NOT NULL),
+       |b AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, (len(t) + ${blockTokens - 1}) // $blockTokens),
+       |      k -> array_to_string(t[1 + $blockTokens * k : $blockTokens + $blockTokens * k], ' ')) AS blks
+       |  FROM toks),
+       |kept AS (
+       |  SELECT doc_id, blks,
+       |    list_filter(blks, (x, i) -> list_position(blks, x) = i) AS keep
+       |  FROM b)
+       |SELECT doc_id,
+       |  CAST(len(blks) AS INTEGER) AS n_blocks,
+       |  CAST(len(blks) - len(keep) AS INTEGER) AS n_removed,
+       |  md5(array_to_string(keep, ' ')) AS cleaned_md5
+       |FROM kept
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).where(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val blocked = toks.select(col("doc_id"),
+      transform(
+        sequence(lit(0L),
+          expr(s"CAST(size(t) + ${blockTokens - 1} AS BIGINT) DIV $blockTokens") - 1),
+        k => concat_ws(" ",
+          slice(col("t"), (lit(1) + lit(blockTokens) * k).cast("int"),
+            lit(blockTokens)))).as("blks"))
+    // keep block i iff the FIRST occurrence of its text in this doc's
+    // own block list is at i (array_position is 1-based first-match;
+    // the filter index is 0-based)
+    val kept = blocked.select(col("doc_id"), col("blks"),
+      filter(col("blks"),
+        (b, i) => array_position(col("blks"), b) === i.cast("long") + 1)
+        .as("keep"))
+    kept.select(col("doc_id"),
+        size(col("blks")).cast("int").as("n_blocks"),
+        (size(col("blks")) - size(col("keep"))).cast("int").as("n_removed"),
+        md5(array_join(col("keep"), " ")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qLineDedup, qAnchoredDedup, qIntraDocDedup)
 }

@@ -96,6 +96,63 @@ class LineDedupSpec extends SparkSpecBase {
     assert(q128(1).getString(3) === md5hex(keptB.flatMap(_.split(" ")).mkString(" ")))
   }
 
+  test("q132: intra-doc repeats removed; cross-doc copies untouched") {
+    import spark.implicits._
+    val b1 = "a b c d e f g h i j" // 10 tokens = one aligned block
+    val b2 = "k l m n o p q r s t"
+    val b3 = "u v w x y z aa bb cc dd"
+    val docs = Seq(
+      (1L, s"$b1 $b2 $b1 $b3", "en", "s", 0L), // interior repeat of b1
+      (2L, s"$b1 $b2 $b1 $b3", "en", "s", 0L), // exact copy of doc 1
+      (3L, s"$b3 $b3 $b3", "en", "s", 0L), // chorus: 3x the same block
+      (4L, "", "en", "s", 0L)) // empty text = one empty block, kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_intradoc").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val out = SparkEntry.queries("q132_intradoc_dedup")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ===
+      Seq((1L, 4, 1), (2L, 4, 1), (3L, 3, 2), (4L, 1, 0)))
+    // rewrites are byte-exact; the cross-doc copy keeps ITS OWN first
+    // occurrence (both docs emerge identical), unlike q126 which strips
+    // doc 2 entirely as a corpus-wide duplicate
+    assert(out(0).getString(3) === md5hex(s"$b1 $b2 $b3"))
+    assert(out(1).getString(3) === out(0).getString(3))
+    assert(out(2).getString(3) === md5hex(b3))
+    assert(out(3).getString(3) === md5hex(""))
+    val q126 = SparkEntry.queries("q126_line_dedup")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(q126(1).getInt(2) === 4, "q126 removes the whole cross-doc copy")
+  }
+
+  test("q132: misaligned repeat (off the block grid) is kept, by design") {
+    import spark.implicits._
+    val b1 = "a b c d e f g h i j"
+    // b1 reappears shifted 5 tokens: no ALIGNED block equals another,
+    // so the fixed-grid pass keeps everything — the documented contract
+    // (q128's content-defined segmentation is the catch for these)
+    val doc = s"$b1 pad1 pad2 pad3 pad4 pad5 $b1"
+    val docs = Seq((1L, doc, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_intradoc2").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("q132_intradoc_dedup")(spark, tmp).first()
+    assert(r.getInt(2) === 0)
+    assert(r.getString(3) === md5hex(doc))
+  }
+
+  test("q132 plan: no exchange besides the presentation sort") {
+    val plan = SparkEntry.queries("q132_intradoc_dedup")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // one narrow projection over the scan: no joins, no aggregates,
+    // no window — the only exchange is the final orderBy's range sort
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.toLowerCase.contains("aggregate"), plan.take(2000))
+    assert("Exchange".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
+
   test("corpus invariants: counts conserved; near-dup docs lose blocks") {
     val r = SparkEntry.queries("q126_line_dedup")(spark, sf001).cache()
     assert(r.where(col("n_removed") > col("n_blocks") || col("n_blocks") <= 0)
