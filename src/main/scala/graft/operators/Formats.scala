@@ -28,6 +28,18 @@ object Formats {
   private val docsSchema =
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 
+  /** Per-corpus AND per-process scratch path: the sanitized corpus
+    * path (not its hashCode — two dirs can collide) keys reruns in
+    * one JVM idempotently via overwrite, and the pid component keeps
+    * two JVMs over the same corpus (bench racing a spec) from
+    * overwriting each other mid-read. Exposed so FormatsSpec inspects
+    * the same directory the query wrote. */
+  def jsonlScratchDir(d: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_jsonl_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+
   val qJsonlRoundtrip: GraftQuery = GraftQuery(
     "q118_jsonl_roundtrip",
     """SELECT lang,
@@ -38,15 +50,7 @@ object Formats {
       |FROM documents
       |GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
-    // per-corpus AND per-process scratch path: the sanitized corpus
-    // path (not its hashCode — two dirs can collide) keys reruns in
-    // one JVM idempotently via overwrite, and the pid component keeps
-    // two JVMs over the same corpus (bench racing a spec) from
-    // overwriting each other mid-read
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    val tmp = jsonlScratchDir(d)
     Tables.documents(s, d).write.mode("overwrite").json(tmp)
     s.read.schema(docsSchema).json(tmp)
       .groupBy("lang")

@@ -28,10 +28,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4
-    * refuses to read as TimestampType. Read nanos as long
-    * (legacy.parquet.nanosAsLong) and truncate to microseconds —
-    * exactly what DuckDB does on read, so oracle comparisons agree.
+  /** `events.ts` has shipped as BOTH nanosecond parquet (which Spark 4
+    * refuses to read as TimestampType — the legacy nanosAsLong flag
+    * surfaces it as epoch-nanos LONG) and plain microsecond
+    * isAdjustedToUTC=false parquet (which Spark 4 reads as
+    * TIMESTAMP_NTZ) across driver testdata generations. Normalize BOTH
+    * to session-zoned TimestampType at microsecond precision — exactly
+    * what DuckDB sees (its naive TIMESTAMP µs), and the session runs
+    * UTC, so the NTZ→TZ cast is value-preserving and oracle
+    * comparisons agree either way.
     * NOTE: the legacy flag is deliberately left set for the session
     * (schema resolution happens eagerly here, but the vectorized
     * reader may consult it again at execution); any nanos-precision
@@ -39,8 +44,20 @@ object Tables {
     * events through THIS method, never plain spark.read.parquet. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", nanosToTimestamp(col("ts")))
+    normalizeEventsTs(table(s, d, "events"))
   }
+
+  /** Normalize whichever physical ts the generation produced to µs
+    * TimestampType (shared by the batch loader above and the streaming
+    * file source, which must declare its schema up front). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", nanosToTimestamp(col("ts")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** ns → µs must be INTEGER division: epoch nanos (~1.7e18) exceed
     * 2^53, so double division (`/`) loses up to 256 ns per value and

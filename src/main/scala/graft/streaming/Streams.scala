@@ -36,12 +36,10 @@ object Streams {
     try f finally spark.conf.set(key, prev)
   }
 
-  /** The file's ts column is nanos-as-long under the legacy read
-    * (see Tables.events); converted to µs TimestampType first thing. */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // ts arrives as nanos-as-long (legacy read) OR µs TIMESTAMP_NTZ
+  // depending on the testdata generation; the streaming source must
+  // declare a schema up front, so readEventsStream probes the file's
+  // batch-read schema and normalizes via Tables.normalizeEventsTs.
 
   /** Hourly tumbling-window counts per event type, executed as a real
     * streaming query over the events parquet and returned as a batch
@@ -179,8 +177,10 @@ object Streams {
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
-    spark.readStream.schema(eventsFileSchema).parquet(streamDir.toString)
-      .withColumn("ts", graft.sources.Tables.nanosToTimestamp(col("ts")))
+    // footer-only probe (no data read) for the generation's ts type
+    val fileSchema = spark.read.parquet(streamDir.toString).schema
+    graft.sources.Tables.normalizeEventsTs(
+      spark.readStream.schema(fileSchema).parquet(streamDir.toString))
   }
 
   /** Stream-static join: the event stream enriched against a static

@@ -45,9 +45,7 @@ class FormatsSpec extends SparkSpecBase {
   test("q118 writes genuine JSON Lines: one parseable object per line") {
     import org.apache.spark.sql.functions._
     SparkEntry.queries("q118_jsonl_roundtrip")(spark, sf001).count()
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + Integer.toHexString(sf001.hashCode))
+    val out = new java.io.File(operators.Formats.jsonlScratchDir(sf001))
     val parts = out.listFiles().filter(_.getName.startsWith("part-"))
     assert(parts.nonEmpty, s"no JSONL part files under $out")
     val firstLine = scala.io.Source.fromFile(parts.minBy(_.getName))
