@@ -40,6 +40,7 @@ object SparkEntry {
       operators.CurationFunnel.all ++
       operators.Bpe.all ++
       operators.LineDedup.all ++
+      operators.StarComponents.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ModelQueries.all ++

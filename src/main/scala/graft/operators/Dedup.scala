@@ -520,6 +520,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // each generation is localCheckpoint-ed (not persist-ed): the next
+    // label plan references the previous one ~2.5x (union + join + the
+    // convergence check), so an un-truncated lineage grows
+    // EXPONENTIALLY in iterations — by ~18 rounds the logical tree
+    // alone renders to gigabytes and Catalyst analysis dwarfs
+    // execution. Caching bounds the RUNTIME; only checkpointing
+    // bounds the PLAN (same pattern as Bpe and StarComponents).
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     var converged = false
@@ -532,7 +539,7 @@ object Dedup {
       val next = labels.select(col("node"), col("label"))
         .union(viaNeighbors)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()

@@ -22,6 +22,11 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // iterative operators (connected components, BPE) can build
+      // deeply-nested plans; an uncapped explain/event-log rendering
+      // of such a plan OOMs the driver before the query itself would.
+      // 1 MB is plenty for any legitimate diagnostic read.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, StarComponents}
+import org.apache.spark.sql.functions._
+
+/** Large-star/small-star connected components: equivalence with the
+  * min-label propagation form on arbitrary graphs, and the round-count
+  * separation that motivates it — contraction is diameter-independent,
+  * propagation is not. */
+class StarComponentsSpec extends SparkSpecBase {
+
+  private def pairsDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    edges.toDF("doc_a", "doc_b")
+  }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("200-node path: star contraction converges in O(log n) rounds " +
+      "where propagation provably cannot") {
+    val path = pairsDf((0L until 199L).map(i => (i, i + 1)))
+    val (labels, rounds) = StarComponents.connectedComponentsStar(path)
+    try {
+      // ~log²(200) + 1 confirmation round, vs diameter 199
+      assert(rounds <= 10, s"expected O(log n) rounds on a path, got $rounds")
+      val m = labelMap(labels)
+      assert(m.size === 200)
+      assert(m.values.toSet === Set(0L), "every path node joins component 0")
+    } finally labels.unpersist()
+    // the propagation form needs ~diameter rounds: 6 << 199 must throw
+    // (bounded low — unlike the star form it does NOT truncate lineage,
+    // so every extra round doubles its logical plan)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIters = 6).unpersist()
+    }
+  }
+
+  test("property: star labels equal propagation labels on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = pairsDf(edges)
+      val (star, _) = StarComponents.connectedComponentsStar(df)
+      val prop = Dedup.connectedComponents(df)
+      try {
+        assert(labelMap(star) === labelMap(prop), s"trial $trial differs")
+      } finally { star.unpersist(); prop.unpersist() }
+    }
+  }
+
+  test("two cliques plus a bridge merge into one component; an isolated " +
+      "edge keeps its own") {
+    val cliqueA = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 10L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val bridge = Seq((4L, 10L))
+    val island = Seq((100L, 101L))
+    val (labels, _) = StarComponents.connectedComponentsStar(
+      pairsDf(cliqueA ++ cliqueB ++ bridge ++ island))
+    try {
+      val m = labelMap(labels)
+      assert((0L to 4L).forall(m(_) == 0L))
+      assert((10L to 14L).forall(m(_) == 0L), "bridge merges the cliques")
+      assert(m(100L) === 100L && m(101L) === 100L)
+    } finally labels.unpersist()
+  }
+
+  test("q133 equals q77 row-for-row on the real corpus") {
+    val a = SparkEntry.queries("q133_components_star")(spark, sf001).collect()
+    val b = SparkEntry.queries("q77_dedup_components")(spark, sf001).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
