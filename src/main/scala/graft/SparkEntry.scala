@@ -41,6 +41,7 @@ object SparkEntry {
       operators.Bpe.all ++
       operators.LineDedup.all ++
       operators.StarComponents.all ++
+      operators.HybridRetrieval.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ModelQueries.all ++

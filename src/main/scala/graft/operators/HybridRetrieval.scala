@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+  * ranking by Reciprocal Rank Fusion (Cormack et al., SIGIR'09) — the
+  * canonical RAG serving shape (sparse + dense retriever, rank-level
+  * fusion, no score calibration needed between the two signals).
+  *
+  * The query is "by example": corpus item 0 supplies the dense query
+  * vector (and is excluded from both pools); the lexical side reuses
+  * q113's fixed 3-term BM25 with its libm-free rational-idf
+  * arithmetic, so both component orderings are bit-reproducible
+  * against DuckDB and the fused ranking is hash-checkable.
+  *
+  * 100 TB notes: NEITHER retriever global-sorts the corpus. Each one
+  * reduces to a bounded top-64 candidate pool via the TopKByScore
+  * partial aggregate (per-partition heaps, exchange carries ≤ 64 rows
+  * per partition, one reduce task); ranks are then positions INSIDE
+  * the 64-row pool, the fusion join is 64×64, and the final top-10 is
+  * a TakeOrderedAndProject. The oracle's window-over-everything
+  * row_number is the semantic spec, not the plan. RRF contributions
+  * are 1/(60+rank) from each pool where present (absent = 0) — pure
+  * integer-derived doubles, identical in both engines.
+  */
+object HybridRetrieval {
+
+  val poolK = 64
+  val topN = 10
+  val rrfK = 60
+
+  val qHybridRrf: GraftQuery = GraftQuery(
+    "q134_hybrid_rrf",
+    s"""WITH ${TextAdvanced.bm25CtesSql},
+       |bm25 AS (
+       |  SELECT doc_id, ${TextAdvanced.bm25TotalScoreSql} AS lex
+       |  FROM feat CROSS JOIN stats WHERE doc_id <> 0),
+       |lexr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY lex DESC, doc_id) AS rank_lex
+       |  FROM bm25),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |vecs AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |                           CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+       |vecr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+       |  FROM vecs),
+       |fused AS (
+       |  SELECT doc_id,
+       |    CAST(l.rank_lex AS INTEGER) AS rank_lex,
+       |    CAST(v.rank_vec AS INTEGER) AS rank_vec,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + l.rank_lex), CAST(0 AS DOUBLE)) +
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + v.rank_vec), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM (SELECT * FROM lexr WHERE rank_lex <= $poolK) l
+       |  FULL JOIN (SELECT * FROM vecr WHERE rank_vec <= $poolK) v USING (doc_id))
+       |SELECT doc_id, rank_lex, rank_vec, rrf
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $topN""".stripMargin) { (s, d) =>
+    def pool(scored: DataFrame, score: String, rankName: String): DataFrame =
+      scored.groupBy()
+        .agg(org.apache.spark.sql.graftshim.TopKByScore(
+          col(score), col("doc_id"), poolK).as("top"))
+        .select(posexplode(col("top")))
+        .select(col("col.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as(rankName))
+    val lex = pool(
+      TextAdvanced.bm25FeatWithStats(s, d)
+        .select(col("doc_id"), TextAdvanced.bm25TotalScore.as("lex"))
+        .where(col("doc_id") =!= 0),
+      "lex", "rank_lex")
+    val qv = Tables.embeddings(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val vec = pool(
+      Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(col("q_emb"), col("embedding")).as("cos")),
+      "cos", "rank_vec")
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topN)
+      .select("doc_id", "rank_lex", "rank_vec", "rrf")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qHybridRrf)
+}

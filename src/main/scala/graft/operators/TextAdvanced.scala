@@ -4,7 +4,7 @@ import graft.GraftQuery
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -296,61 +296,83 @@ object TextAdvanced {
     * (N, df, Σdl) reduce to ONE row that is broadcast back over the
     * docs: at 100 TB this is a map-side scan + a 1-row crossjoin, no
     * per-doc shuffle at all (the ORDER BY exists for the oracle). */
-  val qBm25: GraftQuery = {
-    val terms = Seq("join", "scan", "vector")
-    val termFeatSql = terms.map(t =>
+  private[operators] val bm25Terms = Seq("join", "scan", "vector")
+
+  /** toks/feat/stats CTE block shared by q113 and the hybrid-retrieval
+    * fusion (q134) — ONE source of truth for the BM25 arithmetic. */
+  private[operators] val bm25CtesSql: String = {
+    val termFeatSql = bm25Terms.map(t =>
       s"    CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")
-    val termDfSql = terms.map(t =>
+    val termDfSql = bm25Terms.map(t =>
       s"    CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")
-    // every fractional constant is CAST to DOUBLE: a bare 0.5 parses
-    // as DECIMAL in DuckDB, and BIGINT+DECIMAL chains round under
-    // decimal arithmetic — off-by-one-ulp vs Spark's double path
-    def scoreSql(t: String): String =
-      s"(((n_docs - df_$t) + CAST(0.5 AS DOUBLE)) / (df_$t + CAST(0.5 AS DOUBLE))) * " +
-        s"((tf_$t * CAST(2.2 AS DOUBLE)) / " +
-        s"(tf_$t + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
-        s"(CAST(0.75 AS DOUBLE) * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))))"
-    GraftQuery(
-      "q113_bm25_score",
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-         |feat AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-         |$termFeatSql
-         |  FROM toks),
-         |stats AS (
-         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-         |$termDfSql
-         |  FROM feat)
-         |SELECT doc_id, dl,
-         |  ${terms.map(t => s"CAST(tf_$t AS INTEGER) AS tf_$t").mkString(", ")},
-         |  ((${scoreSql(terms(0))} + ${scoreSql(terms(1))}) + ${scoreSql(terms(2))}) AS score
-         |FROM feat CROSS JOIN stats
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val t = col("__toks")
-      val feat = Tables.documents(s, d)
-        .select(col("doc_id"), split(lower(col("text")), " ").as("__toks"))
-        .select(
-          col("doc_id") +: size(t).cast("long").as("dl") +:
-            terms.map(w =>
-              size(filter(t, x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
-      val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
-        terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))
-      val stats = feat.agg(aggCols.head, aggCols.tail: _*)
-      // identical shape to the SQL: rational idf × saturated tf, with
-      // dl normalized by (Σdl / N); parenthesization mirrored exactly
-      def score(w: String): Column =
-        (((col("n_docs") - col(s"df_$w")) + lit(0.5)) / (col(s"df_$w") + lit(0.5))) *
-          ((col(s"tf_$w") * lit(2.2)) /
-            (col(s"tf_$w") + (lit(1.2) * (lit(0.25) +
-              (lit(0.75) * (col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))))))
-      feat.crossJoin(broadcast(stats))
-        .select(
-          col("doc_id") +: col("dl") +:
-            terms.map(w => col(s"tf_$w").cast("int").as(s"tf_$w")) :+
-            ((score(terms(0)) + score(terms(1))) + score(terms(2))).as("score"): _*)
-        .orderBy("doc_id")
-    }
+    s"""toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |feat AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+       |$termFeatSql
+       |  FROM toks),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |$termDfSql
+       |  FROM feat)""".stripMargin
+  }
+
+  // every fractional constant is CAST to DOUBLE: a bare 0.5 parses
+  // as DECIMAL in DuckDB, and BIGINT+DECIMAL chains round under
+  // decimal arithmetic — off-by-one-ulp vs Spark's double path
+  private def bm25ScoreSql(t: String): String =
+    s"(((n_docs - df_$t) + CAST(0.5 AS DOUBLE)) / (df_$t + CAST(0.5 AS DOUBLE))) * " +
+      s"((tf_$t * CAST(2.2 AS DOUBLE)) / " +
+      s"(tf_$t + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + " +
+      s"(CAST(0.75 AS DOUBLE) * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))))"
+
+  /** Total 3-term score over the `feat CROSS JOIN stats` relation. */
+  private[operators] val bm25TotalScoreSql: String =
+    s"((${bm25ScoreSql(bm25Terms(0))} + ${bm25ScoreSql(bm25Terms(1))}) + ${bm25ScoreSql(bm25Terms(2))})"
+
+  /** Per-doc BM25 features joined with the broadcast 1-row corpus
+    * stats: (doc_id, dl, tf_*, n_docs, sum_dl, df_*). At 100 TB this
+    * is a map-side scan + a 1-row crossjoin, no per-doc shuffle. */
+  private[operators] def bm25FeatWithStats(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val t = col("__toks")
+    val feat = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__toks"))
+      .select(
+        col("doc_id") +: size(t).cast("long").as("dl") +:
+          bm25Terms.map(w =>
+            size(filter(t, x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
+    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      bm25Terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))
+    feat.crossJoin(broadcast(feat.agg(aggCols.head, aggCols.tail: _*)))
+  }
+
+  /** Identical shape to [[bm25TotalScoreSql]]: rational idf ×
+    * saturated tf, dl normalized by (Σdl / N); parenthesization
+    * mirrored exactly so every IEEE operation sequence matches. */
+  private[operators] def bm25TotalScore: Column = {
+    def score(w: String): Column =
+      (((col("n_docs") - col(s"df_$w")) + lit(0.5)) / (col(s"df_$w") + lit(0.5))) *
+        ((col(s"tf_$w") * lit(2.2)) /
+          (col(s"tf_$w") + (lit(1.2) * (lit(0.25) +
+            (lit(0.75) * (col("dl") / (col("sum_dl").cast("double") / col("n_docs"))))))))
+    (score(bm25Terms(0)) + score(bm25Terms(1))) + score(bm25Terms(2))
+  }
+
+  val qBm25: GraftQuery = GraftQuery(
+    "q113_bm25_score",
+    s"""WITH $bm25CtesSql
+       |SELECT doc_id, dl,
+       |  ${bm25Terms.map(t => s"CAST(tf_$t AS INTEGER) AS tf_$t").mkString(", ")},
+       |  $bm25TotalScoreSql AS score
+       |FROM feat CROSS JOIN stats
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    bm25FeatWithStats(s, d)
+      .select(
+        col("doc_id") +: col("dl") +:
+          bm25Terms.map(w => col(s"tf_$w").cast("int").as(s"tf_$w")) :+
+          bm25TotalScore.as("score"): _*)
+      .orderBy("doc_id")
   }
 
   def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,

@@ -121,11 +121,16 @@ class PlanAuditSpec extends SparkSpecBase {
     //    scored doc).
     //  - q130: the merged vocabulary size (two single-row aggregates
     //    summed, then the q115-style broadcast onto scored docs).
+    //  - q134: both bounded shapes at once — q113's 1-row BM25 stats
+    //    AND a single broadcast query vector scored against the
+    //    corpus (the q30 shape); both pools reduce through bounded
+    //    heaps before any join.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
         "q113_bm25_score", "q115_lm_fluency", "q119_curation_funnel",
-        "q124_assemble_examples", "q130_incremental_funnel")
+        "q124_assemble_examples", "q130_incremental_funnel",
+        "q134_hybrid_rrf")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
