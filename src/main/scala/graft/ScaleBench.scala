@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Dedup, IvfAnn, MinHashScheme, Similarity}
+import graft.operators.{Bpe, Dedup, IvfAnn, MinHashScheme, Similarity, StarComponents}
 import graft.sources.Tables
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -241,6 +241,40 @@ object ScaleBench {
         (if (nTrainSh > 0) nSurvivors.toDouble / nTrainSh else -1.0))
     benchSh.unpersist()
     Seq(verified, toks, pairs, bands, docs).foreach(_.unpersist())
+
+    // ---- connected-components physics (q77 vs q133) ----
+    // cluster-shaped graph (the near-dup regime: 25k size-4 stars,
+    // diameter 2): both algorithms converge in a handful of rounds.
+    val clusterEdges = spark.range(100000)
+      .select(col("id").as("doc_a"), (col("id") - pmod(col("id"), lit(4))).as("doc_b"))
+      .where(pmod(col("id"), lit(4)) =!= 0)
+    val ((starLabels, starRounds), tStarCluster) =
+      time(StarComponents.connectedComponentsStar(clusterEdges))
+    starLabels.unpersist()
+    val (propLabels, tPropCluster) = time {
+      val l = Dedup.connectedComponents(clusterEdges); l.count(); l
+    }
+    propLabels.unpersist()
+    // adversarial chain (20k-node path, diameter 2*10^4): star stays
+    // logarithmic; propagation under a 30-round cap must give up —
+    // the measured separation behind shipping BOTH forms.
+    val pathEdges = spark.range(19999)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val ((starPathLabels, starPathRounds), tStarPath) =
+      time(StarComponents.connectedComponentsStar(pathEdges))
+    starPathLabels.unpersist()
+    val propPathConverged =
+      try { Dedup.connectedComponents(pathEdges, maxIters = 30).unpersist(); 1.0 }
+      catch { case _: IllegalStateException => 0.0 }
+    out ++= Seq(
+      "cc_cluster_nodes" -> 100000.0,
+      "cc_star_rounds_cluster" -> starRounds.toDouble,
+      "cc_star_sec_cluster" -> tStarCluster,
+      "cc_prop_sec_cluster" -> tPropCluster,
+      "cc_path_nodes" -> 20000.0,
+      "cc_star_rounds_path" -> starPathRounds.toDouble,
+      "cc_star_sec_path" -> tStarPath,
+      "cc_prop_path_converged_at30" -> propPathConverged)
 
     // ---- ANN asymptotics ----
     val vecs = synthVecs(spark, sfDir, targetVecs).persist()

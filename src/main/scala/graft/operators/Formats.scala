@@ -34,11 +34,15 @@ object Formats {
     * two JVMs over the same corpus (bench racing a spec) from
     * overwriting each other mid-read. Exposed so FormatsSpec inspects
     * the same directory the query wrote. */
-  def jsonlScratchDir(d: String): String =
+  def scratchDir(prefix: String, d: String): String =
     new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_jsonl_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
+      prefix + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_p" + ProcessHandle.current().pid()).getAbsolutePath
+
+  def jsonlScratchDir(d: String): String = scratchDir("graft_jsonl", d)
+
+  def exportScratchDir(d: String): String = scratchDir("graft_export", d)
 
   val qJsonlRoundtrip: GraftQuery = GraftQuery(
     "q118_jsonl_roundtrip",
@@ -63,5 +67,60 @@ object Formats {
       .orderBy(col("lang").asc_nulls_first)
   }
 
-  def all: Seq[GraftQuery] = Seq(qJsonlRoundtrip)
+  /** How many rows a single exported file may hold — deliberately
+    * small at test scale so several part files exist per partition
+    * (FormatsSpec counts them); at 100 TB the same knob bounds file
+    * sizes for the object store (the real failure mode is one
+    * mega-file per partition that downstream readers can't split). */
+  val exportMaxRecordsPerFile = 64
+
+  /** The "materialize the curated corpus" stage: documents tagged with
+    * the deterministic q110 split, exported as hive-partitioned
+    * parquet (lang × split — the layout a trainer's data loader
+    * prunes by), then read BACK and aggregated per partition. The
+    * oracle computes the same aggregate from the original table, so a
+    * hash match proves the export lost nothing: every doc_id, every
+    * n_chars, every text byte (distinct-md5), and the partition
+    * columns themselves round-tripped.
+    *
+    * 100 TB notes: the write is fully parallel (each task writes its
+    * own files under each partition dir it holds rows for;
+    * maxRecordsPerFile splits oversized tasks); no pre-shuffle — a
+    * production run that wants exactly-one-file-per-partition would
+    * repartition(lang, split) first, trading one exchange for layout.
+    * The read-back aggregate prunes to the partition columns + the
+    * two data columns it needs. */
+  val qPartitionedExport: GraftQuery = GraftQuery(
+    "q135_partitioned_export",
+    s"""WITH tagged AS (
+       |  SELECT doc_id, text, n_chars, lang,
+       |    ${TrainingPipeline.splitSqlCase("doc_id")} AS split
+       |  FROM documents)
+       |SELECT lang, split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM tagged
+       |GROUP BY lang, split
+       |ORDER BY lang NULLS FIRST, split""".stripMargin) { (s, d) =>
+    val out = exportScratchDir(d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("n_chars"), col("lang"),
+        TrainingPipeline.splitColumn(col("doc_id")).as("split"))
+      .write.partitionBy("lang", "split")
+      .option("maxRecordsPerFile", exportMaxRecordsPerFile)
+      .mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy(col("lang").asc_nulls_first, col("split"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(qJsonlRoundtrip, qPartitionedExport)
 }

@@ -42,6 +42,31 @@ class FormatsSpec extends SparkSpecBase {
     assert(back.count() === o.where(col("o_year") === 1996).count())
   }
 
+  test("q135 exports a hive layout with bounded file sizes and a " +
+      "prunable partition tree") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q135_partitioned_export")(spark, sf001).count()
+    val root = new java.io.File(operators.Formats.exportScratchDir(sf001))
+    val langDirs = root.listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty, s"no lang= partitions under $root")
+    val splitDirs = langDirs.flatMap(_.listFiles()).filter(_.isDirectory)
+    assert(splitDirs.forall(_.getName.startsWith("split=")))
+    // bounded files: every parquet part holds ≤ the configured cap,
+    // and at least one partition needed more than one file for it
+    val perPartFiles = splitDirs.map(
+      _.listFiles().count(f => f.getName.endsWith(".parquet")))
+    assert(perPartFiles.exists(_ >= 2),
+      s"expected a partition with several bounded files, got ${perPartFiles.toSeq}")
+    val back = spark.read.parquet(root.toString)
+    assert(back.count() ===
+      graft.sources.Tables.documents(spark, sf001).count())
+    // the trainer's pruned read: only the requested partition is scanned
+    val pruned = back.where(col("lang") === "en" && col("split") === "train")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition filters must reach the scan:\n${plan.take(1500)}")
+  }
+
   test("q118 writes genuine JSON Lines: one parseable object per line") {
     import org.apache.spark.sql.functions._
     SparkEntry.queries("q118_jsonl_roundtrip")(spark, sf001).count()
