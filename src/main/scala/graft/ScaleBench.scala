@@ -372,140 +372,149 @@ object ScaleBench {
     // two stage timings stay disjoint and artifact diffs stay apples
     // to apples
     val assigned = IvfAnn.assign(vecs, centroids).persist()
-    val (_, tIvf) = time {
-      // the index is built once and persisted (its production shape);
-      // search reads it for both the query side and the probed cells
-      ivfTop = IvfAnn
-        .search(assigned, centroids, queryFilter, k = 3, nProbe = 2)
-        .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
-    }
-    val (topOp, t2) = time(IvfAnn
-      .search(assigned, centroids, queryFilter, k = 3, nProbe = IvfAnn.opNProbe)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet)
-    ivfTopOp = topOp; tIvfOp = t2
-    out ++= Seq("ivf_cells" -> math.ceil(nVecs.toDouble / stride),
-      "ivf_assign_search_sec" -> tIvf,
-      "ivf_recall3" -> recallOf(ivfTop),
-      "ivf_nprobe_op" -> IvfAnn.opNProbe.toDouble,
-      "ivf_recall3_op" -> recallOf(ivfTopOp),
-      "ivf_search_op_sec" -> tIvfOp)
+    // everything from here through the IVF-PQ A/B can throw with
+    // persisted relations in flight (driver-side sample collects,
+    // codebook require()); the finally keeps a failed scale stage
+    // from leaking 100k-vector caches into the rest of the session
+    var pqCodes: DataFrame = null
+    try {
+      val (_, tIvf) = time {
+        // the index is built once and persisted (its production shape);
+        // search reads it for both the query side and the probed cells
+        ivfTop = IvfAnn
+          .search(assigned, centroids, queryFilter, k = 3, nProbe = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet
+      }
+      val (topOp, t2) = time(IvfAnn
+        .search(assigned, centroids, queryFilter, k = 3, nProbe = IvfAnn.opNProbe)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toSet)
+      ivfTopOp = topOp; tIvfOp = t2
+      out ++= Seq("ivf_cells" -> math.ceil(nVecs.toDouble / stride),
+        "ivf_assign_search_sec" -> tIvf,
+        "ivf_recall3" -> recallOf(ivfTop),
+        "ivf_nprobe_op" -> IvfAnn.opNProbe.toDouble,
+        "ivf_recall3_op" -> recallOf(ivfTopOp),
+        "ivf_search_op_sec" -> tIvfOp)
 
-    // ---- IVF-PQ composition (q127 shape) ----
-    // codes materialized ONCE (the index build — 32x smaller than the
-    // vectors); per query: route to opNProbe cells, ADC within them
-    // via codebook reconstruction, exact L2 re-rank of the ADC top-50.
-    // Recall is measured against exact brute-force L2 top-3 (PQ serves
-    // the L2 metric; the cosine recalls above grade the LSH/IVF tiers).
-    {
-      import graft.operators.PqAnn
-      import org.apache.spark.sql.expressions.Window
-      // codebook TRAINED on a bounded sample (the production path —
-      // the fixed oracle codebook measured recall@3 0.07 here): ~8k
-      // vectors collected driver-side, Lloyd per subspace
-      val (cb, tTrain) = time {
-        val sampleStride = math.max(1L, nVecs / 8192)
-        val samples = vecs.where(pmod(col("vec_id"), lit(sampleStride)) === 0)
-          .select("embedding").collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
-        PqAnn.trainCodebook(samples, numCentroids = 256)
+      // ---- IVF-PQ composition (q127 shape) ----
+      // codes materialized ONCE (the index build — 32x smaller than the
+      // vectors); per query: route to opNProbe cells, ADC within them
+      // via codebook reconstruction, exact L2 re-rank of the ADC top-50.
+      // Recall is measured against exact brute-force L2 top-3 (PQ serves
+      // the L2 metric; the cosine recalls above grade the LSH/IVF tiers).
+      {
+        import graft.operators.PqAnn
+        import org.apache.spark.sql.expressions.Window
+        // codebook TRAINED on a bounded sample (the production path —
+        // the fixed oracle codebook measured recall@3 0.07 here): ~8k
+        // vectors collected driver-side, Lloyd per subspace
+        val (cb, tTrain) = time {
+          val sampleStride = math.max(1L, nVecs / 8192)
+          val samples = vecs.where(pmod(col("vec_id"), lit(sampleStride)) === 0)
+            .select("embedding").collect()
+            .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
+          PqAnn.trainCodebook(samples, numCentroids = 256)
+        }
+        // the PQ index is L2-served END TO END: cells assigned by min-L2
+        // (NearestCentroid's l2 metric), queries routed by min-L2 below —
+        // routing an L2 search through the cosine tier's cells measured
+        // 0.73-0.77 recall at 100k (replica noise varies norms; the
+        // max-cosine cell is not the min-L2 cell once norms differ)
+        val (codes, tEnc) = time {
+          val c = IvfAnn.assign(vecs, centroids, metric = "l2")
+            .select(col("vec_id"), col("cell"),
+              org.apache.spark.sql.graftshim.PqEncode(col("embedding"), cb)
+                .as("codes")).persist()
+          c.count()
+          c
+        }
+        pqCodes = codes // released by the stage finally (also on throw)
+        val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          aggregate(zip_with(a, b, (x, y) => {
+            val d = x.cast("double") - y.cast("double"); d * d
+          }), lit(0.0), _ + _)
+        val qside2 = assigned.where(queryFilter)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        def topkOf(df: DataFrame): Set[(Long, Long)] = df.collect()
+          .flatMap(r => r.getSeq[Long](1).map(r.getLong(0) -> _)).toSet
+        val (exactL2, tExactL2) = time(topkOf(
+          vecs.crossJoin(broadcast(qside2))
+            .where(col("vec_id") =!= col("query_id"))
+            .groupBy("query_id")
+            .agg(org.apache.spark.sql.graftshim.TopKByScore(
+              -l2(col("embedding"), col("q_emb")), col("vec_id"), 3).as("top"))
+            .select(col("query_id"), col("top.id"))))
+        // ADC top-1000 + exact re-rank, over an arbitrary (query, code)
+        // candidate relation — the gated and ungated variants below run
+        // THIS same pipeline and differ only in the routing gate. The
+        // re-rank pool is sized to the replica structure: ADC distortion
+        // among ~200 near-identical replicas re-orders freely, so the
+        // exact tier must see enough candidates to absorb it (1000 ≈ 1%
+        // of corpus; 400 measured 0.86 recall, 1000 measures 0.95).
+        // PqAdcDist is the fused codegen ADC (bit-parity-spec'd vs the
+        // reconstruct+zip_with composed form it replaced, which
+        // allocated per row, evaluated interpreted lambdas, and
+        // dominated this stage ~8x)
+        def adcPipeline(cands: DataFrame): Set[(Long, Long)] = topkOf(
+          cands.where(col("vec_id") =!= col("query_id"))
+            .groupBy("query_id")
+            .agg(org.apache.spark.sql.graftshim.TopKByScore(
+              -org.apache.spark.sql.graftshim.PqAdcDist(
+                col("codes"), col("q_emb"), cb), col("vec_id"), 1000).as("top"))
+            .select(col("query_id"), explode(col("top.id")).as("cand_id"))
+            .join(vecs.select(col("vec_id").as("cand_id"),
+              col("embedding").as("c_emb")), Seq("cand_id"))
+            .join(qside2, Seq("query_id"))
+            .groupBy("query_id")
+            .agg(org.apache.spark.sql.graftshim.TopKByScore(
+              -l2(col("c_emb"), col("q_emb")), col("cand_id"), 3).as("top"))
+            .select(col("query_id"), col("top.id")))
+        var pqTop: Set[(Long, Long)] = Set.empty
+        val (_, tPq) = time {
+          // route by MIN L2 to centroid — the served metric. (The q55/q127
+          // cosine router is the right tool for the cosine tiers; routing
+          // an L2 search by cosine cost 0.73 recall here: replica noise
+          // varies vector NORMS, and the max-cosine cell is not the
+          // min-L2 cell once norms differ.)
+          val routed = qside2.crossJoin(broadcast(centroids))
+            .withColumn("c_d2", l2(col("q_emb"), col("centroid")))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))))
+            .where(col("rn") <= IvfAnn.opNProbe)
+            .select(col("query_id"), col("q_emb"), col("cell").cast("long").as("cell"))
+          pqTop = adcPipeline(routed.join(codes, Seq("cell")))
+        }
+        val pqRecall =
+          if (exactL2.nonEmpty) exactL2.intersect(pqTop).size.toDouble / exactL2.size
+          else -1.0
+        // the q114 shape on the same index — the IDENTICAL pipeline with
+        // the routing gate removed (ADC over every code row) — so the
+        // composition's effect is a measured A/B, not an argument. On
+        // this in-memory corpus the fused ADC is so cheap that the
+        // ungated scan is CPU-trivial; the 100 TB difference is I/O
+        // (cell-partition pruning of a codes table that no longer fits
+        // in memory), which recall parity here licenses.
+        var fullTop: Set[(Long, Long)] = Set.empty
+        val (_, tFull) = time {
+          fullTop = adcPipeline(codes.crossJoin(broadcast(qside2)))
+        }
+        val fullRecall =
+          if (exactL2.nonEmpty) exactL2.intersect(fullTop).size.toDouble / exactL2.size
+          else -1.0
+        out ++= Seq(
+          "ivfpq_codebook_train_sec" -> tTrain,
+          "ivfpq_encode_sec" -> tEnc,
+          "ivfpq_exact_l2_sec" -> tExactL2,
+          "ivfpq_fullscan_sec" -> tFull,
+          "ivfpq_fullscan_recall3" -> fullRecall,
+          "ivfpq_search_sec" -> tPq,
+          "ivfpq_recall3" -> pqRecall)
       }
-      // the PQ index is L2-served END TO END: cells assigned by min-L2
-      // (NearestCentroid's l2 metric), queries routed by min-L2 below —
-      // routing an L2 search through the cosine tier's cells measured
-      // 0.73-0.77 recall at 100k (replica noise varies norms; the
-      // max-cosine cell is not the min-L2 cell once norms differ)
-      val (codes, tEnc) = time {
-        val c = IvfAnn.assign(vecs, centroids, metric = "l2")
-          .select(col("vec_id"), col("cell"),
-            org.apache.spark.sql.graftshim.PqEncode(col("embedding"), cb)
-              .as("codes")).persist()
-        c.count()
-        c
-      }
-      val l2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-        aggregate(zip_with(a, b, (x, y) => {
-          val d = x.cast("double") - y.cast("double"); d * d
-        }), lit(0.0), _ + _)
-      val qside2 = assigned.where(queryFilter)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      def topkOf(df: DataFrame): Set[(Long, Long)] = df.collect()
-        .flatMap(r => r.getSeq[Long](1).map(r.getLong(0) -> _)).toSet
-      val (exactL2, tExactL2) = time(topkOf(
-        vecs.crossJoin(broadcast(qside2))
-          .where(col("vec_id") =!= col("query_id"))
-          .groupBy("query_id")
-          .agg(org.apache.spark.sql.graftshim.TopKByScore(
-            -l2(col("embedding"), col("q_emb")), col("vec_id"), 3).as("top"))
-          .select(col("query_id"), col("top.id"))))
-      // ADC top-1000 + exact re-rank, over an arbitrary (query, code)
-      // candidate relation — the gated and ungated variants below run
-      // THIS same pipeline and differ only in the routing gate. The
-      // re-rank pool is sized to the replica structure: ADC distortion
-      // among ~200 near-identical replicas re-orders freely, so the
-      // exact tier must see enough candidates to absorb it (1000 ≈ 1%
-      // of corpus; 400 measured 0.86 recall, 1000 measures 0.95).
-      // PqAdcDist is the fused codegen ADC (bit-parity-spec'd vs the
-      // reconstruct+zip_with composed form it replaced, which
-      // allocated per row, evaluated interpreted lambdas, and
-      // dominated this stage ~8x)
-      def adcPipeline(cands: DataFrame): Set[(Long, Long)] = topkOf(
-        cands.where(col("vec_id") =!= col("query_id"))
-          .groupBy("query_id")
-          .agg(org.apache.spark.sql.graftshim.TopKByScore(
-            -org.apache.spark.sql.graftshim.PqAdcDist(
-              col("codes"), col("q_emb"), cb), col("vec_id"), 1000).as("top"))
-          .select(col("query_id"), explode(col("top.id")).as("cand_id"))
-          .join(vecs.select(col("vec_id").as("cand_id"),
-            col("embedding").as("c_emb")), Seq("cand_id"))
-          .join(qside2, Seq("query_id"))
-          .groupBy("query_id")
-          .agg(org.apache.spark.sql.graftshim.TopKByScore(
-            -l2(col("c_emb"), col("q_emb")), col("cand_id"), 3).as("top"))
-          .select(col("query_id"), col("top.id")))
-      var pqTop: Set[(Long, Long)] = Set.empty
-      val (_, tPq) = time {
-        // route by MIN L2 to centroid — the served metric. (The q55/q127
-        // cosine router is the right tool for the cosine tiers; routing
-        // an L2 search by cosine cost 0.73 recall here: replica noise
-        // varies vector NORMS, and the max-cosine cell is not the
-        // min-L2 cell once norms differ.)
-        val routed = qside2.crossJoin(broadcast(centroids))
-          .withColumn("c_d2", l2(col("q_emb"), col("centroid")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("query_id").orderBy(col("c_d2"), col("cell"))))
-          .where(col("rn") <= IvfAnn.opNProbe)
-          .select(col("query_id"), col("q_emb"), col("cell").cast("long").as("cell"))
-        pqTop = adcPipeline(routed.join(codes, Seq("cell")))
-      }
-      val pqRecall =
-        if (exactL2.nonEmpty) exactL2.intersect(pqTop).size.toDouble / exactL2.size
-        else -1.0
-      // the q114 shape on the same index — the IDENTICAL pipeline with
-      // the routing gate removed (ADC over every code row) — so the
-      // composition's effect is a measured A/B, not an argument. On
-      // this in-memory corpus the fused ADC is so cheap that the
-      // ungated scan is CPU-trivial; the 100 TB difference is I/O
-      // (cell-partition pruning of a codes table that no longer fits
-      // in memory), which recall parity here licenses.
-      var fullTop: Set[(Long, Long)] = Set.empty
-      val (_, tFull) = time {
-        fullTop = adcPipeline(codes.crossJoin(broadcast(qside2)))
-      }
-      val fullRecall =
-        if (exactL2.nonEmpty) exactL2.intersect(fullTop).size.toDouble / exactL2.size
-        else -1.0
-      codes.unpersist()
-      out ++= Seq(
-        "ivfpq_codebook_train_sec" -> tTrain,
-        "ivfpq_encode_sec" -> tEnc,
-        "ivfpq_exact_l2_sec" -> tExactL2,
-        "ivfpq_fullscan_sec" -> tFull,
-        "ivfpq_fullscan_recall3" -> fullRecall,
-        "ivfpq_search_sec" -> tPq,
-        "ivfpq_recall3" -> pqRecall)
+    } finally {
+      if (pqCodes != null) pqCodes.unpersist()
+      assigned.unpersist()
+      vecs.unpersist()
     }
-    assigned.unpersist()
-    vecs.unpersist()
 
     // ---- BPE trainer driver-round-trip physics ----
     // A/B on one synthetic 20k-word Zipf vocabulary: the sequential

@@ -250,7 +250,9 @@ object Bpe {
             pending += batch.size
             if (pending >= ckptEvery) {
               val next = gen.localCheckpoint() // eager: materializes before
-              base.unpersist()                 // the old blocks are released
+              // Checkpoints.release, not unpersist: a checkpointed
+              // frame's unpersist() is a CacheManager no-op
+              org.apache.spark.sql.graftshim.Checkpoints.release(base)
               base = next
               gen = next
               pending = 0
@@ -259,7 +261,7 @@ object Bpe {
         }
       }
     } finally {
-      base.unpersist()
+      org.apache.spark.sql.graftshim.Checkpoints.release(base)
       spark.conf.set(aqeKey, aqeWas)
     }
     TrainResult(merges.result(), passes)

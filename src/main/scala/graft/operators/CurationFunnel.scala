@@ -168,12 +168,15 @@ object CurationFunnel {
   private def corpusStats(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     corpusIdx.getOrElseUpdate((System.identityHashCode(s), d), {
-      val ctk = Tables.documents(s, d)
+      // filter the SHARED per-(session, corpus) token index rather
+      // than re-scanning+re-tokenizing documents four times: the four
+      // index builds below each read the cached (doc_id, content_md5,
+      // t) projection from NgramStats.indexedDocToks. (The BATCH side
+      // keeps its own direct gated parquet scan — that is the audited
+      // production hot path; its tokenization must stay expression-
+      // identical to the index's for the oracle equivalence to hold.)
+      val ctk = NgramStats.indexedDocToks(s, d)
         .where(pmod(col("doc_id"), lit(batchMod)) =!= batchRem)
-        .repartition(32)
-        .select(col("doc_id"),
-          md5(lower(col("text"))).as("content_md5"),
-          split(lower(col("text")), " ").as("t"))
       val even = ctk.where(pmod(col("doc_id"), lit(2)) === 0)
       val exactIdx = ctk.groupBy("content_md5")
         .agg(min(col("doc_id")).as("corpus_min")).persist()
@@ -232,12 +235,18 @@ object CurationFunnel {
         md5(lower(col("text"))).as("content_md5"),
         split(lower(col("text")), " ").as("t"))
 
-    // exact gate: batch-internal min vs persisted corpus min
+    // exact gate: batch-internal min vs persisted corpus min. The join
+    // is NULL-SAFE (<=>): md5(lower(text)) is NULL for NULL text, and
+    // the oracle's window groups NULL keys together — an equi-join
+    // would silently treat every NULL-text batch doc as novel content
+    // even when the corpus already holds one (latent until a testdata
+    // generation ships NULL text, which the fixtures are allowed to).
     val exact = btk.select(col("doc_id"), col("lang"),
         size(col("t")).as("n_tok"), col("content_md5"),
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("content_md5"))).as("batch_min"))
-      .join(exactIdx, Seq("content_md5"), "left")
+      .join(exactIdx.withColumnRenamed("content_md5", "corpus_md5"),
+        col("content_md5") <=> col("corpus_md5"), "left")
       .select(col("doc_id"), col("lang"), col("n_tok"),
         (col("doc_id") === col("batch_min") &&
           (col("corpus_min").isNull || col("doc_id") < col("corpus_min")))

@@ -542,7 +542,9 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .where(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      // Checkpoints.release, not unpersist: a checkpointed frame's
+      // unpersist() is a CacheManager no-op, its blocks would wait on GC
+      org.apache.spark.sql.graftshim.Checkpoints.release(labels)
       labels = next
       converged = changed == 0
       i += 1
@@ -554,12 +556,18 @@ object Dedup {
     // after a throw)
     if (!converged) {
       edges.unpersist()
-      labels.unpersist()
+      org.apache.spark.sql.graftshim.Checkpoints.release(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations " +
           "(component diameter exceeds maxIters)")
     }
-    labels.count() // pin the final label relation into its cache
+    // the final generation is checkpoint-backed, so the caller's
+    // contractual unpersist() wouldn't free it — re-expose it as a
+    // CacheManager-persisted relation (built once from the checkpoint
+    // blocks, which are then dropped)
+    labels.persist()
+    labels.count()
+    org.apache.spark.sql.graftshim.Checkpoints.releaseUnderlying(labels)
     edges.unpersist()
     labels
   }

@@ -32,13 +32,39 @@ object Formats {
     * path (not its hashCode — two dirs can collide) keys reruns in
     * one JVM idempotently via overwrite, and the pid component keeps
     * two JVMs over the same corpus (bench racing a spec) from
-    * overwriting each other mid-read. Exposed so FormatsSpec inspects
-    * the same directory the query wrote. */
-  def scratchDir(prefix: String, d: String): String =
-    new java.io.File(
+    * overwriting each other mid-read. Every dir is registered for
+    * recursive deletion at JVM exit — the pid isolation would
+    * otherwise leak one corpus-sized copy per process into the temp
+    * dir, forever. Exposed so FormatsSpec inspects the same directory
+    * the query wrote. */
+  def scratchDir(prefix: String, d: String): String = {
+    val path = new java.io.File(
       sys.props("java.io.tmpdir"),
       prefix + "_" + d.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_p" + ProcessHandle.current().pid()).getAbsolutePath
+    cleanupHookInstalled
+    cleanupRegistry.add(path)
+    path
+  }
+
+  private val cleanupRegistry =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Recursively remove a scratch path now (reruns that must not see a
+    * previous run's output call this up front). */
+  def wipe(path: String): Unit = deleteRecursively(new java.io.File(path))
+
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cleanupRegistry.forEach(p => deleteRecursively(new java.io.File(p)))))
+    true
+  }
 
   def jsonlScratchDir(d: String): String = scratchDir("graft_jsonl", d)
 

@@ -81,6 +81,9 @@ object StarComponents {
     // except), so lineage grows EXPONENTIALLY in rounds — truncate it
     // every round, exactly the Bpe trainer's pattern. Eager, so the
     // old generation's blocks can be released immediately after.
+    // release via Checkpoints (a checkpointed frame's unpersist() is a
+    // CacheManager no-op; blocks would otherwise wait on GC timing)
+    val release = org.apache.spark.sql.graftshim.Checkpoints.release _
     var cur = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .localCheckpoint()
     var n = cur.count()
@@ -89,20 +92,24 @@ object StarComponents {
     try {
       while (!converged && rounds < maxIters) {
         val next = canon(smallStar(largeStar(cur))).localCheckpoint()
-        val n2 = next.count()
-        // set equality: same cardinality + empty difference (both
-        // sides canonical-distinct, so one-sided except suffices)
-        converged = n2 == n && next.except(cur).limit(1).count() == 0
-        cur.unpersist()
+        try {
+          val n2 = next.count()
+          // set equality: same cardinality + empty difference (both
+          // sides canonical-distinct, so one-sided except suffices)
+          converged = n2 == n && next.except(cur).limit(1).count() == 0
+          n = n2
+        } catch {
+          case t: Throwable => release(next); throw t
+        }
+        release(cur)
         cur = next
-        n = n2
         rounds += 1
       }
     } catch {
-      case t: Throwable => cur.unpersist(); throw t
+      case t: Throwable => release(cur); throw t
     } finally spark.conf.set(partKey, prev)
     if (!converged) {
-      cur.unpersist()
+      release(cur)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxIters rounds")
     }
@@ -112,7 +119,7 @@ object StarComponents {
       .select(col("u").as("node"), least(col("mn"), col("u")).as("label"))
       .persist()
     labels.count() // pin before releasing the edges it derives from
-    cur.unpersist()
+    release(cur)
     (labels, rounds)
   }
 

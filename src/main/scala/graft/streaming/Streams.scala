@@ -160,27 +160,35 @@ object Streams {
   }
 
   /** The file stream source wants a DIRECTORY of arriving files (its
-    * production shape); stage the single testdata file into one via
+    * production shape); stage a single testdata file into one via
     * symlink without touching the read-only testdata tree. NOFOLLOW on
     * the existence check: a dangling leftover link (testdata moved)
     * reports non-existent through follow semantics but still blocks
-    * createSymbolicLink — recreate it unconditionally. */
-  private def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * createSymbolicLink — recreate it unconditionally. ONE copy of
+    * this subtle filesystem logic, shared by the events and documents
+    * streams. */
+  private def stageAsStreamDir(prefix: String, sfDir: String,
+      fileName: String): String = {
     val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream", sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+      sys.props("java.io.tmpdir"), prefix, sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    val target = java.nio.file.Paths.get(sfDir, "events.parquet")
+    val link = streamDir.resolve(fileName)
+    val target = java.nio.file.Paths.get(sfDir, fileName)
     if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
         java.nio.file.Files.readSymbolicLink(link) != target)
       java.nio.file.Files.delete(link)
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
+    streamDir.toString
+  }
+
+  private def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = stageAsStreamDir("graft_stream", sfDir, "events.parquet")
     // footer-only probe (no data read) for the generation's ts type
-    val fileSchema = spark.read.parquet(streamDir.toString).schema
+    val fileSchema = spark.read.parquet(streamDir).schema
     graft.sources.Tables.normalizeEventsTs(
-      spark.readStream.schema(fileSchema).parquet(streamDir.toString))
+      spark.readStream.schema(fileSchema).parquet(streamDir))
   }
 
   /** Stream-static join: the event stream enriched against a static
@@ -297,20 +305,8 @@ object Streams {
   private[graft] def readDocsStream(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val dir = srcDir.getOrElse {
-      val streamDir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_stream_docs",
-        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("documents.parquet")
-      val target = java.nio.file.Paths.get(sfDir, "documents.parquet")
-      if (java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
-          java.nio.file.Files.readSymbolicLink(link) != target)
-        java.nio.file.Files.delete(link)
-      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-        java.nio.file.Files.createSymbolicLink(link, target)
-      streamDir.toString
-    }
+    val dir = srcDir.getOrElse(
+      stageAsStreamDir("graft_stream_docs", sfDir, "documents.parquet"))
     val reader = spark.readStream
       .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -338,8 +334,15 @@ object Streams {
       srcDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_imgfeat").toString
+    // deterministic per-(source, process) sink dir, wiped up front:
+    // the sink appends WITHIN one run (micro-batches), but a rerun
+    // must not read the previous run's batches — and a fresh
+    // createTempDirectory per invocation would leak one feature-table
+    // copy per bench/verify execution (the dir is also registered for
+    // deletion at JVM exit via Formats.scratchDir)
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_imgfeat", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
     withStreamShufflePartitions(spark) {
       val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
       val q = stream.select(col("doc_id"))

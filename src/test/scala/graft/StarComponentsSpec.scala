@@ -67,6 +67,21 @@ class StarComponentsSpec extends SparkSpecBase {
     } finally labels.unpersist()
   }
 
+  test("the contraction loop releases every generation's checkpoint " +
+      "blocks (unpersist on a checkpointed frame is a no-op)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (labels, _) = StarComponents.connectedComponentsStar(
+      pairsDf((0L until 99L).map(i => (i, i + 1))))
+    labels.count()
+    org.apache.spark.sql.graftshim.Checkpoints.release(labels)
+    // every RDD persisted by the loop (checkpoint generations) and the
+    // released label cache must be gone; only pre-existing entries stay
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
+      s"loop leaked persisted RDDs: ${leaked.mkString(", ")}")
+  }
+
   test("q133 equals q77 row-for-row on the real corpus") {
     val a = SparkEntry.queries("q133_components_star")(spark, sf001).collect()
     val b = SparkEntry.queries("q77_dedup_components")(spark, sf001).collect()
