@@ -217,7 +217,74 @@ object TrainingPipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Token-BUDGET mixture: q109 samples to fixed per-language RATES;
+    * real mixture specs (Pile/Dolma-style) are stated as "language l
+    * gets weight w_l of a B-token budget", so the per-language keep
+    * rate must be DERIVED from the corpus's own token counts:
+    *   rate_l = B * w_l / T_l   (capped at 1 by the hash gate itself)
+    * with B = half the corpus tokens and w in per-mille (en 400,
+    * others 150). A doc is kept iff its 32-bit md5 gate value clears
+    * the rate, spelled as the EXACT cross-multiplied integer
+    * comparison  h * T_l * 1000 < 2^32 * B * w_l  — no division, no
+    * doubles, so the kept set is bit-deterministic and identical
+    * under any partitioning. Spark computes in DECIMAL(38,0), DuckDB
+    * in HUGEINT (both 128-bit-exact; the products reach ~1e25 at
+    * 100 TB, far past BIGINT but far under 1e38).
+    *
+    * 100 TB: one aggregate pass builds the per-language token totals
+    * (|langs| rows, broadcast back); the gate is then a scan-fused
+    * per-row predicate — the same zero-shuffle sampling physics as
+    * q109/q110, but budget-aware. */
+  val qTokenBudgetMix: GraftQuery = GraftQuery(
+    "q137_token_budget_mix",
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM documents),
+      |tot AS (
+      |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t_lang
+      |  FROM toks GROUP BY lang),
+      |g AS (SELECT CAST(sum(t_lang) AS BIGINT) // 2 AS budget FROM tot),
+      |kept AS (
+      |  SELECT t.doc_id, t.lang, t.n_tok, tot.t_lang
+      |  FROM toks t JOIN tot USING (lang) CROSS JOIN g
+      |  WHERE CAST(t.h AS HUGEINT) * CAST(tot.t_lang AS HUGEINT) * 1000
+      |      < CAST(4294967296 AS HUGEINT) * CAST(g.budget AS HUGEINT)
+      |        * (CASE WHEN t.lang = 'en' THEN 400 ELSE 150 END))
+      |SELECT lang,
+      |  CAST(CASE WHEN lang = 'en' THEN 400 ELSE 150 END AS BIGINT)
+      |    AS target_permille,
+      |  CAST(count(*) AS BIGINT) AS kept_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+      |  max(t_lang) AS total_tokens
+      |FROM kept
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val tot = toks.groupBy("lang").agg(sum("n_tok").as("t_lang"))
+    val g = tot.agg((sum("t_lang").cast("long")).as("t_all"))
+      .select(expr("t_all DIV 2").as("budget"))
+    val w = when(col("lang") === "en", 400L).otherwise(150L)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    toks.join(broadcast(tot), "lang")
+      .crossJoin(broadcast(g))
+      .where(dec(col("h")) * dec(col("t_lang")) * dec(lit(1000L))
+        < dec(lit(4294967296L)) * dec(col("budget")) * dec(w))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum("n_tok").as("kept_tokens"),
+        max("t_lang").as("total_tokens"))
+      .select(col("lang"), w.as("target_permille"), col("kept_docs"),
+        col("kept_tokens"), col("total_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
-      qChunkDocuments)
+      qChunkDocuments, qTokenBudgetMix)
 }

@@ -370,7 +370,65 @@ object Streams {
     streamImageFeatures(s, d)
   }
 
+  /** Sessionization via the ENGINE's session_window (dynamic-gap
+    * merging windows) rather than q43's hand-rolled
+    * flatMapGroupsWithState — the two bound state differently: q43
+    * keeps one (count, last_ts) pair per user, this keeps one open
+    * window per (user, session) with engine-managed merge/eviction,
+    * and is the form that composes with watermark-driven state TTL out
+    * of the box. Spark's merge rule: an event extends a session iff it
+    * falls strictly inside [start, last + gap), so a gap of EXACTLY 30
+    * minutes starts a new session — the oracle mirrors that boundary
+    * with an integer µs comparison (>= 1 800 000 000), dodging
+    * interval/rounding semantics entirely.
+    *
+    * 100 TB: state is per OPEN session, not per event; with the
+    * watermark, closed sessions age out — the unbounded-key-domain
+    * concern q104 solves for dedup, solved here for sessionization. */
+  def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_session_win"
+    withStreamShufflePartitions(spark) {
+      val q = readEventsStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val qStreamSessionWindow: GraftQuery = GraftQuery(
+    "q136_stream_session_window",
+    """WITH ordered AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM ordered),
+      |tagged AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM tagged
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    sessionWindows(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
-      qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode)
+      qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
+      qStreamSessionWindow)
 }

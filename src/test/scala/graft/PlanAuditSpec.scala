@@ -125,12 +125,14 @@ class PlanAuditSpec extends SparkSpecBase {
     //    AND a single broadcast query vector scored against the
     //    corpus (the q30 shape); both pools reduce through bounded
     //    heaps before any join.
+    //  - q137: the 1-row token-budget aggregate cross-joined onto the
+    //    gate scan (q63/q89/q113's bounded shape).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
         "q113_bm25_score", "q115_lm_fluency", "q119_curation_funnel",
         "q124_assemble_examples", "q130_incremental_funnel",
-        "q134_hybrid_rrf")
+        "q134_hybrid_rrf", "q137_token_budget_mix")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
