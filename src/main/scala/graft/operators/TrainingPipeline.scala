@@ -263,7 +263,7 @@ object TrainingPipeline {
       |ORDER BY lang""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long").as("h"))
     val tot = toks.groupBy("lang").agg(sum("n_tok").as("t_lang"))

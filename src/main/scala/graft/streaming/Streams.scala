@@ -374,17 +374,24 @@ object Streams {
     * merging windows) rather than q43's hand-rolled
     * flatMapGroupsWithState — the two bound state differently: q43
     * keeps one (count, last_ts) pair per user, this keeps one open
-    * window per (user, session) with engine-managed merge/eviction,
-    * and is the form that composes with watermark-driven state TTL out
-    * of the box. Spark's merge rule: an event extends a session iff it
-    * falls strictly inside [start, last + gap), so a gap of EXACTLY 30
-    * minutes starts a new session — the oracle mirrors that boundary
-    * with an integer µs comparison (>= 1 800 000 000), dodging
-    * interval/rounding semantics entirely.
+    * window per (user, session). Spark's merge rule, verified against
+    * this Spark build in both batch and streaming: an event arriving
+    * EXACTLY gap after the last one still MERGES (windows
+    * [t, t+gap] touch at the closed edge) — a new session needs a gap
+    * STRICTLY GREATER than 30 minutes. The oracle mirrors that
+    * boundary as an integer µs comparison (> 1 800 000 000), dodging
+    * interval/rounding semantics entirely, and tiebreaks its windows
+    * by (ts, event_id) so duplicate timestamps can't land the lag
+    * pass and the running-sum pass on different tie orders (the q43
+    * hazard).
     *
-    * 100 TB: state is per OPEN session, not per event; with the
-    * watermark, closed sessions age out — the unbounded-key-domain
-    * concern q104 solves for dedup, solved here for sessionization. */
+    * 100 TB: state is per OPEN session, not per event. This driver-
+    * checked run uses COMPLETE output into the memory sink (append
+    * would withhold the tail sessions still above the watermark when
+    * the file stream drains), so state is NOT evicted here; the same
+    * query deployed in append mode is where the attached watermark
+    * earns its keep — closed sessions age out of the store, the
+    * production posture for an unbounded user domain. */
   def sessionWindows(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "graft_stream_session_win"
     withStreamShufflePartitions(spark) {
@@ -404,17 +411,17 @@ object Streams {
   val qStreamSessionWindow: GraftQuery = GraftQuery(
     "q136_stream_session_window",
     """WITH ordered AS (
-      |  SELECT user_id, ts,
-      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       |  FROM events),
       |flagged AS (
-      |  SELECT user_id, ts,
-      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
       |         THEN 1 ELSE 0 END AS new_s
       |  FROM ordered),
       |tagged AS (
       |  SELECT user_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM flagged)
       |SELECT user_id,

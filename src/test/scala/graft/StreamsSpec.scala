@@ -211,4 +211,51 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.length === batch.length)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("q136: native session windows equal a batch lag-gap rebuild, " +
+      "including the exact-gap MERGE boundary") {
+    val streaming = SparkEntry.queries("q136_stream_session_window")(spark, sf001)
+      .collect().map(_.toSeq)
+    // batch rebuild mirroring Spark's verified rule: exactly-gap
+    // MERGES (new session iff gap STRICTLY > 30 min), ties broken by
+    // event_id in BOTH window passes so duplicate timestamps can't
+    // split across sessions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        (col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L)
+          .cast("long"))
+      .withColumn("sid", sum(col("new_s")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("session_start"),
+        (max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+      .collect().map(_.toSeq)
+    assert(streaming.nonEmpty)
+    assert(streaming.toSeq === batch.toSeq)
+  }
+
+  test("q136 boundary: an exact-gap pair merges, one microsecond more splits") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def plusUs(us: Long) = new java.sql.Timestamp(t0.getTime + us / 1000) {
+      { setNanos(((us % 1000000) * 1000).toInt) }
+    }
+    val exact = Seq((1L, t0), (1L, plusUs(1800000000L)))          // == gap
+    val over = Seq((2L, t0), (2L, plusUs(1800000001L)))           // gap + 1 µs
+    val df = (exact ++ over).toDF("user_id", "ts")
+    val got = df.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    // user 1: one merged session of 2; user 2: two sessions of 1
+    assert(got === Seq(1L -> 2L, 2L -> 1L, 2L -> 1L))
+  }
 }
