@@ -305,6 +305,74 @@ object CurationFunnel {
       .orderBy("doc_id")
   }
 
+  /** CAPSTONE: the full curation pipeline composed end-to-end in ONE
+    * oracle-paired query — quality funnel (q119's three gates) →
+    * token-budget mixture over the SURVIVORS (q137's exact
+    * cross-multiplied gate, rates derived from the kept set's own
+    * token totals) → q110 hash-split tag → per-(lang, split) training
+    * manifest with the packed-sequence budget (ceil(tokens/2048), the
+    * contiguous-packing lower bound q111 realizes per shard). Every
+    * stage reuses the exact arithmetic its standalone query verifies,
+    * so the hash match here proves the stages COMPOSE — same gates,
+    * same rates, same split membership — not merely that each works
+    * alone.
+    *
+    * 100 TB: nothing new is paid for composition — the funnel reads
+    * the one persisted token index, the mixture adds one |langs|-row
+    * aggregate broadcast back, split is a per-row hash, and the
+    * manifest is one partial-aggregated shuffle of |langs × splits|
+    * rows. */
+  val qCurationManifest: GraftQuery = GraftQuery(
+    "q138_curation_manifest",
+    s"""WITH $gatesSql,
+       |kept AS (
+       |  SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+       |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM gates WHERE keep_exact AND keep_span AND keep_fluency),
+       |tot AS (
+       |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t_lang
+       |  FROM kept GROUP BY lang),
+       |g AS (SELECT CAST(sum(t_lang) AS BIGINT) // 2 AS budget FROM tot),
+       |mixed AS (
+       |  SELECT k.doc_id, k.lang, k.n_tok
+       |  FROM kept k JOIN tot USING (lang) CROSS JOIN g
+       |  WHERE CAST(k.h AS HUGEINT) * CAST(tot.t_lang AS HUGEINT) * 1000
+       |      < CAST(4294967296 AS HUGEINT) * CAST(g.budget AS HUGEINT)
+       |        * (CASE WHEN k.lang = 'en' THEN 400 ELSE 150 END)),
+       |tagged AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    ${TrainingPipeline.splitSqlCase("doc_id")} AS split
+       |  FROM mixed)
+       |SELECT lang, split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |  CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS seq_budget,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM tagged
+       |GROUP BY lang, split
+       |ORDER BY lang NULLS FIRST, split""".stripMargin) { (s, d) =>
+    val kept = gateDecisions(s, d)
+      .where(col("keep_exact") && col("keep_span") && col("keep_fluency"))
+      .select(col("doc_id"), col("lang"), col("n_tok").cast("long").as("n_tok"),
+        TrainingPipeline.gate32(col("doc_id")).as("h"))
+    val tot = kept.groupBy("lang").agg(sum("n_tok").as("t_lang"))
+    val g = tot.agg(sum("t_lang").cast("long").as("t_all"))
+      .select(expr("t_all DIV 2").as("budget"))
+    kept.join(broadcast(tot), "lang")
+      .crossJoin(broadcast(g))
+      .where(TrainingPipeline.budgetKeep(
+        col("h"), col("t_lang"), col("budget"), TrainingPipeline.mixWeight))
+      .withColumn("split", TrainingPipeline.splitColumn(col("doc_id")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        expr("(sum(n_tok) + 2047) DIV 2048").as("seq_budget"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy(col("lang").asc_nulls_first, col("split"))
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qCurationFunnel, qAssembleExamples, qIncrementalFunnel)
+    Seq(qCurationFunnel, qAssembleExamples, qIncrementalFunnel,
+      qCurationManifest)
 }

@@ -235,6 +235,26 @@ object TrainingPipeline {
     * (|langs| rows, broadcast back); the gate is then a scan-fused
     * per-row predicate — the same zero-shuffle sampling physics as
     * q109/q110, but budget-aware. */
+  /** 32-bit md5 gate value for budget-rate comparisons (the first 8
+    * md5 hex chars as an integer in [0, 2^32)). */
+  private[operators] def gate32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Per-mille mixture weight per language (en-heavy default mix). */
+  private[operators] val mixWeight: Column =
+    when(col("lang") === "en", 400L).otherwise(150L)
+
+  /** The exact cross-multiplied budget gate:
+    *   h * T_l * 1000 < 2^32 * B * w_l
+    * in DECIMAL(38,0) — no division, no doubles; mirrored by the
+    * oracle in HUGEINT. Shared by q137 and the q138 capstone. */
+  private[operators] def budgetKeep(h: Column, tLang: Column,
+      budget: Column, w: Column): Column = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    dec(h) * dec(tLang) * dec(lit(1000L)) <
+      dec(lit(4294967296L)) * dec(budget) * dec(w)
+  }
+
   val qTokenBudgetMix: GraftQuery = GraftQuery(
     "q137_token_budget_mix",
     """WITH toks AS (
@@ -264,17 +284,14 @@ object TrainingPipeline {
     val toks = Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
       tokenCount(col("text")).cast("long").as("n_tok"),
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long").as("h"))
+      gate32(col("doc_id")).as("h"))
     val tot = toks.groupBy("lang").agg(sum("n_tok").as("t_lang"))
     val g = tot.agg((sum("t_lang").cast("long")).as("t_all"))
       .select(expr("t_all DIV 2").as("budget"))
-    val w = when(col("lang") === "en", 400L).otherwise(150L)
-    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = mixWeight
     toks.join(broadcast(tot), "lang")
       .crossJoin(broadcast(g))
-      .where(dec(col("h")) * dec(col("t_lang")) * dec(lit(1000L))
-        < dec(lit(4294967296L)) * dec(col("budget")) * dec(w))
+      .where(budgetKeep(col("h"), col("t_lang"), col("budget"), w))
       .groupBy("lang")
       .agg(count(lit(1)).as("kept_docs"),
         sum("n_tok").as("kept_tokens"),

@@ -127,12 +127,15 @@ class PlanAuditSpec extends SparkSpecBase {
     //    heaps before any join.
     //  - q137: the 1-row token-budget aggregate cross-joined onto the
     //    gate scan (q63/q89/q113's bounded shape).
+    //  - q138: composes q119's vocab cross join AND q137's budget
+    //    cross join — both single-aggregated-row broadcasts.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
         "q113_bm25_score", "q115_lm_fluency", "q119_curation_funnel",
         "q124_assemble_examples", "q130_incremental_funnel",
-        "q134_hybrid_rrf", "q137_token_budget_mix")
+        "q134_hybrid_rrf", "q137_token_budget_mix",
+        "q138_curation_manifest")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

@@ -40,4 +40,27 @@ class TokenBudgetSpec extends SparkSpecBase {
       .collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("q138 capstone: the manifest's totals reconcile with q119's " +
+      "funnel survivors and the q110 split rule") {
+    val manifest = SparkEntry.queries("q138_curation_manifest")(spark, sf001)
+      .collect()
+    assert(manifest.nonEmpty)
+    // per-language doc totals in the manifest can never exceed the
+    // funnel's survivor counts (mixture only removes)
+    val funnelKept = SparkEntry.queries("q119_curation_funnel")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getInt(4).toLong).toMap
+    manifest.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val docs = rows.map(_.getLong(2)).sum
+      assert(docs <= funnelKept.getOrElse(lang, 0L),
+        s"$lang manifest=$docs > funnel survivors=${funnelKept.get(lang)}")
+    }
+    // seq_budget is the contiguous-packing lower bound of sum_tokens
+    manifest.foreach { r =>
+      val (tok, seq) = (r.getLong(3), r.getLong(4))
+      assert(seq === (tok + 2047) / 2048, s"row $r")
+    }
+    // split values are exactly the q110 domain
+    assert(manifest.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
