@@ -322,6 +322,24 @@ object CurationFunnel {
     * aggregate broadcast back, split is a per-row hash, and the
     * manifest is one partial-aggregated shuffle of |langs × splits|
     * rows. */
+  /** Funnel survivors + gate value, memoized per (session, corpus):
+    * q138's plan references this relation THREE times (rows, the
+    * per-lang totals broadcast, the budget aggregate) — uncached, each
+    * reference re-executes the whole n-gram gate pipeline (measured
+    * 10 s vs ~1 s at sf0.1). Bounded like the other indexes: one
+    * |survivors|-row, 4-column relation per corpus. */
+  private val keptIdx =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def keptWithGate(s: SparkSession, d: String): DataFrame =
+    keptIdx.getOrElseUpdate((System.identityHashCode(s), d),
+      gateDecisions(s, d)
+        .where(col("keep_exact") && col("keep_span") && col("keep_fluency"))
+        .select(col("doc_id"), col("lang"),
+          col("n_tok").cast("long").as("n_tok"),
+          TrainingPipeline.gate32(col("doc_id")).as("h"))
+        .persist())
+
   val qCurationManifest: GraftQuery = GraftQuery(
     "q138_curation_manifest",
     s"""WITH $gatesSql,
@@ -351,10 +369,7 @@ object CurationFunnel {
        |FROM tagged
        |GROUP BY lang, split
        |ORDER BY lang NULLS FIRST, split""".stripMargin) { (s, d) =>
-    val kept = gateDecisions(s, d)
-      .where(col("keep_exact") && col("keep_span") && col("keep_fluency"))
-      .select(col("doc_id"), col("lang"), col("n_tok").cast("long").as("n_tok"),
-        TrainingPipeline.gate32(col("doc_id")).as("h"))
+    val kept = keptWithGate(s, d)
     val tot = kept.groupBy("lang").agg(sum("n_tok").as("t_lang"))
     val g = tot.agg(sum("t_lang").cast("long").as("t_all"))
       .select(expr("t_all DIV 2").as("budget"))
