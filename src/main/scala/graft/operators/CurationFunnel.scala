@@ -317,23 +317,6 @@ object CurationFunnel {
       .orderBy("doc_id")
   }
 
-  /** CAPSTONE: the full curation pipeline composed end-to-end in ONE
-    * oracle-paired query — quality funnel (q119's three gates) →
-    * token-budget mixture over the SURVIVORS (q137's exact
-    * cross-multiplied gate, rates derived from the kept set's own
-    * token totals) → q110 hash-split tag → per-(lang, split) training
-    * manifest with the packed-sequence budget (ceil(tokens/2048), the
-    * contiguous-packing lower bound q111 realizes per shard). Every
-    * stage reuses the exact arithmetic its standalone query verifies,
-    * so the hash match here proves the stages COMPOSE — same gates,
-    * same rates, same split membership — not merely that each works
-    * alone.
-    *
-    * 100 TB: nothing new is paid for composition — the funnel reads
-    * the one persisted token index, the mixture adds one |langs|-row
-    * aggregate broadcast back, split is a per-row hash, and the
-    * manifest is one partial-aggregated shuffle of |langs × splits|
-    * rows. */
   /** Funnel survivors + gate value, memoized per (session, corpus):
     * q138's plan references this relation THREE times (rows, the
     * per-lang totals broadcast, the budget aggregate) — uncached, each
@@ -352,6 +335,23 @@ object CurationFunnel {
           TrainingPipeline.gate32(col("doc_id")).as("h"))
         .persist())
 
+  /** CAPSTONE: the full curation pipeline composed end-to-end in ONE
+    * oracle-paired query — quality funnel (q119's three gates) →
+    * token-budget mixture over the SURVIVORS (q137's exact
+    * cross-multiplied gate, rates derived from the kept set's own
+    * token totals) → q110 hash-split tag → per-(lang, split) training
+    * manifest with the packed-sequence budget (ceil(tokens/2048), the
+    * contiguous-packing lower bound q111 realizes per shard). Every
+    * stage reuses the exact arithmetic its standalone query verifies,
+    * so the hash match here proves the stages COMPOSE — same gates,
+    * same rates, same split membership — not merely that each works
+    * alone.
+    *
+    * 100 TB: nothing new is paid for composition — the funnel reads
+    * the one persisted token index, the mixture adds one |langs|-row
+    * aggregate broadcast back, split is a per-row hash, and the
+    * manifest is one partial-aggregated shuffle of |langs × splits|
+    * rows. */
   val qCurationManifest: GraftQuery = GraftQuery(
     "q138_curation_manifest",
     s"""WITH $gatesSql,
