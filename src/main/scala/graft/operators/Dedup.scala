@@ -564,7 +564,15 @@ object Dedup {
     // the final generation is checkpoint-backed, so the caller's
     // contractual unpersist() wouldn't free it — re-expose it as a
     // CacheManager-persisted relation (built once from the checkpoint
-    // blocks, which are then dropped)
+    // blocks, which are then dropped).
+    // Cluster-mode tradeoff: localCheckpoint truncated the lineage, so
+    // once the underlying blocks are released the persisted labels
+    // relation is UNRECOMPUTABLE — an executor loss after this point
+    // fails the job instead of recomputing. Acceptable in local mode
+    // (no executor churn); a multi-executor deployment should either
+    // keep the checkpoint blocks (skip releaseUnderlying) or use
+    // reliable checkpoint() to HDFS so recompute reads storage.
+    // Same pattern/tradeoff in StarComponents.connectedComponentsStar.
     labels.persist()
     labels.count()
     org.apache.spark.sql.graftshim.Checkpoints.releaseUnderlying(labels)

@@ -51,8 +51,13 @@ object Formats {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
+    // Never follow symlinks: a link inside a registered scratch dir
+    // (the streaming staging dirs use exactly that pattern) must be
+    // unlinked, not have its TARGET's contents deleted.
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRecursively)
+    }
     f.delete(): Unit
   }
 
@@ -131,13 +136,27 @@ object Formats {
        |GROUP BY lang, split
        |ORDER BY lang NULLS FIRST, split""".stripMargin) { (s, d) =>
     val out = exportScratchDir(d)
+    // Hive layout writes lang='' and lang=NULL to the same
+    // __HIVE_DEFAULT_PARTITION__ dir and both read back as NULL; an
+    // empty-string lang would silently merge into the NULL group. Guard
+    // it inside the write job itself (raise_error rides the projection
+    // — no extra scan) so a future corpus that ships '' fails loudly
+    // instead of hash-mismatching the oracle.
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), col("n_chars"), col("lang"),
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        when(col("lang") === "",
+          raise_error(lit("q135: empty-string lang would collapse into the NULL partition")))
+          .otherwise(col("lang")).as("lang"),
         TrainingPipeline.splitColumn(col("doc_id")).as("split"))
       .write.partitionBy("lang", "split")
       .option("maxRecordsPerFile", exportMaxRecordsPerFile)
       .mode("overwrite").parquet(out)
-    s.read.parquet(out)
+    // Explicit schema on the read-back: partition-column type inference
+    // could retype a numeric-looking lang (e.g. every value "42") as
+    // INT and hash-mismatch the oracle's VARCHAR.
+    s.read
+      .schema("doc_id BIGINT, text STRING, n_chars BIGINT, lang STRING, split STRING")
+      .parquet(out)
       .groupBy("lang", "split")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -119,6 +119,11 @@ object StarComponents {
       .select(col("u").as("node"), least(col("mn"), col("u")).as("label"))
       .persist()
     labels.count() // pin before releasing the edges it derives from
+    // Cluster-mode tradeoff (same as Dedup.connectedComponents): the
+    // released checkpoint blocks were labels' only recompute source —
+    // an executor loss now fails the job instead of recomputing. Local
+    // mode: fine. Multi-executor: keep the blocks or checkpoint() to
+    // reliable storage.
     release(cur)
     (labels, rounds)
   }

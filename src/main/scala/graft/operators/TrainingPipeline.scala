@@ -280,7 +280,7 @@ object TrainingPipeline {
       |  max(t_lang) AS total_tokens
       |FROM kept
       |GROUP BY lang
-      |ORDER BY lang""".stripMargin) { (s, d) =>
+      |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
       tokenCount(col("text")).cast("long").as("n_tok"),
