@@ -692,6 +692,69 @@ object ScaleBench {
       "m1_ann_probed_frac" ->
         (if (nQueries > 0 && nVecs > 0) mtCands.toDouble / nQueries / nVecs
          else -1.0))
+
+    // ---- on-disk IVF-PQ layout A/B (the q139 physics, measured) ----
+    // The SAME codes relation written two ways — flat parquet vs
+    // partitionBy(cell) — searched by the SAME ADC top-50 pipeline;
+    // the only difference is HOW the probed-cell gate executes: a
+    // broadcast semi join that scans every code row vs partition
+    // pruning that never lists the unprobed directories. This is the
+    // measurement behind q127's "the semi-join becomes partition
+    // pruning at scale" claim. ~500 cells at 1M vectors (stride
+    // nVecs/500), nProbe=4 → the pruned scan reads ~0.8% of the index.
+    {
+      import graft.operators.{IvfAnn, IvfPq, PqAnn}
+      val stride = math.max(1L, nVecs / 500).toInt
+      val centroids = IvfAnn.fixedCentroids(vecs, stride)
+      val codes = IvfAnn.assign(vecs, centroids)
+        .select(col("vec_id"),
+          org.apache.spark.sql.graftshim.PqEncode(col("embedding"), PqAnn.codebook)
+            .as("codes"),
+          col("cell"))
+        // one shuffle buys the layout: each writer task holds a few
+        // whole cells, so the partitioned tree gets one file per cell
+        // instead of (tasks x cells) shards
+        .repartition(col("cell"))
+      val flatPath = graft.operators.Formats.scratchDir("graft_ivfpq_bench_flat", sfDir)
+      val partPath = graft.operators.Formats.scratchDir("graft_ivfpq_bench_part", sfDir)
+      val (_, tWriteFlat) = time(
+        codes.write.mode("overwrite").parquet(flatPath))
+      val (_, tWritePart) = time(
+        codes.write.partitionBy("cell").mode("overwrite").parquet(partPath))
+      val probes = IvfPq.probeCells(centroids)
+      val schema = "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT"
+      val adcDist = (0 until PqAnn.subspaces).map { i =>
+        element_at(array(PqAnn.lut(i).map(lit): _*),
+          element_at(col("codes"), i + 1) + 1)
+      }.reduceLeft(_ + _)
+      def top50(df: DataFrame): Long =
+        df.withColumn("adc_dist", adcDist)
+          .orderBy(col("adc_dist"), col("vec_id")).limit(50)
+          .collect().length.toLong
+      import spark.implicits._
+      val probeDf = probes.toDF("cell")
+      def semiJoinSearch(): Long = top50(
+        spark.read.schema(schema).parquet(flatPath)
+          .join(broadcast(probeDf), Seq("cell"), "left_semi"))
+      def prunedSearch(): Long = top50(
+        IvfPq.probedScan(spark, partPath, probes)
+          .getOrElse(sys.error("no probed cell dir exists")))
+      def median3(f: () => Long): Double = {
+        f() // warm (page cache, codegen)
+        val ts = (1 to 3).map(_ => time(f())._2).sorted
+        ts(1)
+      }
+      val tSemi = median3(semiJoinSearch _)
+      val tPruned = median3(prunedSearch _)
+      out ++= Seq(
+        "m1_ivfpq_disk_cells" -> math.ceil(nVecs.toDouble / stride),
+        "m1_ivfpq_disk_write_flat_sec" -> tWriteFlat,
+        "m1_ivfpq_disk_write_part_sec" -> tWritePart,
+        "m1_ivfpq_disk_semijoin_sec" -> tSemi,
+        "m1_ivfpq_disk_pruned_sec" -> tPruned,
+        "m1_ivfpq_disk_prune_speedup" ->
+          (if (tPruned > 0) tSemi / tPruned else -1.0))
+    }
     vecs.unpersist()
 
     out.toSeq

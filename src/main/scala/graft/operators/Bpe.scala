@@ -298,10 +298,11 @@ object Bpe {
     * passes) reuse ONE checkpoint instead of accumulating blocks for
     * the session lifetime (the indexedDocToks discipline). */
   private val wfIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new graft.spark.SessionMemo[String, DataFrame]("bpe.wordfreq")(
+      org.apache.spark.sql.graftshim.Checkpoints.release)
 
   private def indexedWordFreq(s: SparkSession, d: String): DataFrame =
-    wfIndex.getOrElseUpdate((System.identityHashCode(s), d),
+    wfIndex.getOrElseUpdate(s, d)(
       wordFreq(Tables.documents(s, d).repartition(32)).localCheckpoint())
 
   val qBpeEncode: GraftQuery = GraftQuery.noOracle("q125_bpe_encode") { (s, d) =>

@@ -65,11 +65,11 @@ object CurationFunnel {
     * sf0.1). One |docs|-row, 6-column relation — bounded like the
     * token index it derives from. */
   private val gatesIdx =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new graft.spark.SessionMemo[String, DataFrame](
+      "curation.gates")(_.unpersist(): Unit)
 
   private[operators] def gateDecisions(s: SparkSession, d: String): DataFrame =
-    gatesIdx.getOrElseUpdate((System.identityHashCode(s), d),
-      gateDecisionsUncached(s, d).persist())
+    gatesIdx.getOrElseUpdate(s, d)(gateDecisionsUncached(s, d).persist())
 
   /** Spark mirror of the `gates` CTE — every relation derives from
     * the ONE persisted tokenized index (the corpus is touched once,
@@ -174,12 +174,14 @@ object CurationFunnel {
     *   vocabIdx  (tok)                       even-half vocabulary
     * Built ONCE per (session, corpus) — the same amortization as
     * Dedup.indexedBands — so batch N pays only its own scan. */
-  private val corpusIdx = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (DataFrame, DataFrame, DataFrame, DataFrame)]
+  private val corpusIdx =
+    new graft.spark.SessionMemo[String, (DataFrame, DataFrame, DataFrame, DataFrame)](
+      "curation.corpusstats")(t =>
+      Seq(t._1, t._2, t._3, t._4).foreach(_.unpersist(): Unit))
 
   private def corpusStats(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    corpusIdx.getOrElseUpdate((System.identityHashCode(s), d), {
+    corpusIdx.getOrElseUpdate(s, d)({
       // filter the SHARED per-(session, corpus) token index rather
       // than re-scanning+re-tokenizing documents four times: the four
       // index builds below each read the cached (doc_id, content_md5,
@@ -324,10 +326,11 @@ object CurationFunnel {
     * 10 s vs ~1 s at sf0.1). Bounded like the other indexes: one
     * |survivors|-row, 4-column relation per corpus. */
   private val keptIdx =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new graft.spark.SessionMemo[String, DataFrame](
+      "curation.kept")(_.unpersist(): Unit)
 
   private def keptWithGate(s: SparkSession, d: String): DataFrame =
-    keptIdx.getOrElseUpdate((System.identityHashCode(s), d),
+    keptIdx.getOrElseUpdate(s, d)(
       gateDecisions(s, d)
         .where(col("keep_exact") && col("keep_span") && col("keep_fluency"))
         .select(col("doc_id"), col("lang"),

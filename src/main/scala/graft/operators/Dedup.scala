@@ -318,11 +318,12 @@ object Dedup {
     * re-shingling the corpus per query. Bounded cache (one persisted
     * relation per corpus per session), not a per-invocation leak. */
   private val bandsIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, MinHashScheme), DataFrame]
+    new graft.spark.SessionMemo[(String, MinHashScheme), DataFrame](
+      "dedup.bands")(_.unpersist(): Unit)
 
   def indexedBands(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       sch: MinHashScheme = MinHashScheme.default): DataFrame =
-    bandsIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir, sch),
+    bandsIndex.getOrElseUpdate(spark, (sfDir, sch))(
       docBands(Tables.documents(spark, sfDir), sch).persist())
 
   /** Shingle-set relation as a second per-corpus index: the Jaccard
@@ -330,10 +331,11 @@ object Dedup {
     * persist each side re-shingles and re-hashes the whole corpus. A
     * production pipeline materializes this next to the signature table. */
   private val toksIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new graft.spark.SessionMemo[String, DataFrame](
+      "dedup.shingles")(_.unpersist(): Unit)
 
   def indexedShingleSets(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
-    toksIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    toksIndex.getOrElseUpdate(spark, sfDir)(
       shingleSets(Tables.documents(spark, sfDir)).persist())
 
   /** MinHash LSH bucket census: buckets holding >1 doc = candidates. */
@@ -583,7 +585,8 @@ object Dedup {
   /** Component labels per (session, corpus) — bounded like the other
     * indexes, so repeated q77 runs don't accumulate persisted loops. */
   private val componentIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new graft.spark.SessionMemo[String, DataFrame](
+      "dedup.components")(_.unpersist(): Unit)
 
   /** Near-dup CLUSTERS: transitive closure of the verified pair set.
     * The drop-doc_b rule (q72) keeps per-pair minima; this yields the
@@ -620,8 +623,7 @@ object Dedup {
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size
        |FROM lbl
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val labels = componentIndex.getOrElseUpdate(
-      (System.identityHashCode(s), d), {
+    val labels = componentIndex.getOrElseUpdate(s, d)({
         val pairs = withJaccardToks(
             candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
           .where(col("jaccard") >= 0.9)

@@ -130,10 +130,11 @@ object IvfAnn {
     * family's signature index (bounded: one persisted Index per
     * distinct cell-count configuration per corpus per session). */
   private val ivfIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), Index]
+    new graft.spark.SessionMemo[(String, Int), Index](
+      "ivfann.index")(_.assigned.unpersist(): Unit)
 
   def indexedBuild(spark: SparkSession, sfDir: String, numCells: Int): Index =
-    ivfIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir, numCells), {
+    ivfIndex.getOrElseUpdate(spark, (sfDir, numCells))({
       val idx = build(Tables.embeddings(spark, sfDir), numCells)
       idx.copy(assigned = idx.assigned.persist())
     })

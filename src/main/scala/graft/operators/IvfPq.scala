@@ -117,5 +117,165 @@ object IvfPq {
     }
   }
 
-  def all: Seq[GraftQuery] = Seq(qIvfPqTopK)
+  // ---- physically partitioned, persisted index (q139/q140) ----
+  //
+  // q127 argues the probed-cell semi-join "becomes partition pruning"
+  // in a production layout; these queries BUILD that layout and prove
+  // it. The index is the (vec_id, codes) relation written as parquet
+  // partitioned by cell — ~32x smaller than the vectors, and a probed
+  // search plans a scan whose PartitionFilters carry `cell IN
+  // (probes)`, so only nProbe/|cells| of the directories are listed or
+  // read (PlanAuditSpec pins partitionFilters on the scan; ScaleBench
+  // A/Bs it against the unpartitioned semi-join form at 1M vectors).
+
+  /** Read-back schema, pinned: partition-column inference would retype
+    * `cell` from the directory names. */
+  private val codesSchema = "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT"
+
+  /** PQ-encode an assigned (vec_id, embedding, cell) relation into the
+    * narrow on-disk codes shape. Runs once at index-build; search never
+    * re-encodes the corpus. */
+  private def encoded(assigned: org.apache.spark.sql.DataFrame) =
+    assigned.select(col("vec_id"),
+      org.apache.spark.sql.graftshim.PqEncode(col("embedding"), PqAnn.codebook)
+        .as("codes"),
+      col("cell"))
+
+  /** One on-disk index segment per (session, corpus, tag) — the write
+    * is a one-off batch job (the 100 TB posture) memoized so plan
+    * audits and repeated Verify runs reuse the files. Overwrite mode
+    * keeps a crashed previous run from poisoning the layout. */
+  private val segments =
+    new graft.spark.SessionMemo[(String, String), String](
+      "ivfpq.segments")(Formats.wipe)
+
+  private[graft] def codesSegment(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String, assigned: => org.apache.spark.sql.DataFrame): String =
+    segments.getOrElseUpdate(s, (d, tag))({
+      val path = Formats.scratchDir("graft_ivfpq_" + tag, d)
+      encoded(assigned).write.partitionBy("cell").mode("overwrite").parquet(path)
+      path
+    })
+
+  /** The query's nProbe best cells, as driver-side literals (bounded:
+    * nProbe longs — the collect that turns the cell gate into genuine
+    * partition pruning). Scored by the SAME CosineSimilarity expression
+    * and (sim DESC, cell) tie rule as q127, so the probe set is
+    * bit-identical to the semi-join form's. */
+  private[graft] def probeCells(centroids: org.apache.spark.sql.DataFrame): Seq[Long] =
+    centroids
+      .select(col("cell").cast("long").as("cell"),
+        org.apache.spark.sql.graftshim.CosineSimilarity(col("centroid"), qLitF)
+          .as("q_sim"))
+      .orderBy(col("q_sim").desc, col("cell"))
+      .limit(nProbe)
+      .collect().map(_.getLong(0)).toIndexedSeq
+
+  /** Scan ONE index segment restricted to the probed cells. Two layers
+    * of pruning: (1) only the probed `cell=` subdirectories are handed
+    * to the reader (basePath keeps the partition column), so the file
+    * index never LISTS the unprobed tree — a flat `parquet(root)` +
+    * partition filter still stat()s every directory up front, which
+    * measured SLOWER than the semi-join at 20k vectors because listing
+    * dominated; this is what a metastore's partition lookup does for a
+    * cataloged table; (2) the isin predicate still plans as a
+    * PartitionFilter over the listed subset (PlanAuditSpec pins it).
+    * Probed cells with no directory (a delta segment holds only the
+    * batch's cells) are dropped by a driver-side existence check —
+    * nProbe stat calls, the metastore lookup's moral equivalent. */
+  private[graft] def probedScan(s: org.apache.spark.sql.SparkSession,
+      path: String, probes: Seq[Long]): Option[org.apache.spark.sql.DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = probes.map(c => s"$path/cell=$c")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (dirs.isEmpty) None
+    else Some(
+      s.read.schema(codesSchema).option("basePath", path).parquet(dirs: _*)
+        .where(col("cell").isin(probes: _*)))
+  }
+
+  /** ADC candidate relation over one or more persisted index segments:
+    * probed-cell-pruned scans, unioned, ADC-scored, bounded
+    * top-adcCand. Exposed for PlanAuditSpec: the physical property
+    * q139/q140 exist to demonstrate lives in THIS plan. */
+  private[graft] def adcCandidates(s: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], probes: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val adcDist = (0 until PqAnn.subspaces).map { i =>
+      element_at(array(PqAnn.lut(i).map(lit): _*),
+        element_at(col("codes"), i + 1) + 1)
+    }.reduceLeft(_ + _)
+    val scans = paths.flatMap(p => probedScan(s, p, probes))
+    require(scans.nonEmpty, s"no probed cell has data in any segment: $paths")
+    scans.reduce(_ union _)
+      .withColumn("adc_dist", adcDist)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(adcCand)
+  }
+
+  /** Exact re-rank of a COLLECTED candidate set (bounded: adcCand
+    * rows): fetch only those vec_ids from the vectors table — the In
+    * filter reaches the parquet scan, so the re-rank is a point fetch,
+    * not a corpus scan (the 100 TB shape: ADC over codes, then k point
+    * lookups of full vectors). */
+  private def rerankCollected(s: org.apache.spark.sql.SparkSession, d: String,
+      cand: Array[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val candDf = cand.map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .toSeq.toDF("vec_id", "cell", "adc_dist")
+    Tables.embeddings(s, d)
+      .where(col("vec_id").isin(cand.map(_.getLong(0)).toIndexedSeq: _*))
+      .join(broadcast(candDf), "vec_id")
+      .select(col("vec_id"), col("cell"), col("adc_dist"),
+        PqAnn.exactDist.as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** q127's search served from the PERSISTED cell-partitioned index:
+    * same centroids, codebook, query, nProbe, adcCand, k — so the
+    * oracle is q127's SQL verbatim and a hash match proves the
+    * partitioned layout changes the physics, not the answer. */
+  val qIvfPqPartitioned: GraftQuery = GraftQuery(
+    "q139_ivfpq_partitioned", qIvfPqTopK.oracle.get) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val path = codesSegment(s, d, "full", IvfAnn.assign(emb, centroids))
+    val probes = probeCells(centroids)
+    // codes: ARRAY<INT> per row in nProbe partitions only; the
+    // collect is bounded at adcCand
+    val cand = adcCandidates(s, Seq(path), probes).collect()
+    rerankCollected(s, d, cand)
+  }
+
+  /** Incremental index maintenance: the corpus segment is built from
+    * the base vectors (vec_id % 5 != 4 — the q130 batch convention)
+    * and PERSISTED; the arriving batch (% 5 = 4) is assigned to the
+    * EXISTING centroids, encoded, and written as a delta segment —
+    * the corpus is never reassigned or re-encoded. Search unions the
+    * two partition-pruned segment scans. Because the stride-50
+    * centroid ids are all ≡ 0 (mod 5), the base corpus contains every
+    * centroid, so base+delta is code-for-code identical to a full
+    * rebuild — the oracle is again q127's from-scratch SQL, and the
+    * hash match IS the incremental ≡ rebuild proof (the q130
+    * pattern). PlanAuditSpec pins that the search plan contains two
+    * partition-filtered codes scans and NO PqEncode/NearestCentroid —
+    * codes are read, never recomputed. */
+  val qIvfPqIncremental: GraftQuery = GraftQuery(
+    "q140_ivfpq_incremental", qIvfPqTopK.oracle.get) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val base = emb.where(pmod(col("vec_id"), lit(5)) =!= 4)
+    val batch = emb.where(pmod(col("vec_id"), lit(5)) === 4)
+    // existing centroids: sampled from the BASE corpus (stride-50 ids
+    // are never % 5 = 4, so this is also the full corpus's centroid
+    // set — the property that makes the rebuild oracle exact)
+    val centroids = IvfAnn.fixedCentroids(base, IvfAnn.fixedStride)
+    val basePath = codesSegment(s, d, "base", IvfAnn.assign(base, centroids))
+    val deltaPath = codesSegment(s, d, "delta", IvfAnn.assign(batch, centroids))
+    val probes = probeCells(centroids)
+    val cand = adcCandidates(s, Seq(basePath, deltaPath), probes).collect()
+    rerankCollected(s, d, cand)
+  }
+
+  def all: Seq[GraftQuery] = Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental)
 }

@@ -258,5 +258,119 @@ object LineDedup {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qLineDedup, qAnchoredDedup, qIntraDocDedup)
+  /** Exact substring dedup at a MINIMUM MATCH LENGTH — the Lee et al.
+    * (ACL'22, "Deduplicating Training Data Makes Language Models
+    * Better") ExactSubstr semantics that q126/q128 approximate at
+    * segment grain: remove EVERY duplicated span of ≥ L tokens,
+    * regardless of alignment or segmentation, all occurrences (their
+    * released pipeline's cut rule). q128's content-defined anchors
+    * keep a copy's pre-first-anchor / post-last-anchor edge tokens and
+    * any span inside one anchor-free stretch; this pass has no such
+    * grain: the spec plants exactly those shapes and q141 removes them.
+    *
+    * The suffix-array machinery of the paper collapses to a window
+    * identity on the token stream: a token lies inside some duplicated
+    * span of length ≥ L  ⟺  it is covered by at least one L-token
+    * window whose text occurs ≥ 2 times in the corpus. (⇒ a span of
+    * length M ≥ L duplicated elsewhere has all M−L+1 of its windows
+    * duplicated, and their union is the whole span; ⇐ a duplicated
+    * window IS a duplicated span of length L.) So: hash every L-token
+    * window, count occurrences corpus-wide, and sweep coverage per
+    * document with one bounded window-max — no suffix array, no
+    * global sort, every stage keyed and shuffle-bounded.
+    *
+    * 100 TB notes: the window relation is one row per token (n−L+1
+    * per doc) carrying a 32-char hash, not the window text; the
+    * occurrence count groups by that hash (Zipf-compact, map-side
+    * partials) and semi-joins back — both exchanges keyed by the
+    * hash. The coverage sweep is a ROWS BETWEEN L−1 PRECEDING window
+    * max per doc (positions are dense, so ROWS ≡ RANGE) and the
+    * rebuild groups by doc_id, bounded by the doc's own tokens.
+    * Window hashing here re-reads L tokens per position (O(nL) CPU,
+    * the md5 keeps Spark and DuckDB bit-identical); a production run
+    * at 100 TB would swap in a rolling polynomial hash (O(n), the q24
+    * fingerprint machinery) without touching the plan shape. */
+  val minMatchTokens = 10
+
+  val qExactSubstringDedup: GraftQuery = {
+    val L = minMatchTokens
+    GraftQuery(
+      "q141_exact_substring_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |tokens AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+         |wins AS (
+         |  SELECT doc_id, i - 1 AS wpos,
+         |    md5(array_to_string(t[i : i + ${L - 1}], ' ')) AS wh
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${L - 2})) AS i
+         |        FROM toks)),
+         |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+         |dstart AS (SELECT w.doc_id, w.wpos FROM wins w JOIN dup USING (wh)),
+         |cov AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok,
+         |    max(CASE WHEN ds.wpos IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+         |            ROWS BETWEEN ${L - 1} PRECEDING AND CURRENT ROW) AS covered
+         |  FROM tokens tk LEFT JOIN dstart ds
+         |    ON tk.doc_id = ds.doc_id AND tk.pos = ds.wpos)
+         |SELECT doc_id,
+         |  CAST(count(*) AS INTEGER) AS n_tok,
+         |  CAST(count(*) FILTER (covered = 1) AS INTEGER) AS n_removed,
+         |  md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END,
+         |    ' ' ORDER BY pos), '')) AS cleaned_md5
+         |FROM cov
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).where(col("text").isNotNull)
+        .repartition(32)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      val tokens = toks
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      // guard short docs explicitly: Spark's sequence(0, negative)
+      // DESCENDS instead of being empty
+      val wins = toks
+        .select(col("doc_id"),
+          posexplode(
+            when(size(col("t")) >= L,
+              transform(sequence(lit(0), size(col("t")) - L),
+                i => md5(concat_ws(" ", slice(col("t"), i + 1, lit(L))))))
+              .otherwise(array()))
+            .as(Seq("wpos", "wh")))
+      val dup = wins.groupBy("wh").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 2).select("wh")
+      // rename the start-marker keys: tokens and wins share lineage
+      // (both derive from toks), so joining on same-named columns
+      // would be a self-join ambiguity
+      val dstart = wins.join(dup, Seq("wh"), "left_semi")
+        .select(col("doc_id").as("s_doc"), col("wpos"), lit(1).as("d"))
+      val cov = tokens
+        .join(dstart,
+          col("doc_id") === col("s_doc") && col("pos") === col("wpos"),
+          "left")
+        .select(col("doc_id"), col("pos"), col("tok"),
+          coalesce(col("d"), lit(0)).as("d"))
+        .withColumn("covered",
+          max(col("d")).over(Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(-(L - 1), 0)))
+      cov.groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_tok"),
+          count(when(col("covered") === 1, 1)).cast("int").as("n_removed"),
+          md5(coalesce(
+            array_join(
+              transform(
+                array_sort(collect_list(when(col("covered") === 0,
+                  struct(col("pos"), col("tok"))))),
+                e => e.getField("tok")),
+              " "),
+            lit(""))).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qLineDedup, qAnchoredDedup, qIntraDocDedup, qExactSubstringDedup)
 }

@@ -26,10 +26,11 @@ object ModelQueries {
   private val cut = "2024-01-20 00:00:00"
 
   private val resultCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    new graft.spark.SessionMemo[(String, String), DataFrame](
+      "modelqueries.results")(_.unpersist(): Unit)
 
   private def cached(s: SparkSession, d: String, tag: String)(f: => DataFrame): DataFrame =
-    resultCache.getOrElseUpdate((System.identityHashCode(s), d, tag), f)
+    resultCache.getOrElseUpdate(s, (d, tag))(f)
 
   private def tmpDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)

@@ -48,10 +48,11 @@ object NgramStats {
     * re-tokenizes the corpus (q115 planned 3 full scans, q119 6). A
     * production pipeline materializes this once next to the corpus. */
   private val docToksIndex =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new graft.spark.SessionMemo[String, DataFrame](
+      "ngramstats.doctoks")(_.unpersist(): Unit)
 
   private[operators] def indexedDocToks(spark: SparkSession, sfDir: String): DataFrame =
-    docToksIndex.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    docToksIndex.getOrElseUpdate(spark, sfDir)(
       Tables.documents(spark, sfDir).repartition(32)
         .select(col("doc_id"), col("lang"),
           md5(lower(col("text"))).as("content_md5"),

@@ -130,7 +130,8 @@ object StarComponents {
 
   /** Component labels per (session, corpus), bounded like q77's. */
   private val index =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    new graft.spark.SessionMemo[String, DataFrame](
+      "starcomponents.labels")(_.unpersist(): Unit)
 
   /** Near-dup clusters via star contraction — SAME contract and SAME
     * oracle as q77 (transitive closure of the Jaccard-verified pair
@@ -142,8 +143,7 @@ object StarComponents {
   val qComponentsStar: GraftQuery = GraftQuery(
     "q133_components_star",
     Dedup.qDedupComponents.oracle.get) { (s, d) =>
-    val labels = index.getOrElseUpdate(
-      (System.identityHashCode(s), d), {
+    val labels = index.getOrElseUpdate(s, d)({
         val pairs = Dedup.withJaccardToks(
             Dedup.candidatePairsFromBands(Dedup.indexedBands(s, d)),
             Dedup.indexedShingleSets(s, d))

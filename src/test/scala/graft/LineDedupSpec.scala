@@ -153,6 +153,74 @@ class LineDedupSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(plan).size === 1, plan.take(2000))
   }
 
+  test("q141: full spans removed at min match length — the shapes q128 provably keeps") {
+    import spark.implicits._
+    val pool = (1 to 200).map(i => s"w$i")
+    val anchors = pool.filter(isAnchor)
+    val plains = pool.filterNot(isAnchor)
+    // shape 1: an exactly-L-token span with NO anchors — it sits inside
+    // one anchor-free stretch, so q128's segmentation can never isolate
+    // it (the containing segments differ via their differing context)
+    val spanP = plains.slice(40, 50) // 10 = minMatchTokens
+    assert(spanP.forall(!isAnchor(_)) && spanP.size === 10)
+    // shape 2: the straddler span with interior anchors — q128 removes
+    // only the interior segments and keeps the copy's EDGE tokens
+    val x = Seq(plains(0), plains(1), anchors(0), plains(2), plains(3),
+      plains(4), anchors(1), plains(5), plains(6), plains(7),
+      anchors(2), plains(8), plains(9), plains(10), plains(11), plains(12))
+    val fillA = Seq("fa1", "fa2", "fa3")
+    val tailA = Seq("ta1", "ta2")
+    val fillB = Seq("fb1", "fb2", "fb3", "fb4", "fb5", "fb6")
+    val tailB = Seq("tb1", "tb2", "tb3")
+    val fillC = Seq("fc1", "fc2", "fc3", "fc4", "fc5", "fc6", "fc7")
+    val tailC = Seq("tc1", "tc2")
+    val docs = Seq(
+      (1L, (fillA ++ spanP ++ tailA).mkString(" "), "en", "s", 0L),
+      (2L, (fillB ++ spanP ++ tailB).mkString(" "), "en", "s", 0L),
+      (3L, x.mkString(" "), "en", "s", 0L),
+      (4L, (fillC ++ x ++ tailC).mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exactsub").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // q128 keeps shape 1 entirely, and keeps shape 2's edges
+    val q128 = SparkEntry.queries("q128_anchored_substring_dedup")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(q128(0).getInt(2) === 0 && q128(1).getInt(2) === 0,
+      "anchor-free span must survive q128 in both copies")
+    assert(q128(3).getInt(2) > 0 && q128(3).getInt(2) < x.size,
+      "q128 removes shape 2's interior segments but keeps edge tokens")
+
+    // q141 removes every duplicated span >= L in FULL, all occurrences
+    val q141 = SparkEntry.queries("q141_exact_substring_dedup")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(q141.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ===
+      Seq((1L, 15, 10), (2L, 19, 10), (3L, 16, 16), (4L, 25, 16)))
+    assert(q141(0).getString(3) === md5hex((fillA ++ tailA).mkString(" ")))
+    assert(q141(1).getString(3) === md5hex((fillB ++ tailB).mkString(" ")))
+    assert(q141(2).getString(3) === md5hex("")) // the whole doc was the span
+    assert(q141(3).getString(3) === md5hex((fillC ++ tailC).mkString(" ")))
+  }
+
+  test("q141: sub-threshold duplicates and short docs survive untouched") {
+    import spark.implicits._
+    // a 9-token duplicate (< L) must NOT fire; a doc shorter than L has
+    // no windows at all
+    val nine = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $nine", "en", "s", 0L),
+      (2L, s"$nine v1 v2", "en", "s", 0L),
+      (3L, "tiny doc", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exactsub2").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q141_exact_substring_dedup")(spark, tmp)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getInt(2)).toSeq === Seq(0, 0, 0))
+    assert(out(0).getString(3) === md5hex(s"u1 u2 $nine"))
+    assert(out(2).getString(3) === md5hex("tiny doc"))
+  }
+
   test("corpus invariants: counts conserved; near-dup docs lose blocks") {
     val r = SparkEntry.queries("q126_line_dedup")(spark, sf001).cache()
     assert(r.where(col("n_removed") > col("n_blocks") || col("n_blocks") <= 0)

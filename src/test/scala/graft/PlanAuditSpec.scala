@@ -64,6 +64,49 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), "ADC/exact top-k must not global-sort")
   }
 
+  test("q139/q140: persisted codes scans are cell-partition-pruned, never re-encoded") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.{IvfAnn, IvfPq}
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // materialize both index layouts (memoized across the suite), then
+    // audit the CANDIDATE stage's plan — the stage the partitioned
+    // layout exists to change. (The catalog queries collect the
+    // bounded candidate set before the exact re-rank, so the returned
+    // frame's lineage no longer holds the codes scan.)
+    SparkEntry.queries("q139_ivfpq_partitioned")(spark, sf001).count()
+    SparkEntry.queries("q140_ivfpq_incremental")(spark, sf001).count()
+    val emb = Tables.embeddings(spark, sf001)
+    val base = emb.where(pmod(col("vec_id"), lit(5)) =!= 4)
+    val batch = emb.where(pmod(col("vec_id"), lit(5)) === 4)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val probes = IvfPq.probeCells(centroids)
+    val full = IvfPq.codesSegment(spark, sf001, "full", IvfAnn.assign(emb, centroids))
+    val basePath = IvfPq.codesSegment(spark, sf001, "base", IvfAnn.assign(base, centroids))
+    val delta = IvfPq.codesSegment(spark, sf001, "delta", IvfAnn.assign(batch, centroids))
+    for ((paths, want) <- Seq(Seq(full) -> 1, Seq(basePath, delta) -> 2)) {
+      val cand = IvfPq.adcCandidates(spark, paths, probes)
+      val phys = cand.queryExecution.executedPlan
+      val scans = phys.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq")) => s
+      }
+      assert(scans.size == want, s"expected $want codes scans, got ${scans.size}")
+      scans.foreach { sc =>
+        assert(sc.partitionFilters.exists(_.toString.contains("cell")),
+          s"codes scan must carry a cell partition filter:\n$sc")
+        // pruning is real: the scan selects exactly the probed dirs
+        // that exist, out of the full partition tree
+        val selected = sc.relation.location.listFiles(sc.partitionFilters, Nil).size
+        assert(selected <= probes.size,
+          s"scan selected $selected partitions, more than nProbe=${probes.size}")
+      }
+      val ps = phys.toString
+      assert(!ps.toLowerCase.contains("pqencode") && !ps.toLowerCase.contains("nearestcentroid"),
+        "search must READ persisted codes, never re-encode or re-assign")
+    }
+  }
+
   test("q130: batch curation never rescans the corpus documents") {
     // warm the per-(session, corpus) indexes, then audit a subsequent
     // batch run's physical plan: corpus statistics must be served from
