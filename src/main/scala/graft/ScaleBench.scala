@@ -556,6 +556,21 @@ object ScaleBench {
         s"bpe_job_reduction_ratio$batchMerges" ->
           (if (batPerMerge > 0) seqPerMerge / batPerMerge else -1.0))
     }
+    // production entry at 200 merges: the 20k vocabulary fits the
+    // driver budget, so learnFromWords routes to the EXACT in-memory
+    // trainer — the count + collect are the only cluster jobs, and
+    // jobs/merge collapses to ~0.01 (the industrial single-node-train
+    // shape; the certified batcher above remains the beyond-budget
+    // fallback and keeps its own A/B)
+    var inMemMerges = 0
+    val inMemJobs = countJobs(spark) {
+      inMemMerges = Bpe.learnFromWords(bpeWf, 200, minFreq = 1L).size
+    }
+    out ++= Seq(
+      "bpe_inmem200_merges" -> inMemMerges.toDouble,
+      "bpe_inmem200_jobs" -> inMemJobs.toDouble,
+      "bpe_jobs_per_merge_inmem200" ->
+        (inMemJobs.toDouble / math.max(1, inMemMerges)))
     bpeWf.unpersist()
 
     // ---- 1M-doc / 1M-vector sweep ----

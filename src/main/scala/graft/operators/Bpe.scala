@@ -165,8 +165,76 @@ object Bpe {
     * Catalyst ever has to analyze. */
   private val maxBatch = 16
 
+  /** Word-count rows the driver will hold for the EXACT in-memory
+    * trainer path. The word table is Zipf-compact — vocabulary-bounded,
+    * not corpus-bounded — and every production tokenizer trainer
+    * (Sennrich's learn_bpe, HuggingFace tokenizers, SentencePiece)
+    * trains single-node on exactly this table after a distributed
+    * count; 2^17 rows of (word, freq) is a few MB, the same bounded
+    * transfer class as the IVF centroids. Above the budget the
+    * certified distributed batcher below takes over unchanged. */
+  private[graft] val inMemoryWordBudget: Long = 1L << 17
+
+  /** One greedy left-to-right merge pass, driver-side — the exact
+    * mirror of [[applyMerge]]'s fold semantics (merged symbol
+    * immediately becomes `last`: "aaa" + (a,a) → [aa, a]). */
+  private def applyMergeLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out.last == l && x == r) out(out.length - 1) = l + r
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Sequential reference algorithm on a collected word table: full
+    * recount each round, argmax by (n DESC, left, right) — the exact
+    * semantics the distributed loop reproduces, with ZERO cluster jobs
+    * per merge. O(merges × Σ|word|) CPU; a tuned trainer would
+    * maintain pair counts incrementally, but 200 merges over a 2^17
+    * vocabulary recounts in seconds and exactness is the point.
+    * Tie-break caveat (shared with the distributed path's Spark-side
+    * orderBy): Scala's String order is UTF-16 code-unit order while
+    * Spark compares UTF-8 bytes — identical on ASCII and the whole
+    * BMP, divergent only for supplementary-plane symbols. */
+  private[graft] def learnInMemory(words0: Array[(Array[String], Long)],
+      numMerges: Int, minFreq: Long): Seq[Merge] = {
+    var words = words0
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+        if (n < minFreq) done = true
+        else {
+          rank += 1
+          merges += Merge(rank, l, r, n)
+          words = words.map { case (syms, f) => (applyMergeLocal(syms, l, r), f) }
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Production entry: distributed word count, then the exact
+    * single-node trainer when the vocabulary fits the driver budget
+    * (the industrial shape — jobs per merge ~0), the certified
+    * distributed batcher when it doesn't. */
   def learnFromWords(wf: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[Merge] =
-    learnBatched(wf, numMerges, minFreq).merges
+    if (wf.count() <= inMemoryWordBudget)
+      learnInMemory(
+        wf.collect().map(r => (r.getString(0).split(""), r.getLong(1))),
+        numMerges, minFreq)
+    else learnBatched(wf, numMerges, minFreq).merges
 
   /** Learn from a precomputed (w, freq) table — the corpus is scanned
     * once even when the caller also needs the word table (q125 encodes

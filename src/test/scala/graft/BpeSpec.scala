@@ -192,6 +192,35 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("in-memory trainer equals the reference on randomized corpora and the real table") {
+    // the production learnFromWords path for vocabularies under the
+    // driver budget: exactness IS the contract
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 100) {
+      val alphaN = 2 + rng.nextInt(3)
+      val alpha = "abcd".take(alphaN)
+      val words = (1 to (5 + rng.nextInt(40))).map { _ =>
+        val len = 2 + rng.nextInt(7)
+        (1 to len).map(_ => alpha(rng.nextInt(alphaN))).mkString
+      }
+      val wf = words.groupBy(identity).map { case (w, ws) =>
+        w -> (ws.size.toLong * (1 + rng.nextInt(5)))
+      }
+      val got = Bpe.learnInMemory(
+        wf.toArray.map { case (w, f) => (w.split(""), f) },
+        numMerges = 25, minFreq = 1L)
+      assert(got.map(m => (m.rank, m.left, m.right, m.freq)) ===
+        refBpe(wf, numMerges = 25, minFreq = 1L), s"trial $trial wf=$wf")
+    }
+    // dispatch: the real corpus vocabulary is under the budget, so
+    // learnFromWords must route in-memory and still match the
+    // distributed batcher bit-for-bit
+    val wfDf = Bpe.wordFreq(Tables.documents(spark, sf001))
+    val inMem = Bpe.learnFromWords(wfDf, numMerges = 30, minFreq = 2L)
+    val dist = Bpe.learnBatched(wfDf, numMerges = 30, minFreq = 2L).merges
+    assert(inMem === dist)
+  }
+
   test("q121 top pair equals the learner's first merge") {
     val top = SparkEntry.queries("q121_bpe_top_pairs")(spark, sf001)
       .limit(1).collect()(0)
