@@ -34,6 +34,7 @@ object SparkEntry {
       operators.TextAdvanced.all ++
       operators.BloomDecontam.all ++
       operators.TextVector.all ++
+      operators.NeuralEmbed.all ++
       operators.QualityGate.all ++
       operators.TrainingPipeline.all ++
       operators.NgramStats.all ++

@@ -179,9 +179,15 @@ object CurationFunnel {
       "curation.corpusstats")(t =>
       Seq(t._1, t._2, t._3, t._4).foreach(_.unpersist(): Unit))
 
+  /** Spec observability: how many times the corpus statistics were
+    * actually BUILT (the streaming spec pins this at one across
+    * micro-batches — the memo, not luck, is what amortizes them). */
+  private[graft] val corpusStatsBuilds = new java.util.concurrent.atomic.AtomicInteger
+
   private def corpusStats(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
     corpusIdx.getOrElseUpdate(s, d)({
+      corpusStatsBuilds.incrementAndGet()
       // filter the SHARED per-(session, corpus) token index rather
       // than re-scanning+re-tokenizing documents four times: the four
       // index builds below each read the cached (doc_id, content_md5,
@@ -240,10 +246,22 @@ object CurationFunnel {
        |FROM gates
        |WHERE doc_id % $batchMod = $batchRem
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val (exactIdx, gramIdx, lmBigIdx, vocabIdx) = corpusStats(s, d)
     // the batch's own scan — the only documents read in the hot path
-    val btk = Tables.documents(s, d)
-      .where(pmod(col("doc_id"), lit(batchMod)) === batchRem)
+    curateBatch(s, d,
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(batchMod)) === batchRem))
+  }
+
+  /** q130's gate logic over an ARBITRARY arriving-docs relation — the
+    * shared core of the batch query above and the streaming wrapper
+    * ([[graft.streaming.Streams.streamIncrementalCuration]]): tokenize
+    * the arriving docs from their own scan, merge their deltas into
+    * the PERSISTED corpus statistics, emit per-doc gate decisions.
+    * The docs relation needs (doc_id, lang, text). */
+  private[graft] def curateBatch(s: SparkSession, d: String,
+      docs: DataFrame): DataFrame = {
+    val (exactIdx, gramIdx, lmBigIdx, vocabIdx) = corpusStats(s, d)
+    val btk = docs
       .repartition(32)
       .select(col("doc_id"), col("lang"),
         md5(lower(col("text"))).as("content_md5"),

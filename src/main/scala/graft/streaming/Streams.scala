@@ -434,8 +434,60 @@ object Streams {
     sessionWindows(s, d)
   }
 
+  /** STREAMING incremental curation: q130's gate logic run inside
+    * foreachBatch against the persisted corpus statistics — the
+    * round-6 verdict's missing piece between batch-incremental (q130)
+    * and a live ingest pipeline. Each micro-batch is "an arriving
+    * batch" in q130's sense: its docs are tokenized from the
+    * micro-batch itself, every corpus-wide quantity comes from the
+    * per-(session, corpus) SessionMemo indexes — built ONCE across
+    * all micro-batches (StreamsSpec pins the build counter, the q131
+    * decoder-pooling discipline applied to index state) — and the
+    * decisions land in a parquet sink a downstream trainer can read
+    * mid-stream.
+    *
+    * With the whole batch in one trigger (the staged single-file
+    * default) the streamed decisions are BYTE-IDENTICAL to q130's —
+    * q145's oracle is q130's SQL verbatim. Under maxFilesPerTrigger
+    * the stream becomes several smaller arriving batches; each batch's
+    * decisions then equal curateBatch run on exactly that slice
+    * (StreamsSpec), the honest semantics of batch-at-a-time arrival
+    * (batch-internal effects — the exact gate's batch min — are per
+    * arrival, as in q130 itself). */
+  def streamIncrementalCuration(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_curate", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("doc_id"), lit(5)) === 4)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          graft.operators.CurationFunnel.curateBatch(spark, sfDir, batch)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+  }
+
+  /** Streamed incremental curation, oracle = q130's full-recompute
+    * equivalence SQL (single-trigger staging ⇒ identical batch). */
+  val qStreamIncrementalFunnel: GraftQuery = GraftQuery(
+    "q145_stream_incremental_funnel",
+    graft.operators.CurationFunnel.qIncrementalFunnel.oracle.get) { (s, d) =>
+    streamIncrementalCuration(s, d)
+      .select("doc_id", "lang", "n_tok", "keep_exact", "keep_span", "keep_fluency")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
-      qStreamSessionWindow)
+      qStreamSessionWindow, qStreamIncrementalFunnel)
 }

@@ -172,13 +172,19 @@ class PlanAuditSpec extends SparkSpecBase {
     //    gate scan (q63/q89/q113's bounded shape).
     //  - q138: composes q119's vocab cross join AND q137's budget
     //    cross join — both single-aggregated-row broadcasts.
+    //  - q143: q30's brute-force shape over the NEURAL embeddings (3
+    //    broadcast queries × corpus); the scale path is the q144 cell
+    //    structure over the same relation.
+    //  - q145: q130's gate logic behind a streaming sink read-back —
+    //    same bounded vocab cross join inside foreachBatch.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
         "q113_bm25_score", "q115_lm_fluency", "q119_curation_funnel",
         "q124_assemble_examples", "q130_incremental_funnel",
         "q134_hybrid_rrf", "q137_token_budget_mix",
-        "q138_curation_manifest")
+        "q138_curation_manifest", "q143_neural_ann_topk",
+        "q145_stream_incremental_funnel")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

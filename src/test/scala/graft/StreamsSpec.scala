@@ -258,4 +258,52 @@ class StreamsSpec extends SparkSpecBase {
     // user 1: one merged session of 2; user 2: two sessions of 1
     assert(got === Seq(1L -> 2L, 2L -> 1L, 2L -> 1L))
   }
+
+  test("q145: streamed curation equals q130 batch decisions; corpus indexes build once") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    // multi-file staging + maxFilesPerTrigger=1 → several micro-batches
+    // through the SAME foreachBatch gate stage
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_curate").toString
+    graft.sources.Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    graft.operators.CurationFunnel.corpusStatsBuilds.set(0)
+    val out = graft.streaming.Streams.streamIncrementalCuration(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1)).cache()
+    val nBatches = out.select("batch_id").distinct().count()
+    assert(nBatches >= 2, s"fixture must span >=2 micro-batches, got $nBatches")
+    // the persisted corpus statistics were built ONCE for the whole
+    // stream (0 if an earlier test in this JVM already built them) —
+    // micro-batches reuse the SessionMemo entry, never rebuild
+    assert(graft.operators.CurationFunnel.corpusStatsBuilds.get() <= 1,
+      "corpus indexes must not rebuild per micro-batch")
+
+    // per-micro-batch equivalence: each arriving slice's streamed
+    // decisions equal curateBatch run directly on exactly that slice
+    val batchDocs = graft.sources.Tables.documents(spark, sf001)
+      .where(pmod(col("doc_id"), lit(5)) === 4)
+    val batchIds = out.select("batch_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    for (bid <- batchIds) {
+      val ids = out.where(col("batch_id") === bid)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = graft.operators.CurationFunnel
+        .curateBatch(spark, sf001,
+          batchDocs.where(col("doc_id").isin(ids.toSeq: _*)))
+        .collect().map(_.toSeq).toSeq
+      val got = out.where(col("batch_id") === bid)
+        .select("doc_id", "lang", "n_tok", "keep_exact", "keep_span", "keep_fluency")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got === want, s"micro-batch $bid decisions diverge")
+    }
+
+    // single-trigger staging: decisions are byte-identical to q130's
+    // batch output (q145's oracle contract)
+    val single = graft.streaming.Streams.streamIncrementalCuration(spark, sf001)
+      .select("doc_id", "lang", "n_tok", "keep_exact", "keep_span", "keep_fluency")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val q130 = SparkEntry.queries("q130_incremental_funnel")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(single === q130)
+    out.unpersist()
+  }
 }
