@@ -589,7 +589,69 @@ object ScaleBench {
     if (sweepN > 0 && sweepN > targetDocs)
       out ++= sweepAt(spark, sfDir, sweepN, nDocs, pairsFull)
 
+    // ---- memory-pressure posture (round-7 verdict #7) ----
+    // The "spill, never OOM" claim, measured: SpillProbe runs the full
+    // headline suite + the MinHash verify join in its OWN JVM with a
+    // small heap and spark.memory.fraction squeezed to 6% (a context-
+    // creation conf — unreachable from this session). Completion with
+    // spill counters > 0 is the posture proof. SPARK_GRAFT_SPILL=0
+    // skips; any other value overrides the synthetic-corpus size.
+    val spillDocs = sys.env.get("SPARK_GRAFT_SPILL").map(_.toInt)
+      .getOrElse(300000)
+    if (spillDocs > 0) out ++= spillProbe(sfDir, spillDocs)
+
     out.toSeq
+  }
+
+  private[graft] def spillProbe(sfDir: String, targetDocs: Int): Seq[(String, Double)] = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val heap = sys.env.getOrElse("SPARK_GRAFT_SPILL_MEM", "2500m")
+    val cmd = Seq(javaBin, s"-Xmx$heap",
+      "-cp", System.getProperty("java.class.path")) ++ addOpens ++
+      Seq("graft.SpillProbe", sfDir, targetDocs.toString)
+    val outBuf = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    // drain stderr concurrently so the child can't block on a full pipe
+    val errDrain = new Thread(() => {
+      val e = proc.getErrorStream
+      val buf = new Array[Byte](8192)
+      while (e.read(buf) >= 0) ()
+    })
+    errDrain.setDaemon(true)
+    errDrain.start()
+    var line = reader.readLine()
+    var spillLine: Option[String] = None
+    while (line != null) {
+      if (line.startsWith("SPILL {")) spillLine = Some(line)
+      line = reader.readLine()
+    }
+    val code = proc.waitFor()
+    spillLine match {
+      case Some(l) if code == 0 =>
+        def num(k: String): Double =
+          s""""$k":(-?[0-9.]+)""".r.findFirstMatchIn(l)
+            .map(_.group(1).toDouble).getOrElse(-1.0)
+        Seq(
+          "spill_probe_ok" -> 1.0,
+          "spill_docs" -> targetDocs.toDouble,
+          "spill_mem_mb" -> num("spill_mem_mb"),
+          "spill_disk_mb" -> num("spill_disk_mb"),
+          "spill_verified_pairs" -> num("verified_pairs"),
+          "spill_wall_sec" -> num("wall_sec"))
+      case _ =>
+        Seq("spill_probe_ok" -> 0.0, "spill_docs" -> targetDocs.toDouble)
+    }
   }
 
   /** The decade-up probe: same operator pipelines, reduced metric set.
