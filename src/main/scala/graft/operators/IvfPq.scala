@@ -151,11 +151,26 @@ object IvfPq {
 
   private[graft] def codesSegment(s: org.apache.spark.sql.SparkSession, d: String,
       tag: String, assigned: => org.apache.spark.sql.DataFrame): String =
+    writeSegment(s, d, tag)(encoded(assigned))
+
+  /** Write an already-coded relation as a cell-partitioned segment —
+    * the shared physical-layout writer behind both index BUILD
+    * (codesSegment encodes first) and index COMPACTION (q146 copies
+    * codes between layouts without touching an embedding). */
+  private[graft] def writeSegment(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String)(codes: => org.apache.spark.sql.DataFrame): String =
     segments.getOrElseUpdate(s, (d, tag))({
       val path = Formats.scratchDir("graft_ivfpq_" + tag, d)
-      encoded(assigned).write.partitionBy("cell").mode("overwrite").parquet(path)
+      codes.write.partitionBy("cell").mode("overwrite").parquet(path)
       path
     })
+
+  /** Full (unpruned) scan of one persisted segment — the compaction
+    * job's input: every cell directory, schema pinned against
+    * partition-column inference. */
+  private[graft] def readSegment(s: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    s.read.schema(codesSchema).option("basePath", path).parquet(path)
 
   /** The query's nProbe best cells, as driver-side literals (bounded:
     * nProbe longs — the collect that turns the cell gate into genuine
@@ -263,19 +278,119 @@ object IvfPq {
     * codes are read, never recomputed. */
   val qIvfPqIncremental: GraftQuery = GraftQuery(
     "q140_ivfpq_incremental", qIvfPqTopK.oracle.get) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val base = emb.where(pmod(col("vec_id"), lit(5)) =!= 4)
-    val batch = emb.where(pmod(col("vec_id"), lit(5)) === 4)
     // existing centroids: sampled from the BASE corpus (stride-50 ids
     // are never % 5 = 4, so this is also the full corpus's centroid
     // set — the property that makes the rebuild oracle exact)
-    val centroids = IvfAnn.fixedCentroids(base, IvfAnn.fixedStride)
-    val basePath = codesSegment(s, d, "base", IvfAnn.assign(base, centroids))
-    val deltaPath = codesSegment(s, d, "delta", IvfAnn.assign(batch, centroids))
+    val (centroids, basePath, deltaPath) = baseDeltaSegments(s, d)
     val probes = probeCells(centroids)
     val cand = adcCandidates(s, Seq(basePath, deltaPath), probes).collect()
     rerankCollected(s, d, cand)
   }
 
-  def all: Seq[GraftQuery] = Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental)
+  /** The base corpus (vec_id % 5 != 4 — the q130 batch convention)
+    * and its centroid set; shared by q140/q146/q147. */
+  private[graft] def baseCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    IvfAnn.fixedCentroids(
+      Tables.embeddings(s, d).where(pmod(col("vec_id"), lit(5)) =!= 4),
+      IvfAnn.fixedStride)
+
+  /** Build (or reuse) the persisted BASE index segment. */
+  private[graft] def baseSegment(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    codesSegment(s, d, "base", IvfAnn.assign(
+      Tables.embeddings(s, d).where(pmod(col("vec_id"), lit(5)) =!= 4),
+      baseCentroids(s, d)))
+
+  /** Build (or reuse) the q140 base+delta segment pair for `d` —
+    * shared by q140 itself and q146's compaction input. Returns
+    * (centroids, basePath, deltaPath). */
+  private[graft] def baseDeltaSegments(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, String, String) = {
+    val centroids = baseCentroids(s, d)
+    val batch = Tables.embeddings(s, d).where(pmod(col("vec_id"), lit(5)) === 4)
+    val basePath = baseSegment(s, d)
+    val deltaPath = codesSegment(s, d, "delta", IvfAnn.assign(batch, centroids))
+    (centroids, basePath, deltaPath)
+  }
+
+  // ---- streaming ingest support (q147) ----
+
+  /** Build counter for the collected centroid set — StreamsSpec pins
+    * that multi-trigger ingest builds it exactly once. */
+  private[graft] val centroidBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val centroidCache =
+    new graft.spark.SessionMemo[String, IndexedSeq[(Long, Array[Float])]](
+      "ivfpq.cents")(_ => ())
+
+  /** The collected base-corpus centroid set, built ONCE per (session,
+    * corpus) and reused by every arriving micro-batch — the q131
+    * decoder-pooling discipline applied to index state (bounded:
+    * |cells| rows, the one documented driver-side collect of this
+    * family). */
+  private[graft] def ingestCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[(Long, Array[Float])] =
+    centroidCache.getOrElseUpdate(s, d)({
+      centroidBuilds.incrementAndGet()
+      baseCentroids(s, d)
+        .select(col("cell").cast("long"), col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .toIndexedSeq
+    })
+
+  /** Assign one arriving vector micro-batch to the EXISTING centroids,
+    * PQ-encode it, and append it to the stream's delta segment — the
+    * q140 append path in micro-batch form. The corpus is never
+    * touched; the write is dynamic-partitioned by cell so the delta
+    * keeps the q139 pruned-scan layout. */
+  private[graft] def appendBatch(s: org.apache.spark.sql.SparkSession, d: String,
+      batch: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val cents = ingestCentroids(s, d)
+    val assigned = batch.select(col("vec_id"), col("embedding"),
+      org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), cents, "cos")
+        .as("cell"))
+    encoded(assigned).write.partitionBy("cell").mode("append").parquet(dir)
+  }
+
+  /** Probed search over an arbitrary persisted segment list — q147's
+    * serving path once the stream drains (and the shared shape behind
+    * q139/q140/q146's search bodies). */
+  private[graft] def searchSegments(s: org.apache.spark.sql.SparkSession,
+      d: String, paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val probes = probeCells(baseCentroids(s, d))
+    rerankCollected(s, d, adcCandidates(s, paths, probes).collect())
+  }
+
+  /** Index COMPACTION — the third phase of the index lifecycle after
+    * build (q139) and append (q140). A long-lived index accumulates
+    * delta segments (one per arriving batch / micro-batch); every
+    * search pays one pruned scan PER SEGMENT plus a union, and each
+    * delta holds only a few cells so its files are small — the
+    * classic LSM read-amplification + small-files problem. Compaction
+    * is the batch rewrite that folds base+deltas into ONE
+    * cell-partitioned generation by COPYING CODES between layouts:
+    * the job reads every segment's (vec_id, codes, cell) rows and
+    * writes them partitioned — no embedding is read, nothing is
+    * re-assigned or re-encoded (PlanAuditSpec pins zero
+    * PqEncode/NearestCentroid in BOTH the compaction job and the
+    * search). At 100 TB compaction is embarrassingly parallel (a
+    * partitioned-parquet rewrite of the ~32×-compressed codes), and
+    * the search plan collapses back to q139's single pruned scan —
+    * PlanAuditSpec pins exactly ONE codes scan here vs q140's two.
+    *
+    * Oracle: q127's from-scratch SQL verbatim — the hash match proves
+    * compacted ≡ segmented ≡ rebuilt. */
+  val qIvfPqCompacted: GraftQuery = GraftQuery(
+    "q146_ivfpq_compacted", qIvfPqTopK.oracle.get) { (s, d) =>
+    val (centroids, basePath, deltaPath) = baseDeltaSegments(s, d)
+    val gen2 = writeSegment(s, d, "gen2")(
+      readSegment(s, basePath).union(readSegment(s, deltaPath)))
+    val probes = probeCells(centroids)
+    val cand = adcCandidates(s, Seq(gen2), probes).collect()
+    rerankCollected(s, d, cand)
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted)
 }

@@ -301,7 +301,139 @@ object TrainingPipeline {
       .orderBy("lang")
   }
 
+  /** Deterministic EPOCH SHUFFLE: the training-order randomization
+    * step between corpus assembly and the trainer. Each epoch seed
+    * defines a pseudorandom total order — ord = md5(seed ':' doc_id)
+    * — realized as a two-level layout: 16 hash shards (ord's first
+    * hex digit), a per-shard position, and the exact global position
+    * via per-shard offsets. Different seeds give independent orders
+    * (TrainingPipelineSpec), the same seed reproduces bit-for-bit at
+    * any parallelism — `orderBy(rand())` can do neither.
+    *
+    * 100 TB: there is NO global sort. Each shard sorts independently
+    * under its own window (the q111 two-level pattern; in production
+    * the sort is the write order of that shard's files), and the
+    * offset relation that turns shard positions into the global order
+    * is |shards| rows, broadcast back. Epoch N+1 is the same job with
+    * a new seed, not a data movement of epoch N's output. */
+  private def epochShuffle(s: org.apache.spark.sql.SparkSession, d: String,
+      seed: String): org.apache.spark.sql.DataFrame = {
+    val ord = md5(concat(lit(seed + ":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard").orderBy("ord", "doc_id")
+    val sharded = Tables.documents(s, d)
+      .select(col("doc_id"), ord.as("ord"))
+      .withColumn("shard", substring(col("ord"), 1, 1))
+    val pos = sharded
+      .select(col("doc_id"), col("shard"), col("ord"),
+        row_number().over(w).cast("long").as("pos"))
+    // offsets: |shards| rows — the single-partition window is over 16
+    // rows, then broadcast back to the sharded relation
+    val offW = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n"))
+      .select(col("shard"),
+        coalesce(sum("n").over(offW), lit(0L)).cast("long").as("base"))
+    pos.join(broadcast(offsets), "shard")
+      .select(col("doc_id"), col("shard"), col("pos"),
+        (col("pos") + col("base")).as("global_pos"))
+      .orderBy("doc_id")
+  }
+
+  private def epochShuffleSql(seed: String): String =
+    s"""WITH h AS (
+       |  SELECT doc_id, md5('$seed:' || CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents),
+       |s AS (SELECT doc_id, ord, substring(ord, 1, 1) AS shard FROM h),
+       |p AS (
+       |  SELECT doc_id, shard, pos FROM (
+       |    SELECT doc_id, shard,
+       |      CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+       |        AS BIGINT) AS pos
+       |    FROM s)),
+       |sz AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY shard),
+       |os AS (
+       |  SELECT shard, CAST(COALESCE(SUM(n) OVER (ORDER BY shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+       |  FROM sz)
+       |SELECT p.doc_id, p.shard, p.pos, p.pos + o.base AS global_pos
+       |FROM p JOIN os o USING (shard)
+       |ORDER BY doc_id""".stripMargin
+
+  val qEpochShuffle: GraftQuery = GraftQuery(
+    "q148_epoch_shuffle", epochShuffleSql("ep1")) { (s, d) =>
+    epochShuffle(s, d, "ep1")
+  }
+
+  /** Epoch shuffle under a different seed — spec-only entry point for
+    * the independence assertion. */
+  private[graft] def epochShuffleFor(s: org.apache.spark.sql.SparkSession,
+      d: String, seed: String): org.apache.spark.sql.DataFrame =
+    epochShuffle(s, d, seed)
+
+  /** SPLIT-LEAKAGE AUDIT: q110's hash split guarantees a DOCUMENT
+    * never changes split, but content can still leak across splits
+    * through near-identical documents — exactly what an eval set must
+    * not share with train. This measures it at the q117 5-gram grain:
+    * for every val/test document, the fraction of its 5-gram
+    * positions whose gram also occurs anywhere in the train split.
+    * High leak_frac docs are eval contamination; the decontamination
+    * gate (q65/q123) removes them from TRAIN against an external
+    * benchmark, while this audits the pipeline's OWN split boundary.
+    *
+    * 100 TB: gram positions join the distinct-train-gram relation on
+    * a fixed-width md5 fingerprint (never the raw gram string); the
+    * join is gram-key equi-partitioned — the q117 physics, corpus ×
+    * compact-gram-set, never doc × doc. A production run would put
+    * the q123 bloom prune in front so only candidate positions reach
+    * the exchange. */
+  val qSplitLeakage: GraftQuery = GraftQuery(
+    "q149_split_leakage",
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    ${splitSqlCase("doc_id")} AS split,
+       |    string_split(lower(text), ' ') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, split,
+       |    md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |      || ' ' || t[i+4]) AS fp
+       |  FROM (SELECT doc_id, split, t, unnest(range(1, len(t) - 3)) AS i
+       |        FROM base)),
+       |train_g AS (SELECT DISTINCT fp FROM grams WHERE split = 'train'),
+       |ev AS (
+       |  SELECT g.doc_id, g.split, (t.fp IS NOT NULL) AS leaked
+       |  FROM grams g LEFT JOIN train_g t ON g.fp = t.fp
+       |  WHERE g.split <> 'train')
+       |SELECT doc_id, split,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(*) FILTER (leaked) AS BIGINT) AS n_leaked,
+       |  CAST(count(*) FILTER (leaked) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS leak_frac
+       |FROM ev GROUP BY doc_id, split
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), splitColumn(col("doc_id")).as("split"),
+        split(lower(col("text")), " ").as("t"))
+    val grams = base.where(size(col("t")) >= 5)
+      .select(col("doc_id"), col("split"),
+        explode(sequence(lit(1), size(col("t")) - 4)).as("i"), col("t"))
+      .select(col("doc_id"), col("split"),
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(5)))).as("fp"))
+    val trainG = grams.where(col("split") === "train")
+      .select("fp").distinct()
+      .withColumn("leaked", lit(true))
+    grams.where(col("split") =!= "train")
+      .join(trainG, Seq("fp"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("leaked"), 1)).as("n_leaked"),
+        (count(when(col("leaked"), 1)).cast("double")
+          / count(lit(1)).cast("double")).as("leak_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
-      qChunkDocuments, qTokenBudgetMix)
+      qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage)
 }

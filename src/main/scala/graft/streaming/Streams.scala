@@ -486,8 +486,62 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  /** Embeddings table as a file stream (same symlink staging as the
+    * events/documents streams); `srcDir` lets the spec stage a
+    * multi-file copy to force several micro-batches. */
+  private[graft] def readEmbeddingsStream(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val dir = srcDir.getOrElse(
+      stageAsStreamDir("graft_stream_emb", sfDir, "embeddings.parquet"))
+    val reader = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
+
+  /** STREAMING ANN index ingest: q140's append path run inside
+    * foreachBatch — the live counterpart of batch index maintenance,
+    * completing the index lifecycle (build q139 → append q140 →
+    * stream-append q147 → compact q146). Each arriving vector
+    * micro-batch is assigned to the EXISTING centroids (the collected
+    * centroid set is built once per session and reused across
+    * triggers — the q131 pooling discipline; StreamsSpec pins the
+    * counter), PQ-encoded, and appended to a cell-partitioned delta
+    * segment. The base index is read from disk, never reassigned.
+    * After the stream drains, the search unions the pruned base and
+    * delta scans — byte-identical to q140's batch result, so the
+    * oracle is q127's from-scratch SQL: the hash match proves
+    * streamed ingest ≡ batch append ≡ full rebuild. */
+  def streamAnnIngest(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val basePath = graft.operators.IvfPq.baseSegment(spark, sfDir)
+    val deltaDir = graft.operators.Formats.scratchDir(
+      "graft_ivfpq_streamdelta", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(deltaDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readEmbeddingsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("vec_id"), lit(5)) === 4)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.IvfPq.appendBatch(spark, sfDir, batch, deltaDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.IvfPq.searchSegments(spark, sfDir, Seq(basePath, deltaDir))
+  }
+
+  val qStreamAnnIngest: GraftQuery = GraftQuery(
+    "q147_stream_ann_ingest",
+    graft.operators.IvfPq.qIvfPqTopK.oracle.get) { (s, d) =>
+    streamAnnIngest(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
-      qStreamSessionWindow, qStreamIncrementalFunnel)
+      qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest)
 }

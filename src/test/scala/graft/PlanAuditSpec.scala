@@ -107,6 +107,42 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q146: compacted search is ONE pruned codes scan; compaction copies codes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.IvfPq
+    // run q146 once: builds base+delta (memoized) and compacts to gen2
+    SparkEntry.queries("q146_ivfpq_compacted")(spark, sf001).count()
+    val probes = IvfPq.probeCells(IvfPq.baseCentroids(spark, sf001))
+    val gen2 = IvfPq.writeSegment(spark, sf001, "gen2")(
+      sys.error("gen2 segment must already be memoized"))
+    // search over the compacted generation: exactly ONE codes scan
+    // (q140's segmented search needs two), still partition-pruned,
+    // still never re-encoding
+    val cand = IvfPq.adcCandidates(spark, Seq(gen2), probes)
+    val phys = cand.queryExecution.executedPlan
+    val scans = phys.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq")) => s
+    }
+    assert(scans.size == 1, s"compacted search must plan ONE codes scan, got ${scans.size}")
+    val sc = scans.head
+    assert(sc.partitionFilters.exists(_.toString.contains("cell")),
+      "compacted codes scan must carry a cell partition filter")
+    assert(sc.relation.location.listFiles(sc.partitionFilters, Nil).size <= probes.size,
+      "compacted scan must read at most nProbe partitions")
+    val ps = phys.toString.toLowerCase
+    assert(!ps.contains("pqencode") && !ps.contains("nearestcentroid"),
+      "compacted search must read codes, never recompute them")
+    // the compaction JOB itself copies codes between layouts: its plan
+    // reads the segment parquet and contains no encode/assign either
+    val (_, basePath, deltaPath) = IvfPq.baseDeltaSegments(spark, sf001)
+    val compaction = IvfPq.readSegment(spark, basePath)
+      .union(IvfPq.readSegment(spark, deltaPath))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!compaction.contains("pqencode") && !compaction.contains("nearestcentroid"),
+      "compaction must copy codes, never re-encode or re-assign")
+  }
+
   test("q130: batch curation never rescans the corpus documents") {
     // warm the per-(session, corpus) indexes, then audit a subsequent
     // batch run's physical plan: corpus statistics must be served from

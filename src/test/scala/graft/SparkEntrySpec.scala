@@ -42,8 +42,9 @@ class SparkEntrySpec extends SparkSpecBase {
           .map(l => l.indexOf("--") match { case -1 => l; case i => l.take(i) })
           .mkString("\n")
         // CTE names defined in this SQL are legal reference targets
-        // optional (cols) list covers recursive CTE headers like reach(n, m)
-        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        // optional (cols) list covers recursive CTE headers like reach(n, m);
+        // optional MATERIALIZED covers DuckDB's inlining barrier (q142-q144)
+        val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
           .findAllMatchIn(sql).map(_.group(1)).toSet
         tableRef.findAllMatchIn(sql).map(_.group(1)).foreach { t =>
           assert(known(t) || ctes(t) || cteOrAlias(t),

@@ -306,4 +306,26 @@ class StreamsSpec extends SparkSpecBase {
     assert(single === q130)
     out.unpersist()
   }
+
+  test("q147: streamed ANN ingest equals batch append; centroid set builds once") {
+    // multi-file staging + maxFilesPerTrigger=1 → the batch vectors
+    // arrive across several micro-batches, each appended through the
+    // SAME foreachBatch encode stage
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_ann").toString
+    graft.sources.Tables.embeddings(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    graft.operators.IvfPq.centroidBuilds.set(0)
+    val multi = graft.streaming.Streams.streamAnnIngest(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    // the collected centroid set is session state, built at most once
+    // across all micro-batches (0 if an earlier test already built it)
+    assert(graft.operators.IvfPq.centroidBuilds.get() <= 1,
+      "centroids must not rebuild per micro-batch")
+    // slicing the arrival into micro-batches cannot change the index:
+    // the drained search is row-identical to q140's batch append
+    val batch = SparkEntry.queries("q140_ivfpq_incremental")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(multi === batch, "streamed ingest must equal batch append")
+  }
 }

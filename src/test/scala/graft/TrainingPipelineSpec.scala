@@ -69,4 +69,61 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(langTotals == leafSums, s"lang=$langTotals leaves=$leafSums")
     assert(grand.head.getLong(2) == langTotals.values.sum)
   }
+
+  test("q148 epoch shuffle: global_pos is a permutation; seeds give independent orders") {
+    val e1 = SparkEntry.queries("q148_epoch_shuffle")(spark, sf001).collect()
+    val n = e1.length
+    // exact global order: positions are 1..n with no gaps or ties
+    assert(e1.map(_.getAs[Long]("global_pos")).sorted.toSeq === (1L to n.toLong))
+    // per-shard positions are 1..|shard| under the shard's own order
+    val byShard = e1.groupBy(_.getAs[String]("shard"))
+    byShard.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to rs.length.toLong))
+    }
+    // a different epoch seed reorders most documents...
+    val e2 = graft.operators.TrainingPipeline
+      .epochShuffleFor(spark, sf001, "ep2").collect()
+    val p1 = e1.map(r => r.getLong(0) -> r.getAs[Long]("global_pos")).toMap
+    val p2 = e2.map(r => r.getLong(0) -> r.getAs[Long]("global_pos")).toMap
+    val moved = p1.keys.count(k => p1(k) != p2(k))
+    assert(moved > n / 2, s"ep2 must reorder most docs, moved only $moved/$n")
+    // ...while the same seed reproduces bit for bit (the orderBy(rand())
+    // failure mode this operator exists to avoid)
+    val e1b = graft.operators.TrainingPipeline
+      .epochShuffleFor(spark, sf001, "ep1").collect()
+    assert(e1.map(_.toSeq).toSeq === e1b.map(_.toSeq).toSeq)
+  }
+
+  test("q149 split leakage: planted train↔eval duplicate scores 1.0, unique doc 0.0") {
+    import org.apache.spark.sql.functions.col
+    // derive split membership the same way the operator does: first two
+    // md5 hex chars of the decimal doc_id
+    def bucket(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+    }
+    def split(id: Long): String = {
+      val b = bucket(id)
+      if (b < "0d") "test" else if (b < "27") "val" else "train"
+    }
+    val trainId = (1L to 1000L).find(split(_) == "train").get
+    val evalDup = (1L to 1000L).find(split(_) != "train").get
+    val evalUniq = (evalDup + 1 to 1000L).find(split(_) != "train").get
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (trainId, dupText, "en", "s1", dupText.length.toLong),
+      (evalDup, dupText, "en", "s1", dupText.length.toLong),
+      (evalUniq, "one unique sentence that shares no five gram with train",
+        "en", "s1", 55L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = SparkEntry.queries("q149_split_leakage")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("leak_frac")).toMap
+    assert(got(evalDup) === 1.0, s"exact duplicate of a train doc must fully leak: $got")
+    assert(got(evalUniq) === 0.0, s"unique eval doc must not leak: $got")
+    assert(!got.contains(trainId), "train docs are not audited rows")
+  }
 }
