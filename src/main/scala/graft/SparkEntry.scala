@@ -37,6 +37,7 @@ object SparkEntry {
       operators.NeuralEmbed.all ++
       operators.QualityGate.all ++
       operators.TrainingPipeline.all ++
+      operators.Selection.all ++
       operators.NgramStats.all ++
       operators.CurationFunnel.all ++
       operators.Bpe.all ++

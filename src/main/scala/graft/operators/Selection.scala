@@ -1,0 +1,303 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.functions.TextFunctions.tokenCount
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for an LLM training-data pipeline: the
+  * steps that decide WHICH documents (and how much of each domain) a
+  * training run consumes, beyond the per-document quality/dedup gates
+  * (Dedup, CurationFunnel, QualityGate). No counterpart exists in the
+  * reference (Data-ETL-with-DBT stops at the modeled table,
+  * core_texi.sql:31-101); these extend the north-star corpus-assembly
+  * surface (SURVEY §0) with three published selection families:
+  *
+  *  - q150: DSIR-style importance resampling (Xie et al., "Data
+  *    Selection for Language Models via Importance Resampling",
+  *    NeurIPS 2023): hashed-unigram bag-of-words distributions for a
+  *    target domain vs the raw proposal corpus, per-document
+  *    importance weights, hash-gated sampling proportional to weight.
+  *  - q151: count-min sketch frequency estimation (Cormode &
+  *    Muthukrishnan 2005): the bounded-memory substitute for exact
+  *    token counts that a 100 TB vocabulary pass needs.
+  *  - q152: cluster-balanced token budgeting: the q137 exact budget
+  *    gate keyed by embedding-space IVF cell instead of language —
+  *    semantic domain balancing in the MiniPile/cluster-mixing vein.
+  *
+  * Determinism discipline (the q137/q63 conventions): every sampling
+  * decision is a pure function of md5(doc_id); every score is exact
+  * integer arithmetic (DECIMAL(38,0) ↔ HUGEINT cross-multiplies, and
+  * floor-divided rational likelihood ratios instead of log-space
+  * weights — ln() is not bit-specified across libm implementations,
+  * while the scaled rational ratio is engine-stable and order-free).
+  * Production would keep log-space weights; the selection ORDER the
+  * two scores induce is the same because x ↦ scale·x is monotone and
+  * the per-token sum approximates the log-sum's ranking closely at
+  * this bucket width — the tradeoff is documented here once.
+  *
+  * 100 TB scale notes:
+  *  - q150 is two bounded aggregates (256-bucket LM tables, broadcast
+  *    back) plus one partial-aggregatable per-doc sum: the token
+  *    explosion is scanned once, nothing corpus-sized shuffles except
+  *    the (doc_id, partial-sum) rows.
+  *  - q151's sketch is ≤ depth×width rows REGARDLESS of corpus size —
+  *    map-side partial aggregation collapses each scan partition's
+  *    tokens into ≤2048 counter rows before the exchange. The exact
+  *    top-20 relation exists only to oracle-check the estimator;
+  *    production serves point queries from the sketch alone.
+  *  - q152 reuses the [[IvfAnn.assign]] scan-fused centroid
+  *    assignment (no N×C join) and the q137 zero-division budget
+  *    gate; the only corpus-sized exchange is the doc↔embedding key
+  *    join, co-partitioned on the shared id.
+  */
+object Selection {
+
+  private val B = 256 // hashed-unigram buckets (DSIR's feature space)
+  private val Scale = 1000000L // likelihood-ratio fixed-point scale
+
+  private def dec(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** 32-bit md5 gate (q137's convention — first 8 md5 hex chars). */
+  private def gate32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Per-document DSIR importance scores against a target predicate.
+    *
+    * Both unigram LMs come out of ONE aggregate over the exploded
+    * tokens (conditional count for the target side — the target is a
+    * subset of the proposal, so c_t ≤ c_p and the Laplace-smoothed
+    * ratio is bounded by (T_p+B)/(T_t+B)). The per-bucket importance
+    * ratio is floor(Scale·(c_t+1)(T_p+B) / ((c_p+1)(T_t+B))) in
+    * DECIMAL(38,0) — exact at any corpus size. A document's score is
+    * the plain integer sum of its tokens' bucket ratios; avg_r
+    * divides by token count (floor) so long documents aren't favored.
+    */
+  private[graft] def dsirScores(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .withColumn("b", conv(substring(md5(col("term")), 1, 2), 16, 10).cast("int"))
+    val buckets = toks.groupBy("b").agg(
+      count(lit(1)).as("c_p"),
+      count(when(col("is_t"), 1)).as("c_t"))
+    val totals = buckets.agg(sum("c_p").as("t_p"), sum("c_t").as("t_t"))
+    val ratio = buckets.crossJoin(broadcast(totals))
+      .withColumn("r", expr(
+        s"""CAST((CAST(c_t + 1 AS DECIMAL(38,0)) * CAST(t_p + $B AS DECIMAL(38,0))
+           |  * $Scale)
+           |  DIV (CAST(c_p + 1 AS DECIMAL(38,0)) * CAST(t_t + $B AS DECIMAL(38,0)))
+           |  AS BIGINT)""".stripMargin))
+      .select("b", "r")
+    toks.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("r").as("score"))
+      .withColumn("avg_r", expr("score DIV n_tok"))
+  }
+
+  /** DSIR importance resampling: target = sources src0/src1 (the
+    * "trusted domain" stand-in), proposal = the whole corpus. A doc
+    * is kept with probability avg_r / max(avg_r), decided by the
+    * exact cross-multiplied hash gate h·max < 2³²·avg_r — sampling
+    * proportional to importance weight with zero coordination (the
+    * max is a 1-row broadcast; the gate is then scan-fused). */
+  val qDsirSelect: GraftQuery = GraftQuery(
+    "q150_dsir_select",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+       |    unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |tb AS (
+       |  SELECT CAST('0x' || substring(md5(term), 1, 2) AS INTEGER) AS b,
+       |    doc_id, is_t
+       |  FROM toks),
+       |buckets AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS c_p,
+       |    CAST(count(*) FILTER (is_t) AS BIGINT) AS c_t
+       |  FROM tb GROUP BY b),
+       |totals AS (
+       |  SELECT CAST(sum(c_p) AS BIGINT) AS t_p,
+       |    CAST(sum(c_t) AS BIGINT) AS t_t FROM buckets),
+       |ratio AS (
+       |  SELECT b,
+       |    CAST(CAST(c_t + 1 AS HUGEINT) * CAST(t_p + $B AS HUGEINT) * $Scale
+       |      // (CAST(c_p + 1 AS HUGEINT) * CAST(t_t + $B AS HUGEINT))
+       |      AS BIGINT) AS r
+       |  FROM buckets CROSS JOIN totals),
+       |scored AS (
+       |  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |    CAST(sum(r) AS BIGINT) AS score
+       |  FROM tb JOIN ratio USING (b)
+       |  GROUP BY tb.doc_id),
+       |sc AS (SELECT doc_id, n_tok, score, score // n_tok AS avg_r FROM scored),
+       |mx AS (SELECT max(avg_r) AS max_avg FROM sc)
+       |SELECT doc_id, n_tok, score, avg_r
+       |FROM sc CROSS JOIN mx
+       |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |    * CAST(max_avg AS HUGEINT) < CAST(4294967296 AS HUGEINT) * avg_r
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // repartition the COMPACT doc relation before the token explosion
+    // (the q63 pattern): full parallelism even off one big row group
+    val docs = Tables.documents(s, d).repartition(32)
+    val sc = dsirScores(docs, col("source").isin("src0", "src1"))
+    val mx = sc.agg(max("avg_r").as("max_avg"))
+    sc.crossJoin(broadcast(mx))
+      .where(dec(gate32(col("doc_id"))) * dec(col("max_avg"))
+        < dec(lit(4294967296L)) * dec(col("avg_r")))
+      .select("doc_id", "n_tok", "score", "avg_r")
+      .orderBy("doc_id")
+  }
+
+  private val Depth = 4 // count-min rows (independent hash functions)
+  private val Width = 512 // counters per row; 4096 % 512 == 0 → uniform
+
+  /** Count-min bucket for hash row j: 3 md5 hex chars (0..4095) of
+    * "j:term", folded mod 512 — exactly uniform since 512 | 4096. */
+  private def cmBucket(j: Column, term: Column): Column =
+    pmod(conv(substring(md5(concat_ws(":", j.cast("string"), term)), 1, 3),
+      16, 10).cast("int"), lit(Width))
+
+  /** Lowercased whitespace tokens of a documents relation (the q63
+    * convention — shared by the batch and streaming sketch paths). */
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("term"))
+
+  /** Partial count-min sketch of a token relation: ≤ Depth×Width
+    * (j, bucket, cnt) rows. Counter addition is the sketch's merge
+    * operator, so partials from any corpus split (scan partitions,
+    * micro-batches) sum to the exact whole-corpus sketch — the
+    * property the streaming variant (q153) leans on. */
+  private[graft] def cmPartialSketch(toks: DataFrame): DataFrame =
+    toks.select(col("term"), explode(sequence(lit(0), lit(Depth - 1))).as("j"))
+      .withColumn("bucket", cmBucket(col("j"), col("term")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Merge partial sketches (counter addition) into one sketch. */
+  private[graft] def cmMerge(partials: DataFrame): DataFrame =
+    partials.groupBy("j", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-query a sketch at a (term, exact_cnt) relation: est_cnt =
+    * min over the Depth hash rows. */
+  private[graft] def cmPointQuery(sketch: DataFrame, top: DataFrame): DataFrame =
+    top.select(col("term"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(Depth - 1))).as("j"))
+      .withColumn("bucket", cmBucket(col("j"), col("term")))
+      .join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy("term", "exact_cnt").agg(min("cnt").as("est_cnt"))
+      .select("term", "exact_cnt", "est_cnt")
+      .orderBy("term")
+
+  /** Exact top-20 tokens (ties → lexicographic): the oracle-pairing
+    * side of the estimator; production keeps only the sketch. */
+  private[graft] def exactTop20(toks: DataFrame): DataFrame =
+    toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+
+  /** Count-min sketch over corpus tokens, point-queried at the exact
+    * top-20 tokens. est_cnt = min over the Depth rows of the hashed
+    * counter — ≥ the true count by construction (counters only ever
+    * overestimate), within ε·N with probability 1−δ for
+    * ε = e/Width, δ = e^−Depth. The exact side exists to let the
+    * driver hash-check the estimator; a production vocabulary pass
+    * keeps ONLY the 2048-counter sketch. */
+  val qCountMinTokens: GraftQuery = GraftQuery(
+    "q151_countmin_tokens",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |hashed AS (
+       |  SELECT j, term,
+       |    CAST('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 3)
+       |      AS INTEGER) % $Width AS bucket
+       |  FROM toks CROSS JOIN (SELECT unnest(range(0, $Depth)) AS j)),
+       |sketch AS (
+       |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM hashed GROUP BY j, bucket),
+       |exact AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+       |  FROM toks GROUP BY term),
+       |top AS (
+       |  SELECT term, exact_cnt FROM exact
+       |  ORDER BY exact_cnt DESC, term LIMIT 20),
+       |est AS (
+       |  SELECT t.term, t.exact_cnt, min(s.cnt) AS est_cnt
+       |  FROM top t CROSS JOIN (SELECT unnest(range(0, $Depth)) AS j) js
+       |  JOIN sketch s ON s.j = js.j AND s.bucket =
+       |    CAST('0x' || substring(md5(CAST(js.j AS VARCHAR) || ':' || t.term), 1, 3)
+       |      AS INTEGER) % $Width
+       |  GROUP BY t.term, t.exact_cnt)
+       |SELECT term, exact_cnt, est_cnt FROM est
+       |ORDER BY term""".stripMargin) { (s, d) =>
+    val toks = docTokens(Tables.documents(s, d).repartition(32))
+    // the sketch: ≤ Depth×Width rows after map-side partials
+    cmPointQuery(cmPartialSketch(toks), exactTop20(toks))
+  }
+
+  /** Cluster-balanced token budget: assign every document's embedding
+    * to its fixed-stride IVF cell ([[IvfAnn.assign]]'s scan-fused
+    * expression), then give each semantic cluster an EQUAL share of a
+    * half-corpus token budget — the q137 gate with cell count C in
+    * place of the per-mille weight: keep iff h·T_cell·C < 2³²·budget.
+    * Exact DECIMAL(38,0)/HUGEINT cross-multiply, no division. This is
+    * the cluster-mixing recipe (MiniPile-style): head domains are
+    * downsampled hard, tail domains survive whole. */
+  val qClusterBudgetMix: GraftQuery = GraftQuery(
+    "q152_cluster_budget_mix",
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
+       |          c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE rn = 1),
+       |toks AS (
+       |  SELECT d.doc_id, a.cell,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+       |      AS BIGINT) AS h
+       |  FROM documents d JOIN assigned a ON a.vec_id = d.doc_id),
+       |tot AS (
+       |  SELECT cell, CAST(sum(n_tok) AS BIGINT) AS t_cell
+       |  FROM toks GROUP BY cell),
+       |g AS (
+       |  SELECT CAST(sum(t_cell) AS BIGINT) // 2 AS budget,
+       |    CAST(count(*) AS BIGINT) AS n_cells FROM tot),
+       |kept AS (
+       |  SELECT t.doc_id, t.cell, t.n_tok, tot.t_cell
+       |  FROM toks t JOIN tot USING (cell) CROSS JOIN g
+       |  WHERE CAST(t.h AS HUGEINT) * CAST(tot.t_cell AS HUGEINT)
+       |      * CAST(g.n_cells AS HUGEINT)
+       |      < CAST(4294967296 AS HUGEINT) * CAST(g.budget AS HUGEINT))
+       |SELECT cell, CAST(count(*) AS BIGINT) AS kept_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+       |  max(t_cell) AS cell_tokens
+       |FROM kept GROUP BY cell
+       |ORDER BY cell""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val assigned = IvfAnn.assign(emb, centroids).select("vec_id", "cell")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"),
+        gate32(col("doc_id")).as("h"))
+      .join(assigned, col("doc_id") === col("vec_id"))
+    val tot = toks.groupBy("cell").agg(sum("n_tok").as("t_cell"))
+    val g = tot.agg(sum("t_cell").cast("long").as("t_all"),
+        count(lit(1)).as("n_cells"))
+      .select(expr("t_all DIV 2").as("budget"), col("n_cells"))
+    toks.join(broadcast(tot), "cell")
+      .crossJoin(broadcast(g))
+      .where(dec(col("h")) * dec(col("t_cell")) * dec(col("n_cells"))
+        < dec(lit(4294967296L)) * dec(col("budget")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("kept_docs"), sum("n_tok").as("kept_tokens"),
+        max("t_cell").as("cell_tokens"))
+      .orderBy("cell")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(qDsirSelect, qCountMinTokens, qClusterBudgetMix)
+}

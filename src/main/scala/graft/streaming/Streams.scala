@@ -540,8 +540,55 @@ object Streams {
     streamAnnIngest(s, d)
   }
 
+  /** STREAMING COUNT-MIN SKETCH: q151's frequency estimator maintained
+    * across micro-batches. Each arriving document batch contributes a
+    * PARTIAL sketch (≤ depth×width counter rows — the bounded thing a
+    * stream can durably append regardless of batch size); counter
+    * addition is the sketch's merge operator, so the drained union
+    * sums to exactly the whole-corpus sketch. The estimates are then
+    * byte-identical to the batch build — the oracle is q151's SQL,
+    * and the hash match proves streamed merge ≡ batch sketch. The
+    * exact top-20 relation is computed batch-side (it exists only to
+    * oracle-check the estimator; a production stream would point-query
+    * the sketch directly).
+    *
+    * 100 TB: the per-trigger state is the 2048-row partial, not the
+    * tokens — a vocabulary-frequency monitor whose stream-side cost is
+    * constant per batch. */
+  def streamCountMin(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_cms", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Selection
+            .cmPartialSketch(graft.operators.Selection.docTokens(batch.toDF()))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sketch = graft.operators.Selection.cmMerge(spark.read.parquet(outDir))
+    val top = graft.operators.Selection.exactTop20(
+      graft.operators.Selection.docTokens(
+        graft.sources.Tables.documents(spark, sfDir)))
+    graft.operators.Selection.cmPointQuery(sketch, top)
+  }
+
+  val qStreamCountMin: GraftQuery = GraftQuery(
+    "q153_stream_countmin",
+    graft.operators.Selection.qCountMinTokens.oracle.get) { (s, d) =>
+    streamCountMin(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
-      qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest)
+      qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
+      qStreamCountMin)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Selection
+import org.apache.spark.sql.functions._
+
+/** q150-q152 invariants beyond the oracle hash: the DSIR separation
+  * property on a corpus with a real target/proposal distribution gap
+  * (the testdata's sources share one vocabulary, so the property
+  * can't be seen there), the count-min overestimate guarantee, and
+  * budget-cap/determinism checks for the cluster mix. */
+class SelectionSpec extends SparkSpecBase {
+
+  test("dsirScores separates target-like from off-target documents") {
+    import spark.implicits._
+    // target docs speak vocabulary A, off-target vocabulary B; two
+    // probe docs (one per vocabulary) are scored OUTSIDE the target
+    // set — DSIR must rank the A-speaking probe far above the B one
+    val a = Seq("alpha", "beta", "gamma", "delta")
+    val b = Seq("omega", "sigma", "tau", "rho")
+    def sent(v: Seq[String], n: Int, salt: Int): String =
+      (0 until n).map(i => v((i * 7 + salt) % v.size)).mkString(" ")
+    val rows =
+      (0L until 20L).map(i => (i, sent(a, 30, i.toInt), true)) ++
+        (20L until 40L).map(i => (i, sent(b, 30, i.toInt), false)) ++
+        Seq((100L, sent(a, 30, 3), false), (101L, sent(b, 30, 4), false))
+    val docs = rows.toDF("doc_id", "text", "is_target")
+    val scored = Selection.dsirScores(docs, col("is_target"))
+      .where(col("doc_id") >= 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored(100L) > scored(101L) * 3,
+      s"A-probe ${scored(100L)} must dominate B-probe ${scored(101L)}")
+  }
+
+  test("q150: hash-gated resampling is deterministic and keeps the argmax doc") {
+    val run1 = SparkEntry.queries("q150_dsir_select")(spark, sf001)
+      .collect().map(_.toSeq)
+    val run2 = SparkEntry.queries("q150_dsir_select")(spark, sf001)
+      .collect().map(_.toSeq)
+    assert(run1.nonEmpty)
+    assert(run1.toSeq === run2.toSeq)
+    // the max-weight document has keep probability exactly 1
+    val kept = run1.map(_.head.asInstanceOf[Long]).toSet
+    val sc = Selection.dsirScores(
+      sources.Tables.documents(spark, sf001),
+      col("source").isin("src0", "src1"))
+    val top = sc.orderBy(col("avg_r").desc, col("doc_id")).limit(1)
+      .collect().head.getLong(0)
+    assert(kept.contains(top), s"argmax doc $top must always be kept")
+  }
+
+  test("q151: count-min estimates never undercount (one-sided error)") {
+    val rows = SparkEntry.queries("q151_countmin_tokens")(spark, sf001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (term, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"'$term': est $est < exact $exact")
+    }
+    // collisions are bounded by the sketch's epsilon*N expectation;
+    // with 512 buckets and a small vocabulary the top tokens should
+    // estimate nearly exactly — a gross blowup means broken hashing
+    val blowup = rows.map(r => r.getLong(2) - r.getLong(1)).max
+    val total = rows.map(_.getLong(1)).sum
+    assert(blowup < total, s"overestimate $blowup out of scale")
+  }
+
+  test("q152: per-cell kept mass respects supply and the run is deterministic") {
+    val run1 = SparkEntry.queries("q152_cluster_budget_mix")(spark, sf001).collect()
+    val run2 = SparkEntry.queries("q152_cluster_budget_mix")(spark, sf001).collect()
+    assert(run1.nonEmpty)
+    assert(run1.map(_.toSeq).toSeq === run2.map(_.toSeq).toSeq)
+    run1.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3),
+        s"cell ${r.getLong(0)} kept ${r.getLong(2)} > supply ${r.getLong(3)}")
+    }
+  }
+}

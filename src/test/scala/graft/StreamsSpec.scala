@@ -328,4 +328,19 @@ class StreamsSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSeq
     assert(multi === batch, "streamed ingest must equal batch append")
   }
+
+  test("q153: sketch merged across micro-batches equals the batch sketch") {
+    // multi-file staging + maxFilesPerTrigger=1 → the corpus arrives
+    // as several partial sketches; counter addition must reconstruct
+    // the exact whole-corpus estimates
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_cms").toString
+    graft.sources.Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamCountMin(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q151_countmin_tokens")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch, "streamed sketch must equal batch sketch")
+  }
 }
