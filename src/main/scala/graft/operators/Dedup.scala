@@ -637,7 +637,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX: the provenance view of near-dup
+    * pressure — which source pairs copy from each other, and how
+    * hard. Verified ≥0.9-Jaccard pairs (the q28 relation, reused from
+    * the session's persisted band/shingle indexes) are labeled with
+    * each side's source and folded into an unordered (src_x ≤ src_y)
+    * matrix cell; the diagonal is within-source duplication. This is
+    * the report a curation team reads before deciding source
+    * priorities and which side of a cross-source dup to keep (the
+    * q07/q130 keep-rules act per-doc; this aggregates the phenomenon).
+    *
+    * 100 TB: the pair relation is LSH-bounded (band equi-join, never
+    * doc × doc — the measured ~linear candidate growth in
+    * docs/SCALE.md); attaching sources is two key-equi joins against
+    * the compact (doc_id, source) projection, and the output is
+    * bounded by |sources|² regardless of corpus size. min/max over
+    * jaccard are order-independent (exact double compares), so the
+    * matrix is deterministic under any parallelism. */
+  val qSourceOverlap: GraftQuery = GraftQuery(
+    "q154_source_overlap",
+    s"""WITH $bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |toks AS (SELECT doc_id, $shinglesSql AS t FROM documents),
+       |pairs AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(ta.t, tb.t))) AS jaccard
+       |  FROM cand p
+       |  JOIN toks ta ON p.doc_a = ta.doc_id
+       |  JOIN toks tb ON p.doc_b = tb.doc_id
+       |  WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS src_x,
+       |    greatest(da.source, db.source) AS src_y, p.jaccard
+       |  FROM pairs p
+       |  JOIN documents da ON p.doc_a = da.doc_id
+       |  JOIN documents db ON p.doc_b = db.doc_id)
+       |SELECT src_x, src_y, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  min(jaccard) AS min_j, max(jaccard) AS max_j
+       |FROM lab GROUP BY src_x, src_y
+       |ORDER BY src_x, src_y""".stripMargin) { (s, d) =>
+    val pairs = withJaccardToks(
+        candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b", "jaccard")
+    val src = Tables.documents(s, d).select("doc_id", "source")
+    pairs
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("src_x"),
+        greatest(col("src_a"), col("src_b")).as("src_y"), col("jaccard"))
+      .groupBy("src_x", "src_y")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("jaccard").as("min_j"), max("jaccard").as("max_j"))
+      .orderBy("src_x", "src_y")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
-    qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus)
+    qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap)
 }

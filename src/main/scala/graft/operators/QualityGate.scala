@@ -111,7 +111,7 @@ object QualityGate {
   // list_dot_product kernel is ~1 ulp off plain double arithmetic
   // (measured vs exact rational evaluation — Spark's fold IS exact),
   // and on-grid exactness is the whole point of the quantization
-  private def dotSql: String =
+  private[operators] def dotSql: String =
     weights.zipWithIndex.map { case (w, i) =>
       s"(CAST(v[${i + 1}] AS DOUBLE) * ${wSql(w)})"
     }.mkString("(", " + ", s" + (${wSql(bias)}))")

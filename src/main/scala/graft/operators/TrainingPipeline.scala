@@ -433,7 +433,87 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-CURRICULUM ORDERING: a deterministic easy-to-hard (here:
+    * high-quality-first) training order over the corpus, WITHOUT a
+    * global sort. Each document is scored by the learned gate's exact
+    * logit (q129's fixed 2^-20-quantized weights — bit-stable in both
+    * engines), sharded by a hash digit, and decile-binned WITHIN its
+    * shard by integer rank arithmetic; hash uniformity makes
+    * within-shard deciles statistically equal to global deciles. The
+    * final global_pos walks (bin, shard, rank) lexicographically:
+    * ascending order visits the best decile of every shard first,
+    * interleaving shards — a stochastic curriculum that any trainer
+    * can consume via ORDER BY global_pos.
+    *
+    * 100 TB: the expensive relation only ever sorts WITHIN a shard
+    * (16 here, 2^k in production — each a bounded independent sort,
+    * the q111/q148 two-level physics); the bin offsets come from a
+    * |shards|×10-row aggregate windowed on the driver-scale relation
+    * and broadcast back. No stage touches a single-partition global
+    * window. */
+  val qCurriculumOrder: GraftQuery = GraftQuery(
+    "q155_curriculum_order",
+    s"""WITH grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |sc AS (
+       |  SELECT doc_id, ${QualityGate.dotSql} AS logit,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+       |  FROM vecs),
+       |r AS (
+       |  SELECT doc_id, shard, logit,
+       |    CAST(row_number() OVER (PARTITION BY shard
+       |      ORDER BY logit DESC, doc_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS n
+       |  FROM sc),
+       |b AS (
+       |  SELECT doc_id, shard, rn,
+       |    CAST(((rn - 1) * 10) // n AS INTEGER) AS bin
+       |  FROM r),
+       |rb AS (
+       |  SELECT doc_id, shard, bin,
+       |    CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY rn)
+       |      AS BIGINT) AS pos
+       |  FROM b),
+       |sz AS (
+       |  SELECT shard, bin, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY shard, bin),
+       |os AS (
+       |  SELECT shard, bin, CAST(COALESCE(SUM(cnt) OVER (ORDER BY bin, shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS base
+       |  FROM sz)
+       |SELECT rb.doc_id, rb.shard, rb.bin, rb.pos + os.base AS global_pos
+       |FROM rb JOIN os USING (shard, bin)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val sc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftshim.CharGramVector(col("text"), TextVector.dim).as("v"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+      .select(col("doc_id"), col("shard"),
+        QualityGate.logitOf(col("v")).as("logit"))
+    val wShard = Window.partitionBy("shard")
+    val r = sc
+      .withColumn("rn", row_number().over(
+        wShard.orderBy(col("logit").desc, col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(wShard).cast("long"))
+    val b = r.withColumn("bin", expr("((rn - 1) * 10) DIV n").cast("int"))
+    val rb = b.withColumn("pos", row_number().over(
+      Window.partitionBy("shard", "bin").orderBy("rn")).cast("long"))
+    val sz = b.groupBy("shard", "bin").agg(count(lit(1)).as("cnt"))
+    val os = sz.withColumn("base",
+      coalesce(sum("cnt").over(Window.orderBy("bin", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("shard", "bin", "base")
+    rb.join(broadcast(os), Seq("shard", "bin"))
+      .select(col("doc_id"), col("shard"), col("bin"),
+        (col("pos") + col("base")).as("global_pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
-      qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage)
+      qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
+      qCurriculumOrder)
 }

@@ -308,4 +308,16 @@ class DedupSpec extends SparkSpecBase {
     assert(pairSet(Dedup.defaultBucketCap) === pairSet(Int.MaxValue))
     assert(Dedup.oversizeBucketReport(bands).count() === 0)
   }
+
+  test("q154: overlap matrix accounts for every verified pair, symmetric-normalized") {
+    val matrix = SparkEntry.queries("q154_source_overlap")(spark, sf001).collect()
+    val nPairs = SparkEntry.queries("q28_dedup_minhash_pairs")(spark, sf001).count()
+    assert(matrix.map(_.getLong(2)).sum === nPairs,
+      "matrix cells must partition the q28 pair set")
+    matrix.foreach { r =>
+      assert(r.getString(0) <= r.getString(1),
+        s"cell (${r.getString(0)}, ${r.getString(1)}) not normalized")
+      assert(r.getDouble(3) >= 0.9 && r.getDouble(4) <= 1.0)
+    }
+  }
 }

@@ -126,4 +126,33 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(got(evalUniq) === 0.0, s"unique eval doc must not leak: $got")
     assert(!got.contains(trainId), "train docs are not audited rows")
   }
+
+  test("q155: global_pos is a permutation; within-shard bins are quality-monotone deciles") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q155_curriculum_order")(spark, sf001)
+      .collect()
+    val n = rows.length
+    assert(n > 0)
+    // global_pos is exactly 1..N, each once — a trainer can ORDER BY it
+    assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to n).toSeq)
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 9))
+    // quality-monotone within shard: every doc in bin b scores >= every
+    // doc in bin b+1 of the same shard (ties allowed — doc_id breaks them)
+    val logits = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        graft.operators.QualityGate.logitOf(
+          org.apache.spark.sql.graftshim.CharGramVector(
+            col("text"), graft.operators.TextVector.dim)).as("logit"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.groupBy(_.getString(1)).foreach { case (shard, rs) =>
+      val byBin = rs.groupBy(_.getInt(2)).view
+        .mapValues(_.map(r => logits(r.getLong(0)))).toMap
+      for (b <- 0 until 9 if byBin.contains(b) && byBin.contains(b + 1))
+        assert(byBin(b).min >= byBin(b + 1).max,
+          s"shard $shard: bin $b not dominating bin ${b + 1}")
+      // decile sizes within a shard differ by at most one
+      val sizes = rs.groupBy(_.getInt(2)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"shard $shard sizes $sizes")
+    }
+  }
 }
