@@ -240,7 +240,63 @@ object ScaleBench {
       "decontam_bloom_survivor_frac" ->
         (if (nTrainSh > 0) nSurvivors.toDouble / nTrainSh else -1.0))
     benchSh.unpersist()
-    Seq(verified, toks, pairs, bands, docs).foreach(_.unpersist())
+    Seq(verified, toks, pairs, bands).foreach(_.unpersist())
+
+    // ---- data selection at 100k docs (q150/q151/q155 shapes) ----
+    // DSIR: the LM state is two 256-row bucket tables regardless of
+    // corpus size; the end-to-end cost is one token scan + one per-doc
+    // sum. Target = a hash-chosen ~20% of docs (the synthetic corpus
+    // has no source column; the physics is identical).
+    {
+      val sel = graft.operators.Selection
+        .dsirScores(docs, pmod(hash(col("doc_id")), lit(10)) < 2)
+      val mx = sel.agg(max("avg_r").as("max_avg"))
+      val (nSel, tDsir) = time {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long")
+        sel.crossJoin(broadcast(mx))
+          .where(h.cast("decimal(38,0)") * col("max_avg").cast("decimal(38,0)")
+            < lit(4294967296L).cast("decimal(38,0)")
+              * col("avg_r").cast("decimal(38,0)"))
+          .count()
+      }
+      out ++= Seq("dsir_selected" -> nSel.toDouble,
+        "dsir_selected_frac" -> nSel.toDouble / nDocs,
+        "dsir_e2e_sec" -> tDsir)
+
+      // count-min: the sketch is <= depth x width counter rows however
+      // large the corpus — the bounded thing that streams (q153)
+      val cmsToks = graft.operators.Selection.docTokens(docs)
+      val ((sketchRows, nTokens), tCms) = time {
+        val sk = graft.operators.Selection.cmPartialSketch(cmsToks).persist()
+        val rows = sk.count()
+        val toksN = sk.agg(sum("cnt")).head().getLong(0) / 4 // Depth rows per token
+        sk.unpersist()
+        (rows, toksN)
+      }
+      out ++= Seq("cms_sketch_rows" -> sketchRows.toDouble,
+        "cms_tokens" -> nTokens.toDouble,
+        "cms_build_sec" -> tCms)
+
+      // curriculum: the global order comes from bounded WITHIN-shard
+      // sorts + a 160-row offset relation — no single-partition window
+      val (currN, tCurr) = time {
+        val sc = docs.select(col("doc_id"),
+          graft.operators.QualityGate.logitOf(
+            org.apache.spark.sql.graftshim.CharGramVector(col("text"),
+              graft.operators.TextVector.dim)).as("logit"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+        sc.withColumn("rn", row_number().over(
+            w.orderBy(col("logit").desc, col("doc_id"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(w).cast("long"))
+          .withColumn("bin", expr("((rn - 1) * 10) DIV n").cast("int"))
+          .groupBy("bin").count().count()
+      }
+      out ++= Seq("curriculum_docs" -> nDocs.toDouble,
+        "curriculum_sec" -> tCurr)
+    }
+    docs.unpersist()
 
     // ---- connected-components physics (q77 vs q133) ----
     // cluster-shaped graph (the near-dup regime: 25k size-4 stars,

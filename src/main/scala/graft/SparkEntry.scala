@@ -30,6 +30,7 @@ object SparkEntry {
       operators.IvfAnn.all ++
       operators.PqAnn.all ++
       operators.IvfPq.all ++
+      operators.JlProjection.all ++
       operators.Advanced.all ++
       operators.TextAdvanced.all ++
       operators.BloomDecontam.all ++

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Johnson-Lindenstrauss embedding compression: project the 64-dim
+  * float embeddings onto K=16 signed (±1) axes (Achlioptas 2003 —
+  * database-friendly random projections) and serve top-k in the
+  * compressed space. At 100 TB the embedding table dominates ANN I/O;
+  * a 4x narrower projected table is the standard first rung of the
+  * compression ladder (before PQ, q85/q114): scan-time per-row
+  * expression, no training pass, and distances distort by at most
+  * ~(1±ε) with ε ≈ sqrt(ln n / K).
+  *
+  * Determinism discipline: the sign matrix derives from md5("i:j")
+  * hex parity — the Scala side PRECOMPUTES it once (a 64×16 literal
+  * folded into codegen; the oracle recomputes the same md5 inline),
+  * and coordinates quantize to floor(x·4096) BIGINTs so every dot
+  * product and norm is EXACT integer arithmetic (order-free under any
+  * parallelism; bounded by 16·(64·4096)² ≪ 2⁶³). Only the final
+  * cosine is a double — a per-row divide/sqrt chain, correctly
+  * rounded identically in both engines (the q129 rationale).
+  */
+object JlProjection {
+
+  private val InDim = 64
+  private val OutDim = 16
+  private val Q = 4096L // coordinate quantizer: floor(x * 2^12)
+
+  /** ±1 sign for (input dim i, output dim j): parity of the first
+    * md5("i:j") hex digit — identical to the oracle's inline form. */
+  private[graft] val signs: Array[Array[Long]] =
+    Array.tabulate(InDim, OutDim) { (i, j) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Character.digit(hex.charAt(0), 16) % 2 == 0) 1L else -1L
+    }
+
+  private def qint(emb: Column, i: Int): Column =
+    floor(element_at(emb, i + 1).cast("double") * Q).cast("long")
+
+  /** The projected vector as ARRAY<BIGINT>: p[j] = Σᵢ s(i,j)·⌊xᵢ·Q⌋.
+    * One fused expression per row — whole-stage codegen, no shuffle,
+    * no training state. */
+  private[graft] def project(emb: Column): Column =
+    array((0 until OutDim).map { j =>
+      (0 until InDim).map(i => qint(emb, i) * lit(signs(i)(j))).reduce(_ + _)
+    }: _*)
+
+  private def selfDot(p: Column): Column =
+    aggregate(transform(p, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Brute-force top-3 in the compressed space for queries vec_id<8
+    * (the q30 shape, 4x less data per comparison). The ranking key is
+    * CAST(exact-int dot AS DOUBLE)/sqrt(nq)/sqrt(ne) — deterministic
+    * ties broken by neighbor_id. */
+  val qJlTopK: GraftQuery = GraftQuery(
+    "q156_jl_topk",
+    s"""WITH proj AS (
+       |  SELECT vec_id, list_transform(range(0, $OutDim), j ->
+       |    CAST(list_sum(list_transform(range(0, $InDim), i ->
+       |      (CASE WHEN CAST('0x' || substring(md5(CAST(i AS VARCHAR) || ':'
+       |            || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+       |        THEN 1 ELSE -1 END)
+       |      * CAST(floor(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE)
+       |          * $Q) AS BIGINT))) AS BIGINT)) AS p
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, p,
+       |    CAST(list_sum(list_transform(p, x -> x * x)) AS BIGINT) AS np
+       |  FROM proj),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, ${OutDim + 1}), k ->
+       |      q.p[k] * e.p[k])) AS BIGINT) AS dot,
+       |    q.np AS nq, e.np AS ne
+       |  FROM n q JOIN n e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 8 AND q.np > 0 AND e.np > 0),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY
+       |      CAST(dot AS DOUBLE) / sqrt(CAST(nq AS DOUBLE))
+       |        / sqrt(CAST(ne AS DOUBLE)) DESC,
+       |      neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val proj = Tables.embeddings(s, d)
+      .select(col("vec_id"), project(col("embedding")).as("p"))
+      .withColumn("np", selfDot(col("p")))
+      .where(col("np") > 0)
+    val queries = proj.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"), col("np").as("nq"))
+    val scored = proj.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qp"), col("p")).cast("double")
+          / sqrt(col("nq").cast("double"))
+          / sqrt(col("np").cast("double"))).as("pcos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("pcos").desc, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qJlTopK)
+}

@@ -155,15 +155,19 @@ object NgramStats {
       .orderBy("doc_id")
   }
 
-  /** The duplicated-5-gram CTE chain shared by q117 and q119:
-    * per-document gram totals and corpus-duplicated gram counts. */
-  private[operators] val dupSpanSql: String =
+  /** The per-document 5-gram stream CTE (shared by q117/q119/q158). */
+  private[operators] val gramsCteSql: String =
     """grams AS (
       |  SELECT doc_id,
       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
-      |              FROM documents))),
+      |              FROM documents)))""".stripMargin
+
+  /** The duplicated-5-gram CTE chain shared by q117 and q119:
+    * per-document gram totals and corpus-duplicated gram counts. */
+  private[operators] val dupSpanSql: String =
+    s"""$gramsCteSql,
       |gram_counts AS (
       |  SELECT g, count(*) AS n FROM grams GROUP BY g),
       |span_stats AS (
@@ -211,5 +215,46 @@ object NgramStats {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qLmFluency, qDupNgramSpans)
+  /** N-GRAM NOVELTY: each document's marginal contribution in arrival
+    * order — the fraction of its 5-gram positions whose gram FIRST
+    * appears in this document (first-seen = min doc_id corpus-wide; a
+    * doc's own repeats of a gram it introduced still count as novel).
+    * Low-novelty late arrivals are redundancy that document-level
+    * dedup misses (they can be pairwise-dissimilar to every single
+    * predecessor yet contribute nothing new) — the data-pruning
+    * signal of the "novel-content" family (D4 / SemDeDup motivation,
+    * at the exact n-gram grain rather than embedding space).
+    *
+    * 100 TB: same physics as q117/q149 — the gram stream joins the
+    * compact first-seen relation (one min-aggregate, Zipf-small
+    * relative to the token stream) on the gram key; production swaps
+    * the raw gram string for its md5 fingerprint (q149's fixed-width
+    * convention) and everything stays gram-key equi-partitioned,
+    * never doc × doc. */
+  val qNoveltyScores: GraftQuery = GraftQuery(
+    "q158_novelty_scores",
+    s"""WITH $gramsCteSql,
+       |first_seen AS (
+       |  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INTEGER) AS n_grams,
+       |  CAST(count(*) FILTER (f.first_doc = grams.doc_id) AS INTEGER) AS n_novel,
+       |  CAST(count(*) FILTER (f.first_doc = grams.doc_id) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+       |FROM grams JOIN first_seen f USING (g)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = gramStream(indexedDocToks(s, d))
+    val firstSeen = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).cast("int").as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qLmFluency, qDupNgramSpans, qNoveltyScores)
 }

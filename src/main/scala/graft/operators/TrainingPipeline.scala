@@ -512,8 +512,61 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
+  /** SOURCE QUOTA CAP: no single source may exceed CapPermille of the
+    * corpus token mass (the RefinedWeb/CommonCrawl-curation rule that
+    * stops one mega-domain from dominating the mixture). Each doc is
+    * kept with probability min(1, cap/T_src) via the exact q137
+    * cross-multiplied gate — h·T_src·1000 < 2³²·T·CapPermille — so a
+    * source under its quota survives whole and an over-quota source
+    * downsamples to the cap, with zero coordination beyond the
+    * |sources|-row totals broadcast.
+    *
+    * 100 TB: one aggregate pass for per-source token totals, then a
+    * scan-fused per-row predicate — the q109/q137 sampling physics. */
+  private val CapPermille = 30L
+
+  val qSourceQuotaCap: GraftQuery = GraftQuery(
+    "q157_source_quota_cap",
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM documents),
+       |tot AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_src
+       |  FROM toks GROUP BY source),
+       |g AS (SELECT CAST(sum(t_src) AS BIGINT) AS t_all FROM tot),
+       |kept AS (
+       |  SELECT t.doc_id, t.source, t.n_tok, tot.t_src
+       |  FROM toks t JOIN tot USING (source) CROSS JOIN g
+       |  WHERE CAST(t.h AS HUGEINT) * CAST(tot.t_src AS HUGEINT) * 1000
+       |      < CAST(4294967296 AS HUGEINT) * CAST(g.t_all AS HUGEINT)
+       |        * $CapPermille)
+       |SELECT source,
+       |  max(t_src) AS src_tokens,
+       |  CAST(count(*) AS BIGINT) AS kept_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+       |FROM kept
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
+      gate32(col("doc_id")).as("h"))
+    val tot = toks.groupBy("source").agg(sum("n_tok").as("t_src"))
+    val g = tot.agg(sum("t_src").cast("long").as("t_all"))
+    toks.join(broadcast(tot), "source")
+      .crossJoin(broadcast(g))
+      .where(budgetKeep(col("h"), col("t_src"), col("t_all"), lit(CapPermille)))
+      .groupBy("source")
+      .agg(max("t_src").as("src_tokens"),
+        count(lit(1)).as("kept_docs"),
+        sum("n_tok").as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
       qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
-      qCurriculumOrder)
+      qCurriculumOrder, qSourceQuotaCap)
 }

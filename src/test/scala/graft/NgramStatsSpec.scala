@@ -69,4 +69,29 @@ class NgramStatsSpec extends SparkSpecBase {
     val short = spans.join(docs, "doc_id").where(col("nt") < 5).count()
     assert(short === 0L)
   }
+
+  test("q158: planted copies score zero novelty; the introducer scores full") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_novelty").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val fresh = "iota kappa lambda mu nu xi omicron pi"
+    Seq(
+      (0L, base, "en", "s0", base.length.toLong),       // introducer: 1.0
+      (1L, base, "en", "s0", base.length.toLong),       // exact copy: 0.0
+      // half-overlap: tokens 1-8 are base's suffix grams (seen), the
+      // fresh tail introduces its own grams
+      (2L, s"$base $fresh", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val got = SparkEntry.queries("q158_novelty_scores")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(0L) === ((4, 4, 1.0)), s"introducer: ${got(0L)}")
+    assert(got(1L) === ((4, 0, 0.0)), s"exact copy: ${got(1L)}")
+    // doc 2: 12 gram positions; the first 4 are exactly doc 0's grams
+    // (first seen there), the straddling + fresh ones are novel
+    val (n2, nov2, frac2) = got(2L)
+    assert(n2 === 12 && nov2 === 8, s"half-copy: ${got(2L)}")
+    assert(math.abs(frac2 - 8.0 / 12.0) < 1e-12)
+  }
 }

@@ -127,6 +127,27 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(!got.contains(trainId), "train docs are not audited rows")
   }
 
+  test("q157: over-quota sources downsample to the cap, supply never exceeded") {
+    val rows = SparkEntry.queries("q157_source_quota_cap")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val tAll = rows.map(_.getLong(1)).sum
+    val cap = tAll * 30 / 1000
+    rows.foreach { r =>
+      val (src, tSrc, keptTok) = (r.getString(0), r.getLong(1), r.getLong(3))
+      assert(keptTok <= tSrc, s"$src kept more than its supply")
+      if (tSrc <= cap / 2)
+        assert(keptTok === tSrc, s"$src under quota must survive whole")
+      // hash-gate noise: kept mass lands near min(supply, cap)
+      val want = math.min(tSrc, cap)
+      assert(math.abs(keptTok - want) <= math.max(1500L, want / 2),
+        s"$src kept=$keptTok target=$want")
+    }
+    // the cap actually bites somewhere on this corpus (every source
+    // holds ~5% > 3% of tokens)
+    assert(rows.exists(r => r.getLong(3) < r.getLong(1)),
+      "no source was capped — fixture no longer exercises the quota")
+  }
+
   test("q155: global_pos is a permutation; within-shard bins are quality-monotone deciles") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q155_curriculum_order")(spark, sf001)
