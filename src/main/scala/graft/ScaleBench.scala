@@ -415,6 +415,32 @@ object ScaleBench {
       "ann_multitable_cands_per_q" ->
         (if (nQueries > 0) mtCands.toDouble / nQueries else -1.0))
 
+    // JL compression (q156 shape): the same brute-force scoring loop
+    // in the 16-dim projected INT space — 4x narrower rows, exact
+    // integer dots — recall vs exact quantifies the compression rung
+    var jl: Set[(Long, Long)] = Set.empty
+    val (_, tJl) = time {
+      val proj = vecs.select(col("vec_id"),
+          graft.operators.JlProjection.project(col("embedding")).as("p"))
+        .withColumn("np", aggregate(transform(col("p"), x => x * x),
+          lit(0L), (acc, x) => acc + x))
+        .where(col("np") > 0)
+      val qs = proj.where(queryFilter)
+        .select(col("vec_id").as("query_id"), col("p").as("qp"),
+          col("np").as("nq"))
+      jl = topkSet(proj.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+        .withColumn("pcos",
+          aggregate(zip_with(col("qp"), col("p"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double")
+            / sqrt(col("nq").cast("double")) / sqrt(col("np").cast("double")))
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graftshim.TopKByScore(
+          col("pcos"), col("vec_id"), 3).as("top"))
+        .select(col("query_id"), col("top.id")))
+    }
+    out ++= Seq("ann_jl_topk_sec" -> tJl,
+      "ann_jl_recall3" -> recallOf(jl))
+
     // IVF (q55 shape) at ~256 cells: assignment is N x C, search probes
     // nProbe cells per query — measured at the cheap dial (nProbe=2)
     // and the ≥0.9 operating point (nProbe=32, the q55 configuration)

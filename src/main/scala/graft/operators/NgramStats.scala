@@ -256,5 +256,71 @@ object NgramStats {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qLmFluency, qDupNgramSpans, qNoveltyScores)
+  /** Corpus-side first-seen index for incremental novelty (q159):
+    * min doc_id per 5-gram over the EXISTING corpus (doc_id % 5 ≠ 4,
+    * the q130/q140 batch convention), built once per (session,
+    * corpus) and reused across arriving batches. */
+  private val firstSeenIdx =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "ngramstats.firstseen")(_.unpersist(): Unit)
+
+  private[graft] val firstSeenBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  private[graft] def indexedFirstSeen(spark: SparkSession, sfDir: String): DataFrame =
+    firstSeenIdx.getOrElseUpdate(spark, sfDir) {
+      firstSeenBuilds.incrementAndGet()
+      gramStream(indexedDocToks(spark, sfDir)
+          .where(pmod(col("doc_id"), lit(5)) =!= 4))
+        .groupBy("g").agg(min("doc_id").as("first_corpus"))
+        .persist()
+    }
+
+  /** INCREMENTAL NOVELTY: q158's score for an ARRIVING batch
+    * (doc_id % 5 = 4) computed against the persisted corpus index —
+    * never re-deriving the corpus gram stream. Global first-seen =
+    * least(corpus index min, within-batch min): doc_ids partition
+    * into the two sides, so the min-merge is EXACTLY the full
+    * recompute's min — the oracle is q158's SQL restricted to batch
+    * docs, and the hash match proves incremental ≡ recompute (the
+    * q130/q140 proof pattern, applied to the novelty gate).
+    *
+    * 100 TB: only the batch explodes into grams; the corpus
+    * contributes the once-built, gram-keyed compact index (Zipf-small
+    * vs the token stream, and bucketed by gram fingerprint in a
+    * production layout so every batch join co-locates — the q130
+    * persisted-stats discipline). */
+  val qIncrementalNovelty: GraftQuery = GraftQuery(
+    "q159_incremental_novelty",
+    s"""WITH $gramsCteSql,
+       |first_seen AS (
+       |  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INTEGER) AS n_grams,
+       |  CAST(count(*) FILTER (f.first_doc = grams.doc_id) AS INTEGER) AS n_novel,
+       |  CAST(count(*) FILTER (f.first_doc = grams.doc_id) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novelty_frac
+       |FROM grams JOIN first_seen f USING (g)
+       |WHERE grams.doc_id % 5 = 4
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bg = gramStream(indexedDocToks(s, d)
+      .where(pmod(col("doc_id"), lit(5)) === 4))
+    val batchFirst = bg.groupBy("g").agg(min("doc_id").as("first_batch"))
+    // least() skips NULLs: a gram unseen by the corpus keeps its batch min
+    val globalFirst = batchFirst
+      .join(indexedFirstSeen(s, d), Seq("g"), "left")
+      .select(col("g"),
+        least(col("first_batch"), col("first_corpus")).as("first_doc"))
+    bg.join(globalFirst, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), 1)).cast("int").as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qLmFluency, qDupNgramSpans, qNoveltyScores, qIncrementalNovelty)
 }

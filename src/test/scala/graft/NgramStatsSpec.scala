@@ -94,4 +94,19 @@ class NgramStatsSpec extends SparkSpecBase {
     assert(n2 === 12 && nov2 === 8, s"half-copy: ${got(2L)}")
     assert(math.abs(frac2 - 8.0 / 12.0) < 1e-12)
   }
+
+  test("q159: incremental novelty equals full recompute on the batch; index builds once") {
+    graft.operators.NgramStats.firstSeenBuilds.set(0)
+    val inc = SparkEntry.queries("q159_incremental_novelty")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val inc2 = SparkEntry.queries("q159_incremental_novelty")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(inc === inc2)
+    assert(graft.operators.NgramStats.firstSeenBuilds.get() <= 1,
+      "corpus first-seen index must not rebuild per batch")
+    val full = SparkEntry.queries("q158_novelty_scores")(spark, sf001)
+      .where(org.apache.spark.sql.functions.expr("doc_id % 5 = 4"))
+      .collect().map(_.toSeq).toSeq
+    assert(inc === full, "incremental min-merge must equal the recompute")
+  }
 }
