@@ -593,9 +593,11 @@ object Dedup {
     * canonical cluster id (= min doc_id in the component) and size —
     * the "keep one representative per cluster" contract a curation
     * pipeline actually wants. Oracle: DuckDB recursive CTE reachability. */
-  val qDedupComponents: GraftQuery = GraftQuery(
-    "q77_dedup_components",
-    s"""WITH RECURSIVE $bandsCte,
+  /** The q77 label-derivation CTE chain (band join → jaccard verify →
+    * recursive reachability → min-label), shared verbatim by q77 and
+    * the representative-selection query (q161). */
+  private val componentLblCte: String =
+    s"""$bandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -618,19 +620,28 @@ object Dedup {
        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
        |lbl AS (
        |  SELECT n AS doc_id, least(n, MIN(m)) AS cluster_id
-       |  FROM reach GROUP BY n)
+       |  FROM reach GROUP BY n)""".stripMargin
+
+  /** Verified-pair connected-component labels (node, label), built
+    * once per (session, corpus). */
+  private[graft] def indexedComponents(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    componentIndex.getOrElseUpdate(s, d)({
+      val pairs = withJaccardToks(
+          candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
+        .where(col("jaccard") >= 0.9)
+        .select("doc_a", "doc_b")
+      connectedComponents(pairs)
+    })
+
+  val qDedupComponents: GraftQuery = GraftQuery(
+    "q77_dedup_components",
+    s"""WITH RECURSIVE $componentLblCte
        |SELECT doc_id, cluster_id,
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size
        |FROM lbl
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val labels = componentIndex.getOrElseUpdate(s, d)({
-        val pairs = withJaccardToks(
-            candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
-          .where(col("jaccard") >= 0.9)
-          .select("doc_a", "doc_b")
-        connectedComponents(pairs)
-      })
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    indexedComponents(s, d).select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("cluster_id")).cast("int"))
@@ -698,7 +709,67 @@ object Dedup {
       .orderBy("src_x", "src_y")
   }
 
+  /** BEST-OF-CLUSTER REPRESENTATIVE SELECTION: for every near-dup
+    * cluster (q77's labels), keep the member with the highest learned
+    * quality logit (q129's exact fixed-weight score; ties → lowest
+    * doc_id) instead of the positional keep-first/keep-newest rules
+    * (q07/q72) — when near-identical copies differ in boilerplate or
+    * truncation, the curation pipeline should retain the cleanest one,
+    * not the arbitrary first. Composes two independently-verified
+    * fragments (component labels + bit-stable logits), so the whole
+    * selection is oracle-hash-checked.
+    *
+    * 100 TB: labels come from the persisted component index (built
+    * once — the q77 loop); logits are a scan-fused expression over
+    * ONLY the clustered docs (key-equi semi-join first, corpus never
+    * rescanned); the argmax is the TypedImperative TopKByScore k=1 —
+    * ObjectHashAggregate with map-side partials, one tiny row per
+    * cluster through the exchange (the declarative max_by-over-struct
+    * alternative falls back to SortAggregate). */
+  val qClusterRepresentatives: GraftQuery = GraftQuery(
+    "q161_cluster_representatives",
+    s"""WITH RECURSIVE $componentLblCte,
+       |grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |scored AS (
+       |  SELECT doc_id, ${QualityGate.dotSql} AS logit FROM vecs),
+       |mem AS (
+       |  SELECT l.doc_id, l.cluster_id, s.logit
+       |  FROM lbl l JOIN scored s USING (doc_id)),
+       |ranked AS (
+       |  SELECT cluster_id, doc_id, logit,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY logit DESC, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM mem)
+       |SELECT cluster_id, doc_id AS kept_doc,
+       |  CAST(n_members AS INTEGER) AS n_members, logit AS kept_logit
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin) { (s, d) =>
+    val labels = indexedComponents(s, d)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // logits only for clustered docs: semi-restrict BEFORE the
+    // 256-dim feature expression runs
+    val scored = Tables.documents(s, d)
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        QualityGate.logitOf(org.apache.spark.sql.graftshim.CharGramVector(
+          col("text"), TextVector.dim)).as("logit"))
+    scored.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+          col("logit"), col("doc_id"), 1).as("top"),
+        count(lit(1)).cast("int").as("n_members"))
+      .select(col("cluster_id"),
+        element_at(col("top"), 1).getField("id").as("kept_doc"),
+        col("n_members"),
+        element_at(col("top"), 1).getField("score").as("kept_logit"))
+      .orderBy("cluster_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
-    qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap)
+    qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
+    qClusterRepresentatives)
 }

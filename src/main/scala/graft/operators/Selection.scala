@@ -298,6 +298,77 @@ object Selection {
       .orderBy("cell")
   }
 
+  /** SKETCH-BASED DISTRIBUTION DRIFT: compare the token distributions
+    * of two corpus snapshots (doc_id parity plays yesterday/today) on
+    * the j=0 count-min row — the 512-counter artifact a production
+    * pipeline persists per ingest day (q151/q153 infrastructure).
+    * Per-bucket rates are floor-divided integer parts-per-million
+    * (n_b·10⁶ DIV T, computed through DECIMAL/HUGEINT so the
+    * intermediate never overflows at any corpus size; the rate itself
+    * is always ≤ 10⁶); the drift is the L1 gap |r_a − r_b| — exact
+    * integers end to end, so the monitor is bit-deterministic under
+    * any partitioning and its alert threshold can't flap on engine
+    * arithmetic. Reported: the 10 most-drifted buckets plus the total
+    * L1 drift (≈ 2·10⁶ × total-variation distance).
+    *
+    * 100 TB: each snapshot reduces to a 512-row sketch (map-side
+    * partials); the comparison is O(width), corpus-size-independent —
+    * the point of monitoring on sketches instead of vocabularies. */
+  val qSketchDrift: GraftQuery = GraftQuery(
+    "q160_sketch_drift",
+    s"""WITH toks AS (
+       |  SELECT doc_id % 2 AS snap,
+       |    unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT snap,
+       |    CAST('0x' || substring(md5('0:' || term), 1, 3) AS INTEGER)
+       |      % $Width AS bucket
+       |  FROM toks),
+       |sk AS (
+       |  SELECT bucket,
+       |    CAST(count(*) FILTER (snap = 0) AS BIGINT) AS n_a,
+       |    CAST(count(*) FILTER (snap = 1) AS BIGINT) AS n_b
+       |  FROM hashed GROUP BY bucket),
+       |tot AS (
+       |  SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+       |    CAST(sum(n_b) AS BIGINT) AS t_b FROM sk),
+       |rates AS (
+       |  SELECT bucket, n_a, n_b,
+       |    abs(CAST(CAST(n_a AS HUGEINT) * 1000000 // CAST(t_a AS HUGEINT)
+       |          AS BIGINT)
+       |      - CAST(CAST(n_b AS HUGEINT) * 1000000 // CAST(t_b AS HUGEINT)
+       |          AS BIGINT)) AS drift_ppm
+       |  FROM sk CROSS JOIN tot),
+       |total AS (SELECT CAST(sum(drift_ppm) AS BIGINT) AS total_drift_ppm
+       |  FROM rates)
+       |SELECT bucket, n_a, n_b, drift_ppm, total_drift_ppm
+       |FROM (SELECT * FROM rates ORDER BY drift_ppm DESC, bucket LIMIT 10)
+       |CROSS JOIN total
+       |ORDER BY drift_ppm DESC, bucket""".stripMargin) { (s, d) =>
+    val toks = docTokens2(Tables.documents(s, d).repartition(32))
+    val sk = toks
+      .withColumn("bucket", cmBucket(lit(0), col("term")))
+      .groupBy("bucket")
+      .agg(count(when(col("snap") === 0, 1)).as("n_a"),
+        count(when(col("snap") === 1, 1)).as("n_b"))
+    val tot = sk.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+    val rates = sk.crossJoin(broadcast(tot))
+      .withColumn("drift_ppm", abs(
+        expr("CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000 DIV CAST(t_a AS DECIMAL(38,0)) AS BIGINT)")
+          - expr("CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000 DIV CAST(t_b AS DECIMAL(38,0)) AS BIGINT)")))
+    val total = rates.agg(sum("drift_ppm").as("total_drift_ppm"))
+    rates.orderBy(col("drift_ppm").desc, col("bucket")).limit(10)
+      .crossJoin(broadcast(total))
+      .select("bucket", "n_a", "n_b", "drift_ppm", "total_drift_ppm")
+      .orderBy(col("drift_ppm").desc, col("bucket"))
+  }
+
+  /** (snap, term) tokens with the doc-parity snapshot tag (q160). */
+  private def docTokens2(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") % 2).as("snap"),
+      explode(split(lower(col("text")), " ")).as("term"))
+
   val all: Seq[GraftQuery] =
-    Seq(qDsirSelect, qCountMinTokens, qClusterBudgetMix)
+    Seq(qDsirSelect, qCountMinTokens, qClusterBudgetMix, qSketchDrift)
 }

@@ -309,6 +309,32 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.oversizeBucketReport(bands).count() === 0)
   }
 
+  test("q161: the kept member really is the cluster's max-logit doc") {
+    import org.apache.spark.sql.functions.col
+    val reps = SparkEntry.queries("q161_cluster_representatives")(spark, sf001)
+      .collect()
+    assert(reps.nonEmpty)
+    val members = SparkEntry.queries("q77_dedup_components")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val logits = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        graft.operators.QualityGate.logitOf(
+          org.apache.spark.sql.graftshim.CharGramVector(
+            col("text"), graft.operators.TextVector.dim)).as("logit"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = members.groupBy(_._2)
+    reps.foreach { r =>
+      val (cid, kept, n) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val mem = byCluster(cid).map(_._1)
+      assert(mem.length === n)
+      assert(mem.contains(kept))
+      // argmax with (logit desc, doc_id asc) tie rule
+      val best = mem.map(m => (-logits(m), m)).min._2
+      assert(kept === best, s"cluster $cid kept $kept, argmax is $best")
+      assert(r.getDouble(3) === logits(kept))
+    }
+  }
+
   test("q154: overlap matrix accounts for every verified pair, symmetric-normalized") {
     val matrix = SparkEntry.queries("q154_source_overlap")(spark, sf001).collect()
     val nPairs = SparkEntry.queries("q28_dedup_minhash_pairs")(spark, sf001).count()

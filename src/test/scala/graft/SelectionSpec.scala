@@ -63,6 +63,31 @@ class SelectionSpec extends SparkSpecBase {
     assert(blowup < total, s"overestimate $blowup out of scale")
   }
 
+  test("q160: identical snapshots drift zero; disjoint vocabularies drift ~2e6 ppm") {
+    import spark.implicits._
+    def corpus(rows: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+      rows.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir + "/documents.parquet")
+      dir
+    }
+    // snapshots (doc parity) with IDENTICAL content → every bucket
+    // rate matches → zero drift everywhere
+    val same = corpus(Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta")))
+    val sameRows = SparkEntry.queries("q160_sketch_drift")(spark, same).collect()
+    assert(sameRows.forall(_.getLong(3) === 0L))
+    assert(sameRows.forall(_.getLong(4) === 0L))
+    // fully disjoint vocabularies → every occupied bucket one-sided →
+    // total L1 ≈ 1e6 + 1e6 (minus per-bucket floor loss ≤ width)
+    val disj = corpus(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "omega sigma tau rho phi chi")))
+    val total = SparkEntry.queries("q160_sketch_drift")(spark, disj)
+      .collect().head.getLong(4)
+    assert(total >= 2000000L - 2048L && total <= 2000000L, s"total=$total")
+  }
+
   test("q152: per-cell kept mass respects supply and the run is deterministic") {
     val run1 = SparkEntry.queries("q152_cluster_budget_mix")(spark, sf001).collect()
     val run2 = SparkEntry.queries("q152_cluster_budget_mix")(spark, sf001).collect()
