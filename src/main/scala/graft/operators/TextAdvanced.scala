@@ -375,6 +375,55 @@ object TextAdvanced {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY PER LANGUAGE: pieces-per-word and
+    * chars-per-piece — the metric sheet a multilingual tokenizer
+    * evaluation reads (high fertility = a language pays more sequence
+    * positions per word; the standard equity check before fixing a
+    * vocab). Pieces are the deterministic BPE-ish proxy count (q21's
+    * oracle-paired regex); ratios are floor-divided integer ppm (the
+    * q160 discipline — no doubles, engine-stable at any magnitude).
+    *
+    * 100 TB: one conditional aggregate per language over the scan —
+    * map-side partials, |langs| output rows. */
+  val qFertility: GraftQuery = GraftQuery(
+    "q163_tokenizer_fertility",
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_piece,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |agg AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+      |    CAST(sum(n_piece) AS BIGINT) AS pieces,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM t GROUP BY lang)
+      |SELECT lang, n_docs, ws_tokens, pieces,
+      |  CAST(CAST(pieces AS HUGEINT) * 1000000 // CAST(ws_tokens AS HUGEINT)
+      |    AS BIGINT) AS fertility_ppm,
+      |  CAST(CAST(chars AS HUGEINT) * 1000000 // CAST(pieces AS HUGEINT)
+      |    AS BIGINT) AS chars_per_piece_ppm
+      |FROM agg
+      |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        tokenCount(col("text")).cast("long").as("n_ws"),
+        bpeishTokenCount(col("text")).cast("long").as("n_piece"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws").as("ws_tokens"),
+        sum("n_piece").as("pieces"),
+        sum("n_chars").as("chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("pieces"),
+        expr("CAST(CAST(pieces AS DECIMAL(38,0)) * 1000000 DIV CAST(ws_tokens AS DECIMAL(38,0)) AS BIGINT)")
+          .as("fertility_ppm"),
+        expr("CAST(CAST(chars AS DECIMAL(38,0)) * 1000000 DIV CAST(pieces AS DECIMAL(38,0)) AS BIGINT)")
+          .as("chars_per_piece_ppm"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,
-    qCurationPipeline, qRedact, qRepetition, qBm25)
+    qCurationPipeline, qRedact, qRepetition, qBm25, qFertility)
 }

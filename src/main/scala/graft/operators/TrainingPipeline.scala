@@ -565,8 +565,66 @@ object TrainingPipeline {
       .orderBy("source")
   }
 
+  /** PACKING EFFICIENCY AUDIT: the metric sheet for q111's
+    * concat-and-chunk streams — per (lang, shard): documents, token
+    * mass, emitted sequences (= ⌈T/2048⌉), TAIL WASTE (the unfilled
+    * remainder of each stream's final sequence — concat-and-chunk's
+    * only waste; padded-per-doc packing wastes per SEQUENCE, which is
+    * why pretraining pipelines concat), and the straddler count (docs
+    * crossing a sequence boundary — the attention-masking cost of
+    * zero waste). All integer arithmetic off q111's own window sums.
+    *
+    * 100 TB: the same bounded per-(lang, shard) window as q111, then
+    * a |langs×shards|-row aggregate — nothing new shuffles. */
+  val qPackingAudit: GraftQuery = GraftQuery(
+    "q162_packing_audit",
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, lang, shard, n_tok,
+      |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, lang, shard, n_tok,
+      |    (start_tok + n_tok - 1) // 2048 - start_tok // 2048 AS crossings
+      |  FROM packed)
+      |SELECT lang, shard,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tok,
+      |  (CAST(sum(n_tok) AS BIGINT) + 2047) // 2048 AS n_seqs,
+      |  ((CAST(sum(n_tok) AS BIGINT) + 2047) // 2048) * 2048
+      |    - CAST(sum(n_tok) AS BIGINT) AS tail_waste,
+      |  CAST(count(*) FILTER (crossings > 0) AS BIGINT) AS n_straddlers
+      |FROM spans
+      |GROUP BY lang, shard
+      |ORDER BY lang NULLS FIRST, shard""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("start_tok", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("crossings",
+        expr("(start_tok + n_tok - 1) DIV 2048 - start_tok DIV 2048"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        count(when(col("crossings") > 0, 1)).as("n_straddlers"))
+      .withColumn("n_seqs", expr("(total_tok + 2047) DIV 2048"))
+      .withColumn("tail_waste", col("n_seqs") * 2048 - col("total_tok"))
+      .select("lang", "shard", "n_docs", "total_tok", "n_seqs",
+        "tail_waste", "n_straddlers")
+      .orderBy(asc_nulls_first("lang"), col("shard"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
       qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
-      qCurriculumOrder, qSourceQuotaCap)
+      qCurriculumOrder, qSourceQuotaCap, qPackingAudit)
 }

@@ -148,6 +148,36 @@ class TrainingPipelineSpec extends SparkSpecBase {
       "no source was capped — fixture no longer exercises the quota")
   }
 
+  test("q162: audit is consistent with q111's packing row for row") {
+    import org.apache.spark.sql.functions.col
+    val audit = SparkEntry.queries("q162_packing_audit")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val packed = SparkEntry.queries("q111_pack_sequences")(spark, sf001)
+      .select("lang", "shard", "n_tok", "n_seqs").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    assert(audit.keySet === packed.keySet)
+    packed.foreach { case (key, rows) =>
+      val (nDocs, totalTok, nSeqs, tailWaste, nStraddle) = audit(key)
+      assert(nDocs === rows.length)
+      assert(totalTok === rows.map(_.getLong(2)).sum)
+      assert(nSeqs === (totalTok + 2047) / 2048)
+      assert(tailWaste === nSeqs * 2048 - totalTok && tailWaste < 2048)
+      assert(nStraddle === rows.count(_.getLong(3) > 1))
+    }
+  }
+
+  test("q163: fertility ratios recompute exactly from the reported sums") {
+    val rows = SparkEntry.queries("q163_tokenizer_fertility")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ws, pieces) = (r.getLong(2), r.getLong(3))
+      assert(ws > 0 && pieces > 0)
+      assert(r.getLong(4) === pieces * 1000000L / ws)
+      assert(r.getLong(4) > 0 && r.getLong(5) > 0)
+    }
+  }
+
   test("q155: global_pos is a permutation; within-shard bins are quality-monotone deciles") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q155_curriculum_order")(spark, sf001)
