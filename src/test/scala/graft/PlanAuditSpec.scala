@@ -213,6 +213,12 @@ class PlanAuditSpec extends SparkSpecBase {
     //    structure over the same relation.
     //  - q145: q130's gate logic behind a streaming sink read-back —
     //    same bounded vocab cross join inside foreachBatch.
+    //  - q156: q30's brute-force shape in the JL-projected space (8
+    //    broadcast queries × corpus, non-equi self-exclusion); the
+    //    scale path composes the projection with cell-pruned ANN.
+    //  - q150/q152/q157/q160: q137's single-aggregated-row broadcast
+    //    cross join (totals/max/budget) — a 1-row build side by
+    //    construction, the exact-gate sampling pattern.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -220,7 +226,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "q124_assemble_examples", "q130_incremental_funnel",
         "q134_hybrid_rrf", "q137_token_budget_mix",
         "q138_curation_manifest", "q143_neural_ann_topk",
-        "q145_stream_incremental_funnel")
+        "q145_stream_incremental_funnel", "q156_jl_topk",
+        "q150_dsir_select", "q152_cluster_budget_mix",
+        "q157_source_quota_cap", "q160_sketch_drift")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
