@@ -167,5 +167,37 @@ object Formats {
       .orderBy(col("lang").asc_nulls_first, col("split"))
   }
 
-  def all: Seq[GraftQuery] = Seq(qJsonlRoundtrip, qPartitionedExport)
+  /** ORC roundtrip (the q118 contract on Spark's other first-class
+    * columnar format): write the documents table as ORC, read it back,
+    * and prove losslessness by hashing the same per-language digest
+    * the oracle computes from the ORIGINAL parquet — doc ids, char
+    * sums, and distinct-content counts all survive or the hash gate
+    * fails. ORC matters operationally: it is the interchange format
+    * of the Hive/Trino estate a 100 TB corpus usually borders, and
+    * its schema is carried in-file (no schema= needed on read-back,
+    * unlike q118's JSONL). */
+  val qOrcRoundtrip: GraftQuery = GraftQuery(
+    "q164_orc_roundtrip",
+    """SELECT lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+    val tmp = scratchDir("graft_orc", d)
+    Tables.documents(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  def all: Seq[GraftQuery] = Seq(qJsonlRoundtrip, qPartitionedExport, qOrcRoundtrip)
 }

@@ -346,12 +346,28 @@ object Selection {
        |FROM (SELECT * FROM rates ORDER BY drift_ppm DESC, bucket LIMIT 10)
        |CROSS JOIN total
        |ORDER BY drift_ppm DESC, bucket""".stripMargin) { (s, d) =>
-    val toks = docTokens2(Tables.documents(s, d).repartition(32))
-    val sk = toks
+    driftReport(driftPartial(Tables.documents(s, d).repartition(32)))
+  }
+
+  /** Partial per-(snapshot, bucket) counters for a documents slice —
+    * the bounded (≤ 2·width rows) thing each micro-batch appends;
+    * counter addition merges partials exactly (the q151/q153
+    * property). */
+  private[graft] def driftPartial(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") % 2).as("snap"),
+        explode(split(lower(col("text")), " ")).as("term"))
       .withColumn("bucket", cmBucket(lit(0), col("term")))
       .groupBy("bucket")
       .agg(count(when(col("snap") === 0, 1)).as("n_a"),
         count(when(col("snap") === 1, 1)).as("n_b"))
+
+  /** Merge drift partials (counter addition per bucket). */
+  private[graft] def driftMerge(partials: DataFrame): DataFrame =
+    partials.groupBy("bucket")
+      .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"))
+
+  /** The q160 report off a merged (bucket, n_a, n_b) counter table. */
+  private[graft] def driftReport(sk: DataFrame): DataFrame = {
     val tot = sk.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
     val rates = sk.crossJoin(broadcast(tot))
       .withColumn("drift_ppm", abs(
@@ -360,14 +376,11 @@ object Selection {
     val total = rates.agg(sum("drift_ppm").as("total_drift_ppm"))
     rates.orderBy(col("drift_ppm").desc, col("bucket")).limit(10)
       .crossJoin(broadcast(total))
-      .select("bucket", "n_a", "n_b", "drift_ppm", "total_drift_ppm")
+      .select(col("bucket"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("drift_ppm"),
+        col("total_drift_ppm"))
       .orderBy(col("drift_ppm").desc, col("bucket"))
   }
-
-  /** (snap, term) tokens with the doc-parity snapshot tag (q160). */
-  private def docTokens2(docs: DataFrame): DataFrame =
-    docs.select((col("doc_id") % 2).as("snap"),
-      explode(split(lower(col("text")), " ")).as("term"))
 
   val all: Seq[GraftQuery] =
     Seq(qDsirSelect, qCountMinTokens, qClusterBudgetMix, qSketchDrift)

@@ -586,9 +586,43 @@ object Streams {
     streamCountMin(s, d)
   }
 
+  /** STREAMING DRIFT MONITOR: q160's snapshot-distribution comparison
+    * fed by the stream — each arriving micro-batch appends its
+    * ≤ 2·width-row partial counter table; the report runs on the
+    * merged counters after the drain and is hash-identical to the
+    * batch build (q160's oracle), because counter addition is the
+    * merge operator. This is the production posture: the monitor's
+    * state is a bounded sketch that survives any arrival slicing. */
+  def streamDrift(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_drift", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Selection.driftPartial(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.Selection.driftReport(
+      graft.operators.Selection.driftMerge(spark.read.parquet(outDir)))
+  }
+
+  val qStreamDrift: GraftQuery = GraftQuery(
+    "q165_stream_drift",
+    graft.operators.Selection.qSketchDrift.oracle.get) { (s, d) =>
+    streamDrift(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
-      qStreamCountMin)
+      qStreamCountMin, qStreamDrift)
 }

@@ -79,4 +79,14 @@ class FormatsSpec extends SparkSpecBase {
     assert(firstLine.startsWith("{") && firstLine.endsWith("}"))
     assert(firstLine.contains("\"doc_id\""))
   }
+
+  test("q164: ORC read-back is row-identical to the source table, schema carried in-file") {
+    SparkEntry.queries("q164_orc_roundtrip")(spark, sf001).collect() // writes
+    val back = spark.read.orc(operators.Formats.scratchDir("graft_orc", sf001))
+    assert(back.schema === graft.sources.Tables.documents(spark, sf001).schema)
+    val orig = graft.sources.Tables.documents(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val rt = back.collect().map(_.toSeq).toSet
+    assert(rt === orig, "ORC roundtrip must be lossless row for row")
+  }
 }

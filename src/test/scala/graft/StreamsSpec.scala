@@ -343,4 +343,16 @@ class StreamsSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSeq
     assert(streamed === batch, "streamed sketch must equal batch sketch")
   }
+
+  test("q165: drift report over micro-batch partials equals the batch report") {
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_drift").toString
+    graft.sources.Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamDrift(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q160_sketch_drift")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch, "streamed drift must equal batch drift")
+  }
 }
