@@ -424,6 +424,52 @@ object TextAdvanced {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** CHUNK-GRAIN RETRIEVAL: q113's BM25 arithmetic at the passage
+    * grain a RAG system actually serves — q122's 200-cp/stride-150
+    * chunks are the scoring unit (df/avgdl corpus statistics are
+    * chunk-level), and the answer is the global top-10 passages with
+    * their parent doc. The retrieval unit changes, the verified
+    * arithmetic doesn't: identical score expression, so the fused
+    * ordering stays oracle-hash-checked.
+    *
+    * 100 TB: chunking is a shuffle-free per-row explode (q122);
+    * per-chunk features are scan-fused; corpus stats reduce to ONE
+    * broadcast row; the global top-10 is a TakeOrderedAndProject
+    * (bounded heap per partition), never a global sort. */
+  val qChunkRetrieval: GraftQuery = GraftQuery(
+    "q166_chunk_retrieval",
+    s"""WITH ${TrainingPipeline.chunksCteSql},
+       |toks AS (
+       |  SELECT doc_id, chunk_idx, string_split(lower(chunk), ' ') AS t
+       |  FROM chunks),
+       |feat AS (
+       |  SELECT doc_id, chunk_idx, CAST(len(t) AS BIGINT) AS dl,
+       |${bm25Terms.map(t => s"    CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n")}
+       |  FROM toks),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |${bm25Terms.map(t => s"    CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n")}
+       |  FROM feat)
+       |SELECT doc_id, chunk_idx, $bm25TotalScoreSql AS score
+       |FROM feat CROSS JOIN stats
+       |ORDER BY score DESC, doc_id, chunk_idx
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val t = col("__toks")
+    val feat = TrainingPipeline.chunkRelation(s, d)
+      .select(col("doc_id"), col("chunk_idx"),
+        split(lower(col("chunk")), " ").as("__toks"))
+      .select(
+        col("doc_id") +: col("chunk_idx") +: size(t).cast("long").as("dl") +:
+          bm25Terms.map(w =>
+            size(filter(t, x => x === lit(w))).cast("long").as(s"tf_$w")): _*)
+    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      bm25Terms.map(w => sum(when(col(s"tf_$w") > 0, 1L).otherwise(0L)).as(s"df_$w"))
+    feat.crossJoin(broadcast(feat.agg(aggCols.head, aggCols.tail: _*)))
+      .select(col("doc_id"), col("chunk_idx"), bm25TotalScore.as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+      .limit(10)
+  }
+
   def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,
-    qCurationPipeline, qRedact, qRepetition, qBm25, qFertility)
+    qCurationPipeline, qRedact, qRepetition, qBm25, qFertility, qChunkRetrieval)
 }

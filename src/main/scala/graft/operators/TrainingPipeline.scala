@@ -186,21 +186,21 @@ object TrainingPipeline {
     * ORDER BY is oracle determinism only); at 100 TB this fuses into
     * whatever scans the corpus next, exactly like the q109/q110 hash
     * gates. */
-  val qChunkDocuments: GraftQuery = GraftQuery(
-    "q122_chunk_documents",
-    """WITH chunks AS (
+  /** The q122 chunk CTE (200-cp windows, stride 150) — shared with the
+    * chunk-grain retrieval query (q166). */
+  private[operators] val chunksCteSql: String =
+    """chunks AS (
       |  SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
       |    CAST(1 + 150 * k AS INTEGER) AS chunk_start,
       |    substring(text, CAST(1 + 150 * k AS INTEGER), 200) AS chunk
       |  FROM (SELECT doc_id, text,
       |          unnest(range(0, 1 + (greatest(length(text) - 200, 0) + 149) // 150)) AS k
       |        FROM documents
-      |        WHERE length(text) >= 1))
-      |SELECT doc_id, chunk_idx, chunk_start,
-      |  CAST(length(chunk) AS INTEGER) AS chunk_len,
-      |  md5(chunk) AS chunk_md5
-      |FROM chunks
-      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      |        WHERE length(text) >= 1))""".stripMargin
+
+  /** (doc_id, chunk_idx, chunk_start, chunk) — the Spark mirror. */
+  private[operators] def chunkRelation(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d)
       .where(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"),
@@ -212,6 +212,16 @@ object TrainingPipeline {
         (lit(1) + lit(150) * col("k")).cast("int").as("chunk_start"),
         col("text").substr((lit(1) + lit(150) * col("k")).cast("int"), lit(200))
           .as("chunk"))
+
+  val qChunkDocuments: GraftQuery = GraftQuery(
+    "q122_chunk_documents",
+    s"""WITH $chunksCteSql
+      |SELECT doc_id, chunk_idx, chunk_start,
+      |  CAST(length(chunk) AS INTEGER) AS chunk_len,
+      |  md5(chunk) AS chunk_md5
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    chunkRelation(s, d)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")

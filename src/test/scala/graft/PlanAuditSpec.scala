@@ -228,7 +228,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q138_curation_manifest", "q143_neural_ann_topk",
         "q145_stream_incremental_funnel", "q156_jl_topk",
         "q150_dsir_select", "q152_cluster_budget_mix",
-        "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift")
+        "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
+        "q166_chunk_retrieval")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

@@ -148,6 +148,19 @@ class TrainingPipelineSpec extends SparkSpecBase {
       "no source was capped — fixture no longer exercises the quota")
   }
 
+  test("q166: top-10 passages are valid chunks, scores positive and ranked") {
+    val rows = SparkEntry.queries("q166_chunk_retrieval")(spark, sf001).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing")
+    assert(scores.head > 0, "best passage must actually hit a query term")
+    // every returned (doc, chunk) exists in the q122 chunk table
+    val chunks = SparkEntry.queries("q122_chunk_documents")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    rows.foreach(r => assert(chunks.contains((r.getLong(0), r.getInt(1)))))
+  }
+
   test("q162: audit is consistent with q111's packing row for row") {
     import org.apache.spark.sql.functions.col
     val audit = SparkEntry.queries("q162_packing_audit")(spark, sf001)
