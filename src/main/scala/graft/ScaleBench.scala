@@ -916,6 +916,88 @@ object ScaleBench {
     }
     vecs.unpersist()
 
+    out ++= zorderProbe(spark, sfDir, 4000000, 256)
+
+    out.toSeq
+  }
+
+  /** Z-order layout A/B: the same synthetic (user, minute) event rows
+    * written time-sorted vs Morton-sorted, then three predicate shapes
+    * against each layout, measuring rows SURVIVING the parquet scan
+    * (row-group/page statistics pruning) and wall time:
+    *  - a time-range box: the 1-d layout's home turf — both prune;
+    *  - a user-range box: the 1-d layout's blind spot — it scans
+    *    EVERYTHING (user is uncorrelated with time order) while the
+    *    Morton layout reads one tile-column (~1/16 at 256 files);
+    *  - the 2-d box: both reach a handful of tiles.
+    * This is the measured version of q169's claim: Z-order buys
+    * pruning on EVERY interleaved dimension, not just the sort
+    * prefix. Dims are mixed deterministically from the row id (no
+    * Date.now / rand — resumable). */
+  private[graft] def zorderProbe(spark: SparkSession, sfDir: String,
+      n: Int, files: Int): Seq[(String, Double)] = {
+    import graft.operators.ZOrder
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // two independent-ish 16-bit dims from a Weyl/odd-multiplier mix
+    val ev = spark.range(n.toLong).select(
+      col("id").as("event_id"),
+      pmod(col("id") * 2654435761L + 12345L, lit(65536L)).as("ub"),
+      pmod(col("id") * 40507L + 7L, lit(65536L)).as("tb"))
+    val timePath = graft.operators.Formats.scratchDir("graft_zorder_time", sfDir)
+    val zPath = graft.operators.Formats.scratchDir("graft_zorder_z", sfDir)
+    val (_, tWriteTime) = time(
+      ev.repartitionByRange(files, col("tb"))
+        .sortWithinPartitions("tb")
+        .write.mode("overwrite").parquet(timePath))
+    val (_, tWriteZ) = time(
+      ev.withColumn("z", ZOrder.morton(col("ub"), col("tb")))
+        .repartitionByRange(files, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(zPath))
+
+    // rows the scan EMITS (after row-group/page-level statistics
+    // pruning, before the residual Filter) — the I/O proxy
+    def scanRows(df: DataFrame): Double = {
+      df.collect()
+      def finalPlan(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      finalPlan(df.queryExecution.executedPlan).collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value.toDouble
+      }.sum
+    }
+    val schema = "event_id BIGINT, ub BIGINT, tb BIGINT"
+    def layout(path: String) = spark.read.schema(schema).parquet(path)
+    def timeBox(df: DataFrame) = df.where(col("tb").between(2000L, 2255L))
+    def userBox(df: DataFrame) = df.where(col("ub").between(1000L, 1255L))
+    def box2d(df: DataFrame) = df.where(
+      col("ub").between(1000L, 1255L) && col("tb").between(2000L, 2255L))
+    def probe(tag: String, shape: DataFrame => DataFrame): Unit = {
+      val onTime = shape(layout(timePath))
+      val onZ = shape(layout(zPath))
+      val rowsTime = scanRows(onTime) // also warms page cache + codegen
+      val rowsZ = scanRows(onZ)
+      val tTime = (1 to 3).map(_ => time(shape(layout(timePath)).collect())._2).sorted.apply(1)
+      val tZ = (1 to 3).map(_ => time(shape(layout(zPath)).collect())._2).sorted.apply(1)
+      out ++= Seq(
+        s"zorder_${tag}_scan_rows_timesorted" -> rowsTime,
+        s"zorder_${tag}_scan_rows_zsorted" -> rowsZ,
+        s"zorder_${tag}_sec_timesorted" -> tTime,
+        s"zorder_${tag}_sec_zsorted" -> tZ)
+    }
+    probe("timebox", timeBox)
+    probe("userbox", userBox)
+    probe("box2d", box2d)
+    out ++= Seq(
+      "zorder_rows" -> n.toDouble,
+      "zorder_files" -> files.toDouble,
+      "zorder_write_time_sec" -> tWriteTime,
+      "zorder_write_z_sec" -> tWriteZ)
     out.toSeq
   }
 

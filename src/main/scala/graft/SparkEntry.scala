@@ -47,6 +47,7 @@ object SparkEntry {
       operators.HybridRetrieval.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
+      operators.ZOrder.all ++
       operators.ModelQueries.all ++
       operators.PgRender.all ++
       streaming.Streams.all ++

@@ -768,8 +768,91 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Hard cap on the banded-DP width: distances above this are never
+    * materialized (Spark's 3-arg levenshtein returns -1 past the
+    * threshold after an O(n·cap) banded pass instead of the full
+    * O(n²) table). */
+  val editDistCap = 64
+
+  /** Relative edit-distance gate: a pair is a near-dup when
+    * lev ≤ min(⌊0.2·max(len_a,len_b)⌋, [[editDistCap]]). */
+  val editDistRel = 0.2
+
+  /** Edit-distance-VERIFIED near-dup pairs — the other classical
+    * verifier next to token-set Jaccard (q28): LSH candidates are
+    * confirmed by character-level Levenshtein distance, the metric
+    * that catches small in-place edits (typo floods, template fills)
+    * which token-set Jaccard over-forgives when the edited tokens are
+    * a tiny fraction of the set.
+    *
+    * 100 TB physics, in gate order:
+    *  1. candidates come from the banded signature join (never
+    *     all-pairs — the q27/q28 machinery, shared index);
+    *  2. the LENGTH gate runs first: |len_a − len_b| ≤ bound is a
+    *     necessary condition for lev ≤ bound and costs two ints —
+    *     most non-dup candidates die before any DP;
+    *  3. the DP itself is BANDED: Spark's threshold form costs
+    *     O(n·min(bound, cap)) per surviving pair, not O(n²), and the
+    *     cap bounds worst-case per-pair work no matter how long the
+    *     documents grow. DuckDB has no banded form, so the oracle
+    *     computes the full distance and applies the same bound —
+    *     identical keep set, the -1 sentinel never escapes (pairs
+    *     with lev > bound are dropped on both sides).
+    *
+    * Normalized distance is lev/max(len): one double division over
+    * exact integers, correctly rounded identically in both engines. */
+  val qEditDistPairs: GraftQuery = GraftQuery(
+    "q168_editdist_pairs",
+    s"""WITH $bandsCte,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |sized AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(length(da.text) AS INTEGER) AS len_a,
+       |    CAST(length(db.text) AS INTEGER) AS len_b,
+       |    da.text AS ta, db.text AS tb,
+       |    CAST(LEAST(FLOOR($editDistRel * GREATEST(length(da.text), length(db.text))),
+       |               $editDistCap) AS INTEGER) AS bound
+       |  FROM pairs p
+       |  JOIN documents da ON p.doc_a = da.doc_id
+       |  JOIN documents db ON p.doc_b = db.doc_id),
+       |gated AS (
+       |  SELECT doc_a, doc_b, len_a, len_b, bound,
+       |    CAST(levenshtein(ta, tb) AS INTEGER) AS lev
+       |  FROM sized
+       |  WHERE abs(len_a - len_b) <= bound)
+       |SELECT doc_a, doc_b, len_a, len_b, lev,
+       |  CAST(lev AS DOUBLE) / GREATEST(len_a, len_b) AS nlev
+       |FROM gated
+       |WHERE lev <= bound
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val sized = candidatePairsFromBands(indexedBands(s, d))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("len").as("len_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("len").as("len_b")), "doc_b")
+      .withColumn("bound",
+        least(floor(greatest(col("len_a"), col("len_b")) * editDistRel),
+          lit(editDistCap.toLong)).cast("int"))
+      .where(abs(col("len_a") - col("len_b")) <= col("bound"))
+    sized
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), editDistCap))
+      // -1 means "> cap": since bound ≤ cap, lev in [0, bound] is the
+      // exact keep condition and never sees the sentinel
+      .where(col("lev") >= 0 && col("lev") <= col("bound"))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("lev"),
+        (col("lev").cast("double") / greatest(col("len_a"), col("len_b"))).as("nlev"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
-    qClusterRepresentatives)
+    qClusterRepresentatives, qEditDistPairs)
 }

@@ -135,5 +135,122 @@ object QualityGate {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qQualityGateScore)
+  /** Histogram bin width for the bounded-state AUC form: 2^-4. The
+    * bin index floor(logit·16) is exact integer arithmetic (scaling a
+    * double by a power of two is exact), so binning is reproducible
+    * bit for bit in both engines. */
+  val aucBinScale = 16
+
+  /** ROC-AUC of the learned gate against its own training label
+    * (source = 'src0'), computed EXACTLY with integer arithmetic —
+    * the model-eval query a curation pipeline runs after every
+    * classifier refresh (CCNet ablates its quality filter the same
+    * way).
+    *
+    * Two estimators in one row, deliberately:
+    *  - `auc_exact`: Mann-Whitney rank-sum with tie correction.
+    *    AUC = Σ_s pos_at(s)·(2·neg_below(s) + neg_at(s)) / (2·P·N)
+    *    over distinct logit values s ascending. The numerator and
+    *    denominator are pure BIGINT sums/products (order-independent,
+    *    no fp accumulation), so the single final division is the only
+    *    double op — correctly rounded identically in Spark and DuckDB.
+    *  - `auc_binned`: the same rank-sum over logits bucketed to the
+    *    2^-4 grid. This is the 100 TB form: per-doc bin is a narrow
+    *    codegen pass, the groupBy carries BOUNDED cardinality (the
+    *    logit range is data-bounded, ~few hundred bins), and the
+    *    cumulative window runs over that bounded relation — no global
+    *    sort of per-doc scores anywhere. Binning only converts
+    *    within-bin orderings to ties, so |auc_binned − auc_exact| is
+    *    bounded by the tie mass; the query reports both so the gap is
+    *    measured, not assumed.
+    *
+    * Scale: `auc_exact` windows over DISTINCT logit values — fine
+    * while distinct scores fit a task (they are near-unique per doc),
+    * the honest reason the binned estimator exists. A 100 TB run
+    * keeps only `auc_binned`. */
+  val qGateAuc: GraftQuery = GraftQuery(
+    "q167_gate_auc",
+    s"""WITH grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |scored AS (
+       |  SELECT v.doc_id, $dotSql AS logit,
+       |    CAST(d.source = 'src0' AS BIGINT) AS label
+       |  FROM vecs v JOIN documents d ON v.doc_id = d.doc_id),
+       |by_score AS (
+       |  SELECT logit,
+       |    CAST(SUM(label) AS BIGINT) AS pos_at,
+       |    CAST(SUM(1 - label) AS BIGINT) AS neg_at
+       |  FROM scored GROUP BY logit),
+       |cum AS (
+       |  SELECT pos_at, neg_at,
+       |    CAST(COALESCE(SUM(neg_at) OVER (ORDER BY logit
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+       |  FROM by_score),
+       |exact AS (
+       |  SELECT
+       |    CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS BIGINT) AS num,
+       |    CAST(SUM(pos_at) AS BIGINT) AS npos,
+       |    CAST(SUM(neg_at) AS BIGINT) AS nneg,
+       |    CAST(COUNT(*) AS INTEGER) AS n_scores
+       |  FROM cum),
+       |by_bin AS (
+       |  SELECT CAST(FLOOR(logit * $aucBinScale) AS BIGINT) AS bin,
+       |    CAST(SUM(label) AS BIGINT) AS pos_at,
+       |    CAST(SUM(1 - label) AS BIGINT) AS neg_at
+       |  FROM scored GROUP BY 1),
+       |bcum AS (
+       |  SELECT pos_at, neg_at,
+       |    CAST(COALESCE(SUM(neg_at) OVER (ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+       |  FROM by_bin),
+       |binned AS (
+       |  SELECT
+       |    CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS BIGINT) AS bnum,
+       |    CAST(COUNT(*) AS INTEGER) AS n_bins
+       |  FROM bcum)
+       |SELECT
+       |  CAST(e.num AS DOUBLE) / CAST(2 * e.npos * e.nneg AS DOUBLE) AS auc_exact,
+       |  CAST(b.bnum AS DOUBLE) / CAST(2 * e.npos * e.nneg AS DOUBLE) AS auc_binned,
+       |  e.npos, e.nneg, e.n_scores, b.n_bins
+       |FROM exact e CROSS JOIN binned b""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        logitOf(CharGramVector(col("text"), TextVector.dim)).as("logit"),
+        (col("source") === "src0").cast("bigint").as("label"))
+    // rank-sum numerator over a grouped score relation: groupBy is
+    // map-side-combined; the unpartitioned window is over the grouped
+    // relation only (see scaladoc for why that is acceptable exactly
+    // once, and what the 100 TB form keeps)
+    def rankSum(grouped: DataFrame, orderCol: String): DataFrame = {
+      val w = Window.orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      grouped
+        .withColumn("neg_below", coalesce(sum("neg_at").over(w), lit(0L)))
+        .agg(
+          sum(col("pos_at") * (col("neg_below") * 2 + col("neg_at"))).as("num"),
+          sum("pos_at").as("npos"), sum("neg_at").as("nneg"),
+          count(lit(1)).cast("int").as("n_groups"))
+    }
+    val exact = rankSum(
+      scored.groupBy("logit")
+        .agg(sum("label").as("pos_at"), sum(lit(1L) - col("label")).as("neg_at")),
+      "logit")
+      .select(col("num"), col("npos"), col("nneg"), col("n_groups").as("n_scores"))
+    val binned = rankSum(
+      scored.select(floor(col("logit") * aucBinScale).as("bin"), col("label"))
+        .groupBy("bin")
+        .agg(sum("label").as("pos_at"), sum(lit(1L) - col("label")).as("neg_at")),
+      "bin")
+      .select(col("num").as("bnum"), col("n_groups").as("n_bins"))
+    exact.crossJoin(binned)   // two 1-row aggregates
+      .select(
+        (col("num").cast("double") / (col("npos") * col("nneg") * 2).cast("double")).as("auc_exact"),
+        (col("bnum").cast("double") / (col("npos") * col("nneg") * 2).cast("double")).as("auc_binned"),
+        col("npos"), col("nneg"), col("n_scores"), col("n_bins"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(qQualityGateScore, qGateAuc)
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) layout: interleave the bits of two 16-bit
+  * dimension buckets so that sorting by ONE derived key co-locates
+  * rows that are close in BOTH dimensions — the multi-dimensional
+  * clustering trick behind Delta/Iceberg `ZORDER BY` (itself the
+  * classic Morton 1966 / Orenstein-Merrett space-filling-curve
+  * layout; public references only).
+  *
+  * Why this matters at 100 TB: parquet row-group min/max statistics
+  * prune scans only when the FILE ORDER correlates with the filter
+  * column. A layout sorted by time alone answers time-range queries
+  * with tight pruning but reads EVERYTHING for a user-range query;
+  * the Morton sort spreads both dimensions through the key's bit
+  * positions, so a 2-d box predicate prunes on both — each row group
+  * covers a small Z-curve segment whose user/time min-max envelope is
+  * a bounded box rather than a full-range stripe.
+  * [[graft.ScaleBench]]'s `zorder` block MEASURES this: the same box
+  * query against a time-sorted and a Morton-sorted copy of the same
+  * rows, comparing scan-surviving row counts and wall time.
+  *
+  * Everything here is exact integer bit arithmetic (shifts, masks,
+  * or) on BIGINT, rendered identically in Spark and DuckDB — no
+  * custom expression needed, and the whole derivation stays inside
+  * whole-stage codegen.
+  *
+  * Dimension bucketing for the catalog query over `events`:
+  * `ub = user_id & 0xFFFF` and `tb = (epoch-minutes of ts) & 0xFFFF`.
+  * The & wraps the unbounded natural values onto the 16-bit grid
+  * (minutes wrap every ~45.5 days); a production deployment re-bases
+  * each dimension against its partition's epoch instead of wrapping —
+  * the bit pipeline is identical, only the bucketization differs.
+  */
+object ZOrder {
+
+  /** (shift, mask) ladder that spreads a 16-bit value onto the even
+    * bit positions of a 32-bit word. */
+  private val spreadSteps = Seq(
+    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  /** Bit-spread a 16-bit bucket column (values 0..65535) onto even
+    * bit positions. Pure codegen column arithmetic. */
+  def spread(c: Column): Column =
+    spreadSteps.foldLeft(c) { case (x, (s, m)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** Morton code of two 16-bit buckets: x on even bits, y on odd. */
+  def morton(x: Column, y: Column): Column =
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+
+  /** The same spread ladder in DuckDB SQL (operator precedence is
+    * fully parenthesized; BIGINT arithmetic throughout). The base
+    * expression is referenced 16 times after unrolling, so callers
+    * should pass a short column NAME bound in a prior CTE. */
+  def spreadSql(e: String): String =
+    spreadSteps.foldLeft(e) { case (x, (s, m)) =>
+      s"((($x) | (($x) << $s)) & $m)"
+    }
+
+  def mortonSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
+  /** Scala reference interleave for specs (bit-by-bit, no ladder). */
+  def mortonRef(x: Int, y: Int): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | ((x.toLong >> i) & 1L) << (2 * i) | ((y.toLong >> i) & 1L) << (2 * i + 1)
+    }
+
+  /** Z-cell census over `events`: per 16-bit Z-prefix (8 high bits of
+    * each dimension), the row count and the dimension envelope the
+    * cell's row groups would carry as parquet min/max stats. The
+    * envelope columns make the locality claim INSPECTABLE: a cell's
+    * user/minute spans are narrow boxes, not full-range stripes. */
+  val qZorderCells: GraftQuery = GraftQuery(
+    "q169_zorder_cells",
+    s"""WITH dims AS (
+       |  SELECT user_id,
+       |    (user_id & 65535) AS ub,
+       |    ((epoch_us(ts) // 60000000) & 65535) AS tb
+       |  FROM events),
+       |coded AS (
+       |  SELECT user_id, ub, tb, ${mortonSql("ub", "tb")} AS morton
+       |  FROM dims)
+       |SELECT (morton >> 16) AS cell,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(MIN(user_id) AS BIGINT) AS min_user,
+       |  CAST(MAX(user_id) AS BIGINT) AS max_user,
+       |  CAST(MIN(tb) AS BIGINT) AS min_minute,
+       |  CAST(MAX(tb) AS BIGINT) AS max_minute,
+       |  CAST(MIN(morton) AS BIGINT) AS min_morton,
+       |  CAST(MAX(morton) AS BIGINT) AS max_morton
+       |FROM coded
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val dims = Tables.events(s, d)
+      .select(col("user_id"),
+        col("user_id").bitwiseAND(lit(65535L)).as("ub"),
+        expr("unix_micros(ts) div 60000000").bitwiseAND(lit(65535L)).as("tb"))
+    dims
+      .select(col("user_id"), col("ub"), col("tb"),
+        morton(col("ub"), col("tb")).as("morton"))
+      .groupBy(shiftright(col("morton"), 16).as("cell"))
+      .agg(count(lit(1)).as("n_events"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("tb").as("min_minute"), max("tb").as("max_minute"),
+        min("morton").as("min_morton"), max("morton").as("max_morton"))
+      .orderBy("cell")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qZorderCells)
+}

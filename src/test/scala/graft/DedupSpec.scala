@@ -346,4 +346,39 @@ class DedupSpec extends SparkSpecBase {
       assert(r.getDouble(3) >= 0.9 && r.getDouble(4) <= 1.0)
     }
   }
+
+  test("q168: levenshtein verify matches a driver-side DP and honors the bound") {
+    val rows = SparkEntry.queries("q168_editdist_pairs")(spark, sf001).collect()
+    assert(rows.nonEmpty, "sf0.001 must surface edit-near pairs")
+
+    // independent reference DP (full O(n²) table, no banding)
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val texts = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(10).foreach { r =>
+      val expected = lev(texts(r.getLong(0)), texts(r.getLong(1)))
+      assert(r.getInt(4) === expected,
+        s"banded lev ${r.getInt(4)} != reference DP $expected " +
+          s"for pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    rows.foreach { r =>
+      val bound = math.min(
+        math.floor(Dedup.editDistRel * math.max(r.getInt(2), r.getInt(3))).toInt,
+        Dedup.editDistCap)
+      assert(r.getInt(4) <= bound, "pair escapes the relative bound")
+      assert(r.getInt(4) >= 0, "the -1 banding sentinel escaped")
+    }
+  }
 }
