@@ -1001,14 +1001,19 @@ object ScaleBench {
     out.toSeq
   }
 
-  /** Standalone entry for local iteration; Bench embeds run() output. */
+  /** Standalone entry for local iteration; Bench embeds run() output.
+    * `zorder` as the first arg runs only the layout probe (dev loop). */
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val tDocs = if (args.length > 1) args(1).toInt else 100000
-    val tVecs = if (args.length > 2) args(2).toInt else 100000
+    val zorderOnly = args.headOption.contains("zorder")
+    val rest = if (zorderOnly) args.drop(1) else args
+    val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.1"
+    val tDocs = if (rest.length > 1) rest(1).toInt else 100000
+    val tVecs = if (rest.length > 2) rest(2).toInt else 100000
     val spark = graft.spark.Sessions.local("graft-scalebench",
       graft.spark.Sessions.defaultCores)
-    val metrics = run(spark, sfDir, tDocs, tVecs)
+    val metrics =
+      if (zorderOnly) zorderProbe(spark, sfDir, 4000000, 256)
+      else run(spark, sfDir, tDocs, tVecs)
     println(metrics.map { case (k, v) => s""""$k":$v""" }
       .mkString("SCALE {", ",", "}"))
     spark.stop()

@@ -199,5 +199,86 @@ object IvfAnn {
       nProbe = opNProbe)
   }
 
-  def all: Seq[GraftQuery] = Seq(qIvfTopK, qIvfFixedTopK)
+  /** Recall@3 EVAL of the q55 IVF operating point as a first-class
+    * QUERY (not just a bench number): per eval query, how many of the
+    * exact brute-force top-3 the probed search returned. The
+    * retrieval twin of q167's classifier AUC — the eval a pipeline
+    * runs after every index rebuild, with the integer hit count and
+    * one final division (engine-identical).
+    *
+    * 100 TB: the EXACT side is brute force over the corpus by
+    * definition — which is why it runs only for the bounded eval
+    * sample (8 queries here; a production eval keeps the sample in
+    * the hundreds). Recall estimation always pays sample × corpus;
+    * it never pays corpus × corpus. The approx side is the indexed
+    * q55 path unchanged. */
+  val qIvfRecall: GraftQuery = GraftQuery(
+    "q172_ivf_recall",
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % $fixedStride = 0),
+       |scored_assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql.format("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |cells AS (
+       |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+       |routed AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosSql.format("q.embedding", "c.c_emb")} DESC, c.cell) AS c_rank
+       |  FROM embeddings q CROSS JOIN centroids c
+       |  WHERE q.vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, q_emb, cell FROM routed WHERE c_rank <= $opNProbe),
+       |scored AS (
+       |  SELECT p.query_id, m.vec_id AS neighbor_id,
+       |    ${cosSql.format("p.q_emb", "m.embedding")} AS cos
+       |  FROM probes p JOIN cells m ON m.cell = p.cell AND m.vec_id <> p.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= 3),
+       |exact_scored AS (
+       |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+       |    ${cosSql.format("q.embedding", "m.embedding")} AS cos
+       |  FROM embeddings q CROSS JOIN embeddings m
+       |  WHERE q.vec_id < 8 AND m.vec_id <> q.vec_id),
+       |exact3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM exact_scored) WHERE rank <= 3)
+       |SELECT e.query_id,
+       |  CAST(COUNT(a.neighbor_id) AS INTEGER) AS n_hit,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3 AS recall
+       |FROM exact3 e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id
+       |ORDER BY e.query_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = fixedCentroids(emb, fixedStride)
+    val approx = search(assign(emb, centroids), centroids, col("vec_id") < 8,
+        k = 3, nProbe = opNProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact3 = queries.crossJoin(emb)
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .groupBy("query_id")
+      .agg(TopKByScore(col("cos"), col("vec_id"), 3).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    exact3.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).cast("int").as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / 3).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qIvfTopK, qIvfFixedTopK, qIvfRecall)
 }

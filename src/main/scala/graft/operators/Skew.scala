@@ -87,5 +87,57 @@ object Skew {
       .orderBy("c_mktsegment")
   }
 
-  def all: Seq[GraftQuery] = Seq(qSaltedAgg, qSaltedJoin)
+  /** Partition count the salt recommendation is sized against (the
+    * session's shuffle parallelism). */
+  val skewParts = 32
+
+  /** A key is flagged skewed when it alone would fill more than two
+    * average shuffle partitions (the same 2× heuristic AQE's
+    * skewedPartitionFactor defaults embody). */
+  val skewFactor = 2
+
+  /** Skew DIAGNOSTIC — the observability side of q41/q83: per-key
+    * load census with an integer salt-factor recommendation, the
+    * report a pipeline owner reads before deciding which keys need
+    * [[saltedAggregate]]/[[saltedJoin]] (or whether AQE's runtime
+    * skew split suffices).
+    *
+    * All decision arithmetic is exact integers (cross-multiplied —
+    * never a double ratio): share_ppm = cnt·1e6 div total,
+    * salt_factor = ⌈cnt·parts/total⌉ = the number of salt buckets
+    * that brings the key's per-reducer load back to the average
+    * partition load, is_skewed = cnt·parts > 2·total.
+    *
+    * 100 TB: one map-side-combined groupBy over the key (the grouped
+    * relation is key-cardinality-sized); the total comes from an
+    * unpartitioned window over THAT tiny relation, not a second scan
+    * of the fact table. */
+  val qSkewReport: GraftQuery = GraftQuery(
+    "q170_skew_report",
+    s"""WITH per_key AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY event_type),
+       |tot AS (
+       |  SELECT event_type, cnt,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS total
+       |  FROM per_key)
+       |SELECT event_type, cnt,
+       |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+       |  CAST((cnt * $skewParts + total - 1) // total AS INTEGER) AS salt_factor,
+       |  CAST(cnt * $skewParts > $skewFactor * total AS BOOLEAN) AS is_skewed
+       |FROM tot
+       |ORDER BY cnt DESC, event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val perKey = Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    perKey
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+      .select(col("event_type"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("share_ppm"),
+        expr(s"(cnt * $skewParts + total - 1) div total").cast("int").as("salt_factor"),
+        (col("cnt") * skewParts > col("total") * skewFactor).as("is_skewed"))
+      .orderBy(col("cnt").desc, col("event_type"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(qSaltedAgg, qSaltedJoin, qSkewReport)
 }

@@ -113,5 +113,108 @@ object ZOrder {
       .orderBy("cell")
   }
 
-  def all: Seq[GraftQuery] = Seq(qZorderCells)
+  /** (event_id, user_id, ub, tb, morton, cell) relation over events —
+    * the shared derivation for q169/q171 and the layout helpers. */
+  def eventCells(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"), col("user_id"),
+      col("user_id").bitwiseAND(lit(65535L)).as("ub"),
+      expr("unix_micros(ts) div 60000000").bitwiseAND(lit(65535L)).as("tb"))
+      .withColumn("morton", morton(col("ub"), col("tb")))
+      .withColumn("cell", shiftright(col("morton"), 16))
+
+  private val dimsCellSql: String =
+    s"""SELECT event_id, user_id,
+       |    (user_id & 65535) AS ub,
+       |    ((epoch_us(ts) // 60000000) & 65535) AS tb
+       |  FROM events""".stripMargin
+
+  /** Incremental Z-order maintenance MANIFEST — which tiles an
+    * arriving batch forces to re-cluster (the lakehouse `OPTIMIZE
+    * ZORDER` incremental form). Batch = `event_id % 5 = 4` (the q130
+    * convention); a tile is `morton >> 16` (the q169 cell, one
+    * partition directory in the maintained layout).
+    *
+    * The decision is the plan: `rewrite` tiles are read + merged +
+    * re-sorted (cost bounded by the tile's OWN rows plus its batch
+    * arrivals), `keep` tiles are never opened. At 100 TB a batch
+    * touches the handful of tiles its rows land in — maintenance I/O
+    * is proportional to the BATCH's locality footprint, not the
+    * table. [[incrementalMaintain]] executes this manifest against a
+    * cell-partitioned parquet tree with dynamic partition overwrite;
+    * ZOrderSpec proves untouched tile files stay BYTE-IDENTICAL while
+    * the read-back equals a full rebuild. */
+  val qZorderMaintenance: GraftQuery = GraftQuery(
+    "q171_zorder_maintenance",
+    s"""WITH dims AS (
+       |  $dimsCellSql),
+       |coded AS (
+       |  SELECT event_id, (${mortonSql("ub", "tb")} >> 16) AS cell
+       |  FROM dims),
+       |corpus AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM coded WHERE event_id % 5 <> 4 GROUP BY cell),
+       |batch AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM coded WHERE event_id % 5 = 4 GROUP BY cell)
+       |SELECT COALESCE(c.cell, b.cell) AS cell,
+       |  COALESCE(c.cnt, 0) AS n_corpus,
+       |  COALESCE(b.cnt, 0) AS n_batch,
+       |  COALESCE(c.cnt, 0) + COALESCE(b.cnt, 0) AS n_total,
+       |  CASE WHEN b.cnt IS NOT NULL THEN 'rewrite' ELSE 'keep' END AS action
+       |FROM corpus c FULL JOIN batch b ON c.cell = b.cell
+       |ORDER BY cell""".stripMargin) { (s, d) =>
+    val coded = eventCells(Tables.events(s, d))
+      .select(col("event_id"), col("cell"))
+    val corpus = coded.where(pmod(col("event_id"), lit(5L)) =!= 4L)
+      .groupBy("cell").agg(count(lit(1)).as("c_cnt"))
+    val batch = coded.where(pmod(col("event_id"), lit(5L)) === 4L)
+      .groupBy("cell").agg(count(lit(1)).as("b_cnt"))
+    corpus.join(batch, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("c_cnt"), lit(0L)).as("n_corpus"),
+        coalesce(col("b_cnt"), lit(0L)).as("n_batch"),
+        (coalesce(col("c_cnt"), lit(0L)) + coalesce(col("b_cnt"), lit(0L))).as("n_total"),
+        when(col("b_cnt").isNotNull, lit("rewrite")).otherwise(lit("keep")).as("action"))
+      .orderBy("cell")
+  }
+
+  /** Write a cell-partitioned, Morton-sorted layout of an
+    * events-shaped relation (columns from [[eventCells]]). One
+    * partition directory per tile; rows inside a file are in Z
+    * order. */
+  def writeLayout(coded: DataFrame, path: String): Unit =
+    coded
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "morton")
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Merge an arriving batch into an existing cell-partitioned layout,
+    * rewriting ONLY the tiles the batch touches (dynamic partition
+    * overwrite): each touched tile is read back, unioned with its
+    * arrivals, re-sorted, and replaces its own directory; every other
+    * tile's files are never opened. Returns the touched cell count. */
+  def incrementalMaintain(spark: SparkSession, path: String,
+      batchCoded: DataFrame): Long = {
+    val touched = batchCoded.select("cell").distinct()
+    val schema = "event_id BIGINT, user_id BIGINT, ub BIGINT, tb BIGINT, " +
+      "morton BIGINT, cell BIGINT"
+    val existing = spark.read.schema(schema).parquet(path)
+      .join(broadcast(touched), Seq("cell"), "left_semi")
+    val merged = existing.unionByName(batchCoded)
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "morton")
+      // materialize the merge BEFORE the overwrite truncates the very
+      // directories the plan reads (self-overwrite hazard)
+      .localCheckpoint()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.partitionBy("cell").mode("overwrite").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    touched.count()
+  }
+
+  def all: Seq[GraftQuery] = Seq(qZorderCells, qZorderMaintenance)
 }

@@ -92,4 +92,31 @@ class IvfAnnSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
     assert(a === b)
   }
+
+  test("q172: recall eval agrees with a driver-side exact/approx intersection") {
+    val recall = SparkEntry.queries("q172_ivf_recall")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(recall.keySet === (0L until 8L).toSet)
+
+    // the approx side IS q55's output — reuse it
+    val approx = SparkEntry.queries("q55_ivf_fixed_topk")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact top-3 recomputed from collected embeddings
+    val vecs = graft.sources.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    (0L until 8L).foreach { q =>
+      val exact3 = vecs.keys.filter(_ != q).toSeq
+        .map(m => (-cos(vecs(q), vecs(m)), m)).sorted.take(3).map(_._2).toSet
+      val expected = exact3.intersect(approx.getOrElse(q, Set.empty)).size
+      assert(recall(q) === expected,
+        s"query $q: n_hit ${recall(q)} != driver intersection $expected")
+    }
+  }
 }

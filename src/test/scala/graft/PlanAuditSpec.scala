@@ -221,6 +221,9 @@ class PlanAuditSpec extends SparkSpecBase {
     //    construction, the exact-gate sampling pattern.
     //  - q167: the exact and binned AUC summaries are BOTH 1-row
     //    aggregates; the final cross join stitches two single rows.
+    //  - q172: recall EVAL — the exact side is brute force over the
+    //    bounded 8-query eval sample by definition (q30's shape); the
+    //    approx side is the indexed q55 path.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -231,7 +234,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q145_stream_incremental_funnel", "q156_jl_topk",
         "q150_dsir_select", "q152_cluster_budget_mix",
         "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
-        "q166_chunk_retrieval", "q167_gate_auc")
+        "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

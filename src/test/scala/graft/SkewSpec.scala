@@ -80,4 +80,24 @@ class SkewSpec extends SparkSpecBase {
     assert(salted === plain)
     assert(salted.length === 1000) // 3 hot keys fully matched, nothing duplicated
   }
+
+  test("q170: skew report arithmetic is the exact cross-multiplied form") {
+    val rows = SparkEntry.queries("q170_skew_report")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    // ppm shares floor-sum to ≤ 1e6 and each row's derived columns
+    // recompute from (cnt, total) alone
+    assert(rows.map(_.getLong(2)).sum <= 1000000L)
+    rows.foreach { r =>
+      val cnt = r.getLong(1)
+      assert(r.getLong(2) === cnt * 1000000L / total)
+      val expectSalt = ((cnt * Skew.skewParts + total - 1) / total).toInt
+      assert(r.getInt(3) === expectSalt)
+      assert(r.getBoolean(4) === (cnt * Skew.skewParts > Skew.skewFactor * total))
+      // a salted key's per-reducer load returns to ≤ the average
+      // partition load: cnt/salt ≤ total/parts (cross-multiplied)
+      assert(cnt * Skew.skewParts <= expectSalt.toLong * total,
+        s"salt factor $expectSalt under-sized for cnt $cnt")
+    }
+  }
 }

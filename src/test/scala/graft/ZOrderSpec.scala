@@ -51,4 +51,64 @@ class ZOrderSpec extends SparkSpecBase {
     assert(metrics("zorder_box2d_scan_rows_zsorted") <=
       metrics("zorder_userbox_scan_rows_zsorted"))
   }
+
+  test("q171: maintenance rewrites only touched tiles; elsewhere byte-identical") {
+    import graft.operators.ZOrder
+    val coded = ZOrder.eventCells(graft.sources.Tables.events(spark, sf001))
+    val corpus = coded.where(pmod(col("event_id"), lit(5L)) =!= 4L)
+    val batch = coded.where(pmod(col("event_id"), lit(5L)) === 4L)
+    val incPath = graft.operators.Formats.scratchDir("graft_zorder_inc", "spec")
+    ZOrder.writeLayout(corpus, incPath)
+
+    def fileHashes(p: String): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Nil
+      walk(new java.io.File(p)).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val rel = f.getAbsolutePath.stripPrefix(p)
+        rel -> java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val before = fileHashes(incPath)
+    assert(before.nonEmpty)
+
+    val manifest = SparkEntry.queries("q171_zorder_maintenance")(spark, sf001).collect()
+    val rewriteCells = manifest.filter(_.getString(4) == "rewrite")
+      .map(_.getLong(0)).toSet
+    val keepCells = manifest.filter(_.getString(4) == "keep")
+      .map(_.getLong(0)).toSet
+    assert(rewriteCells.nonEmpty && keepCells.nonEmpty,
+      "sf0.001 must exercise both actions")
+
+    val touched = ZOrder.incrementalMaintain(spark, incPath, batch)
+    assert(touched === rewriteCells.size.toLong)
+
+    val after = fileHashes(incPath)
+    def cellOf(rel: String): Long =
+      "cell=(\\d+)".r.findFirstMatchIn(rel).get.group(1).toLong
+    // tiles the manifest marked keep: same files, same BYTES
+    val beforeKeep = before.filter(kv => keepCells(cellOf(kv._1)))
+    val afterKeep = after.filter(kv => keepCells(cellOf(kv._1)))
+    assert(beforeKeep === afterKeep, "an untouched tile's files changed")
+    // every rewrite tile got fresh files
+    rewriteCells.foreach { c =>
+      val beforeFiles = before.keySet.filter(cellOf(_) == c)
+      val afterFiles = after.keySet.filter(cellOf(_) == c)
+      assert(afterFiles.nonEmpty, s"rewritten tile $c vanished")
+      assert(beforeFiles.intersect(afterFiles).forall(f => before(f) != after(f)) ||
+        beforeFiles.intersect(afterFiles).isEmpty,
+        s"tile $c kept stale files")
+    }
+    // read-back ≡ full rebuild of corpus+batch, row for row
+    val schema = "event_id BIGINT, user_id BIGINT, ub BIGINT, tb BIGINT, " +
+      "morton BIGINT, cell BIGINT"
+    val readBack = spark.read.schema(schema).parquet(incPath)
+      .select("event_id", "morton", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expected = coded.select("event_id", "morton", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(readBack === expected)
+  }
 }
