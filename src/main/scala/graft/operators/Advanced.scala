@@ -624,9 +624,79 @@ object Advanced {
       .orderBy("user_id")
   }
 
+  /** FIRST-TOUCH ATTRIBUTION: every purchase credits the event type
+    * that OPENED its session (q20's sessionization — 3600 s gap,
+    * (ts, event_id) order) — the standard marketing-attribution query
+    * over the standard sessionize.
+    *
+    * Plan shape (the part that matters at 100 TB): THREE window
+    * passes, ONE exchange. The lag/running-sum windows partition by
+    * user_id; the first_value window partitions by (user_id,
+    * session_id) — a superset of the existing hash(user_id)
+    * clustering, so Catalyst satisfies its distribution WITHOUT a
+    * second shuffle (only a within-partition sort). No self-join of
+    * the sessioned relation: the session-opener ride-alongs on every
+    * row via first_value, and purchases filter AFTER — attribution
+    * is a scan-side derivation, not a join. Purchase values aggregate
+    * as DECIMAL (exact under any grouping order), cast to double once
+    * at the end (q41's discipline). */
+  val qFirstTouch: GraftQuery = GraftQuery(
+    "q175_first_touch_attribution",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_sec IS NULL OR ts_sec - prev_sec > 3600
+      |                 THEN 1 ELSE 0 END AS new_session
+      |  FROM ordered),
+      |sessioned AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |touched AS (
+      |  SELECT *, first_value(event_type) OVER (
+      |    PARTITION BY user_id, session_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+      |  FROM sessioned)
+      |SELECT first_touch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(COUNT(DISTINCT (user_id, session_id)) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS attributed_value
+      |FROM touched
+      |WHERE event_type = 'purchase'
+      |GROUP BY first_touch
+      |ORDER BY first_touch""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessioned = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts"), unix_timestamp(col("ts")).as("ts_sec"))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(wUser))
+      .withColumn("new_session",
+        when(col("prev_sec").isNull || col("ts_sec") - col("prev_sec") > 3600, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+    val wSession = Window.partitionBy("user_id", "session_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned
+      .withColumn("first_touch", first(col("event_type")).over(wSession))
+      .where(col("event_type") === "purchase")
+      .groupBy("first_touch")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id"), col("session_id")).as("n_sessions"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("attributed_value"))
+      .orderBy("first_touch")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
     qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention,
-    qRollingTimeWindow, qActivityStreaks)
+    qRollingTimeWindow, qActivityStreaks, qFirstTouch)
 }

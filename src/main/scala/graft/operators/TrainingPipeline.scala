@@ -633,8 +633,84 @@ object TrainingPipeline {
       .orderBy(asc_nulls_first("lang"), col("shard"))
   }
 
+  /** TEMPERATURE mixture (α = 0.5): q137 takes the per-language
+    * weights as GIVEN; the UniMax/mC4 lineage instead derives them
+    * from the corpus itself, w_l ∝ T_l^α — α < 1 flattens the natural
+    * distribution so low-resource languages keep a super-proportional
+    * share. α = 1/2 is the canonical setting AND the one that stays
+    * on the engine's exactness discipline: sqrt is IEEE
+    * correctly-rounded in both engines (unlike pow/exp, which are
+    * libm-dependent), and ⌊sqrt(T_l)·2^20⌋ is exact integer
+    * arithmetic after it (×2^20 is a power-of-two scale, floor is
+    * exact) — so the quantized weights, their sum, and the
+    * cross-multiplied gate
+    *   h · ΣW · T_l < 2^32 · B · W_l
+    * are all bit-deterministic. Products reach ~1e36 at 100 TB
+    * (h·ΣW·T_l ≈ 4e9 · 1e13 · 2.5e13) — inside DECIMAL(38,0)/HUGEINT
+    * with two digits to spare; the scaladoc'd bound is the contract.
+    *
+    * 100 TB physics: identical to q137 — one aggregate pass for the
+    * per-language totals, a |langs|-row broadcast, then a scan-fused
+    * integer gate. The temperature computation adds zero shuffles. */
+  val qTemperatureMix: GraftQuery = GraftQuery(
+    "q174_temperature_mix",
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+      |  FROM documents),
+      |tot AS (
+      |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t_lang
+      |  FROM toks GROUP BY lang),
+      |wts AS (
+      |  SELECT lang, t_lang,
+      |    CAST(FLOOR(sqrt(CAST(t_lang AS DOUBLE)) * 1048576) AS BIGINT) AS w
+      |  FROM tot),
+      |g AS (
+      |  SELECT CAST(sum(t_lang) AS BIGINT) // 2 AS budget,
+      |    CAST(sum(w) AS BIGINT) AS w_sum
+      |  FROM wts),
+      |kept AS (
+      |  SELECT t.doc_id, t.lang, t.n_tok, w.t_lang, w.w
+      |  FROM toks t JOIN wts w USING (lang) CROSS JOIN g
+      |  WHERE CAST(t.h AS HUGEINT) * CAST(g.w_sum AS HUGEINT)
+      |        * CAST(w.t_lang AS HUGEINT)
+      |      < CAST(4294967296 AS HUGEINT) * CAST(g.budget AS HUGEINT)
+      |        * CAST(w.w AS HUGEINT))
+      |SELECT lang,
+      |  max(w) AS weight_q20,
+      |  CAST(count(*) AS BIGINT) AS kept_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+      |  max(t_lang) AS total_tokens
+      |FROM kept
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      tokenCount(col("text")).cast("long").as("n_tok"),
+      gate32(col("doc_id")).as("h"))
+    val tot = toks.groupBy("lang").agg(sum("n_tok").as("t_lang"))
+    val wts = tot.withColumn("w",
+      floor(sqrt(col("t_lang").cast("double")) * 1048576L))
+    val g = wts.agg(sum("t_lang").cast("long").as("t_all"), sum("w").as("w_sum"))
+      .select(expr("t_all DIV 2").as("budget"), col("w_sum"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    toks.join(broadcast(wts), "lang")
+      .crossJoin(broadcast(g))
+      .where(dec(col("h")) * dec(col("w_sum")) * dec(col("t_lang")) <
+        dec(lit(4294967296L)) * dec(col("budget")) * dec(col("w")))
+      .groupBy("lang")
+      .agg(max("w").as("weight_q20"),
+        count(lit(1)).as("kept_docs"),
+        sum("n_tok").as("kept_tokens"),
+        max("t_lang").as("total_tokens"))
+      .select(col("lang"), col("weight_q20"), col("kept_docs"),
+        col("kept_tokens"), col("total_tokens"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
       qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
-      qCurriculumOrder, qSourceQuotaCap, qPackingAudit)
+      qCurriculumOrder, qSourceQuotaCap, qPackingAudit, qTemperatureMix)
 }

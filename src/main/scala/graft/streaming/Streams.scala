@@ -620,9 +620,69 @@ object Streams {
     streamDrift(s, d)
   }
 
+  /** STREAMING Z-ORDER INGEST: q171's tile maintenance run inside
+    * foreachBatch — the layout lifecycle's live path (build q169 →
+    * batch-maintain q171 → stream-maintain q173, mirroring the ANN
+    * index's q139→q140→q147 arc). Each arriving event micro-batch is
+    * Morton-coded and merged into the cell-partitioned base via
+    * [[graft.operators.ZOrder.incrementalMaintain]]: only the tiles
+    * the batch touches are rewritten (dynamic partition overwrite),
+    * so per-trigger write I/O is proportional to the BATCH's locality
+    * footprint — the property that keeps a continuously-maintained
+    * clustered table affordable. After the stream drains, the census
+    * over the maintained tree must hash-match q169's census over the
+    * whole corpus: streamed maintenance ≡ batch maintenance ≡ full
+    * rebuild. */
+  def streamZorderIngest(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.ZOrder
+    val basePath = graft.operators.Formats.scratchDir(
+      "graft_zorder_streambase", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(basePath)
+    val corpus = ZOrder.eventCells(graft.sources.Tables.events(spark, sfDir))
+      .where(pmod(col("event_id"), lit(5L)) =!= 4L)
+    ZOrder.writeLayout(corpus, basePath)
+    withStreamShufflePartitions(spark) {
+      val stream = (srcDir match {
+        case Some(dir) =>
+          // spec-staged copy (already µs ts, possibly re-chunked for
+          // multi-trigger runs)
+          val fileSchema = spark.read.parquet(dir).schema
+          val reader = spark.readStream.schema(fileSchema)
+          maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+          graft.sources.Tables.normalizeEventsTs(reader.parquet(dir))
+        case None => readEventsStream(spark, sfDir)
+      }).where(pmod(col("event_id"), lit(5L)) === 4L)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          ZOrder.incrementalMaintain(spark, basePath,
+            ZOrder.eventCells(batch.toDF()))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val schema = "event_id BIGINT, user_id BIGINT, ub BIGINT, tb BIGINT, " +
+      "morton BIGINT, cell BIGINT"
+    spark.read.schema(schema).parquet(basePath)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_events"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("tb").as("min_minute"), max("tb").as("max_minute"),
+        min("morton").as("min_morton"), max("morton").as("max_morton"))
+      .orderBy("cell")
+  }
+
+  val qStreamZorderIngest: GraftQuery = GraftQuery(
+    "q173_stream_zorder_ingest",
+    graft.operators.ZOrder.qZorderCells.oracle.get) { (s, d) =>
+    streamZorderIngest(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
-      qStreamCountMin, qStreamDrift)
+      qStreamCountMin, qStreamDrift, qStreamZorderIngest)
 }

@@ -176,6 +176,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(docScans > 0, "expected at least one batch-side documents scan")
   }
 
+  test("q175: three session windows share ONE user_id exchange") {
+    // the (user_id, session_id) first_value window must be satisfied
+    // by the existing hash(user_id) clustering — a second fact-table
+    // shuffle would double the query's exchange cost at 100 TB
+    val p = SparkEntry.queries("q175_first_touch_attribution")(spark, sf001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val userExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(userExchanges === 1,
+      s"expected exactly one user_id exchange, saw $userExchanges:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("session_id")),
+      "the session window must not re-shuffle on (user_id, session_id)")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) +
+      p.linesIterator.count(_.trim.startsWith("+- Window")) >= 3)
+  }
+
   test("no oracle-paired query uses a cartesian or nested-loop join") {
     // the two forms that blow up at scale; every join in the catalog
     // should be hash/broadcast/sort-merge after candidate pruning.
@@ -216,9 +233,9 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q156: q30's brute-force shape in the JL-projected space (8
     //    broadcast queries × corpus, non-equi self-exclusion); the
     //    scale path composes the projection with cell-pruned ANN.
-    //  - q150/q152/q157/q160: q137's single-aggregated-row broadcast
-    //    cross join (totals/max/budget) — a 1-row build side by
-    //    construction, the exact-gate sampling pattern.
+    //  - q150/q152/q157/q160/q174: q137's single-aggregated-row
+    //    broadcast cross join (totals/max/budget) — a 1-row build side
+    //    by construction, the exact-gate sampling pattern.
     //  - q167: the exact and binned AUC summaries are BOTH 1-row
     //    aggregates; the final cross join stitches two single rows.
     //  - q172: recall EVAL — the exact side is brute force over the
@@ -234,7 +251,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q145_stream_incremental_funnel", "q156_jl_topk",
         "q150_dsir_select", "q152_cluster_budget_mix",
         "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
-        "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall")
+        "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall",
+        "q174_temperature_mix")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

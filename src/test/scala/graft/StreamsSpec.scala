@@ -355,4 +355,21 @@ class StreamsSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSeq
     assert(streamed === batch, "streamed drift must equal batch drift")
   }
+
+  test("q173: multi-trigger z-order ingest equals the full-corpus census") {
+    // stage the batch slice as 3 files + maxFilesPerTrigger=1 → the
+    // arrivals hit incrementalMaintain across SEVERAL triggers, with
+    // later triggers re-touching tiles earlier ones rewrote
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_zorder").toString
+    graft.sources.Tables.events(spark, sf001)
+      .where(pmod(col("event_id"), lit(5L)) === 4L).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamZorderIngest(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val full = SparkEntry.queries("q169_zorder_cells")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === full,
+      "multi-trigger maintenance must converge to the full-rebuild census")
+  }
 }

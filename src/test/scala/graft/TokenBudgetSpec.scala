@@ -63,4 +63,26 @@ class TokenBudgetSpec extends SparkSpecBase {
     // split values are exactly the q110 domain
     assert(manifest.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("q174: sqrt-temperature weights flatten the natural distribution") {
+    val rows = SparkEntry.queries("q174_temperature_mix")(spark, sf001).collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      // the quantized weight recomputes from the language's own total
+      val expected = math.floor(math.sqrt(r.getLong(4).toDouble) * (1 << 20)).toLong
+      assert(r.getLong(1) === expected, s"${r.getString(0)} weight off-grid")
+      assert(r.getLong(3) <= r.getLong(4))
+    }
+    // flattening: effective keep RATE decreases as language size grows
+    // (w_l/T_l ∝ T_l^(-1/2) — bigger languages are sampled harder)
+    val bySize = rows.sortBy(_.getLong(4))
+      .map(r => (r.getLong(4), r.getLong(3).toDouble / r.getLong(4)))
+    assert(bySize.head._2 > bySize.last._2,
+      s"smallest language must keep a higher fraction: $bySize")
+    // total kept mass tracks the half-corpus budget
+    val keptTotal = rows.map(_.getLong(3)).sum
+    val corpusTotal = rows.map(_.getLong(4)).sum
+    assert(math.abs(keptTotal - corpusTotal / 2) < corpusTotal / 5,
+      s"kept=$keptTotal vs budget=${corpusTotal / 2}")
+  }
 }
