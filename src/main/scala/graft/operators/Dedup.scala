@@ -851,8 +851,80 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Integer-exponent power as an EXPLICIT square-and-multiply chain,
+    * mirrored structurally in [[powSql]]: both engines then execute
+    * the identical sequence of correctly-rounded multiplications, so
+    * the result is bit-identical — unlike pow(), whose libm varies. */
+  private def powChain(x: Column, n: Int): Column =
+    if (n == 1) x
+    else if (n % 2 == 0) { val h = powChain(x, n / 2); h * h }
+    else powChain(x, n - 1) * x
+
+  private def powSql(x: String, n: Int): String =
+    if (n == 1) x
+    else if (n % 2 == 0) { val h = powSql(x, n / 2); s"($h * $h)" }
+    else s"(${powSql(x, n - 1)} * $x)"
+
+  /** Design candidates the planner tabulates: the two schemes the
+    * catalog actually runs (4×2, 8×4) plus two sharper r=4 designs. */
+  val plannerSchemes: Seq[MinHashScheme] =
+    Seq(MinHashScheme(4, 2), MinHashScheme(8, 4),
+      MinHashScheme(16, 4), MinHashScheme(32, 8))
+
+  /** LSH S-CURVE PLANNER — the design table behind every banding
+    * choice in this file: P(candidate | jaccard j) = 1 − (1 − j^r)^b
+    * tabulated on a j-grid for each candidate scheme, with the
+    * curve's inflection (1/b)^(1/r). Choosing (r, b) IS the dedup
+    * policy decision (where the S-curve puts its cliff = which
+    * similarity level gets recalled vs filtered), and at 100 TB you
+    * make it from this table, not by re-running the corpus.
+    *
+    * Exactness discipline: j = k/20 (one correctly-rounded division),
+    * powers are explicit square-and-multiply chains (identical op
+    * sequence in both engines — pow()'s libm is NOT bit-specified),
+    * and the inflection uses nested IEEE sqrt for r ∈ {2, 4}. No
+    * table scan at all — the relation is the design grid itself. */
+  val qLshPlanner: GraftQuery = GraftQuery(
+    "q178_lsh_planner", {
+      val grid = (1 to 19).map(k => s"($k)").mkString(", ")
+      val selects = plannerSchemes.map { sch =>
+        val j = "(CAST(k AS DOUBLE) / 20)"
+        val jr = powSql(j, sch.rowsPerBand)
+        val miss = s"(CAST(1 AS DOUBLE) - $jr)"
+        val p = s"(CAST(1 AS DOUBLE) - ${powSql(miss, sch.bands)})"
+        val inflect = sch.rowsPerBand match {
+          case 2 => s"sqrt(CAST(1 AS DOUBLE) / ${sch.bands})"
+          case 4 => s"sqrt(sqrt(CAST(1 AS DOUBLE) / ${sch.bands}))"
+        }
+        s"""SELECT ${sch.numHashes} AS num_hashes, ${sch.bands} AS bands,
+           |  ${sch.rowsPerBand} AS rows_per_band,
+           |  $j AS jaccard, $p AS p_candidate, $inflect AS inflection
+           |FROM grid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH grid AS (SELECT * FROM (VALUES $grid) AS g(k))
+         |$selects
+         |ORDER BY num_hashes, bands, jaccard""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    plannerSchemes.map { sch =>
+      val grid = (1 to 19).toDF("k")
+      val j = col("k").cast("double") / 20
+      val jr = powChain(j, sch.rowsPerBand)
+      val p = lit(1.0) - powChain(lit(1.0) - jr, sch.bands)
+      val inflect = sch.rowsPerBand match {
+        case 2 => sqrt(lit(1.0) / sch.bands)
+        case 4 => sqrt(sqrt(lit(1.0) / sch.bands))
+      }
+      grid.select(
+        lit(sch.numHashes).as("num_hashes"), lit(sch.bands).as("bands"),
+        lit(sch.rowsPerBand).as("rows_per_band"),
+        j.as("jaccard"), p.as("p_candidate"), inflect.as("inflection"))
+    }.reduce(_ unionByName _)
+      .orderBy("num_hashes", "bands", "jaccard")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
-    qClusterRepresentatives, qEditDistPairs)
+    qClusterRepresentatives, qEditDistPairs, qLshPlanner)
 }

@@ -252,5 +252,52 @@ object QualityGate {
         col("npos"), col("nneg"), col("n_scores"), col("n_bins"))
   }
 
-  def all: Seq[GraftQuery] = Seq(qQualityGateScore, qGateAuc)
+  /** CALIBRATION TABLE (reliability diagram) — q167 compresses
+    * ranking power to one number; this keeps the per-bin resolution:
+    * for each 2^-4 logit bin, how many documents landed there and
+    * what fraction are actually reference-class. Monotone-increasing
+    * pos-rate across bins = the score is well-ordered; the bin
+    * straddling zero shows exactly what the q129 keep decision trades
+    * at the threshold. Counts and ppm rates are pure integers (the
+    * q170 cross-multiplied discipline) — no estimator, no doubles
+    * except none at all.
+    *
+    * 100 TB: one narrow codegen pass to (bin, label), one map-side-
+    * combined groupBy over the BOUNDED bin alphabet. Cheapest
+    * possible model-monitoring query; re-run per corpus snapshot and
+    * diffed, it is the learned-gate drift monitor (q160's role for
+    * the classifier). */
+  val qGateCalibration: GraftQuery = GraftQuery(
+    "q177_gate_calibration",
+    s"""WITH grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |scored AS (
+       |  SELECT v.doc_id,
+       |    CAST(FLOOR(($dotSql) * $aucBinScale) AS BIGINT) AS bin,
+       |    CAST(d.source = 'src0' AS BIGINT) AS label
+       |  FROM vecs v JOIN documents d ON v.doc_id = d.doc_id)
+       |SELECT bin,
+       |  CAST(bin >= 0 AS BOOLEAN) AS kept,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(label) AS BIGINT) AS n_ref,
+       |  CAST(SUM(label) * 1000000 // COUNT(*) AS BIGINT) AS ref_rate_ppm
+       |FROM scored
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        floor(logitOf(CharGramVector(col("text"), TextVector.dim)) * aucBinScale)
+          .as("bin"),
+        (col("source") === "src0").cast("bigint").as("label"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("label").as("n_ref"))
+      .select(col("bin"), (col("bin") >= 0).as("kept"), col("n_docs"),
+        col("n_ref"),
+        expr("n_ref * 1000000 div n_docs").as("ref_rate_ppm"))
+      .orderBy("bin")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qQualityGateScore, qGateAuc, qGateCalibration)
 }

@@ -470,6 +470,80 @@ object TextAdvanced {
       .limit(10)
   }
 
+  /** Candidate vocabulary sizes for the coverage curve (geometric —
+    * the testdata generator's vocabulary is deliberately tiny, so the
+    * low end is where the curve lives there; the high end is where a
+    * real corpus's would). */
+  val vocabGrid = Seq(1, 4, 16, 64, 256, 4096, 32768)
+
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-design companion to
+    * q163's fertility: what fraction of corpus token OCCURRENCES a
+    * top-k vocabulary covers, at several candidate k. The Zipf shape
+    * makes this the curve every vocab-size decision reads (how much
+    * tail becomes OOV/byte-fallback at each size).
+    *
+    * Exactness: ranks use the (cnt desc, term) total order, coverage
+    * is an integer prefix sum, and ppm is one floor division — no
+    * doubles anywhere. Grid sizes beyond the actual vocabulary
+    * saturate to full coverage (COALESCE to the corpus total).
+    *
+    * 100 TB: the corpus-sized work is ONE map-side-combined groupBy
+    * (the same Zipf-compact term relation every text query leans on);
+    * ranking + prefix sum run on the VOCABULARY relation (≪ corpus,
+    * single-task window — the q167 bounded-relation argument); the
+    * 5-row grid joins by rank equality (broadcast hash), and the
+    * 1-row totals broadcast is q63's bounded cross-join shape. */
+  val qVocabCoverage: GraftQuery = GraftQuery(
+    "q176_vocab_coverage",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+       |freq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY term),
+       |ranked AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+       |  FROM freq),
+       |cum AS (
+       |  SELECT rnk, SUM(cnt) OVER (ORDER BY rnk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+       |  FROM ranked),
+       |tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS vocab_size
+       |  FROM freq),
+       |grid AS (SELECT * FROM (VALUES ${vocabGrid.map(k => s"($k)").mkString(", ")}) AS g(k))
+       |SELECT g.k,
+       |  CAST(COALESCE(c.cum_cnt, t.total_tokens) AS BIGINT) AS covered_tokens,
+       |  t.total_tokens,
+       |  CAST(CAST(COALESCE(c.cum_cnt, t.total_tokens) AS BIGINT) * 1000000
+       |    // t.total_tokens AS BIGINT) AS coverage_ppm,
+       |  t.vocab_size
+       |FROM grid g LEFT JOIN cum c ON c.rnk = g.k CROSS JOIN tot t
+       |ORDER BY g.k""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val freq = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.orderBy(col("cnt").desc, col("term"))
+    val cum = freq
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("cum_cnt", sum("cnt").over(
+        Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rnk").as("k"), col("cum_cnt"))
+    val tot = freq.agg(sum("cnt").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    vocabGrid.toDF("k")
+      .join(cum, Seq("k"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("k"),
+        coalesce(col("cum_cnt"), col("total_tokens")).as("covered_tokens"),
+        col("total_tokens"),
+        expr("coalesce(cum_cnt, total_tokens) * 1000000 div total_tokens")
+          .as("coverage_ppm"),
+        col("vocab_size"))
+      .orderBy("k")
+  }
+
   def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,
-    qCurationPipeline, qRedact, qRepetition, qBm25, qFertility, qChunkRetrieval)
+    qCurationPipeline, qRedact, qRepetition, qBm25, qFertility, qChunkRetrieval,
+    qVocabCoverage)
 }

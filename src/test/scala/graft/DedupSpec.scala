@@ -381,4 +381,25 @@ class DedupSpec extends SparkSpecBase {
       assert(r.getInt(4) >= 0, "the -1 banding sentinel escaped")
     }
   }
+
+  test("q178: planner S-curve matches candidateProb; monotone; inflection exact") {
+    val rows = SparkEntry.queries("q178_lsh_planner")(spark, sf001).collect()
+    assert(rows.length === Dedup.plannerSchemes.length * 19)
+    rows.foreach { r =>
+      val sch = MinHashScheme(r.getInt(0), r.getInt(1))
+      // the chain form vs math.pow: same values within fp slack
+      val expected = sch.candidateProb(r.getDouble(3))
+      assert(math.abs(r.getDouble(4) - expected) < 1e-12,
+        s"$sch at j=${r.getDouble(3)}")
+      // inflection^r recovers 1/b (sqrt chains are IEEE-exact)
+      val inflect = r.getDouble(5)
+      val back = math.pow(inflect, sch.rowsPerBand.toDouble)
+      assert(math.abs(back - 1.0 / sch.bands) < 1e-12)
+    }
+    rows.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case (_, rs) =>
+      val ps = rs.sortBy(_.getDouble(3)).map(_.getDouble(4)).toSeq
+      assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+        "S-curve must be monotone in j")
+    }
+  }
 }

@@ -219,4 +219,34 @@ class TrainingPipelineSpec extends SparkSpecBase {
       assert(sizes.max - sizes.min <= 1, s"shard $shard sizes $sizes")
     }
   }
+
+  test("q176: coverage curve is monotone and saturates at the vocabulary") {
+    val rows = SparkEntry.queries("q176_vocab_coverage")(spark, sf001)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.nonEmpty)
+    val total = rows.head.getLong(2)
+    val vocab = rows.head.getLong(4)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= total)
+      assert(r.getLong(2) === total && r.getLong(4) === vocab)
+      // any k at or beyond the vocabulary covers everything
+      if (r.getInt(0) >= vocab) assert(r.getLong(1) === total)
+    }
+    val covered = rows.map(_.getLong(1)).toSeq
+    assert(covered.zip(covered.tail).forall { case (a, b) => a <= b })
+    // the curve is non-degenerate on the testdata: the smallest k
+    // covers strictly less than everything
+    assert(covered.head < total)
+  }
+
+  test("q177: calibration bins partition the corpus; rates recompute") {
+    val rows = SparkEntry.queries("q177_gate_calibration")(spark, sf001).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf001).count()
+    assert(rows.map(_.getLong(2)).sum === nDocs, "bins must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getBoolean(1) === (r.getLong(0) >= 0))
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) === r.getLong(3) * 1000000L / r.getLong(2))
+    }
+  }
 }
