@@ -596,7 +596,10 @@ object Dedup {
   /** The q77 label-derivation CTE chain (band join → jaccard verify →
     * recursive reachability → min-label), shared verbatim by q77 and
     * the representative-selection query (q161). */
-  private val componentLblCte: String =
+  /** Jaccard-verified pair CTE chain (bands → candidates → verify) —
+    * the SQL twin of [[verifiedPairs]], shared by the component and
+    * PageRank oracles. */
+  private[operators] val pairsCte: String =
     s"""$bandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -610,7 +613,19 @@ object Dedup {
        |  JOIN toks ta ON p.doc_a = ta.doc_id
        |  JOIN toks tb ON p.doc_b = tb.doc_id
        |  WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
-       |        len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9),
+       |        len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9)""".stripMargin
+
+  /** The Jaccard-verified near-dup pair relation (doc_a < doc_b),
+    * from the shared band/shingle indexes. */
+  private[operators] def verifiedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    withJaccardToks(candidatePairsFromBands(indexedBands(s, d)),
+        indexedShingleSets(s, d))
+      .where(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b")
+
+  private val componentLblCte: String =
+    s"""$pairsCte,
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -199,5 +199,75 @@ object Formats {
       .orderBy(col("lang").asc_nulls_first)
   }
 
-  def all: Seq[GraftQuery] = Seq(qJsonlRoundtrip, qPartitionedExport, qOrcRoundtrip)
+  /** DYNAMIC PARTITION PRUNING: the runtime counterpart of q135's
+    * static layout. The fact side is a lang-partitioned export; the
+    * dim side is a DATA-DEPENDENT language selection (every language
+    * except the token-heaviest) that no optimizer can constant-fold —
+    * so the partition filter on the fact scan can only exist at
+    * RUNTIME, via Spark's DPP subquery (the broadcast join's build
+    * side is re-used as the pruning filter). PlanAuditSpec pins
+    * `dynamicpruning` inside the scan's PartitionFilters: the fact
+    * table's excluded partitions are never read.
+    *
+    * Why this matters at 100 TB: "join fact to a filtered dim" is THE
+    * warehouse access pattern, and without DPP it scans the whole
+    * fact regardless of layout. With it, the partitioned layout q135
+    * buys at write time is exploited by every such join automatically
+    * — no hand-written partition predicates. Oracle: the same
+    * semantics computed straight off the unpartitioned documents
+    * table (the export is lossless, q135's proof). */
+  val qDppJoin: GraftQuery = GraftQuery(
+    "q179_dpp_join",
+    """WITH tot AS (
+      |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_lang
+      |  FROM documents GROUP BY lang),
+      |ranked AS (
+      |  SELECT lang, row_number() OVER (ORDER BY t_lang DESC, lang NULLS FIRST) AS rnk
+      |  FROM tot),
+      |keep AS (SELECT lang FROM ranked WHERE rnk >= 2)
+      |SELECT d.lang,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+      |  min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+      |FROM documents d JOIN keep USING (lang)
+      |GROUP BY d.lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val out = scratchDir("graft_dpp", d)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "",
+          raise_error(lit("q179: empty-string lang would collapse into the NULL partition")))
+          .otherwise(col("lang")).as("lang"))
+      .write.partitionBy("lang").mode("overwrite").parquet(out)
+    val fact = s.read
+      .schema("doc_id BIGINT, n_chars BIGINT, lang STRING")
+      .parquet(out)
+    // the language DIM is itself a materialized table (the lakehouse
+    // shape DPP expects: a dim SCAN under a selective comparison
+    // filter — Spark's isLikelySelective requires a BinaryComparison,
+    // a bare boolean-flag filter does not qualify), carrying each
+    // language's token-mass rank
+    val dimPath = scratchDir("graft_dpp_dim", d)
+    val tot = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .as("t_lang"))
+    tot.select(col("lang"), col("t_lang"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("t_lang").desc, col("lang").asc_nulls_first)).as("rnk"))
+      .write.mode("overwrite").parquet(dimPath)
+    // "every language except the token-heaviest": rnk >= 2
+    val keep = s.read.schema("lang STRING, t_lang BIGINT, rnk INT")
+      .parquet(dimPath)
+      .where(col("rnk") >= 2)
+      .select("lang")
+    fact.join(broadcast(keep), Seq("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qJsonlRoundtrip, qPartitionedExport, qOrcRoundtrip, qDppJoin)
 }

@@ -158,5 +158,94 @@ object StarComponents {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qComponentsStar)
+  /** Fixed iteration count and 2^20 rank scale for q180. */
+  val prIters = 8
+  val prScale = 1048576L
+  /** base = ⌊0.15·2^20⌋; the damping split is 15/100, 85/100 in
+    * integer floor arithmetic. */
+  val prBase: Long = 15L * prScale / 100L
+
+  /** INTEGER-ARITHMETIC PAGERANK over the Jaccard-verified near-dup
+    * graph (Brin-Page damping 0.85, [[prIters]] power iterations) —
+    * the authority score that picks which member of a duplicate
+    * cluster is the "canonical" copy by link structure rather than by
+    * quality logit (q161's rule). The graph is symmetric (undirected
+    * pairs), so there are no dangling nodes and every node receives
+    * mass each round.
+    *
+    * The exactness trick: ranks live on the 2^-20 integer grid and
+    * EVERY operation is integer — contribution = r div deg, update =
+    * base + (85·Σcontrib) div 100. Floor-division PageRank converges
+    * to the same ordering as the real-valued iteration (errors are
+    * bounded by deg·2^-20 per round) while being bit-reproducible
+    * under ANY partitioning and in DuckDB, whose oracle UNROLLS the
+    * [[prIters]] iterations as chained CTEs (recursive CTEs cannot
+    * aggregate over the recursive reference — unrolling is the
+    * standard-SQL spelling of a fixed-depth loop).
+    *
+    * 100 TB: per-iteration cost is one edges⋈ranks hash join + one
+    * groupBy, both keyed and bounded by |E|; lineage is truncated per
+    * round (localCheckpoint, the q133 discipline); iteration count is
+    * FIXED — an ordering-stability convergence test would add a
+    * per-round driver sync for no semantic gain at 8 rounds. */
+  val qPageRank: GraftQuery = GraftQuery(
+    "q180_pagerank", {
+      val base = s"""edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY a),
+         |it0 AS (SELECT node, CAST($prScale AS BIGINT) AS r FROM deg)""".stripMargin
+      val its = (1 to prIters).map { k =>
+        s"""it$k AS (
+           |  SELECT e.b AS node,
+           |    CAST($prBase + (85 * CAST(SUM(p.r // d.deg) AS BIGINT)) // 100 AS BIGINT) AS r
+           |  FROM edges e
+           |  JOIN it${k - 1} p ON e.a = p.node
+           |  JOIN deg d ON d.node = e.a
+           |  GROUP BY e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.pairsCte},
+         |$base,
+         |$its
+         |SELECT i.node AS doc_id, d.deg, i.r AS rank_q20
+         |FROM it$prIters i JOIN deg d ON d.node = i.node
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    pageRankInt(Dedup.verifiedPairs(s, d), prIters)
+      .select(col("node").as("doc_id"), col("deg"), col("r").as("rank_q20"))
+      .orderBy("doc_id")
+  }
+
+  /** The integer power iteration behind q180, reusable on any
+    * (doc_a, doc_b) pair relation. Returns (node, deg, r). */
+  def pageRankInt(pairs: DataFrame, iters: Int = prIters): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "a").persist()
+    edgesDeg.count()
+    val release = org.apache.spark.sql.graftshim.Checkpoints.release _
+    var ranks = deg.select(col("a").as("node"), lit(prScale).as("r"))
+      .localCheckpoint()
+    try {
+      (1 to iters).foreach { _ =>
+        val next = edgesDeg.join(ranks, col("a") === col("node"))
+          .select(col("b"), expr("r div deg").as("contrib"))
+          .groupBy("b")
+          .agg(sum("contrib").as("s"))
+          .select(col("b").as("node"),
+            (lit(prBase) + expr("85 * s div 100")).as("r"))
+          .localCheckpoint()
+        release(ranks)
+        ranks = next
+      }
+      // the final checkpointed generation rides into the caller's plan
+      // (blocks bounded by the node set, freed with the session); the
+      // intermediate generations were released eagerly above
+      ranks.join(deg.select(col("a").as("node"), col("deg")), "node")
+    } finally edgesDeg.unpersist(): Unit
+  }
+
+  def all: Seq[GraftQuery] = Seq(qComponentsStar, qPageRank)
 }

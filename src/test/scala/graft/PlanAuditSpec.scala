@@ -176,6 +176,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(docScans > 0, "expected at least one batch-side documents scan")
   }
 
+  test("q179: fact scan carries a dynamic partition pruning filter") {
+    // the dim-side language selection is data-dependent, so the only
+    // way the fact scan can skip partitions is Spark's runtime DPP
+    // subquery — assert it is actually planned into PartitionFilters
+    val p = SparkEntry.queries("q179_dpp_join")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic pruning expression on the partitioned scan:\n${p.take(4000)}")
+  }
+
   test("q175: three session windows share ONE user_id exchange") {
     // the (user_id, session_id) first_value window must be satisfied
     // by the existing hash(user_id) clustering — a second fact-table
@@ -238,6 +248,8 @@ class PlanAuditSpec extends SparkSpecBase {
     //    by construction, the exact-gate sampling pattern.
     //  - q167: the exact and binned AUC summaries are BOTH 1-row
     //    aggregates; the final cross join stitches two single rows.
+    //  - q176: the 1-row (total_tokens, vocab_size) aggregate is
+    //    cross-joined onto the 7-row k-grid (q63's bounded shape).
     //  - q172: recall EVAL — the exact side is brute force over the
     //    bounded 8-query eval sample by definition (q30's shape); the
     //    approx side is the indexed q55 path.
@@ -252,7 +264,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q150_dsir_select", "q152_cluster_budget_mix",
         "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
         "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall",
-        "q174_temperature_mix")
+        "q174_temperature_mix", "q176_vocab_coverage")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

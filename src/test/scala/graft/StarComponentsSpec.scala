@@ -88,4 +88,33 @@ class StarComponentsSpec extends SparkSpecBase {
     assert(a.nonEmpty)
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("q180: integer PageRank matches a driver recomputation on a planted star") {
+    // hub 0 with 6 leaves plus a detached pair (8, 9)
+    val pairs = pairsDf((1L to 6L).map(l => (0L, l)) :+ (8L, 9L))
+    val got = StarComponents.pageRankInt(pairs, StarComponents.prIters)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("deg"), r.getAs[Long]("r")))
+      .toMap
+
+    // independent reference: the same integer recurrence, in Scala
+    val edges = ((1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))) ++
+      Seq((8L, 9L), (9L, 8L)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> StarComponents.prScale).toMap
+    (1 to StarComponents.prIters).foreach { _ =>
+      r = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        r(u) / deg(u)
+      }.sum).toMap.map { case (n, s) =>
+        n -> (StarComponents.prBase + 85L * s / 100L)
+      }
+    }
+    got.foreach { case (n, (d, rank)) =>
+      assert(d === deg(n))
+      assert(rank === r(n), s"node $n: query $rank != reference ${r(n)}")
+    }
+    // the hub dominates every leaf; the detached pair sits between
+    assert(got(0L)._2 > got(8L)._2 && got(8L)._2 > got(1L)._2,
+      s"authority ordering violated: ${got.toSeq.sortBy(_._1)}")
+  }
 }
