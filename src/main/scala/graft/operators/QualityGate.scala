@@ -299,5 +299,74 @@ object QualityGate {
       .orderBy("bin")
   }
 
-  def all: Seq[GraftQuery] = Seq(qQualityGateScore, qGateAuc, qGateCalibration)
+  /** CROSS-SOURCE SCORE NORMALIZATION: each document's quality logit
+    * mapped to its exact percentile WITHIN its source (integer ppm) —
+    * the calibration step before mixing sources whose raw score
+    * distributions differ (a web source's logits are not comparable
+    * to a curated source's; percentiles are). pct_ppm =
+    * (rank−1)·10⁶ div (n−1), with the degenerate single-doc source
+    * pinned to 500000.
+    *
+    * The SCALE story is the ranking itself: a per-source window would
+    * put each whole source on ONE task (the q175 exchange is fine,
+    * per-source total order is not). Instead the q148 two-level
+    * trick, applied to scores: shard each source by the logit's OWN
+    * 2^-4 bin (a PREFIX of the sort order, so shards are value
+    * ranges), rank within (source, bin) windows — bounded partitions
+    * — and recover the exact source-wide rank by adding the
+    * cumulative count of earlier bins (a bounded per-(source, bin)
+    * histogram, broadcast back). The oracle states the semantics as
+    * the plain per-source row_number; the hash match proves the
+    * decomposition is exact. */
+  val qScoreNormalize: GraftQuery = GraftQuery(
+    "q181_score_normalize",
+    s"""WITH grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |scored AS (
+       |  SELECT v.doc_id, d.source, $dotSql AS logit
+       |  FROM vecs v JOIN documents d ON v.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, source, logit,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY logit, doc_id) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM scored)
+       |SELECT doc_id, source, logit,
+       |  CAST(rnk AS BIGINT) AS src_rank,
+       |  CAST(CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+       |            ELSE 500000 END AS BIGINT) AS pct_ppm
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        logitOf(CharGramVector(col("text"), TextVector.dim)).as("logit"))
+      .withColumn("bin", floor(col("logit") * aucBinScale))
+    // bounded per-(source, bin) histogram → cumulative offset of all
+    // EARLIER bins within the source
+    val wOffset = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy("source", "bin")
+      .agg(count(lit(1)).as("bin_n"))
+      .withColumn("offset", coalesce(sum("bin_n").over(wOffset), lit(0L)))
+      .select(col("source"), col("bin"), col("offset"))
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("n"))
+    val wLocal = Window.partitionBy("source", "bin")
+      .orderBy(col("logit"), col("doc_id"))
+    scored
+      .withColumn("local_rnk", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("source", "bin"))
+      .join(broadcast(totals), Seq("source"))
+      .select(col("doc_id"), col("source"), col("logit"),
+        (col("offset") + col("local_rnk")).as("src_rank"),
+        when(col("n") > 1,
+          expr("(offset + local_rnk - 1) * 1000000 div (n - 1)"))
+          .otherwise(lit(500000L)).as("pct_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qQualityGateScore, qGateAuc, qGateCalibration, qScoreNormalize)
 }

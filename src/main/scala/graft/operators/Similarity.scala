@@ -598,7 +598,101 @@ object Similarity {
       .orderBy("vec_batch", "vec_corpus")
   }
 
+  /** EMBEDDING-SPACE DRIFT between two corpus snapshots (vec_id
+    * parity plays the two snapshots, the q130 convention): cosine
+    * between the SUM vectors of each half's int8-quantized
+    * embeddings — q160 watches the token distribution, this watches
+    * the representation distribution (the signal that the embedding
+    * of arriving data is shifting away from the corpus the ANN
+    * index/centroids were built on).
+    *
+    * Why int8 sums: float sums are order-dependent (a mean vector is
+    * NOT reproducible under re-partitioning), but the q85 integer
+    * codes sum exactly in any order. Per-dim sums stay < 127·n
+    * (overflows BIGINT only past ~10^16 vectors); the dot/norm
+    * products run in DECIMAL(38,0)/HUGEINT and the outputs are
+    * cast back to BIGINT (exact up to ~10^9 vectors at 64 dims —
+    * scaladoc'd contract, widen the output type past that).
+    *
+    * Plan: posexplode to (half, dim, code) — the exchange carries
+    * 64·2 partial-sum rows per map partition, NOT 64·n rows
+    * (map-side combine); the final join+dot runs on two 64-row
+    * relations. drift_cos is the only double: one division by a
+    * sqrt of an exact product.
+    *
+    * Reading the statistic: real encoder embeddings are anisotropic
+    * (mean far from the origin), so same-distribution snapshots
+    * score drift_cos ≈ 1 and drift pulls it down. The SYNTHETIC
+    * testdata is zero-centered, so its half-sums are independent
+    * random walks and the baseline sits near 0 — the oracle checks
+    * the arithmetic, not an alert threshold. */
+  val qEmbeddingDrift: GraftQuery = GraftQuery(
+    "q182_embedding_drift",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, e,
+      |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127 AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id % 2 AS half,
+      |    list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS codes
+      |  FROM s),
+      |dims AS (
+      |  SELECT half, CAST(t.i AS INTEGER) AS dim,
+      |    codes[CAST(t.i AS INTEGER) + 1] AS c
+      |  FROM q, range(64) t(i)),
+      |sums AS (
+      |  SELECT half, dim, CAST(SUM(c) AS BIGINT) AS sv
+      |  FROM dims GROUP BY half, dim),
+      |joined AS (
+      |  SELECT a.dim, a.sv AS sa, b.sv AS sb
+      |  FROM sums a JOIN sums b ON a.dim = b.dim
+      |  WHERE a.half = 0 AND b.half = 1),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT)) AS BIGINT) AS dot,
+      |    CAST(SUM(CAST(sa AS HUGEINT) * CAST(sa AS HUGEINT)) AS BIGINT) AS na2,
+      |    CAST(SUM(CAST(sb AS HUGEINT) * CAST(sb AS HUGEINT)) AS BIGINT) AS nb2
+      |  FROM joined),
+      |counts AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM embeddings)
+      |SELECT c.n_a, c.n_b, a.dot, a.na2, a.nb2,
+      |  CAST(a.dot AS DOUBLE) / sqrt(CAST(a.na2 AS DOUBLE) * CAST(a.nb2 AS DOUBLE))
+      |    AS drift_cos
+      |FROM agg a CROSS JOIN counts c""".stripMargin) { (s, d) =>
+    val codes = Tables.embeddings(s, d)
+      .select(pmod(col("vec_id"), lit(2L)).as("half"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("codes", int8Codes(col("e"), int8Scale(col("e"))))
+    val sums = codes
+      .select(col("half"), posexplode(col("codes")))
+      .groupBy(col("half"), col("pos").as("dim"))
+      .agg(sum("col").as("sv"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val agg = sums.where(col("half") === 0)
+      .select(col("dim"), col("sv").as("sa"))
+      .join(sums.where(col("half") === 1)
+        .select(col("dim"), col("sv").as("sb")), "dim")
+      .agg(
+        sum(dec(col("sa")) * dec(col("sb"))).cast("long").as("dot"),
+        sum(dec(col("sa")) * dec(col("sa"))).cast("long").as("na2"),
+        sum(dec(col("sb")) * dec(col("sb"))).cast("long").as("nb2"))
+    val counts = Tables.embeddings(s, d)
+      .agg(sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L)).as("n_b"))
+    agg.crossJoin(broadcast(counts))   // two 1-row aggregates
+      .select(col("n_a"), col("n_b"), col("dot"), col("na2"), col("nb2"),
+        (col("dot").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .as("drift_cos"))
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qSimTopK, qSimLshBuckets, qSimLshTopK, qEmbeddingNearDup, qQuantizeInt8,
-      qInt8PrefilterTopK, qSimMultiProbeTopK, qEmbeddingBatchVsCorpus)
+      qInt8PrefilterTopK, qSimMultiProbeTopK, qEmbeddingBatchVsCorpus,
+      qEmbeddingDrift)
 }

@@ -250,6 +250,8 @@ class PlanAuditSpec extends SparkSpecBase {
     //    aggregates; the final cross join stitches two single rows.
     //  - q176: the 1-row (total_tokens, vocab_size) aggregate is
     //    cross-joined onto the 7-row k-grid (q63's bounded shape).
+    //  - q182: the drift dot-product row and the half-counts row are
+    //    both 1-row aggregates (q167's stitch).
     //  - q172: recall EVAL — the exact side is brute force over the
     //    bounded 8-query eval sample by definition (q30's shape); the
     //    approx side is the indexed q55 path.
@@ -264,7 +266,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q150_dsir_select", "q152_cluster_budget_mix",
         "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
         "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall",
-        "q174_temperature_mix", "q176_vocab_coverage")
+        "q174_temperature_mix", "q176_vocab_coverage",
+        "q182_embedding_drift")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

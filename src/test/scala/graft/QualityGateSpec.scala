@@ -74,6 +74,22 @@ class QualityGateSpec extends SparkSpecBase {
       s"binned AUC $aucBinned too far from exact $aucExact")
   }
 
+  test("q181: two-level rank decomposition equals a driver-side per-source sort") {
+    val rows = SparkEntry.queries("q181_score_normalize")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(1))
+    bySource.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getDouble(2), r.getLong(0)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(3) === i + 1L,
+          s"doc ${r.getLong(0)}: rank ${r.getLong(3)} != ${i + 1}")
+        val n = rs.length.toLong
+        val expected = if (n > 1) i.toLong * 1000000L / (n - 1) else 500000L
+        assert(r.getLong(4) === expected)
+      }
+    }
+  }
+
   test("q167 gate AUC is strong on the fit corpus (sf0.01)") {
     // the weights are the sf0.01 fit, so ranking power is asserted
     // THERE; sf0.001's 500 docs are out-of-domain for the classifier

@@ -193,4 +193,29 @@ class SimilaritySpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(mt === legacy)
   }
+
+  test("q182: drift sums recompute from driver-side int8 quantization") {
+    val row = SparkEntry.queries("q182_embedding_drift")(spark, sf001).collect().head
+    val vecs = graft.sources.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def codes(e: Array[Double]): Array[Long] = {
+      val scale = math.max(e.map(math.abs).max, 1e-30) / 127
+      e.map(x => math.floor(x / scale + 0.5).toLong)
+    }
+    val dim = vecs.head._2.length
+    val sa = new Array[Long](dim); val sb = new Array[Long](dim)
+    vecs.foreach { case (id, e) =>
+      val c = codes(e)
+      val t = if (id % 2 == 0) sa else sb
+      c.indices.foreach(i => t(i) += c(i))
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    assert(row.getAs[Long]("dot") === dot(sa, sb))
+    assert(row.getAs[Long]("na2") === dot(sa, sa))
+    assert(row.getAs[Long]("nb2") === dot(sb, sb))
+    assert(row.getAs[Long]("n_a") === vecs.count(_._1 % 2 == 0).toLong)
+    assert(math.abs(row.getAs[Double]("drift_cos")) <= 1.0)
+  }
 }
