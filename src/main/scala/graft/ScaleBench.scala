@@ -917,8 +917,61 @@ object ScaleBench {
     vecs.unpersist()
 
     out ++= zorderProbe(spark, sfDir, 4000000, 256)
+    out ++= rankProbe(spark, 8000000)
 
     out.toSeq
+  }
+
+  /** q181's two-level rank vs the naive per-source window, at a scale
+    * where the skew bites: 2M rows, 80% in ONE source. The naive
+    * window puts the hot source's 1.6M rows on a single task; the
+    * two-level form ranks in bounded (source, bin) windows and adds
+    * bin-histogram offsets. Both must produce the IDENTICAL global
+    * rank sum (exactness check rides along). */
+  private[graft] def rankProbe(spark: SparkSession, n: Int): Seq[(String, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = spark.range(n.toLong).select(
+      col("id"),
+      when(pmod(col("id"), lit(10L)) < 8, lit("s0"))
+        .otherwise(concat(lit("s"), pmod(col("id"), lit(10L)) - lit(6L))).as("source"),
+      (pmod(col("id") * 2654435761L + 11L, lit(1048576L)).cast("double") / 16)
+        .as("logit"))
+      .persist()
+    rows.count()
+    // rank-ASSIGNMENT checksum: Σ r·(id mod p) in DECIMAL(38,0) (a
+    // plain Σr is permutation-invariant and would not detect a wrong
+    // assignment; longs overflow past ~4M rows)
+    def checksum(ranked: DataFrame): String =
+      ranked.agg(sum(col("r").cast("decimal(38,0)") *
+          pmod(col("id"), lit(1000003L)).cast("decimal(38,0)")))
+        .first().getDecimal(0).toPlainString
+    def naive(): String = checksum(rows.withColumn("r",
+      row_number().over(Window.partitionBy("source").orderBy("logit", "id"))))
+    def twoLevel(): String = {
+      val binned = rows.withColumn("bin", floor(col("logit") * 16))
+      val wOff = Window.partitionBy("source").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = binned.groupBy("source", "bin")
+        .agg(count(lit(1)).as("bin_n"))
+        .withColumn("offset", coalesce(sum("bin_n").over(wOff), lit(0L)))
+        .select("source", "bin", "offset")
+      val wLoc = Window.partitionBy("source", "bin").orderBy("logit", "id")
+      checksum(binned.withColumn("lr", row_number().over(wLoc))
+        .join(broadcast(offsets), Seq("source", "bin"))
+        .withColumn("r", col("offset") + col("lr")))
+    }
+    // warm once, time once: the gap is >2x at 8M — medians would add
+    // ~40 s of probe time for no extra signal
+    val c1 = naive()
+    val tNaive = time(naive())._2
+    val c2 = twoLevel()
+    val tTwo = time(twoLevel())._2
+    rows.unpersist()
+    Seq(
+      "rank_rows" -> n.toDouble,
+      "rank_naive_sec" -> tNaive,
+      "rank_twolevel_sec" -> tTwo,
+      "rank_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
   }
 
   /** Z-order layout A/B: the same synthetic (user, minute) event rows
@@ -1002,18 +1055,20 @@ object ScaleBench {
   }
 
   /** Standalone entry for local iteration; Bench embeds run() output.
-    * `zorder` as the first arg runs only the layout probe (dev loop). */
+    * `zorder`/`rank` as the first arg runs only that probe (dev loop). */
   def main(args: Array[String]): Unit = {
-    val zorderOnly = args.headOption.contains("zorder")
-    val rest = if (zorderOnly) args.drop(1) else args
+    val mode = args.headOption.filter(Set("zorder", "rank")).getOrElse("full")
+    val rest = if (mode != "full") args.drop(1) else args
     val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.1"
     val tDocs = if (rest.length > 1) rest(1).toInt else 100000
     val tVecs = if (rest.length > 2) rest(2).toInt else 100000
     val spark = graft.spark.Sessions.local("graft-scalebench",
       graft.spark.Sessions.defaultCores)
-    val metrics =
-      if (zorderOnly) zorderProbe(spark, sfDir, 4000000, 256)
-      else run(spark, sfDir, tDocs, tVecs)
+    val metrics = mode match {
+      case "zorder" => zorderProbe(spark, sfDir, 4000000, 256)
+      case "rank" => rankProbe(spark, sys.env.get("SPARK_GRAFT_RANK_N").map(_.toInt).getOrElse(2000000))
+      case _ => run(spark, sfDir, tDocs, tVecs)
+    }
     println(metrics.map { case (k, v) => s""""$k":$v""" }
       .mkString("SCALE {", ",", "}"))
     spark.stop()

@@ -153,5 +153,63 @@ object ModelQueries {
     }
   }
 
-  def all: Seq[GraftQuery] = Seq(qIncrementalModel, qScd2Snapshot)
+  /** PARTIAL-AGGREGATE BACKFILL — the incremental-ETL pattern for
+    * time rollups: a standing daily aggregate table absorbs a late
+    * batch (event_id % 5 = 4, the q130 convention) by MERGING
+    * partials — count and decimal-sum are decomposable, so touched
+    * days need base_agg(day) ⊕ late_agg(day), never a rescan of the
+    * base events. q87 refreshes an incremental MODEL by key; this is
+    * the same contract for additive rollups, where merge beats
+    * upsert: no day is recomputed from raw data at all.
+    *
+    * The oracle is the FULL recompute over all events — the hash
+    * match is the proof that merge-of-partials ≡ recompute, exactly
+    * (decimal addition is exact under any merge order). PlanAuditSpec
+    * pins that the returned plan scans events.parquet ONCE (the late
+    * slice; the base side reads the materialized aggregate table).
+    *
+    * 100 TB: the standing agg table is |days| rows; the merge join is
+    * agg-sized; backfill I/O is the late batch plus the agg table —
+    * independent of the base corpus size. */
+  val qAggBackfill: GraftQuery = GraftQuery(
+    "q183_agg_backfill",
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_id,
+      |    CAST(value AS DECIMAL(14,2)) AS v
+      |  FROM events),
+      |full_agg AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(v) AS DOUBLE) AS sum_value
+      |  FROM ev GROUP BY day),
+      |late_days AS (SELECT DISTINCT day FROM ev WHERE event_id % 5 = 4)
+      |SELECT f.day, f.n_events, f.sum_value,
+      |  CAST(l.day IS NOT NULL AS BOOLEAN) AS touched
+      |FROM full_agg f LEFT JOIN late_days l ON f.day = l.day
+      |ORDER BY f.day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(
+      to_date(col("ts")).as("day"), col("event_id"),
+      col("value").cast("decimal(14,2)").as("v"))
+    // the standing aggregate table: materialized once from the base
+    // slice (a real backfill reads it from storage, so write + read it)
+    val aggPath = Formats.scratchDir("graft_agg_backfill", d)
+    ev.where(pmod(col("event_id"), lit(5L)) =!= 4L)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .write.mode("overwrite").parquet(aggPath)
+    val base = s.read.schema("day DATE, n BIGINT, sv DECIMAL(24,2)")
+      .parquet(aggPath)
+    val late = ev.where(pmod(col("event_id"), lit(5L)) === 4L)
+      .groupBy("day")
+      .agg(count(lit(1)).as("l_n"), sum("v").as("l_sv"))
+    base.join(late, Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("l_n"), lit(0L))).as("n_events"),
+        (coalesce(col("sv"), lit(BigDecimal(0)).cast("decimal(24,2)")) +
+          coalesce(col("l_sv"), lit(BigDecimal(0)).cast("decimal(24,2)")))
+          .cast("double").as("sum_value"),
+        col("l_n").isNotNull.as("touched"))
+      .orderBy("day")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill)
 }

@@ -176,6 +176,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(docScans > 0, "expected at least one batch-side documents scan")
   }
 
+  test("q183: backfill merge scans raw events ONCE (the late slice only)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the whole point of partial-aggregate merge: the base side reads
+    // the materialized agg table, never the base events
+    val phys = SparkEntry.queries("q183_agg_backfill")(spark, sf001)
+      .queryExecution.sparkPlan
+    val eventScans = phys.collectWithSubqueries {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(_.toString.contains("events.parquet")) => sc
+    }
+    assert(eventScans.size === 1,
+      s"expected exactly one raw events scan, saw ${eventScans.size}")
+  }
+
   test("q179: fact scan carries a dynamic partition pruning filter") {
     // the dim-side language selection is data-dependent, so the only
     // way the fact scan can skip partitions is Spark's runtime DPP
