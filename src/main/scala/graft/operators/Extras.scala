@@ -381,8 +381,74 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** WINSORIZED robust aggregates: per event_type, clip values to the
+    * exact [p05, p95] ORDER STATISTICS (q98's cume_dist selection —
+    * discrete quantiles are actual data values, engine-identical;
+    * interpolated quantiles are not) and report the clipped mean with
+    * clip counts. The standard outlier-robust rollup for metrics
+    * pipelines where a few bad rows (sensor spikes, test events)
+    * would otherwise own the mean.
+    *
+    * Exactness: bound selection compares raw doubles (IEEE-stable),
+    * clipped values aggregate as DECIMAL (exact in any order), and
+    * the mean is one final double division. Plan: one per-type window
+    * for cume_dist, a bounds broadcast back onto the scan, one hash
+    * aggregate. Per-type windows put a whole type on one task — fine
+    * for bounded type alphabets; a high-cardinality flavor would use
+    * q181's two-level decomposition. */
+  val qWinsorize: GraftQuery = GraftQuery(
+    "q184_winsorize",
+    """WITH cd AS (
+      |  SELECT event_type, value,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      |  FROM events),
+      |bounds AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cd >= 0.05 THEN value END) AS lo,
+      |    MIN(CASE WHEN cd >= 0.95 THEN value END) AS hi
+      |  FROM cd GROUP BY event_type),
+      |clipped AS (
+      |  SELECT e.event_type, b.lo, b.hi,
+      |    CAST(CASE WHEN e.value < b.lo THEN b.lo
+      |              WHEN e.value > b.hi THEN b.hi
+      |              ELSE e.value END AS DECIMAL(14,2)) AS cv,
+      |    CAST(e.value < b.lo AS BIGINT) AS is_lo,
+      |    CAST(e.value > b.hi AS BIGINT) AS is_hi
+      |  FROM events e JOIN bounds b USING (event_type))
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(lo) AS p05, MAX(hi) AS p95,
+      |  CAST(SUM(is_lo) AS BIGINT) AS clipped_lo,
+      |  CAST(SUM(is_hi) AS BIGINT) AS clipped_hi,
+      |  CAST(SUM(cv) AS DOUBLE) / COUNT(*) AS winsor_mean
+      |FROM clipped
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val bounds = Tables.events(s, d)
+      .select(col("event_type"), col("value"), cume_dist().over(w).as("cd"))
+      .groupBy("event_type")
+      .agg(min(when(col("cd") >= 0.05, col("value"))).as("lo"),
+        min(when(col("cd") >= 0.95, col("value"))).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("lo"), col("hi"),
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")).cast("decimal(14,2)").as("cv"),
+        (col("value") < col("lo")).cast("bigint").as("is_lo"),
+        (col("value") > col("hi")).cast("bigint").as("is_hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("lo").as("p05"), max("hi").as("p95"),
+        sum("is_lo").as("clipped_lo"), sum("is_hi").as("clipped_hi"),
+        (sum("cv").cast("double") / count(lit(1))).as("winsor_mean"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
-    qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic)
+    qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize)
 }

@@ -367,6 +367,74 @@ object QualityGate {
       .orderBy("doc_id")
   }
 
+  /** PER-FOLD AUC: q167's binned rank-sum evaluated independently on
+    * the five doc_id-mod folds — the variance check behind a single
+    * headline AUC (a gate whose fold AUCs disagree wildly is fit to
+    * noise, whatever its pooled number says). Folds are deterministic
+    * (doc_id % 5, the corpus's own split convention), the estimator
+    * is the BOUNDED-state binned form only (the one a 100 TB eval
+    * keeps, per q167's scaladoc), and everything is integer except
+    * each fold's one final division.
+    *
+    * Plan: one narrow pass to (fold, bin, label), a map-side-combined
+    * groupBy over fold × bin (bounded alphabet), a cumulative window
+    * PARTITIONED BY FOLD over that bounded relation, five-row
+    * output. */
+  val qGateFoldAuc: GraftQuery = GraftQuery(
+    "q185_gate_fold_auc",
+    s"""WITH grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |scored AS (
+       |  SELECT CAST('0x' || substring(md5(CAST(v.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold,
+       |    CAST(FLOOR(($dotSql) * $aucBinScale) AS BIGINT) AS bin,
+       |    CAST(d.source = 'src0' AS BIGINT) AS label
+       |  FROM vecs v JOIN documents d ON v.doc_id = d.doc_id),
+       |by_bin AS (
+       |  SELECT fold, bin,
+       |    CAST(SUM(label) AS BIGINT) AS pos_at,
+       |    CAST(SUM(1 - label) AS BIGINT) AS neg_at
+       |  FROM scored GROUP BY fold, bin),
+       |cum AS (
+       |  SELECT fold, pos_at, neg_at,
+       |    CAST(COALESCE(SUM(neg_at) OVER (PARTITION BY fold ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+       |  FROM by_bin)
+       |SELECT fold,
+       |  CAST(SUM(pos_at) AS BIGINT) AS npos,
+       |  CAST(SUM(neg_at) AS BIGINT) AS nneg,
+       |  CAST(COUNT(*) AS INTEGER) AS n_bins,
+       |  CASE WHEN SUM(pos_at) = 0 OR SUM(neg_at) = 0 THEN NULL
+       |       ELSE CAST(SUM(pos_at * (2 * neg_below + neg_at)) AS DOUBLE) /
+       |            CAST(2 * SUM(pos_at) * SUM(neg_at) AS DOUBLE) END AS auc_binned
+       |FROM cum
+       |GROUP BY fold
+       |ORDER BY fold""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byBin = Tables.documents(s, d)
+      .select(pmod(TrainingPipeline.gate32(col("doc_id")), lit(5L)).as("fold"),
+        floor(logitOf(CharGramVector(col("text"), TextVector.dim)) * aucBinScale)
+          .as("bin"),
+        (col("source") === "src0").cast("bigint").as("label"))
+      .groupBy("fold", "bin")
+      .agg(sum("label").as("pos_at"), sum(lit(1L) - col("label")).as("neg_at"))
+    val w = Window.partitionBy("fold").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byBin
+      .withColumn("neg_below", coalesce(sum("neg_at").over(w), lit(0L)))
+      .groupBy("fold")
+      .agg(sum("pos_at").as("npos"), sum("neg_at").as("nneg"),
+        count(lit(1)).cast("int").as("n_bins"),
+        when(sum("pos_at") === 0 || sum("neg_at") === 0, lit(null).cast("double"))
+          .otherwise(
+            sum(col("pos_at") * (col("neg_below") * 2 + col("neg_at"))).cast("double") /
+              (sum("pos_at") * sum("neg_at") * 2).cast("double"))
+          .as("auc_binned"))
+      .orderBy("fold")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qQualityGateScore, qGateAuc, qGateCalibration, qScoreNormalize)
+    Seq(qQualityGateScore, qGateAuc, qGateCalibration, qScoreNormalize,
+      qGateFoldAuc)
 }

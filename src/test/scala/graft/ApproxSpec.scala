@@ -12,4 +12,28 @@ class ApproxSpec extends SparkSpecBase {
         s"flag=${r.getString(0)} approx=$approx exact=$exact")
     }
   }
+
+  test("q184: winsorized stats recompute from a driver-side sort") {
+    val rows = SparkEntry.queries("q184_winsorize")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val vals = graft.sources.Tables.events(spark, sf001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    rows.foreach { r =>
+      val (tpe, n) = (r.getString(0), r.getLong(1))
+      val vs = vals(tpe)
+      assert(n === vs.length.toLong)
+      // cume_dist >= q picks the ceil(q*n)-th order statistic
+      def disc(q: Double): Double = vs(math.ceil(q * vs.length).toInt - 1)
+      val (lo, hi) = (disc(0.05), disc(0.95))
+      assert(r.getDouble(2) === lo && r.getDouble(3) === hi)
+      assert(r.getLong(4) === vs.count(_ < lo).toLong)
+      assert(r.getLong(5) === vs.count(_ > hi).toLong)
+      val mean = vs.map(v => BigDecimal(math.max(lo, math.min(hi, v)))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum / vs.length
+      assert(math.abs(r.getDouble(6) - mean.toDouble) < 1e-9,
+        s"$tpe winsor_mean ${r.getDouble(6)} vs $mean")
+    }
+  }
 }

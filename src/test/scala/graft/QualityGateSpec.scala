@@ -90,6 +90,23 @@ class QualityGateSpec extends SparkSpecBase {
     }
   }
 
+  test("q185: folds partition the corpus; per-fold AUCs are well-formed") {
+    val rows = SparkEntry.queries("q185_gate_fold_auc")(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (0L to 4L).toSeq)
+    val nDocs = graft.sources.Tables.documents(spark, sf001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === nDocs)
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val auc = r.getDouble(4)
+        assert(auc >= 0.0 && auc <= 1.0)
+        assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      } else assert(r.getLong(1) == 0 || r.getLong(2) == 0)
+    }
+    // hash folds are not confounded with the source label: positives
+    // appear in more than one fold (doc_id % 5 provably fails this)
+    assert(rows.count(_.getLong(1) > 0) >= 2, "positives collapsed into one fold")
+  }
+
   test("q167 gate AUC is strong on the fit corpus (sf0.01)") {
     // the weights are the sf0.01 fit, so ranking power is asserted
     // THERE; sf0.001's 500 docs are out-of-domain for the classifier
