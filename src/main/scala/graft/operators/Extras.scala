@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Remaining scalar/shape coverage: pivot, explode, math functions,
@@ -447,8 +448,122 @@ object Extras {
       .orderBy("event_type")
   }
 
+  /** HALF-LIFE DECAYED COUNTS — the trending/recency rollup: each
+    * event contributes 2^(30−age_days), so yesterday counts half of
+    * today and anything older than 30 days contributes 0. The decay
+    * weight is a BIT SHIFT on a BIGINT — Q30 fixed-point, no pow(),
+    * no doubles anywhere — so the "exponentially decayed counter"
+    * every trending dashboard runs is bit-exact and
+    * partitioning-independent.
+    *
+    * Plan: one map-side-combined groupBy to (type, day) — bounded by
+    * the type alphabet × day span — then the reference day via an
+    * unpartitioned window over THAT tiny relation (never the fact
+    * table) and a second tiny aggregate. */
+  val qDecayedCounts: GraftQuery = GraftQuery(
+    "q186_decayed_counts",
+    """WITH per_day AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |w AS (
+      |  SELECT event_type, day, n, MAX(day) OVER () AS max_day FROM per_day),
+      |wt AS (
+      |  SELECT event_type, n, CAST(max_day - day AS BIGINT) AS age,
+      |    CASE WHEN max_day - day <= 30
+      |         THEN (CAST(1 AS BIGINT) << CAST(30 - (max_day - day) AS INTEGER))
+      |         ELSE CAST(0 AS BIGINT) END AS wgt
+      |  FROM w)
+      |SELECT event_type,
+      |  CAST(SUM(n) AS BIGINT) AS n_total,
+      |  CAST(SUM(n * wgt) AS BIGINT) AS decayed_q30,
+      |  CAST(MIN(age) AS INTEGER) AS newest_age,
+      |  CAST(MAX(age) AS INTEGER) AS oldest_age
+      |FROM wt
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val perDay = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    perDay
+      .withColumn("max_day", max("day").over(Window.partitionBy()))
+      .withColumn("age", datediff(col("max_day"), col("day")).cast("long"))
+      .withColumn("wgt",
+        when(col("age") <= 30,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_total"),
+        sum(col("n") * col("wgt")).as("decayed_q30"),
+        min("age").cast("int").as("newest_age"),
+        max("age").cast("int").as("oldest_age"))
+      .orderBy("event_type")
+  }
+
+  /** REFERENTIAL-INTEGRITY SWEEP — the FK half of the dq family
+    * (q09/q10 cover unique/not-null): every foreign-key edge of the
+    * star schema checked in one report, each as a single left join +
+    * conditional count (orphans = child rows whose parent key is
+    * missing). The generator's star schema is referentially clean at
+    * every SF (verified — all five edges report 0 orphans), so the
+    * oracle pins the clean path; the violating path is pinned by the
+    * spec's planted-orphan check instead.
+    *
+    * 100 TB: dimension parents broadcast; the one fact-fact edge
+    * (lineitem→orders) is a keyed shuffle join — exactly the join
+    * the warehouse already pays, reused as a data contract. ppm is
+    * the q170 integer cross-multiplication. */
+  val qReferentialIntegrity: GraftQuery = GraftQuery(
+    "q187_referential_integrity", {
+      def fkSql(name: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk,
+           |  CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) * 1000000
+           |    // COUNT(*) AS BIGINT) AS orphan_ppm
+           |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+      Seq(
+        fkSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        fkSql("events->customer", "events", "user_id", "customer", "c_custkey"),
+        fkSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fkSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        fkSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    }) { (s, d) =>
+    Seq(
+      fkCheck("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", broadcastParent = true),
+      fkCheck("events->customer", Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey", broadcastParent = true),
+      fkCheck("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", broadcastParent = false),
+      fkCheck("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey", broadcastParent = true),
+      fkCheck("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", broadcastParent = true))
+      .reduce(_ unionByName _)
+      .orderBy("fk")
+  }
+
+  /** One FK edge of the q187 report: left-join the child's key column
+    * against the (distinct) parent key; orphan = NULL parent side. */
+  def fkCheck(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String, broadcastParent: Boolean): DataFrame = {
+    val p = parent.select(col(pk)).distinct()
+    child.select(col(ck))
+      .join(if (broadcastParent) broadcast(p) else p,
+        col(ck) === col(pk), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+        expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
-    qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize)
+    qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize,
+    qDecayedCounts, qReferentialIntegrity)
 }

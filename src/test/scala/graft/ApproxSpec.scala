@@ -36,4 +36,22 @@ class ApproxSpec extends SparkSpecBase {
         s"$tpe winsor_mean ${r.getDouble(6)} vs $mean")
     }
   }
+
+  test("q187: planted orphans are counted; clean edges report zero") {
+    import spark.implicits._
+    import graft.operators.Extras
+    // planted: 3 of 10 child rows reference a missing parent
+    val child = Seq(1L, 1L, 2L, 3L, 4L, 5L, 99L, 99L, 98L, 2L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("pk")
+    val r = Extras.fkCheck("t", child, "ck", parent, "pk",
+      broadcastParent = true).collect().head
+    assert(r.getLong(1) === 10L && r.getLong(2) === 3L)
+    assert(r.getLong(3) === 300000L)
+    // the real star schema is clean at sf0.001 (the oracle pins this
+    // at every SF; here we pin the REPORT shape)
+    val report = SparkEntry.queries("q187_referential_integrity")(spark, sf001)
+      .collect()
+    assert(report.length === 5)
+    assert(report.forall(_.getLong(2) === 0L))
+  }
 }
