@@ -938,8 +938,82 @@ object Dedup {
       .orderBy("num_hashes", "bands", "jaccard")
   }
 
+  /** NEAR-DUP PAIR EXPLANATION — the review surface behind the
+    * dedup decisions: for every Jaccard-verified pair, where the two
+    * texts actually differ, as exact character geometry — common
+    * prefix (lcp), common suffix capped so it cannot overlap the
+    * prefix, and each side's edited middle span. A curator auditing
+    * "why were these merged" reads this, not raw text diffs.
+    *
+    * Mechanics (both engines, pure integer/array ops): char-split,
+    * null-safe pairwise equality over the zipped arrays (length
+    * mismatch pads with NULL → false), lcp = first-false position
+    * (identical strings have none → lcp = full length), lcs = same on
+    * the reversed strings, then lcs is clamped to min(len)−lcp so
+    * prefix and suffix never double-count a shared region.
+    *
+    * 100 TB: runs on the verified PAIR relation (tiny relative to the
+    * corpus — the q28 physics), two text joins, per-row array work
+    * bounded by document length. */
+  val qDupExplain: GraftQuery = GraftQuery(
+    "q189_dup_explain",
+    s"""WITH $pairsCte,
+       |texts AS (
+       |  SELECT p.doc_a, p.doc_b, da.text AS ta, db.text AS tb
+       |  FROM pairs p
+       |  JOIN documents da ON p.doc_a = da.doc_id
+       |  JOIN documents db ON p.doc_b = db.doc_id),
+       |pos AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(length(ta) AS BIGINT) AS len_a,
+       |    CAST(length(tb) AS BIGINT) AS len_b,
+       |    list_position(list_transform(
+       |      list_zip(string_split(ta, ''), string_split(tb, '')),
+       |      z -> COALESCE(z[1] = z[2], false)), false) AS p_lcp,
+       |    list_position(list_transform(
+       |      list_zip(string_split(reverse(ta), ''), string_split(reverse(tb), '')),
+       |      z -> COALESCE(z[1] = z[2], false)), false) AS p_lcs
+       |  FROM texts),
+       |geom AS (
+       |  -- not-found renders as 0 OR NULL depending on DuckDB version:
+       |  -- either way the strings are identical -> lcp = full length
+       |  SELECT doc_a, doc_b, len_a, len_b,
+       |    CASE WHEN COALESCE(p_lcp, 0) = 0 THEN len_a ELSE p_lcp - 1 END AS lcp,
+       |    CASE WHEN COALESCE(p_lcs, 0) = 0 THEN len_a ELSE p_lcs - 1 END AS lcs_raw
+       |  FROM pos)
+       |SELECT doc_a, doc_b, len_a, len_b,
+       |  CAST(lcp AS BIGINT) AS lcp,
+       |  CAST(LEAST(lcs_raw, LEAST(len_a, len_b) - lcp) AS BIGINT) AS lcs,
+       |  CAST(len_a - lcp - LEAST(lcs_raw, LEAST(len_a, len_b) - lcp) AS BIGINT) AS mid_a,
+       |  CAST(len_b - lcp - LEAST(lcs_raw, LEAST(len_a, len_b) - lcp) AS BIGINT) AS mid_b
+       |FROM geom
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def firstDiff(a: Column, b: Column, fullLen: Column): Column = {
+      val eq = zip_with(split(a, ""), split(b, ""), (x, y) => x <=> y)
+      val pos = array_position(eq, false)
+      when(pos === 0, fullLen).otherwise(pos - 1)
+    }
+    verifiedPairs(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        length(col("ta")).cast("long").as("len_a"),
+        length(col("tb")).cast("long").as("len_b"),
+        firstDiff(col("ta"), col("tb"), length(col("ta")).cast("long")).as("lcp"),
+        firstDiff(reverse(col("ta")), reverse(col("tb")),
+          length(col("ta")).cast("long")).as("lcs_raw"))
+      .withColumn("lcs",
+        least(col("lcs_raw"), least(col("len_a"), col("len_b")) - col("lcp")))
+      .select(col("doc_a"), col("doc_b"), col("len_a"), col("len_b"),
+        col("lcp"), col("lcs"),
+        (col("len_a") - col("lcp") - col("lcs")).as("mid_a"),
+        (col("len_b") - col("lcp") - col("lcs")).as("mid_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
-    qClusterRepresentatives, qEditDistPairs, qLshPlanner)
+    qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain)
 }

@@ -680,9 +680,67 @@ object Streams {
     streamZorderIngest(s, d)
   }
 
+  /** STREAMING DECAYED COUNTS: q186's Q30 fixed-point trending
+    * counter maintained across micro-batches. The durable per-trigger
+    * state is the (event_type, day, n) PARTIAL — counts merge by
+    * addition (the q153 sketch-partial pattern), and the decay
+    * weighting is applied at READ time against the merged relation's
+    * own max day, so late batches can only ADD to partials, never
+    * invalidate applied weights. Drained result is hash-identical to
+    * the batch q186 — the oracle is q186's SQL. */
+  def streamDecayedCounts(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_decay", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = srcDir match {
+        case Some(dir) =>
+          val fileSchema = spark.read.parquet(dir).schema
+          val reader = spark.readStream.schema(fileSchema)
+          maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+          graft.sources.Tables.normalizeEventsTs(reader.parquet(dir))
+        case None => readEventsStream(spark, sfDir)
+      }
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.toDF()
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    import org.apache.spark.sql.expressions.Window
+    spark.read.schema("event_type STRING, day DATE, n BIGINT").parquet(outDir)
+      .groupBy("event_type", "day").agg(sum("n").as("n")) // merge partials
+      .withColumn("max_day", max("day").over(Window.partitionBy()))
+      .withColumn("age", datediff(col("max_day"), col("day")).cast("long"))
+      .withColumn("wgt",
+        when(col("age") <= 30,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+          .otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_total"),
+        sum(col("n") * col("wgt")).as("decayed_q30"),
+        min("age").cast("int").as("newest_age"),
+        max("age").cast("int").as("oldest_age"))
+      .orderBy("event_type")
+  }
+
+  val qStreamDecayedCounts: GraftQuery = GraftQuery(
+    "q188_stream_decayed_counts",
+    graft.operators.Extras.qDecayedCounts.oracle.get) { (s, d) =>
+    streamDecayedCounts(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
-      qStreamCountMin, qStreamDrift, qStreamZorderIngest)
+      qStreamCountMin, qStreamDrift, qStreamZorderIngest,
+      qStreamDecayedCounts)
 }

@@ -402,4 +402,25 @@ class DedupSpec extends SparkSpecBase {
         "S-curve must be monotone in j")
     }
   }
+
+  test("q189: pair geometry recomputes from the raw texts") {
+    val rows = SparkEntry.queries("q189_dup_explain")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val lcpRef = a.zip(b).takeWhile { case (x, y) => x == y }.length.toLong
+      val lcsRaw = a.reverse.zip(b.reverse)
+        .takeWhile { case (x, y) => x == y }.length.toLong
+      val lcsRef = math.min(lcsRaw, math.min(a.length, b.length) - lcpRef)
+      assert(r.getLong(2) === a.length.toLong && r.getLong(3) === b.length.toLong)
+      assert(r.getLong(4) === lcpRef, s"lcp pair (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getLong(5) === lcsRef, s"lcs pair (${r.getLong(0)}, ${r.getLong(1)})")
+      // spans reconstruct the lengths and never go negative
+      assert(r.getLong(6) === a.length - lcpRef - lcsRef && r.getLong(6) >= 0)
+      assert(r.getLong(7) === b.length - lcpRef - lcsRef && r.getLong(7) >= 0)
+    }
+  }
 }

@@ -372,4 +372,17 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed === full,
       "multi-trigger maintenance must converge to the full-rebuild census")
   }
+
+  test("q188: multi-trigger decayed counts equal the batch rollup") {
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_decay").toString
+    graft.sources.Tables.events(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamDecayedCounts(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q186_decayed_counts")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "partial-merge decayed counts must equal the batch rollup")
+  }
 }
