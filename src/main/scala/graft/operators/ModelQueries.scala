@@ -105,11 +105,10 @@ object ModelQueries {
     * DISTINCT FROM, matching the engine's sentinel hash). scd_id is
     * excluded: it hashes string-rendered doubles, whose text form is
     * engine-specific. */
-  val qScd2Snapshot: GraftQuery = GraftQuery(
-    "q88_scd2_snapshot",
-    s"""WITH $statsCtes
-       |SELECT user_id, n_events, sum_value, valid_from, valid_to FROM (
-       |  -- users only in run 1 (u%3=2), or in run 2 with UNCHANGED stats:
+  /** The q88 snapshot restated from scratch as a subquery body —
+    * shared by the q88 oracle and q190's point-in-time lookup. */
+  private val scd2BodySql: String =
+    s"""  -- users only in run 1 (u%3=2), or in run 2 with UNCHANGED stats:
        |  -- single open row from T1
        |  SELECT f.user_id, f.n_events, f.sum_value,
        |    TIMESTAMP '2026-01-01 00:00:00' AS valid_from,
@@ -140,7 +139,13 @@ object ModelQueries {
        |  -- users first seen in run 2 (u%3=1): open at T2 with full stats
        |  SELECT f.user_id, f.n_events, f.sum_value,
        |    TIMESTAMP '2026-01-02 00:00:00', CAST(NULL AS TIMESTAMP)
-       |  FROM fullstats f WHERE f.user_id % 3 = 1)
+       |  FROM fullstats f WHERE f.user_id % 3 = 1""".stripMargin
+
+  val qScd2Snapshot: GraftQuery = GraftQuery(
+    "q88_scd2_snapshot",
+    s"""WITH $statsCtes
+       |SELECT user_id, n_events, sum_value, valid_from, valid_to FROM (
+       |$scd2BodySql)
        |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
     cached(s, d, "scd2") {
       val path = tmpDir("graft_scd") + "/snap"
@@ -211,5 +216,49 @@ object ModelQueries {
       .orderBy("day")
   }
 
-  def all: Seq[GraftQuery] = Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill)
+  /** The probe instants q190 reads the dimension "as of": before any
+    * history, between the two snapshot runs, and after both. */
+  private val pitProbes = Seq(
+    "2025-12-31 00:00:00", "2026-01-01 12:00:00", "2026-01-03 00:00:00")
+
+  /** POINT-IN-TIME LOOKUP against the SCD2 dimension — the
+    * feature-store correctness primitive: reading the dimension "as
+    * of" a time must return the version whose [valid_from, valid_to)
+    * interval contains it, and nothing before history began. Training
+    * pipelines that join features any other way leak the future into
+    * the past; this query IS the no-leakage contract, stated over
+    * q88's snapshot (pre-history probe → no row; mid probe → the T1
+    * version even for users later rewritten; post probe → current
+    * rows only).
+    *
+    * Plan: NO join at all for a fixed probe set — each snapshot row
+    * explodes to |probes| candidates and the validity filter runs in
+    * the same stage (snapshot × 3, then filter). Per-EVENT probe
+    * times use the q37/q84 as-of machinery instead; this is the
+    * audit-grain form. */
+  val qPitLookup: GraftQuery = GraftQuery(
+    "q190_pit_lookup",
+    s"""WITH $statsCtes,
+       |snap AS (
+       |  SELECT user_id, n_events, sum_value, valid_from, valid_to FROM (
+       |$scd2BodySql)),
+       |probes AS (SELECT * FROM (VALUES
+       |  ${pitProbes.map(p => s"(TIMESTAMP '$p')").mkString(", ")}) AS p(probe_ts))
+       |SELECT s.user_id, p.probe_ts, s.n_events, s.sum_value, s.valid_from
+       |FROM snap s CROSS JOIN probes p
+       |WHERE s.valid_from <= p.probe_ts
+       |  AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)
+       |ORDER BY user_id, probe_ts""".stripMargin) { (s, d) =>
+    qScd2Snapshot.fn(s, d)
+      .withColumn("probe_ts", explode(array(
+        pitProbes.map(p => to_timestamp(lit(p))): _*)))
+      .where(col("valid_from") <= col("probe_ts") &&
+        (col("valid_to").isNull || col("probe_ts") < col("valid_to")))
+      .select(col("user_id"), col("probe_ts"), col("n_events"),
+        col("sum_value"), col("valid_from"))
+      .orderBy("user_id", "probe_ts")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill, qPitLookup)
 }

@@ -382,6 +382,68 @@ object Selection {
       .orderBy(col("drift_ppm").desc, col("bucket"))
   }
 
+  /** Bootstrap replicate count for q191. */
+  val bootReplicates = 16
+
+  /** HASH-BOOTSTRAP UNCERTAINTY for a corpus metric (mean tokens per
+    * document): every corpus-card number should ship with an error
+    * bar, and the bootstrap is how you get one without distributional
+    * assumptions — but naive resampling is random and
+    * irreproducible. Here replicate b reweights each document by
+    * w = #{i < 4 : dibit_i(md5(doc_id ':' b)) = 0} ~ Binomial(4, ¼)
+    * (mean 1 — the standard Poisson(1) bootstrap surrogate), so every
+    * replicate is a pure function of (doc_id, b): deterministic,
+    * partitioning-independent, oracle-checkable, and append-stable.
+    *
+    * All counts and weighted sums are integers; each replicate's mean
+    * is one double division. The spread across the 16 rows IS the
+    * uncertainty estimate (read min/max or the empirical std from the
+    * output).
+    *
+    * Plan: one narrow pass over documents exploded ×16 (no joins),
+    * map-side-combined groupBy to 16 rows. */
+  val qBootstrapMetric: GraftQuery = GraftQuery(
+    "q191_bootstrap_metric",
+    s"""WITH reps AS (
+       |  SELECT * FROM (VALUES ${(0 until bootReplicates).map(b => s"($b)").mkString(", ")}) AS r(b)),
+       |weighted AS (
+       |  SELECT r.b,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    ((h & 3) = 0)::BIGINT + (((h >> 2) & 3) = 0)::BIGINT +
+       |    (((h >> 4) & 3) = 0)::BIGINT + (((h >> 6) & 3) = 0)::BIGINT AS w
+       |  FROM documents d CROSS JOIN reps r,
+       |    LATERAL (SELECT CAST('0x' || substring(md5(
+       |      CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR)), 1, 8)
+       |      AS BIGINT) AS h) t)
+       |SELECT b,
+       |  CAST(SUM(w) AS BIGINT) AS n_eff,
+       |  CAST(SUM(w * n_tok) AS BIGINT) AS tok_sum,
+       |  CAST(SUM(w * n_tok) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean_tokens
+       |FROM weighted
+       |GROUP BY b
+       |ORDER BY b""".stripMargin) { (s, d) =>
+    val h = conv(substring(md5(concat_ws(":",
+      col("doc_id").cast("string"), col("b").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("b", explode(sequence(lit(0), lit(bootReplicates - 1))))
+      .withColumn("h", h)
+      .withColumn("w",
+        (col("h").bitwiseAND(3) === 0).cast("long") +
+          (shiftright(col("h"), 2).bitwiseAND(3) === 0).cast("long") +
+          (shiftright(col("h"), 4).bitwiseAND(3) === 0).cast("long") +
+          (shiftright(col("h"), 6).bitwiseAND(3) === 0).cast("long"))
+      .groupBy("b")
+      .agg(sum("w").as("n_eff"),
+        sum(col("w") * col("n_tok")).as("tok_sum"))
+      .select(col("b"), col("n_eff"), col("tok_sum"),
+        (col("tok_sum").cast("double") / col("n_eff").cast("double"))
+          .as("mean_tokens"))
+      .orderBy("b")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(qDsirSelect, qCountMinTokens, qClusterBudgetMix, qSketchDrift)
+    Seq(qDsirSelect, qCountMinTokens, qClusterBudgetMix, qSketchDrift,
+      qBootstrapMetric)
 }

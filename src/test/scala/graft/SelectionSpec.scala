@@ -98,4 +98,30 @@ class SelectionSpec extends SparkSpecBase {
         s"cell ${r.getLong(0)} kept ${r.getLong(2)} > supply ${r.getLong(3)}")
     }
   }
+
+  test("q191: bootstrap replicates are deterministic and bracket the point estimate") {
+    val a = SparkEntry.queries("q191_bootstrap_metric")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q191_bootstrap_metric")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b, "hash bootstrap must be rerun-identical")
+    assert(a.length === graft.operators.Selection.bootReplicates)
+
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val n = docs.count().toDouble
+    val pointMean = docs
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "))))
+      .first().getLong(0).toDouble / n
+    val means = a.map(_(3).asInstanceOf[Double])
+    assert(means.min <= pointMean && pointMean <= means.max,
+      s"replicate range [${means.min}, ${means.max}] misses point $pointMean")
+    // Binomial(4, 1/4) weights: each replicate's effective n stays
+    // within ±20% of the corpus size (std ~ sqrt(0.75 n))
+    a.foreach { r =>
+      val nEff = r(1).asInstanceOf[Long].toDouble
+      assert(math.abs(nEff - n) < 0.2 * n, s"n_eff $nEff vs corpus $n")
+    }
+  }
 }

@@ -53,4 +53,24 @@ class SnapshotSpec extends SparkSpecBase {
     assert(again.count() === 1)
     assert(again.head().getAs[java.sql.Timestamp]("valid_from").toString.startsWith("2026-01-01"))
   }
+
+  test("q190: point-in-time lookup honors validity intervals exactly") {
+    val rows = SparkEntry.queries("q190_pit_lookup")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val snap = SparkEntry.queries("q88_scd2_snapshot")(spark, sf001).collect()
+    val byProbe = rows.groupBy(_.getTimestamp(1).toString.take(10))
+    // pre-history probe: nothing existed
+    assert(!byProbe.contains("2025-12-31"), "a version predates history")
+    // at most one version per (user, probe) — intervals never overlap
+    rows.groupBy(r => (r.getLong(0), r.getTimestamp(1))).foreach { case (k, vs) =>
+      assert(vs.length === 1, s"overlapping versions at $k")
+    }
+    // mid probe sees exactly the T1-opened rows; post probe sees every
+    // user's single CURRENT row (valid_to null)
+    val t1Users = snap.filter(_.getTimestamp(3).toString.startsWith("2026-01-01"))
+      .map(_.getLong(0)).toSet
+    assert(byProbe("2026-01-01").map(_.getLong(0)).toSet === t1Users)
+    val currentUsers = snap.filter(_.isNullAt(4)).map(_.getLong(0)).toSet
+    assert(byProbe("2026-01-03").map(_.getLong(0)).toSet === currentUsers)
+  }
 }
