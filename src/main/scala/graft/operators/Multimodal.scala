@@ -251,6 +251,53 @@ object Multimodal {
       ResizedFeatures(docId, w2, h2, sr, sg, sb)
     }
 
+    /** Decode + 64-bit AVERAGE HASH (aHash): floor-average gray over
+      * an 8×8 block grid (block = (w div 8) × (h div 8), remainder
+      * cropped — the q107 integer-exact resize discipline), then one
+      * bit per block: blockAvg > floor(mean of the 64 block
+      * averages). Every step is integer, so the hash is recomputable
+      * analytically from the fixture formulas in SQL. */
+    def decodeAHash(docId: Long, png: Array[Byte]): AHashRow = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(png))
+      reader.setInput(iis, true, true)
+      val img = try reader.read(0) finally iis.close()
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (bw, bh) = (w / 8, h / 8)
+      val bavg = new Array[Long](64)
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          var sum = 0L
+          var y = j * bh
+          while (y < (j + 1) * bh) {
+            var x = i * bw
+            while (x < (i + 1) * bw) {
+              sum += (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                raster.getSample(x, y, 2)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          bavg(j * 8 + i) = sum / (bw.toLong * bh)
+          i += 1
+        }
+        j += 1
+      }
+      val mean = bavg.sum / 64
+      var (hi, lo) = (0L, 0L)
+      var k = 0
+      while (k < 64) {
+        if (bavg(k) > mean) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      AHashRow(docId, w, h, hi, lo)
+    }
+
     def close(): Unit = reader.dispose()
   }
 
@@ -294,6 +341,21 @@ object Multimodal {
       val dec = new PngDecoder
       closeOnTaskEnd(() => dec.close())
       rows.map(r => dec.decode(r.doc_id, r.png))
+    }
+  }
+
+  /** 64-bit average-hash of a decoded raster, split into two unsigned
+    * 32-bit halves (a single BIGINT would put bit 63 into the sign —
+    * kept positive so both engines compare plain integers). */
+  case class AHashRow(doc_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  def decodeAHashes(images: Dataset[ImageRow]): Dataset[AHashRow] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val dec = new PngDecoder
+      closeOnTaskEnd(() => dec.close())
+      rows.map(r => dec.decodeAHash(r.doc_id, r.png))
     }
   }
 
@@ -765,7 +827,78 @@ object Multimodal {
     featurize(mediaTable(s, d)).toDF().orderBy("doc_id")
   }
 
+  /** IMAGE NEAR-DUP via perceptual AVERAGE HASH — the multimodal twin
+    * of the text dedup tier: decode each real PNG (per-partition
+    * codec init, payloads never shuffle — only the 64-bit hash
+    * leaves the partition), aHash the raster (8×8 floor-average gray
+    * blocks vs their floor-mean), and census hash collisions. aHash
+    * survives re-encoding and brightness-preserving noise, which is
+    * exactly what byte-level dedup (q33's digest) misses.
+    *
+    * The hash ships as two unsigned 32-bit halves: a single BIGINT
+    * would put bit 63 into the sign, and signed-shift semantics are
+    * the kind of cross-engine edge this repo avoids on principle.
+    * Oracle: the full pipeline recomputed analytically from the
+    * fixture pixel formulas (grid → gray → block averages → mean →
+    * bits → packed halves) — any codec or raster-order defect breaks
+    * the hash match.
+    *
+    * 100 TB: decode cost is the corpus scan it already pays for
+    * featurization; the dedup exchange carries 16 bytes per image;
+    * collision census is one hash aggregate. Near-miss (hamming ≤ k)
+    * variants bucket on hash prefixes — the SimHash q29 machinery
+    * applies unchanged. */
+  val qImageAHash: GraftQuery = GraftQuery(
+    "q192_image_ahash",
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         16 + doc_id % 17 AS w,
+      |         16 + (doc_id * 7) % 13 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h, (d.w // 8) AS bw, (d.h // 8) AS bh,
+      |         xs.x, ys.y
+      |  FROM dims d
+      |  JOIN range(0, 32) AS xs(x) ON xs.x < (d.w // 8) * 8
+      |  JOIN range(0, 28) AS ys(y) ON ys.y < (d.h // 8) * 8),
+      |gray AS (
+      |  SELECT doc_id, bw, bh,
+      |    (y // bh) * 8 + (x // bw) AS k,
+      |    (((x * 3 + y * 5 + doc_id * 7) % 256)
+      |     + ((x * 3 + y * 5 + doc_id * 7 + 11) % 256)
+      |     + ((x * 3 + y * 5 + doc_id * 7 + 22) % 256)) // 3 AS g
+      |  FROM px),
+      |blocks AS (
+      |  SELECT doc_id, k,
+      |    CAST(SUM(g) // (MAX(bw) * MAX(bh)) AS BIGINT) AS bavg
+      |  FROM gray GROUP BY doc_id, k),
+      |m AS (
+      |  SELECT doc_id, CAST(SUM(bavg) // 64 AS BIGINT) AS mean
+      |  FROM blocks GROUP BY doc_id),
+      |ah AS (
+      |  SELECT b.doc_id,
+      |    CAST(SUM(CASE WHEN b.k >= 32 AND b.bavg > m.mean
+      |      THEN CAST(1 AS BIGINT) << CAST(b.k - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(SUM(CASE WHEN b.k < 32 AND b.bavg > m.mean
+      |      THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM blocks b JOIN m ON b.doc_id = m.doc_id
+      |  GROUP BY b.doc_id)
+      |SELECT a.doc_id,
+      |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+      |  a.ahash_hi, a.ahash_lo,
+      |  CAST(COUNT(*) OVER (PARTITION BY a.ahash_hi, a.ahash_lo) AS BIGINT) AS n_same
+      |FROM ah a JOIN dims d ON a.doc_id = d.doc_id
+      |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    decodeAHashes(imageTable(s, d)).toDF()
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("ahash_hi", "ahash_lo")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("ahash_hi"), col("ahash_lo"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
-      qVideoDecode)
+      qVideoDecode, qImageAHash)
 }

@@ -181,4 +181,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.nFrames >= 1))
     assert(f1.filter(_.mediaType != "video").forall(_.nFrames === 1))
   }
+
+  test("q192: codec-path aHash equals a pure-Scala recompute from the fixture") {
+    import graft.operators.Multimodal
+    val rows = SparkEntry.queries("q192_image_ahash")(spark, sf001)
+      .collect().take(25)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val (w, h) = (Multimodal.imgWidth(d), Multimodal.imgHeight(d))
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      val (bw, bh) = (w / 8, h / 8)
+      val bavg = Array.tabulate(64) { k =>
+        val (i, j) = (k % 8, k / 8)
+        val sum = (for {
+          y <- j * bh until (j + 1) * bh
+          x <- i * bw until (i + 1) * bw
+        } yield (Multimodal.pixel(d, x, y, 0) + Multimodal.pixel(d, x, y, 1) +
+          Multimodal.pixel(d, x, y, 2)) / 3).map(_.toLong).sum
+        sum / (bw.toLong * bh)
+      }
+      val mean = bavg.sum / 64
+      var (hi, lo) = (0L, 0L)
+      (0 until 64).foreach { k =>
+        if (bavg(k) > mean) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+      }
+      assert(r.getLong(3) === hi && r.getLong(4) === lo,
+        s"doc $d: hash (${r.getLong(3)}, ${r.getLong(4)}) != recompute ($hi, $lo)")
+    }
+  }
 }
