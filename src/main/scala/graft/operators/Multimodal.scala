@@ -687,6 +687,62 @@ object Multimodal {
           fmt.getSampleSizeInBits, nFrames, sum, mn, mx)
       } finally ais.close()
     }
+
+    /** 32-bit ENERGY FINGERPRINT of the decoded PCM (q193): 32
+      * windows of (n div 32) frames (remainder cropped), window
+      * energy = Σ|sample|, one bit per window: energy > floor-mean
+      * of the 32 energies. The audio analog of the q192 aHash —
+      * every step integer, analytically recomputable in SQL. */
+    def decodeFingerprint(docId: Long, wav: Array[Byte]): AudioFpRow = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val fmt = ais.getFormat
+        val nFrames = ais.getFrameLength.toInt
+        val nBytes = nFrames * fmt.getFrameSize
+        if (buf.length < nBytes) buf = new Array[Byte](nBytes)
+        var off = 0
+        while (off < nBytes) {
+          val r = ais.read(buf, off, nBytes - off)
+          require(r > 0, s"truncated WAV payload for doc $docId")
+          off += r
+        }
+        val ww = nFrames / 32
+        val energy = new Array[Long](32)
+        var k = 0
+        while (k < 32) {
+          var e = 0L
+          var i = k * ww
+          while (i < (k + 1) * ww) {
+            val s = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt
+            e += math.abs(s)
+            i += 1
+          }
+          energy(k) = e
+          k += 1
+        }
+        val mean = energy.sum / 32
+        var fp = 0L
+        k = 0
+        while (k < 32) {
+          if (energy(k) > mean) fp |= 1L << k
+          k += 1
+        }
+        AudioFpRow(docId, nFrames.toLong, fp)
+      } finally ais.close()
+    }
+  }
+
+  /** q193 row: the 32-bit fingerprint sits in the low half of a
+    * BIGINT — always non-negative. */
+  case class AudioFpRow(doc_id: Long, n_frames: Long, fingerprint: Long)
+
+  def audioFingerprints(audio: Dataset[AudioRow]): Dataset[AudioFpRow] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      val dec = new WavDecoder
+      rows.map(r => dec.decodeFingerprint(r.doc_id, r.wav))
+    }
   }
 
   /** Distributed WAV fixture table — one real RIFF/WAVE payload per
@@ -898,7 +954,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** AUDIO NEAR-DUP via energy fingerprint — q192's discipline on the
+    * PCM stream: 32 windows, Σ|sample| energy each, one bit per
+    * window vs the floor-mean. Robust to what byte-digest dedup
+    * misses (container re-muxing, header metadata churn) while the
+    * decode happens through the REAL RIFF/WAVE parser. Oracle:
+    * analytic recompute from the fixture signal, grid → |sample| →
+    * window energies → mean → packed bits. Same exchange physics as
+    * q192: 8 bytes per clip leave the partition. */
+  val qAudioFingerprint: GraftQuery = GraftQuery(
+    "q193_audio_fingerprint",
+    """WITH dims AS (
+      |  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+      |w AS (SELECT doc_id, n, (n // 32) AS ww FROM dims),
+      |samp AS (
+      |  SELECT d.doc_id, (i.i // d.ww) AS k,
+      |    ABS(CAST((d.doc_id * 7 + i.i * 13) % 4096 - 2048 AS BIGINT)) AS a
+      |  FROM w d JOIN range(0, 161) AS i(i) ON i.i < d.ww * 32),
+      |en AS (
+      |  SELECT doc_id, k, CAST(SUM(a) AS BIGINT) AS e
+      |  FROM samp GROUP BY doc_id, k),
+      |m AS (
+      |  SELECT doc_id, CAST(SUM(e) // 32 AS BIGINT) AS mean
+      |  FROM en GROUP BY doc_id),
+      |fp AS (
+      |  SELECT e.doc_id,
+      |    CAST(SUM(CASE WHEN e.e > m.mean
+      |      THEN CAST(1 AS BIGINT) << CAST(e.k AS INTEGER) ELSE 0 END) AS BIGINT)
+      |      AS fingerprint
+      |  FROM en e JOIN m ON e.doc_id = m.doc_id
+      |  GROUP BY e.doc_id)
+      |SELECT f.doc_id, CAST(d.n AS BIGINT) AS n_frames, f.fingerprint,
+      |  CAST(COUNT(*) OVER (PARTITION BY f.fingerprint) AS BIGINT) AS n_same
+      |FROM fp f JOIN dims d ON f.doc_id = d.doc_id
+      |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    audioFingerprints(audioTable(s, d)).toDF()
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
-      qVideoDecode, qImageAHash)
+      qVideoDecode, qImageAHash, qAudioFingerprint)
 }

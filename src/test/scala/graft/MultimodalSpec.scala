@@ -211,4 +211,26 @@ class MultimodalSpec extends SparkSpecBase {
         s"doc $d: hash (${r.getLong(3)}, ${r.getLong(4)}) != recompute ($hi, $lo)")
     }
   }
+
+  test("q193: codec-path audio fingerprint equals the fixture recompute") {
+    import graft.operators.Multimodal
+    val rows = SparkEntry.queries("q193_audio_fingerprint")(spark, sf001)
+      .collect().take(15)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val n = Multimodal.audioFrames(d)
+      assert(r.getLong(1) === n.toLong)
+      val ww = n / 32
+      val energy = Array.tabulate(32) { k =>
+        (k * ww until (k + 1) * ww)
+          .map(i => math.abs(Multimodal.audioSample(d, i)).toLong).sum
+      }
+      val mean = energy.sum / 32
+      val fp = (0 until 32).foldLeft(0L) { (acc, k) =>
+        if (energy(k) > mean) acc | (1L << k) else acc
+      }
+      assert(r.getLong(2) === fp, s"doc $d fingerprint")
+      assert(r.getLong(2) >= 0L, "fingerprint must stay in the low half")
+    }
+  }
 }
