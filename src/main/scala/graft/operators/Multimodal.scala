@@ -904,9 +904,10 @@ object Multimodal {
     * collision census is one hash aggregate. Near-miss (hamming ≤ k)
     * variants bucket on hash prefixes — the SimHash q29 machinery
     * applies unchanged. */
-  val qImageAHash: GraftQuery = GraftQuery(
-    "q192_image_ahash",
-    """WITH dims AS (
+  /** The analytic aHash rebuild (grid → gray → blocks → mean → packed
+    * halves) as a CTE chain — shared by the q192 and q194 oracles. */
+  private val imageAHashCtes: String =
+    """dims AS (
       |  SELECT doc_id,
       |         16 + doc_id % 17 AS w,
       |         16 + (doc_id * 7) % 13 AS h
@@ -938,7 +939,11 @@ object Multimodal {
       |    CAST(SUM(CASE WHEN b.k < 32 AND b.bavg > m.mean
       |      THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER) ELSE 0 END) AS BIGINT) AS ahash_lo
       |  FROM blocks b JOIN m ON b.doc_id = m.doc_id
-      |  GROUP BY b.doc_id)
+      |  GROUP BY b.doc_id)""".stripMargin
+
+  val qImageAHash: GraftQuery = GraftQuery(
+    "q192_image_ahash",
+    s"""WITH $imageAHashCtes
       |SELECT a.doc_id,
       |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
       |  a.ahash_hi, a.ahash_lo,
@@ -995,7 +1000,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** CROSS-MODAL DEDUP CONTINGENCY — the curation question neither
+    * single-modality pass answers: how do TEXT duplicates and IMAGE
+    * duplicates overlap? The (text_dup × image_dup) 2×2 table
+    * surfaces the dangerous quadrant — unique text over a duplicated
+    * image (same picture, re-captioned: byte-digest text dedup keeps
+    * every copy) — and its dual (same boilerplate text on different
+    * images). Text duplication is q26's md5 census; image duplication
+    * is q192's aHash census; the join key is the document.
+    *
+    * 100 TB: both censuses are hash aggregates the pipeline already
+    * runs; the contingency is a 4-row rollup over their join. */
+  val qCrossModalDedup: GraftQuery = GraftQuery(
+    "q194_crossmodal_dedup",
+    s"""WITH $imageAHashCtes,
+       |img AS (
+       |  SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY ahash_hi, ahash_lo) > 1 AS image_dup
+       |  FROM ah),
+       |txt AS (
+       |  SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS text_dup
+       |  FROM documents)
+       |SELECT t.text_dup, i.image_dup,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(t.doc_id) AS example_doc
+       |FROM txt t JOIN img i ON t.doc_id = i.doc_id
+       |GROUP BY t.text_dup, i.image_dup
+       |ORDER BY t.text_dup, i.image_dup""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val img = decodeAHashes(imageTable(s, d)).toDF()
+      .select(col("doc_id"),
+        (count(lit(1)).over(Window.partitionBy("ahash_hi", "ahash_lo")) > 1)
+          .as("image_dup"))
+    val txt = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (count(lit(1)).over(Window.partitionBy(md5(col("text")))) > 1)
+          .as("text_dup"))
+    txt.join(img, "doc_id")
+      .groupBy("text_dup", "image_dup")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_doc"))
+      .orderBy("text_dup", "image_dup")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
-      qVideoDecode, qImageAHash, qAudioFingerprint)
+      qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup)
 }
