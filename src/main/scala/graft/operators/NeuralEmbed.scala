@@ -220,8 +220,29 @@ object NeuralEmbed {
        |  WHERE list_sum(list_transform(ed, x -> x * x)) > 0)""".stripMargin
   }
 
-  private val cosSql =
-    "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+  /** Cosine rendered as the EXPLICIT op sequence the engine's fused
+    * expressions execute (left-assoc dot/|a|²/|b|² accumulation, then
+    * dot / √na / √nb — TWO divisions, the CosineSimilarity /
+    * NearestCentroid order): every step correctly rounded identically
+    * in both engines, so the value is bit-equal, not ulp-close.
+    *
+    * Why it matters HERE and not for q30/q55: pre-baked random
+    * embeddings never tie within an ulp, so DuckDB's
+    * list_cosine_similarity kernel (measured ~1 ulp off plain
+    * arithmetic — the QualityGate dotSql note) can't flip their
+    * rankings. The NEURAL embeddings are 5-channel mixtures — same-
+    * language documents produce near-parallel vectors whose cosines
+    * crowd within ulps, and at sf0.001 the kernel's last-ulp noise
+    * flipped 4 of 9 neighbor ranks and one SemDeDup drop decision.
+    * Spelling the arithmetic out removes the kernel from the loop. */
+  private def cosExplicitSql(a: String, b: String): String = {
+    def sumOver(term: Int => String): String =
+      (1 to embDim).map(term).mkString("(", " + ", ")")
+    val dot = sumOver(j => s"(CAST($a[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE))")
+    val na = sumOver(j => s"(CAST($a[$j] AS DOUBLE) * CAST($a[$j] AS DOUBLE))")
+    val nb = sumOver(j => s"(CAST($b[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE))")
+    s"($dot / sqrt($na) / sqrt($nb))"
+  }
 
   /** Text → learned vector → ANN, end to end: brute-force cosine
     * top-3 for three query documents over the neural-embedded corpus
@@ -237,7 +258,7 @@ object NeuralEmbed {
        |  WHERE doc_id < 3),
        |scored AS (
        |  SELECT q.query_id, e.doc_id AS neighbor_id,
-       |    ${cosSql.format("q.q_emb", "e.embedding")} AS cos
+       |    ${cosExplicitSql("q.q_emb", "e.embedding")} AS cos
        |  FROM queries q JOIN emb e ON e.doc_id <> q.query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id,
@@ -273,14 +294,14 @@ object NeuralEmbed {
        |  SELECT doc_id, embedding, cell FROM (
        |    SELECT e.doc_id, e.embedding, c.cell,
        |      row_number() OVER (PARTITION BY e.doc_id
-       |        ORDER BY ${cosSql.format("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |        ORDER BY ${cosExplicitSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
        |    FROM emb e CROSS JOIN centroids c)
        |  WHERE rn = 1),
        |dropped AS (
        |  SELECT DISTINCT b.doc_id
        |  FROM cells a JOIN cells b
        |    ON a.cell = b.cell AND a.doc_id < b.doc_id
-       |  WHERE ${cosSql.format("a.embedding", "b.embedding")} >= $neuralMinCos)
+       |  WHERE ${cosExplicitSql("a.embedding", "b.embedding")} >= $neuralMinCos)
        |SELECT c.cell,
        |  CAST(count(*) AS INTEGER) AS n_vecs,
        |  CAST(count(*) FILTER (d.doc_id IS NOT NULL) AS INTEGER) AS n_dropped,
