@@ -93,5 +93,93 @@ object HybridRetrieval {
       .select("doc_id", "rank_lex", "rank_vec", "rrf")
   }
 
-  def all: Seq[GraftQuery] = Seq(qHybridRrf)
+  /** RETRIEVAL ABLATION — the eval that justifies q134's fusion: how
+    * much do the three rankings actually disagree? Pairwise overlap
+    * and exact Jaccard (integer ppm over the 10+10 union) between the
+    * BM25-only, cosine-only, and RRF-fused top-10 sets. Low
+    * lexical↔dense overlap + high fused↔both overlap is the signature
+    * that the two signals are complementary and the fusion is doing
+    * work; three numbers a retrieval owner reads per index rebuild.
+    *
+    * Scale physics inherited wholesale from q134: both component
+    * pools reduce through bounded heaps before anything joins; the
+    * ablation adds three joins of 10-row relations. */
+  val ablTopN = 10
+
+  val qRetrievalAblation: GraftQuery = GraftQuery(
+    "q195_retrieval_ablation",
+    s"""WITH ${TextAdvanced.bm25CtesSql},
+       |bm25 AS (
+       |  SELECT doc_id, ${TextAdvanced.bm25TotalScoreSql} AS lex
+       |  FROM feat CROSS JOIN stats WHERE doc_id <> 0),
+       |lexr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY lex DESC, doc_id) AS rank_lex
+       |  FROM bm25),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |vecs AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+       |                           CAST(e.embedding AS DOUBLE[])) AS cos
+       |  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+       |vecr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+       |  FROM vecs),
+       |fused AS (
+       |  SELECT doc_id,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + l.rank_lex), CAST(0 AS DOUBLE)) +
+       |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + v.rank_vec), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM (SELECT * FROM lexr WHERE rank_lex <= $poolK) l
+       |  FULL JOIN (SELECT * FROM vecr WHERE rank_vec <= $poolK) v USING (doc_id)),
+       |l10 AS (SELECT doc_id FROM lexr WHERE rank_lex <= $ablTopN),
+       |v10 AS (SELECT doc_id FROM vecr WHERE rank_vec <= $ablTopN),
+       |r10 AS (SELECT doc_id FROM fused ORDER BY rrf DESC, doc_id LIMIT $ablTopN),
+       |ov AS (
+       |  SELECT 'bm25_vs_cos' AS pair, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM l10 JOIN v10 USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'bm25_vs_rrf', CAST(COUNT(*) AS BIGINT)
+       |  FROM l10 JOIN r10 USING (doc_id)
+       |  UNION ALL
+       |  SELECT 'cos_vs_rrf', CAST(COUNT(*) AS BIGINT)
+       |  FROM v10 JOIN r10 USING (doc_id))
+       |SELECT pair, n_overlap,
+       |  CAST(n_overlap * 1000000 // (${2 * ablTopN} - n_overlap) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM ov
+       |ORDER BY pair""".stripMargin) { (s, d) =>
+    def top10(scored: DataFrame, score: String): DataFrame =
+      scored.groupBy()
+        .agg(org.apache.spark.sql.graftshim.TopKByScore(
+          col(score), col("doc_id"), ablTopN).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.id").as("doc_id"))
+    val lex10 = top10(
+      TextAdvanced.bm25FeatWithStats(s, d)
+        .select(col("doc_id"), TextAdvanced.bm25TotalScore.as("lex"))
+        .where(col("doc_id") =!= 0),
+      "lex")
+    val qv = Tables.embeddings(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val vec10 = top10(
+      Tables.embeddings(s, d).where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(col("q_emb"), col("embedding")).as("cos")),
+      "cos")
+    val rrf10 = qHybridRrf.fn(s, d).select("doc_id")
+    def overlap(name: String, a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(name).as("pair"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div (${2 * ablTopN} - n_overlap)")
+            .as("jaccard_ppm"))
+    overlap("bm25_vs_cos", lex10, vec10)
+      .unionByName(overlap("bm25_vs_rrf", lex10, rrf10))
+      .unionByName(overlap("cos_vs_rrf", vec10, rrf10))
+      .orderBy("pair")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qHybridRrf, qRetrievalAblation)
 }

@@ -241,10 +241,10 @@ class PlanAuditSpec extends SparkSpecBase {
     //    scored doc).
     //  - q130: the merged vocabulary size (two single-row aggregates
     //    summed, then the q115-style broadcast onto scored docs).
-    //  - q134: both bounded shapes at once — q113's 1-row BM25 stats
-    //    AND a single broadcast query vector scored against the
+    //  - q134/q195: both bounded shapes at once — q113's 1-row BM25
+    //    stats AND a single broadcast query vector scored against the
     //    corpus (the q30 shape); both pools reduce through bounded
-    //    heaps before any join.
+    //    heaps before any join (q195 ablates the same pools).
     //  - q137: the 1-row token-budget aggregate cross-joined onto the
     //    gate scan (q63/q89/q113's bounded shape).
     //  - q138: composes q119's vocab cross join AND q137's budget
@@ -281,7 +281,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
         "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall",
         "q174_temperature_mix", "q176_vocab_coverage",
-        "q182_embedding_drift")
+        "q182_embedding_drift", "q195_retrieval_ablation")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
