@@ -561,9 +561,89 @@ object Extras {
         expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
   }
 
+  /** DATA-CONTRACT DASHBOARD — every check class in ONE report (the
+    * page an on-call reads): row-level value contracts over the fact
+    * table (uniqueness, not-null, the reference's positive /
+    * speed-limit macro semantics) plus the five q187 FK edges, each
+    * normalized to (check, n_checked, n_violations, violation_ppm).
+    *
+    * Each value check is one conditional aggregate over a SHARED
+    * single scan pass (one job, map-side combined — the q10 fused
+    * discipline); uniqueness rides the same pass as a distinct-count
+    * delta. FK rows reuse [[fkCheck]] verbatim. ppm is the exact
+    * cross-multiplied integer everywhere. */
+  val qContractDashboard: GraftQuery = GraftQuery(
+    "q196_contract_dashboard", {
+      def fkSql(name: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT 'fk_$name' AS chk,
+           |  CAST(COUNT(*) AS BIGINT) AS n_checked,
+           |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+           |FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk""".stripMargin
+      s"""WITH vals AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_ids,
+         |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users,
+         |    CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS non_positive,
+         |    CAST(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS over_limit
+         |  FROM events),
+         |checks AS (
+         |  SELECT 'unique_event_id' AS chk, n AS n_checked, dup_ids AS n_violations FROM vals
+         |  UNION ALL SELECT 'not_null_user_id', n, null_users FROM vals
+         |  UNION ALL SELECT 'positive_value', n, non_positive FROM vals
+         |  UNION ALL SELECT 'value_limit_300', n, over_limit FROM vals
+         |  UNION ALL ${fkSql("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey")}
+         |  UNION ALL ${fkSql("events_customer", "events", "user_id", "customer", "c_custkey")}
+         |  UNION ALL ${fkSql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |  UNION ALL ${fkSql("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")}
+         |  UNION ALL ${fkSql("orders_customer", "orders", "o_custkey", "customer", "c_custkey")})
+         |SELECT chk, n_checked, n_violations,
+         |  CAST(n_violations * 1000000 // n_checked AS BIGINT) AS violation_ppm
+         |FROM checks
+         |ORDER BY chk""".stripMargin
+    }) { (s, d) =>
+    val vals = Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_ids"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_users"),
+      sum(when(col("value") <= 0, 1L).otherwise(0L)).as("non_positive"),
+      sum(when(col("value") > 300, 1L).otherwise(0L)).as("over_limit"))
+    // ONE aggregate row unpivoted via stack — the four value checks
+    // share a single scan (referencing `vals` four times would plan
+    // four separate aggregations over the fact table)
+    val valChecks = vals.select(col("n").as("n_checked"),
+      expr("""stack(4,
+        'unique_event_id', dup_ids,
+        'not_null_user_id', null_users,
+        'positive_value', non_positive,
+        'value_limit_300', over_limit) AS (chk, n_violations)"""))
+      .select("chk", "n_checked", "n_violations")
+    def fkRow(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String, bc: Boolean): DataFrame =
+      fkCheck(s"fk_$name", child, ck, parent, pk, bc)
+        .select(col("fk").as("chk"), col("n_child").as("n_checked"),
+          col("n_orphans").as("n_violations"))
+    Seq(
+      valChecks,
+      fkRow("customer_nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey", bc = true),
+      fkRow("events_customer", Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey", bc = true),
+      fkRow("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", bc = false),
+      fkRow("lineitem_part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey", bc = true),
+      fkRow("orders_customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey", bc = true))
+      .reduce(_ unionByName _)
+      .select(col("chk"), col("n_checked"), col("n_violations"),
+        expr("n_violations * 1000000 div n_checked").as("violation_ppm"))
+      .orderBy("chk")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
     qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize,
-    qDecayedCounts, qReferentialIntegrity)
+    qDecayedCounts, qReferentialIntegrity, qContractDashboard)
 }
