@@ -45,6 +45,8 @@ object SparkEntry {
       operators.LineDedup.all ++
       operators.StarComponents.all ++
       operators.HybridRetrieval.all ++
+      operators.GopherRules.all ++
+      operators.HardNegatives.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ZOrder.all ++

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Hard-negative mining for contrastive embedding training: for each
+  * anchor vector, the single most-similar corpus vector with a
+  * DIFFERENT label — the "hardest" negative, the pair a contrastive
+  * loss learns most from (the in-batch-negatives upgrade every
+  * dual-encoder recipe ships: DPR, SimCSE's hard negatives).
+  *
+  * Shape: anchors are a bounded stride sample (`vec_id % 50 = 0`, the
+  * q55 centroid convention — 1 anchor per 50 vectors at every SF);
+  * candidates are the whole corpus minus the anchor's own label class.
+  * The scored relation is corpus × anchors with the ANCHORS broadcast
+  * (the q30 brute-force contract), reduced per-anchor by the k=1
+  * bounded-heap [[org.apache.spark.sql.graftshim.TopKByScore]] —
+  * ObjectHashAggregate with map-side partials, so the exchange carries
+  * one candidate row per (anchor, map partition), never the scored
+  * relation. The negative's label is re-attached afterwards by
+  * broadcasting the |anchors|-row argmax result against the corpus —
+  * at no point does the corpus shuffle.
+  *
+  * 100 TB: corpus × anchors work is the honest cost of EXACT mining; a
+  * production run caps anchors per job (as here, by stride) or routes
+  * through the IVF tier (q55/q127) for approximate hard negatives.
+  * The label-exclusion predicate rides inside the broadcast join, so
+  * the filter costs nothing extra.
+  *
+  * Oracle: the emitted `cos` VALUE crosses engines, and DuckDB's
+  * list_cosine_similarity kernel is ~1 ulp off plain arithmetic (the
+  * q143 lesson) — so the oracle spells the cosine as the engine's
+  * exact op sequence (left-assoc dot/na/nb sums, then dot/√na/√nb,
+  * the CosineSimilarity order): bit-equal, not ulp-close.
+  */
+object HardNegatives {
+
+  /** One anchor per `anchorStride` vectors. */
+  val anchorStride = 50
+
+  private val dim = 64
+
+  /** Cosine spelled as CosineSimilarity's exact op sequence. */
+  private def cosExplicitSql(a: String, b: String): String = {
+    def sumOver(term: Int => String): String =
+      (1 to dim).map(term).mkString("(", " + ", ")")
+    val dot = sumOver(j => s"(CAST($a[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE))")
+    val na = sumOver(j => s"(CAST($a[$j] AS DOUBLE) * CAST($a[$j] AS DOUBLE))")
+    val nb = sumOver(j => s"(CAST($b[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE))")
+    s"($dot / sqrt($na) / sqrt($nb))"
+  }
+
+  val qHardNegatives: GraftQuery = GraftQuery(
+    "q199_hard_negatives",
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label
+       |  FROM embeddings WHERE vec_id % $anchorStride = 0),
+       |scored AS (
+       |  SELECT a.a_id, a.a_label, e.vec_id AS neg_id, e.label AS neg_label,
+       |    ${cosExplicitSql("a.a_emb", "e.embedding")} AS cos
+       |  FROM anchors a JOIN embeddings e ON e.label <> a.a_label),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY a_id ORDER BY cos DESC, neg_id) AS rn
+       |  FROM scored)
+       |SELECT a_id, a_label, neg_id, neg_label, cos
+       |FROM ranked WHERE rn = 1
+       |ORDER BY a_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.where(pmod(col("vec_id"), lit(anchorStride)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    val scored = emb.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("a_id"), col("a_label"), col("vec_id").as("neg_id"),
+        Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
+    // k=1 bounded-heap argmax, (score desc, id asc) — the window form's
+    // total order without shuffling the scored relation
+    val top = scored.groupBy("a_id", "a_label")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("cos"), col("neg_id"), 1).as("top"))
+      .select(col("a_id"), col("a_label"),
+        element_at(col("top"), 1).getField("id").as("neg_id"),
+        element_at(col("top"), 1).getField("score").as("cos"))
+    // re-attach the winner's label: |anchors| rows broadcast at the
+    // corpus, a point lookup
+    emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+      .join(broadcast(top), "neg_id")
+      .select(col("a_id"), col("a_label"), col("neg_id"),
+        col("neg_label"), col("cos"))
+      .orderBy("a_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qHardNegatives)
+}
