@@ -340,17 +340,40 @@ object IvfPq {
     })
 
   /** Assign one arriving vector micro-batch to the EXISTING centroids,
-    * PQ-encode it, and append it to the stream's delta segment — the
-    * q140 append path in micro-batch form. The corpus is never
-    * touched; the write is dynamic-partitioned by cell so the delta
-    * keeps the q139 pruned-scan layout. */
+    * PQ-encode it, and write it as the stream delta's `batch=<id>`
+    * segment — the q140 append path in micro-batch form. The corpus is
+    * never touched; each batch segment keeps the q139 cell-partitioned
+    * pruned-scan layout UNDER its own batch directory, and the write is
+    * OVERWRITE keyed by the checkpointed batchId: foreachBatch is
+    * at-least-once (the last batch is re-delivered after a recovery),
+    * so a blind append would duplicate delta rows — duplicated vec_ids
+    * then flood the bounded ADC candidate list and shift the exact
+    * re-rank. Replaying a batch here rewrites the same directory to the
+    * same bytes instead (StreamsSpec replays one and pins row count and
+    * search output unchanged). */
   private[graft] def appendBatch(s: org.apache.spark.sql.SparkSession, d: String,
-      batch: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+      batch: org.apache.spark.sql.DataFrame, dir: String, batchId: Long): Unit = {
     val cents = ingestCentroids(s, d)
     val assigned = batch.select(col("vec_id"), col("embedding"),
       org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), cents, "cos")
         .as("cell"))
-    encoded(assigned).write.partitionBy("cell").mode("append").parquet(dir)
+    encoded(assigned).write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$dir/batch=$batchId")
+  }
+
+  /** The per-batch segment directories under a stream delta root, in
+    * batch order (deterministic regardless of filesystem listing
+    * order). Each is a self-contained cell-partitioned segment, so the
+    * probed search treats them exactly like q140's delta. */
+  private[graft] def batchSegments(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .sortBy(st => st.getPath.getName.stripPrefix("batch=").toLong)
+      .map(_.getPath.toString)
   }
 
   /** Probed search over an arbitrary persisted segment list — q147's

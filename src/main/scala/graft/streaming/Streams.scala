@@ -524,14 +524,15 @@ object Streams {
       val stream = readEmbeddingsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
         .where(pmod(col("vec_id"), lit(5)) === 4)
       val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          graft.operators.IvfPq.appendBatch(spark, sfDir, batch, deltaDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          graft.operators.IvfPq.appendBatch(spark, sfDir, batch, deltaDir, bid)
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    graft.operators.IvfPq.searchSegments(spark, sfDir, Seq(basePath, deltaDir))
+    graft.operators.IvfPq.searchSegments(spark, sfDir,
+      basePath +: graft.operators.IvfPq.batchSegments(spark, deltaDir))
   }
 
   val qStreamAnnIngest: GraftQuery = GraftQuery(

@@ -329,6 +329,37 @@ class StreamsSpec extends SparkSpecBase {
     assert(multi === batch, "streamed ingest must equal batch append")
   }
 
+  test("q147 replay: re-delivered micro-batch is idempotent (at-least-once recovery)") {
+    // drain the single-staging ingest, then simulate the recovery path:
+    // foreachBatch re-delivers the last checkpointed batch
+    graft.streaming.Streams.streamAnnIngest(spark, sf001)
+    val deltaDir = graft.operators.Formats.scratchDir(
+      "graft_ivfpq_streamdelta", sf001)
+    val segs = graft.operators.IvfPq.batchSegments(spark, deltaDir)
+    assert(segs.nonEmpty)
+    val last = segs.last
+    val bid = last.split("batch=").last.toLong
+    val schema = "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT"
+    val ids = spark.read.schema(schema).option("basePath", last).parquet(last)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // replay: the same arriving rows, the same batchId
+    val replay = graft.sources.Tables.embeddings(spark, sf001)
+      .where(col("vec_id").isin(ids: _*))
+    graft.operators.IvfPq.appendBatch(spark, sf001, replay, deltaDir, bid)
+    val after = spark.read.schema(schema).option("basePath", last).parquet(last)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(after.sorted === ids.sorted,
+      "replaying a batch must rewrite its segment, not duplicate it")
+    // the search over base + batch segments is byte-identical to q140
+    val searched = graft.operators.IvfPq.searchSegments(spark, sf001,
+      graft.operators.IvfPq.baseSegment(spark, sf001) +:
+        graft.operators.IvfPq.batchSegments(spark, deltaDir))
+      .collect().map(_.toSeq).toSeq
+    val q140 = SparkEntry.queries("q140_ivfpq_incremental")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(searched === q140)
+  }
+
   test("q153: sketch merged across micro-batches equals the batch sketch") {
     // multi-file staging + maxFilesPerTrigger=1 → the corpus arrives
     // as several partial sketches; counter addition must reconstruct
