@@ -247,5 +247,107 @@ object StarComponents {
     } finally edgesDeg.unpersist(): Unit
   }
 
-  def all: Seq[GraftQuery] = Seq(qComponentsStar, qPageRank)
+  /** GRAPH MOTIF CENSUS over the verified near-dup graph: per node,
+    * its degree, wedge count C(deg,2), triangle participation, and
+    * local clustering coefficient — the structure signal that separates
+    * a mutual-copy CLIQUE (template boilerplate, clustering → 1) from a
+    * hub-and-spoke CHAIN (one canonical page copied by many one-off
+    * mirrors, clustering → 0). Curation policy can then differ: cliques
+    * collapse to one representative; low-clustering hubs deserve a
+    * look at the hub itself.
+    *
+    * Triangle enumeration uses DEGREE-ORDERED ORIENTATION (the classic
+    * MapReduce-triangles result, Suri & Vassilvitskii WWW'11): each
+    * undirected edge is directed from its lower (deg, id) endpoint to
+    * the higher, which bounds every node's out-degree by O(√m), so the
+    * wedge self-join generates at most O(m^1.5) candidates regardless
+    * of skew — a star node with degree 10⁶ contributes ZERO wedges as
+    * a source (all its edges point IN from its one-degree neighbors).
+    * Each triangle {x<y<z} is produced exactly once, as the wedge
+    * (x→y, x→z) closed by x→y→z's companion edge y→z. Wedge counts
+    * come straight from the degree (C(deg,2), exact integers — no
+    * join), and the clustering coefficient is one IEEE division of
+    * exact integers. All joins are keyed on the Zipf-compact pair
+    * graph, never the corpus.
+    *
+    * Oracle: same orientation + closure in DuckDB over the shared
+    * verified-pair CTE; row-value comparisons mirror the Spark
+    * (deg, id) lexicographic predicate. */
+  val qGraphCensus: GraftQuery = GraftQuery(
+    "q200_graph_census",
+    s"""WITH ${Dedup.pairsCte},
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs)
+       |  GROUP BY n),
+       |ori AS (
+       |  SELECT CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+       |              THEN p.doc_a ELSE p.doc_b END AS u,
+       |         CASE WHEN (da.deg, p.doc_a) < (db.deg, p.doc_b)
+       |              THEN p.doc_b ELSE p.doc_a END AS v
+       |  FROM pairs p
+       |  JOIN deg da ON p.doc_a = da.n
+       |  JOIN deg db ON p.doc_b = db.n),
+       |orid AS (SELECT o.u, o.v, d.deg AS dv FROM ori o JOIN deg d ON o.v = d.n),
+       |tri AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM orid e1
+       |  JOIN orid e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+       |  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |tri_nodes AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY n)
+       |SELECT d.n AS doc_id, d.deg AS degree,
+       |  CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges,
+       |  COALESCE(t.n_tri, CAST(0 AS BIGINT)) AS n_triangles,
+       |  CASE WHEN d.deg >= 2
+       |    THEN CAST(COALESCE(t.n_tri, 0) AS DOUBLE)
+       |         / CAST(d.deg * (d.deg - 1) // 2 AS BIGINT)
+       |    ELSE CAST(0 AS DOUBLE) END AS clustering
+       |FROM deg d LEFT JOIN tri_nodes t ON d.n = t.n
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graphCensus(Dedup.verifiedPairs(s, d)).orderBy("doc_id")
+  }
+
+  /** The census behind q200, reusable on any (doc_a, doc_b) pair
+    * relation. Returns (doc_id, degree, n_wedges, n_triangles,
+    * clustering). */
+  def graphCensus(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("n"))
+      .unionByName(pairs.select(col("doc_b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val pairsDeg = pairs
+      .join(deg.select(col("n").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("n").as("doc_b"), col("deg").as("db")), "doc_b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val ori = pairsDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"))
+    val orid = ori.join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    // wedges at u: out-neighbor pairs in (deg, id) order — closed into
+    // triangles by the companion oriented edge (b, c)
+    val e1 = orid.select(col("u"), col("v").as("b"), col("dv").as("db_"))
+    val e2 = orid.select(col("u"), col("v").as("c"), col("dv").as("dc_"))
+    val tri = e1.join(e2, "u")
+      .where(col("db_") < col("dc_") ||
+        (col("db_") === col("dc_") && col("b") < col("c")))
+      .join(ori.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val triNodes = tri
+      .select(explode(array(col("u"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(triNodes, Seq("n"), "left")
+      .select(col("n").as("doc_id"),
+        col("deg").as("degree"),
+        expr("deg * (deg - 1) div 2").as("n_wedges"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          coalesce(col("n_tri"), lit(0L)).cast("double")
+            / expr("deg * (deg - 1) div 2"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(qComponentsStar, qPageRank, qGraphCensus)
 }

@@ -117,4 +117,48 @@ class StarComponentsSpec extends SparkSpecBase {
     assert(got(0L)._2 > got(8L)._2 && got(8L)._2 > got(1L)._2,
       s"authority ordering violated: ${got.toSeq.sortBy(_._1)}")
   }
+
+  test("q200 census: clique / path / star shapes produce the textbook motifs") {
+    // K4 on 0-3 (4 triangles-per-node choose: each node in C(3,2)=3),
+    // path 10-11-12 (wedge at 11, no triangle), star at 20 with 4
+    // leaves (6 wedges at the hub, clustering 0 everywhere)
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)
+    val edges = k4 ++ Seq((10L, 11L), (11L, 12L)) ++
+      (21L to 24L).map(l => (20L, l))
+    val got = StarComponents.graphCensus(pairsDf(edges))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // K4: deg 3, 3 wedges, 3 triangles each, clustering 1.0
+    (0L to 3L).foreach(n => assert(got(n) === ((3L, 3L, 3L, 1.0)), s"K4 node $n"))
+    // path center: 1 wedge, open; endpoints: no wedge
+    assert(got(11L) === ((2L, 1L, 0L, 0.0)))
+    assert(got(10L) === ((1L, 0L, 0L, 0.0)))
+    // star hub: C(4,2)=6 wedges, all open; leaves degree 1
+    assert(got(20L) === ((4L, 6L, 0L, 0.0)))
+    (21L to 24L).foreach(n => assert(got(n) === ((1L, 0L, 0L, 0.0))))
+  }
+
+  test("q200 census: triangle total is orientation-invariant " +
+    "(each triangle counted exactly once, random graphs)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.15
+      } yield (a, b)).toSeq
+      val census = StarComponents.graphCensus(pairsDf(edges)).collect()
+      val got = census.map(_.getLong(3)).sum
+      // driver-side reference: brute-force closed wedges
+      val set = edges.toSet
+      def has(x: Long, y: Long) = set.contains((x min y, x max y))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val want = (for {
+        i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+        if has(i, j) && has(j, k) && has(i, k)
+      } yield 1).size * 3L // each triangle touches 3 nodes
+      assert(got === want, s"per-node triangle participation total")
+    }
+  }
 }
