@@ -1012,8 +1012,74 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment scoring of a candidate pair relation: the ASYMMETRIC
+    * near-dup measure `|A∩B| / |A|` per side. Symmetric Jaccard (q28)
+    * misses the short-inside-long shape — a paragraph fully quoted
+    * inside a 10× longer page scores jaccard ≈ 0.1 but containment
+    * 1.0 on the short side; that shape is exactly what quote-farms and
+    * wrapper pages produce. Shared by q201 and the planted spec. */
+  def containmentScored(pairs: DataFrame, toks: DataFrame): DataFrame =
+    pairs
+      .join(toks.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("toks", "toks_a"), "doc_a")
+      .join(toks.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("toks", "toks_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_inter"),
+        size(col("toks_a")).as("n_a"),
+        size(col("toks_b")).as("n_b"))
+
+  /** CONTAINMENT pairs: band candidates whose SMALLER shingle set is
+    * ≥ 90% covered by the other side — `10·|A∩B| >= 9·min(|A|,|B|)`,
+    * exact integers (the emitted per-side ratios are single IEEE
+    * divisions). Candidate generation reuses the session's persisted
+    * band index, so the marginal cost over q28 is one projection per
+    * verified pair.
+    *
+    * Recall caveat, stated honestly: MinHash band collision probability
+    * tracks SYMMETRIC Jaccard, so a 10×-length-skewed containment pair
+    * (jaccard ≈ 0.1) rarely collides — this query catches the
+    * moderately-skewed shapes the band index already surfaces. The
+    * production fix for extreme skew is banding the SHORTER side's
+    * signature against per-chunk signatures of long docs (the q122
+    * chunk relation is the ready substrate); the verify stage here is
+    * already correct for any candidate generator. */
+  val qContainmentPairs: GraftQuery = GraftQuery(
+    "q201_containment_pairs",
+    s"""WITH $bandsCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, $shinglesSql AS t FROM documents),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ta.t, tb.t)) AS INTEGER) AS n_inter,
+       |    CAST(len(ta.t) AS INTEGER) AS n_a,
+       |    CAST(len(tb.t) AS INTEGER) AS n_b
+       |  FROM cand c
+       |  JOIN toks ta ON c.doc_a = ta.doc_id
+       |  JOIN toks tb ON c.doc_b = tb.doc_id)
+       |SELECT doc_a, doc_b, n_inter, n_a, n_b,
+       |  CAST(n_inter AS DOUBLE) / n_a AS cont_a,
+       |  CAST(n_inter AS DOUBLE) / n_b AS cont_b
+       |FROM scored
+       |WHERE 10 * n_inter >= 9 * least(n_a, n_b)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    containmentScored(
+        candidatePairsFromBands(indexedBands(s, d)), indexedShingleSets(s, d))
+      .where(col("n_inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("cont_a"),
+        (col("n_inter").cast("double") / col("n_b")).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
-    qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain)
+    qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain,
+    qContainmentPairs)
 }

@@ -259,6 +259,65 @@ object ModelQueries {
       .orderBy("user_id", "probe_ts")
   }
 
+  /** CORPUS SNAPSHOT DIFF — the dataset-versioning audit (what an
+    * Iceberg/Delta table diff reports) between a corpus and its
+    * re-crawl: per-document classification into added / removed /
+    * changed, emitted at the DELTA grain (the unchanged bulk is the
+    * whole point of not re-shipping a corpus). The v2 snapshot is
+    * derived deterministically from v1 so both engines build the same
+    * re-crawl: `doc_id % 13 = 5` vanished, `% 13 = 3` was revised,
+    * `% 13 = 7` additionally appeared under a new id.
+    *
+    * 100 TB: the diff joins the two FINGERPRINT relations (doc_id,
+    * md5) — 48-byte rows hash-partitioned on doc_id — never the
+    * payloads; the full-outer join is one shuffle per side and the
+    * unchanged mass is dropped by the post-join filter before anything
+    * wide materializes. Fingerprints are computed at the scan (narrow
+    * projection), so a re-crawl diff over 100 TB moves ~0.05% of the
+    * bytes. Classification is null-pattern + hash inequality — exact. */
+  val qSnapshotDiff: GraftQuery = GraftQuery(
+    "q202_snapshot_diff",
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS fp_v1 FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 3 THEN md5(text || ' rev2')
+      |         ELSE md5(text) END AS fp_v2
+      |  FROM documents WHERE doc_id % 13 <> 5
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS fp_v2
+      |  FROM documents WHERE doc_id % 13 = 7),
+      |diff AS (
+      |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, fp_v1, fp_v2,
+      |    CASE WHEN fp_v2 IS NULL THEN 'removed'
+      |         WHEN fp_v1 IS NULL THEN 'added'
+      |         WHEN fp_v1 <> fp_v2 THEN 'changed'
+      |         ELSE 'unchanged' END AS change_kind
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT doc_id, change_kind, fp_v1, fp_v2
+      |FROM diff WHERE change_kind <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = graft.sources.Tables.documents(s, d)
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp_v1"))
+    val v2 = docs.where(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 3, md5(concat(col("text"), lit(" rev2"))))
+          .otherwise(md5(col("text"))).as("fp_v2"))
+      .unionByName(docs.where(col("doc_id") % 13 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(col("text"), lit(" new"))).as("fp_v2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("change_kind",
+        when(col("fp_v2").isNull, "removed")
+          .when(col("fp_v1").isNull, "added")
+          .when(col("fp_v1") =!= col("fp_v2"), "changed")
+          .otherwise("unchanged"))
+      .where(col("change_kind") =!= "unchanged")
+      .select(col("doc_id"), col("change_kind"), col("fp_v1"), col("fp_v2"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill, qPitLookup)
+    Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill, qPitLookup,
+      qSnapshotDiff)
 }

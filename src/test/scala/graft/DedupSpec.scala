@@ -48,6 +48,29 @@ class DedupSpec extends SparkSpecBase {
     assert(j(1).getAs[Double]("jaccard") === 0.2)
   }
 
+  test("q201: containment catches the short-inside-long pair that jaccard rejects") {
+    // doc 0's text is fully quoted inside doc 1's much longer page:
+    // every shingle of 0 appears in 1, but jaccard is far below 0.9
+    val short = "a b c d e f g h"
+    val long = s"$short " + (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, short), (1L, long), (2L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val scored = Dedup.containmentScored(pairs, Dedup.shingleSets(docs))
+      .withColumn("cont_small",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    val (nInter, nA, nB, contSmall) = scored((0L, 1L))
+    assert(nInter === nA, "every short-side shingle must be covered")
+    assert(contSmall === 1.0)
+    // symmetric jaccard on the same pair is n_inter / n_union < 0.9
+    assert(nInter.toDouble / (nA + nB - nInter) < 0.9,
+      "the planted pair must be one q28's jaccard rule rejects")
+    // unrelated pair: zero containment
+    assert(scored((0L, 2L))._1 === 0)
+  }
+
   test("simhash: near-identical token sets have small hamming distance, disjoint large") {
     val df = Seq(
       (0L, Seq("spark", "join", "merge", "stream", "batch", "row", "col", "scan")),

@@ -73,4 +73,24 @@ class SnapshotSpec extends SparkSpecBase {
     val currentUsers = snap.filter(_.isNullAt(4)).map(_.getLong(0)).toSet
     assert(byProbe("2026-01-03").map(_.getLong(0)).toSet === currentUsers)
   }
+
+  test("q202: snapshot diff classes partition the delta exactly") {
+    val ids = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val out = SparkEntry.queries("q202_snapshot_diff")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.isNullAt(2), r.isNullAt(3)))
+    val byKind = out.groupBy(_._2)
+    // the derivation rule fixes every class cardinality
+    assert(byKind("removed").length === ids.count(_ % 13 == 5))
+    assert(byKind("changed").length === ids.count(_ % 13 == 3))
+    assert(byKind("added").length === ids.count(_ % 13 == 7))
+    // null pattern per class: removed has no v2, added no v1, changed both
+    assert(byKind("removed").forall(r => !r._3 && r._4))
+    assert(byKind("added").forall(r => r._3 && !r._4))
+    assert(byKind("changed").forall(r => !r._3 && !r._4))
+    // added rows live in the new-id space, disjoint from v1
+    val idSet = ids.toSet
+    assert(byKind("added").forall(r => !idSet.contains(r._1)))
+  }
 }
