@@ -738,10 +738,130 @@ object Streams {
     streamDecayedCounts(s, d)
   }
 
+  // ---- q203: watermark late-data accounting ----
+
+  /** Arrival-file count and allowed lateness for the late-data audit. */
+  private[graft] val lateArrivalFiles = 4
+  private val lateDelayMicros = 3600L * 1000000L // 1 hour
+
+  /** Stage the events table as [[lateArrivalFiles]] ARRIVAL files with
+    * strictly increasing modification times (file i = `event_id % k =
+    * i`, named arr00i): FileStreamSource picks new files oldest-mtime-
+    * first (ties by path — both orders agree here by construction), so
+    * with maxFilesPerTrigger=1 micro-batch i is EXACTLY file i. That
+    * pins an arrival order the oracle can reconstruct — the piece
+    * plain single-file staging can't give an order-DEPENDENT audit.
+    * Timestamps are normalized to µs at staging so the stream schema
+    * is stable across testdata generations. */
+  private def stageOrderedEventArrivals(spark: SparkSession,
+      sfDir: String): String = {
+    val k = lateArrivalFiles
+    val dir = graft.operators.Formats.scratchDir("graft_stream_late", sfDir)
+    val marker = new java.io.File(dir, "_staged")
+    if (!marker.exists()) {
+      graft.operators.Formats.wipe(dir)
+      new java.io.File(dir).mkdirs()
+      val ev = graft.sources.Tables.events(spark, sfDir).select("event_id", "ts")
+      (0 until k).foreach { i =>
+        val tmp = new java.io.File(dir, s"_tmp$i")
+        ev.where(pmod(col("event_id"), lit(k)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged in $tmp"))
+        val dst = new java.io.File(dir, f"arr$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        assert(dst.setLastModified(1700000000000L + i * 60000L))
+        graft.operators.Formats.wipe(tmp.toString)
+      }
+      assert(marker.createNewFile())
+    }
+    dir
+  }
+
+  /** WATERMARK LATE-DATA ACCOUNTING: the event-time observability
+    * monitor a production stream alerts on BEFORE anyone tunes a
+    * watermark delay — per event-hour, how many rows arrived, and how
+    * many arrived LATE (older than the watermark in force when their
+    * micro-batch ran). The engine itself drops late rows silently;
+    * this audit is the foreachBatch pass that counts them instead.
+    *
+    * Watermark semantics mirrored exactly: Spark computes the
+    * watermark from data seen in PRIOR batches (it advances at batch
+    * completion), so batch b's rows are judged against
+    * `max(ts over batches < b) − delay` — batch 0 can never be late.
+    * The driver-side running max is the same bounded scalar the real
+    * WatermarkTracker keeps; per-batch lateness tags are written to a
+    * batchId-keyed overwrite sink (the q147 replay-idempotent shape).
+    *
+    * 100 TB: per batch this adds one max() aggregate (map-side
+    * partials, one scalar to the driver) and one narrow tagged
+    * projection — no state store, no extra shuffle; the audit output
+    * is window-cardinality, not event-cardinality.
+    *
+    * Oracle: the staged arrival assignment is `event_id % k`, so
+    * DuckDB rebuilds per-batch maxima, lags the running max one batch
+    * (the watermark's one-batch lag), and tags each row with the same
+    * strict µs comparison. */
+  def streamLateAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageOrderedEventArrivals(spark, sfDir)
+    val sink = graft.operators.Formats.scratchDir("graft_late_sink", sfDir)
+    graft.operators.Formats.wipe(sink)
+    val runningMax = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    withStreamShufflePartitions(spark) {
+      val stream = spark.readStream.schema("event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          val priorMax = runningMax.get()
+          val isLate =
+            if (priorMax == Long.MinValue) lit(false)
+            else unix_micros(col("ts")) < lit(priorMax - lateDelayMicros)
+          batch.select(col("ts"), isLate.as("is_late"))
+            .write.mode("overwrite").parquet(s"$sink/batch=$bid")
+          val mx = batch.agg(max(unix_micros(col("ts")))).first()
+          if (!mx.isNullAt(0))
+            runningMax.getAndUpdate(m => math.max(m, mx.getLong(0)))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(sink).select("ts", "is_late")
+      .groupBy(date_trunc("hour", col("ts")).as("win"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_late").cast("long")).as("n_late"))
+      .orderBy("win")
+  }
+
+  val qStreamLateAudit: GraftQuery = GraftQuery(
+    "q203_stream_late_audit",
+    s"""WITH arr AS (
+       |  SELECT event_id, ts, event_id % $lateArrivalFiles AS b FROM events),
+       |bmax AS (
+       |  SELECT b, max(ts) AS mt FROM arr GROUP BY b),
+       |wm AS (
+       |  SELECT b, max(mt) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+       |  FROM bmax),
+       |tagged AS (
+       |  SELECT a.ts,
+       |    CASE WHEN w.prior_max IS NOT NULL
+       |          AND a.ts < w.prior_max - INTERVAL 1 HOUR THEN 1 ELSE 0 END AS late
+       |  FROM arr a JOIN wm w ON a.b = w.b)
+       |SELECT date_trunc('hour', ts) AS win,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(late) AS BIGINT) AS n_late
+       |FROM tagged GROUP BY date_trunc('hour', ts)
+       |ORDER BY win""".stripMargin) { (s, d) =>
+    streamLateAudit(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
-      qStreamDecayedCounts)
+      qStreamDecayedCounts, qStreamLateAudit)
 }

@@ -416,4 +416,26 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed === batch,
       "partial-merge decayed counts must equal the batch rollup")
   }
+
+  test("q203: late-data audit — batch 0 never late, later batches are, " +
+    "totals account for every event") {
+    val agg = Streams.streamLateAudit(spark, sf001).collect()
+    val nEvents = agg.map(_.getLong(1)).sum
+    val nLate = agg.map(_.getLong(2)).sum
+    assert(nEvents === Tables.events(spark, sf001).count())
+    assert(nLate > 0, "interleaved arrival must produce late rows")
+    assert(nLate < nEvents)
+    // the per-batch sink: k batch dirs; batch 0 judged against no
+    // watermark → zero late rows there
+    val sink = graft.operators.Formats.scratchDir("graft_late_sink", sf001)
+    val dirs = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.length === Streams.lateArrivalFiles)
+    val b0 = spark.read.parquet(sink + "/batch=0")
+    assert(b0.where(col("is_late")).count() === 0,
+      "no watermark exists before the first batch completes")
+    val sinkLate = spark.read.parquet(sink)
+      .where(col("is_late")).count()
+    assert(sinkLate === nLate)
+  }
 }
