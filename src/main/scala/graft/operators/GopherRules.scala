@@ -3,7 +3,7 @@ package graft.operators
 import graft.GraftQuery
 import graft.functions.TextFunctions.stopwords
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Gopher-style rule-bundle quality filtering (the heuristic-gate
@@ -86,24 +86,35 @@ object GopherRules {
        |      + CAST(NOT r_repetition AS INTEGER) AS INTEGER) AS n_failed
        |  FROM rules)""".stripMargin
 
+  /** The five rule flags as (name, expression) pairs over a bound
+    * (text, toks) column pair — shared by [[flagged]] and the q206
+    * agreement audit. `toks` MUST be a real column (the q64
+    * no-CSE-in-lambdas rule). */
+  private[operators] def ruleExprs(text: Column, toks: Column)
+      : Seq[(String, Column)] = {
+    val nt = size(toks)
+    val nc = length(regexp_replace(text, " ", ""))
+    val st = size(filter(toks, t => t.isInCollection(stopwords)))
+    val lw = array_max(transform(toks, t => length(t)))
+    val dt = size(array_distinct(toks))
+    Seq(
+      "r_words" -> nt.between(minWords, maxWords),
+      "r_wordlen" -> (nt * wordLenLo <= nc && nc <= nt * wordLenHi),
+      "r_stop" -> (st >= minStopHits),
+      "r_maxword" -> (lw <= maxWordLen),
+      "r_repetition" -> (dt * 2 >= nt))
+  }
+
   /** Per-document rule relation (Spark mirror of [[flaggedCteSql]]):
     * one projection, the token array bound ONCE before any lambda (the
     * q64 no-CSE-in-lambdas rule). */
   private[operators] def flagged(s: SparkSession, d: String): DataFrame = {
-    val nt = size(col("toks"))
-    val nc = length(regexp_replace(col("text"), " ", ""))
-    val st = size(filter(col("toks"), t => t.isInCollection(stopwords)))
-    val lw = array_max(transform(col("toks"), t => length(t)))
-    val dt = size(array_distinct(col("toks")))
+    val rules = ruleExprs(col("text"), col("toks"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"),
         split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("source"), nt.as("n_tokens"),
-        nt.between(minWords, maxWords).as("r_words"),
-        (nt * wordLenLo <= nc && nc <= nt * wordLenHi).as("r_wordlen"),
-        (st >= minStopHits).as("r_stop"),
-        (lw <= maxWordLen).as("r_maxword"),
-        (dt * 2 >= nt).as("r_repetition"))
+      .select(col("doc_id") +: col("source") +: size(col("toks")).as("n_tokens") +:
+        rules.map { case (n, c) => c.as(n) }: _*)
       .withColumn("n_failed",
         ruleCols.map(r => (!col(r)).cast("int")).reduce(_ + _))
   }
@@ -153,5 +164,73 @@ object GopherRules {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qGopherRules, qDomainGate)
+  /** RULE-vs-MODEL AGREEMENT AUDIT: the governance query a curation
+    * pipeline runs before swapping its heuristic gate (q197's Gopher
+    * bundle) for a learned one (q129's quantized logistic gate) — a
+    * per-language confusion matrix of the two keep decisions plus an
+    * integer agreement rate. Disagreement cells are exactly the docs
+    * a human reviews before the swap (rule_only = what the model
+    * would newly drop; model_only = what it would newly admit), and
+    * a language whose agreement craters flags a gate that didn't
+    * transfer across languages — the CCNet failure mode.
+    *
+    * Exactness: the rule side is all-integer (q197), the model side
+    * is the q129 on-grid logit sign, and the agreement rate is an
+    * integer DIV — nothing floats. Both decisions are computed in ONE
+    * projection over one documents scan (no self-join of two scored
+    * relations), then a |langs|-row hash aggregate: scan-bound at
+    * 100 TB like q197 itself. */
+  val qGateAgreement: GraftQuery = GraftQuery(
+    "q206_gate_agreement",
+    s"""WITH $flaggedCteSql,
+       |grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |model AS (
+       |  SELECT doc_id, CAST(${QualityGate.dotSql} >= 0 AS INTEGER) AS keep_model
+       |  FROM vecs),
+       |joined AS (
+       |  SELECT d.lang,
+       |    CAST(f.n_failed <= $maxFailed AS INTEGER) AS keep_rule,
+       |    m.keep_model
+       |  FROM flagged f
+       |  JOIN model m USING (doc_id)
+       |  JOIN documents d USING (doc_id))
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (keep_rule = 1 AND keep_model = 1) AS BIGINT) AS n_both,
+       |  CAST(count(*) FILTER (keep_rule = 1 AND keep_model = 0) AS BIGINT) AS n_rule_only,
+       |  CAST(count(*) FILTER (keep_rule = 0 AND keep_model = 1) AS BIGINT) AS n_model_only,
+       |  CAST(count(*) FILTER (keep_rule = 0 AND keep_model = 0) AS BIGINT) AS n_neither,
+       |  (CAST(count(*) FILTER (keep_rule = keep_model) AS BIGINT) * 1000)
+       |    // CAST(count(*) AS BIGINT) AS agree_permille
+       |FROM joined
+       |GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.graftshim.CharGramVector
+    val rules = ruleExprs(col("text"), col("toks"))
+    val nFailed = rules.map { case (_, c) => (!c).cast("int") }.reduce(_ + _)
+    val decided = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("toks"),
+        CharGramVector(col("text"), TextVector.dim).as("v"))
+      .select(col("lang"),
+        (nFailed <= maxFailed).cast("int").as("keep_rule"),
+        (QualityGate.logitOf(col("v")) >= 0).cast("int").as("keep_model"))
+    decided.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep_rule") === 1 && col("keep_model") === 1, 1)).as("n_both"),
+        count(when(col("keep_rule") === 1 && col("keep_model") === 0, 1)).as("n_rule_only"),
+        count(when(col("keep_rule") === 0 && col("keep_model") === 1, 1)).as("n_model_only"),
+        count(when(col("keep_rule") === 0 && col("keep_model") === 0, 1)).as("n_neither"),
+        count(when(col("keep_rule") === col("keep_model"), 1)).as("n_agree"))
+      .select(col("lang"), col("n_docs"), col("n_both"), col("n_rule_only"),
+        col("n_model_only"), col("n_neither"),
+        expr("(n_agree * 1000) DIV n_docs").as("agree_permille"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  def all: Seq[GraftQuery] = Seq(qGopherRules, qDomainGate, qGateAgreement)
 }

@@ -443,7 +443,175 @@ object Selection {
       .orderBy("b")
   }
 
+  /** Robust outlier gate factor: drop a doc when dev > [[madK]]·MAD. */
+  val madK = 3L
+
+  /** MEDIAN/MAD outlier gate per source — the robust "trim length
+    * outliers" curation step (C4 drops too-short pages, Gopher bounds
+    * doc length; a per-SOURCE robust band adapts those global bounds
+    * to each domain's own length distribution, which is what you want
+    * when one source is tweets and another is books). Median and MAD
+    * are DISCRETE order statistics (the q98 cume_dist selection — an
+    * actual data value, engine-identical on ties), deviations are
+    * BIGINT, and the gate `dev > k·MAD` is pure integer arithmetic:
+    * no float anywhere, so both engines agree bit for bit. The
+    * classical 1.4826 consistency constant is folded into k (k=3 on
+    * raw MAD ≈ 2σ on normal data) — scaling by a float would buy
+    * nothing and cost exactness.
+    *
+    * 100 TB: two per-source windows over the 3-column (doc_id,
+    * source, n_chars) compact relation — payload text never moves —
+    * plus two |sources|-row broadcasts back onto the scan. A
+    * high-cardinality partition key (per-DOMAIN over 10⁶ domains is
+    * still fine: each window partition is one domain's docs) would
+    * hit the same single-task-per-giant-source limit as q184, and
+    * the fix is the same q181 two-level decomposition. */
+  val qMadGate: GraftQuery = GraftQuery(
+    "q204_mad_gate",
+    s"""WITH base AS (
+       |  SELECT doc_id, source, n_chars FROM documents),
+       |cd1 AS (
+       |  SELECT source, n_chars,
+       |    cume_dist() OVER (PARTITION BY source ORDER BY n_chars) AS cd
+       |  FROM base),
+       |med AS (
+       |  SELECT source, MIN(CASE WHEN cd >= 0.5 THEN n_chars END) AS med
+       |  FROM cd1 GROUP BY source),
+       |dev AS (
+       |  SELECT b.doc_id, b.source, b.n_chars, m.med,
+       |    abs(b.n_chars - m.med) AS dev
+       |  FROM base b JOIN med m USING (source)),
+       |cd2 AS (
+       |  SELECT source, dev,
+       |    cume_dist() OVER (PARTITION BY source ORDER BY dev) AS cd
+       |  FROM dev),
+       |mad AS (
+       |  SELECT source, MIN(CASE WHEN cd >= 0.5 THEN dev END) AS mad
+       |  FROM cd2 GROUP BY source)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  MAX(d.med) AS med_chars,
+       |  MAX(m.mad) AS mad_chars,
+       |  CAST(count(*) FILTER (d.dev > $madK * m.mad) AS BIGINT) AS n_outliers,
+       |  CAST(sum(CASE WHEN d.dev <= $madK * m.mad THEN d.n_chars ELSE 0 END)
+       |    AS BIGINT) AS kept_chars
+       |FROM dev d JOIN mad m USING (source)
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w1 = Window.partitionBy("source").orderBy("n_chars")
+    val med = base
+      .select(col("source"), col("n_chars"), cume_dist().over(w1).as("cd"))
+      .groupBy("source")
+      .agg(min(when(col("cd") >= 0.5, col("n_chars"))).as("med"))
+    val dev = base.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    val w2 = Window.partitionBy("source").orderBy("dev")
+    val mad = dev
+      .select(col("source"), col("dev"), cume_dist().over(w2).as("cd"))
+      .groupBy("source")
+      .agg(min(when(col("cd") >= 0.5, col("dev"))).as("mad"))
+    dev.join(broadcast(mad), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max("med").as("med_chars"),
+        max("mad").as("mad_chars"),
+        count(when(col("dev") > col("mad") * madK, 1)).as("n_outliers"),
+        sum(when(col("dev") <= col("mad") * madK, col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** Budget fraction (per mille of each source's token mass) the
+    * nucleus selection keeps. */
+  val nucleusPermille = 600L
+
+  /** NUCLEUS (top-p) SELECTION per source: rank each source's docs by
+    * the q129 learned quality logit and keep the BEST docs until they
+    * carry [[nucleusPermille]]‰ of that source's token mass — the
+    * deterministic best-first counterpart to q157's hash-downsampling
+    * (quota caps pick a random subset; nucleus picks the top of the
+    * quality distribution, the phi-1/"textbook quality" selection
+    * posture). A doc is kept iff the mass BEFORE it is inside the
+    * budget (`cum_prev·1000 < p·total`, exact BIGINT cross-multiply),
+    * so every source keeps ≥1 doc and the boundary doc that straddles
+    * the budget line is included — the same closed-boundary rule as
+    * q137.
+    *
+    * Exactness: the logit is the q129 2⁻²⁰-quantized dot product
+    * (bit-equal across engines), ordering ties break on doc_id, and
+    * every budget decision is integer arithmetic.
+    *
+    * 100 TB: one window sort per source over the compact (doc_id,
+    * n_tok, logit) relation — the honest cost of exact best-first
+    * selection. Production at 10⁶-doc sources would replace the
+    * per-source sort with a two-pass quantile threshold (find the
+    * logit cutoff from a histogram — q177's binning — then scan-gate),
+    * trading exact boundary docs for a shuffle-free second pass; the
+    * window form here is the oracle for that approximation. */
+  val qNucleusSelect: GraftQuery = GraftQuery(
+    "q207_nucleus_select",
+    s"""WITH grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |scored AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    ${QualityGate.dotSql} AS logit
+       |  FROM documents d JOIN vecs USING (doc_id)),
+       |cum AS (
+       |  SELECT doc_id, source, n_tok, logit,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source
+       |      ORDER BY logit DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_prev,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source) AS BIGINT) AS t_src
+       |  FROM scored),
+       |gated AS (
+       |  SELECT *, cum_prev * 1000 < t_src * $nucleusPermille AS keep
+       |  FROM cum)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (keep) AS BIGINT) AS kept_docs,
+       |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+       |    AS kept_tokens,
+       |  MAX(t_src) AS src_tokens,
+       |  MIN(CASE WHEN keep THEN logit END) AS cut_logit
+       |FROM gated
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.CharGramVector
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        CharGramVector(col("text"), TextVector.dim).as("v"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        QualityGate.logitOf(col("v")).as("logit"))
+    val wCum = Window.partitionBy("source")
+      .orderBy(col("logit").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("source")
+    val gated = scored
+      .withColumn("cum_prev", coalesce(sum("n_tok").over(wCum), lit(0L)))
+      .withColumn("t_src", sum("n_tok").over(wTot))
+      .withColumn("keep",
+        col("cum_prev") * 1000L < col("t_src") * nucleusPermille)
+    gated.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("kept_docs"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"),
+        max("t_src").as("src_tokens"),
+        min(when(col("keep"), col("logit"))).as("cut_logit"))
+      .orderBy("source")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qDsirSelect, qCountMinTokens, qClusterBudgetMix, qSketchDrift,
-      qBootstrapMetric)
+      qBootstrapMetric, qMadGate, qNucleusSelect)
 }

@@ -543,7 +543,90 @@ object TextAdvanced {
       .orderBy("k")
   }
 
+  /** Minimum pair count a collocation must reach before PMI is
+    * trusted (rare pairs have wildly noisy PMI — the standard floor). */
+  val pmiMinCount = 5L
+
+  /** PMI-SCORED COLLOCATIONS (phrase mining): rank corpus bigrams by
+    * pointwise mutual information — `p(xy) / (p(x)·p(y))` with unigram
+    * probabilities from token counts and pair probability from bigram
+    * counts — the classic collocation detector (Church & Hanks 1990)
+    * and the scoring rule behind word2vec-style phrase merging. q64
+    * ranks bigrams by RAW count, which surfaces "of the"; PMI surfaces
+    * pairs that co-occur far above chance, which is what a tokenizer-
+    * vocabulary or phrase-vocab builder actually wants.
+    *
+    * Exactness: PMI itself is a log of a rational; log() is not
+    * bit-specified across libm implementations (the q150 rule), so the
+    * score is the INTEGER-QUANTIZED ratio `c_xy·N_u²·10⁶ div
+    * (N_b·c_x·c_y)` — log's argument scaled to parts-per-million,
+    * computed in DECIMAL(38,0) ↔ HUGEINT (products reach ~10²¹ here,
+    * past BIGINT, far under 10³⁸). x ↦ log x is monotone, so the
+    * RANKING is identical to PMI's; production would additionally
+    * render the float log for human eyes.
+    *
+    * 100 TB: token explosion scanned twice (unigram + bigram passes),
+    * both hash-aggregated with map-side partials; the vocabulary
+    * relation (bounded by vocab size, Zipf-compact) broadcasts twice
+    * onto the bigram counts; two 1-row totals crossJoin-broadcast.
+    * Production persists the tokenized relation once (the q63 note)
+    * and both passes read it. */
+  val qPmiBigrams: GraftQuery = GraftQuery(
+    "q205_pmi_bigrams",
+    s"""WITH toks AS (
+       |  SELECT string_split(lower(text), ' ') AS t FROM documents),
+       |uni AS (SELECT unnest(t) AS w FROM toks),
+       |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+       |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_u FROM cu),
+       |big AS (
+       |  SELECT unnest(list_filter(
+       |    list_transform(range(1, greatest(len(t), 2)), i -> t[i] || ' ' || t[i+1]),
+       |    x -> x IS NOT NULL)) AS bigram
+       |  FROM toks),
+       |cb AS (
+       |  SELECT string_split(bigram, ' ')[1] AS w1,
+       |    string_split(bigram, ' ')[2] AS w2,
+       |    CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM big GROUP BY 1, 2),
+       |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_b FROM cb)
+       |SELECT w1, w2, c_xy, cx.c AS c_x, cy.c AS c_y,
+       |  CAST(CAST(c_xy AS HUGEINT) * n_u * n_u * 1000000
+       |    // (CAST(n_b AS HUGEINT) * cx.c * cy.c) AS BIGINT) AS pmi_q
+       |FROM cb
+       |JOIN cu cx ON cb.w1 = cx.w
+       |JOIN cu cy ON cb.w2 = cy.w
+       |CROSS JOIN nu CROSS JOIN nb
+       |WHERE c_xy >= $pmiMinCount
+       |ORDER BY pmi_q DESC, w1, w2
+       |LIMIT 40""".stripMargin) { (s, d) =>
+    val t = col("__toks")
+    val pairs = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val toks = Tables.documents(s, d).repartition(32)
+      .select(split(lower(col("text")), " ").as("__toks"))
+    val cu = toks.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = cu.agg(sum("c").cast("long").as("n_u"))
+    val cb = toks.select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val nb = cb.agg(sum("c_xy").cast("long").as("n_b"))
+    cb.join(broadcast(cu.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x")), "w1")
+      .join(broadcast(cu.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .where(col("c_xy") >= pmiMinCount)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("""CAST((CAST(c_xy AS DECIMAL(38,0)) * CAST(n_u AS DECIMAL(38,0))
+          * CAST(n_u AS DECIMAL(38,0)) * CAST(1000000 AS DECIMAL(38,0)))
+          DIV (CAST(n_b AS DECIMAL(38,0)) * CAST(c_x AS DECIMAL(38,0))
+          * CAST(c_y AS DECIMAL(38,0))) AS BIGINT)""").as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(40)
+  }
+
   def all: Seq[GraftQuery] = Seq(qTfIdf, qBigrams, qContamination, qQualityTopK,
     qCurationPipeline, qRedact, qRepetition, qBm25, qFertility, qChunkRetrieval,
-    qVocabCoverage)
+    qVocabCoverage, qPmiBigrams)
 }

@@ -99,6 +99,35 @@ class GopherRulesSpec extends SparkSpecBase {
     assert(math.abs(out(0).getDouble(4) - 0.8) < 1e-6)
   }
 
+  test("q206: confusion cells partition the corpus and tie out to q197/q129") {
+    val rows = SparkEntry.queries("q206_gate_agreement")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(n, b, ro, mo, ne) = Seq("n_docs", "n_both", "n_rule_only",
+        "n_model_only", "n_neither").map(r.getAs[Long])
+      assert(b + ro + mo + ne === n, s"cells must partition: $r")
+      val agree = r.getAs[Long]("agree_permille")
+      assert(agree === (b + ne) * 1000 / n, s"integer agreement rate: $r")
+    }
+    // marginals tie out to the two source gates run standalone
+    val ruleKeep = SparkEntry.queries("q197_gopher_rules")(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("keep_doc")).count()
+    assert(rows.map(r => r.getAs[Long]("n_both") + r.getAs[Long]("n_rule_only")).sum === ruleKeep)
+    val modelKeep = SparkEntry.queries("q129_quality_gate_score")(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("keep") === 1).count()
+    assert(rows.map(r => r.getAs[Long]("n_both") + r.getAs[Long]("n_model_only")).sum === modelKeep)
+  }
+
+  test("q206 plan: both decisions in one scan — no self-join of scored relations") {
+    val plan = SparkEntry.queries("q206_gate_agreement")(spark, sf001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Join"), plan.take(2000))
+    // FormattedMode prints each node in tree + detail section: one
+    // scan node appears as exactly one "(n) Scan parquet" detail line
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) === 1,
+      plan.take(2000))
+  }
+
   test("q199 plan: anchors broadcast, argmax via map-side-partial " +
     "ObjectHashAggregate — no window over the scored relation") {
     val plan = SparkEntry.queries("q199_hard_negatives")(spark, sf001)

@@ -269,6 +269,13 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q172: recall EVAL — the exact side is brute force over the
     //    bounded 8-query eval sample by definition (q30's shape); the
     //    approx side is the indexed q55 path.
+    //  - q199: EXACT hard-negative mining is corpus x bounded-anchor
+    //    broadcast with a non-equi label-exclusion predicate (BNLJ by
+    //    construction, like q156's self-exclusion); the scale path
+    //    routes through the IVF tier for approximate negatives.
+    //  - q205: the 1-row unigram/bigram totals (N_u, N_b) cross-
+    //    joined onto the collocation counts (q63/q113's bounded
+    //    shape).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -281,6 +288,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
         "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall",
         "q174_temperature_mix", "q176_vocab_coverage",
+        "q199_hard_negatives", "q205_pmi_bigrams",
         "q182_embedding_drift", "q195_retrieval_ablation")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>

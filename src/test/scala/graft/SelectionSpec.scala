@@ -124,4 +124,73 @@ class SelectionSpec extends SparkSpecBase {
       assert(math.abs(nEff - n) < 0.2 * n, s"n_eff $nEff vs corpus $n")
     }
   }
+
+  // --- q204: median/MAD outlier gate on a planted corpus ---
+
+  private def stageDocs(rows: Seq[(Long, String, Long)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sel").toString
+    rows.map { case (id, src, nc) => (id, s"doc $id", "en", src, nc) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("q204: a planted extreme outlier is gated; inliers survive") {
+    // source 'a': devs sorted 0,0,0,1,1,1,2,2,4,9900 -> med=100,
+    // MAD=1 (cume_dist 0.6 at 1), cutoff 3*1=3 -> the 104 (dev 4) and
+    // the 10000 spike are out; the near-median mass survives
+    val a = Seq(98L, 99L, 99L, 100L, 100L, 100L, 101L, 102L, 104L, 10000L)
+    val rows = a.zipWithIndex.map { case (nc, i) => (i.toLong, "a", nc) }
+    val out = SparkEntry.queries("q204_mad_gate")(spark, stageDocs(rows))
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("med_chars") === 100L)
+    assert(r.getAs[Long]("mad_chars") === 1L)
+    assert(r.getAs[Long]("n_outliers") === 2L,
+      "the dev-4 doc and the 10000-char spike must be flagged")
+    assert(r.getAs[Long]("kept_chars") === a.filter(_ <= 102).sum)
+  }
+
+  test("q204: MAD=0 source (constant half) flags every deviating doc") {
+    // 6 of 10 docs identical -> med=50, MAD=0; integer gate dev > 0
+    // then flags ALL deviating docs, the documented degenerate case
+    val rows = (Seq.fill(6)(50L) ++ Seq(49L, 51L, 60L, 40L)).zipWithIndex
+      .map { case (nc, i) => (i.toLong, "c", nc) }
+    val r = SparkEntry.queries("q204_mad_gate")(spark, stageDocs(rows))
+      .collect().head
+    assert(r.getAs[Long]("mad_chars") === 0L)
+    assert(r.getAs[Long]("n_outliers") === 4L)
+  }
+
+  // --- q207: nucleus selection equals a driver-side replay ---
+
+  test("q207: kept set is exactly best-first until the budget line") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("q207_nucleus_select")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"))).toMap
+    // independent replay: score every doc, sort per source in the
+    // driver, walk the cumulative budget rule
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        graft.operators.QualityGate.logitOf(
+          org.apache.spark.sql.graftshim.CharGramVector(
+            col("text"), graft.operators.TextVector.dim)).as("logit"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val p = graft.operators.Selection.nucleusPermille
+    docs.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy { case (_, id, _, lg) => (-lg, id) }
+      val total = sorted.map(_._3).sum
+      var cum = 0L; var kd = 0L; var kt = 0L
+      sorted.foreach { case (_, _, nt, _) =>
+        if (cum * 1000 < total * p) { kd += 1; kt += nt }
+        cum += nt
+      }
+      assert(q(src) === ((kd, kt)), s"source $src: ${q(src)} vs ($kd, $kt)")
+    }
+  }
 }

@@ -82,4 +82,25 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(got.isNullAt(4))
     assert(got.getInt(5) === 5 && got.getInt(6) === 4)
   }
+
+  test("q205: a planted always-adjacent pair dominates frequent-but-independent pairs") {
+    import spark.implicits._
+    // 6 docs "foo bar the*20": foo/bar occur ONLY as the pair
+    // (c_xy = c_x = c_y = 6) while "the the" is frequent but expected
+    // under independence. N_u = 132, N_b = 126.
+    val text = "foo bar " + Seq.fill(20)("the").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pmi").toString
+    (0L until 6L).map(i => (i, text, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q205_pmi_bigrams")(spark, tmp).collect()
+    assert(out.head.getString(0) === "foo" && out.head.getString(1) === "bar",
+      s"planted collocation must rank first: ${out.head}")
+    // exact integer-quantized score: 6*132*132*1e6 div (126*6*6)
+    assert(out.head.getAs[Long]("pmi_q") ===
+      6L * 132 * 132 * 1000000 / (126L * 6 * 6))
+    // the frequent independent pair scores near 1e6 (= PMI ratio ~1.09)
+    val theThe = out.find(r => r.getString(0) == "the" && r.getString(1) == "the").get
+    assert(theThe.getAs[Long]("pmi_q") < 2000000L)
+  }
 }
