@@ -72,5 +72,86 @@ object BloomDecontam {
     contaminatedDocs(s, d).orderBy("train_doc")
   }
 
-  def all: Seq[GraftQuery] = Seq(qBloomDecontam)
+  /** TRANSITIVE CONTAMINATION EXPANSION — the decontamination posture
+    * published eval cards actually require: removing only docs that
+    * textually overlap a benchmark (q65/q123) leaves their NEAR-
+    * DUPLICATES in the training set, and a near-dup of a contaminated
+    * doc leaks the same benchmark content with a few tokens changed.
+    * This query expands the contaminated seed set one hop through the
+    * verified near-dup graph (q28's banded candidates at jaccard ≥
+    * 0.9) and reports every removal with its provenance: hop 0 = the
+    * doc itself overlaps the benchmark; hop 1 = it is a near-dup of a
+    * hop-0 doc. One hop suffices at jaccard 0.9 in practice because
+    * near-dup similarity is nearly transitive at that threshold; a
+    * deeper closure is exactly q77/q133's connected components over
+    * the same pair relation.
+    *
+    * 100 TB: seeds come from the bloom-pruned q123 path (scan-side
+    * prefilter, no corpus shuffle); the pair graph comes from the
+    * PERSISTED band index (built once per corpus, the q27/q28/q94
+    * substrate); the seed relation is benchmark-overlap-sized —
+    * broadcast onto the pair relation, never the reverse. Nothing in
+    * this query scales with corpus × corpus. */
+  val qContaminationExpansion: GraftQuery = GraftQuery(
+    "q209_contamination_expansion",
+    s"""WITH bench AS (
+       |  SELECT doc_id, unnest(${Dedup.shinglesSql}) AS sh
+       |  FROM documents WHERE source = 'src0'),
+       |train AS (
+       |  SELECT doc_id, unnest(${Dedup.shinglesSql}) AS sh
+       |  FROM documents WHERE source <> 'src0'),
+       |seeds AS (
+       |  SELECT DISTINCT t.doc_id FROM train t JOIN bench b ON t.sh = b.sh),
+       |${Dedup.bandsCte},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |toks AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql} AS t FROM documents),
+       |ver AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN toks ta ON p.doc_a = ta.doc_id
+       |  JOIN toks tb ON p.doc_b = tb.doc_id
+       |  WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(ta.t, tb.t))) >= 0.9),
+       |nbr AS (
+       |  SELECT v.doc_b AS doc_id FROM ver v JOIN seeds s ON v.doc_a = s.doc_id
+       |  UNION
+       |  SELECT v.doc_a FROM ver v JOIN seeds s ON v.doc_b = s.doc_id),
+       |hop1 AS (
+       |  SELECT DISTINCT n.doc_id
+       |  FROM nbr n JOIN documents d ON n.doc_id = d.doc_id
+       |  WHERE d.source <> 'src0'
+       |    AND n.doc_id NOT IN (SELECT doc_id FROM seeds))
+       |SELECT doc_id, 0 AS hop FROM seeds
+       |UNION ALL
+       |SELECT doc_id, 1 AS hop FROM hop1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val seeds = contaminatedDocs(s, d)
+      .select(col("train_doc").as("doc_id")).distinct()
+    val ver = Dedup.withJaccardToks(
+      Dedup.candidatePairsFromBands(Dedup.indexedBands(s, d)),
+      Dedup.indexedShingleSets(s, d))
+      .where(col("jaccard") >= 0.9).select("doc_a", "doc_b")
+    val nbr = ver
+      .join(broadcast(seeds.withColumnRenamed("doc_id", "doc_a")), "doc_a")
+      .select(col("doc_b").as("doc_id"))
+      .union(ver
+        .join(broadcast(seeds.withColumnRenamed("doc_id", "doc_b")), "doc_b")
+        .select(col("doc_a").as("doc_id")))
+      .distinct()
+    val hop1 = nbr
+      .join(docs.where(col("source") =!= "src0"), "doc_id")
+      .join(broadcast(seeds), Seq("doc_id"), "left_anti")
+      .select("doc_id").distinct()
+    seeds.select(col("doc_id"), lit(0).as("hop"))
+      .unionAll(hop1.select(col("doc_id"), lit(1).as("hop")))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qBloomDecontam, qContaminationExpansion)
 }

@@ -641,9 +641,93 @@ object Extras {
       .orderBy("chk")
   }
 
+  /** HISTOGRAM-SKETCH QUANTILES WITH A PROVEN ERROR BOUND — the
+    * bounded-state substitute for exact order statistics at 100 TB:
+    * per event_type, values collapse to unit-width integer bins
+    * (`floor(value)` — exact on doubles in both engines), the
+    * histogram is read as a CDF for p50/p90/p99 ESTIMATES, and each
+    * estimate is emitted NEXT TO the exact q98 discrete quantile with
+    * their difference. The estimate can only sit at or below the
+    * exact order statistic's bin floor, so `0 ≤ exact − est < 1` (one
+    * bin width) — emitted per row and spec-asserted, the q151/q172
+    * estimator-vs-oracle discipline.
+    *
+    * Why it matters at scale: the exact side needs a per-type SORT of
+    * every value (q98's window); the sketch side is one map-side-
+    * combinable hash aggregate to ≤ |types|·|bins| rows that MERGES BY
+    * ADDITION — partition-order-free, streamable, unionable across
+    * days. This query carries both so the correctness gate re-proves
+    * the error bound on every run.
+    *
+    * All CDF selection is integer arithmetic on counts (cum·20 ≥ p·n
+    * style cross-multiplies, no double cume_dist). */
+  val qQuantileSketch: GraftQuery = GraftQuery(
+    "q208_quantile_sketch",
+    """WITH bins AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, CAST(floor(value) AS BIGINT)),
+      |cdf AS (
+      |  SELECT event_type, bin, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM bins),
+      |est AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END) AS p50_est,
+      |    MIN(CASE WHEN cum * 100 >= 90 * total THEN bin END) AS p90_est,
+      |    MIN(CASE WHEN cum * 100 >= 99 * total THEN bin END) AS p99_est
+      |  FROM cdf GROUP BY event_type),
+      |cd AS (
+      |  SELECT event_type, value,
+      |    cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+      |  FROM events),
+      |exact AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cd >= 0.5 THEN value END) AS p50_exact,
+      |    MIN(CASE WHEN cd >= 0.9 THEN value END) AS p90_exact,
+      |    MIN(CASE WHEN cd >= 0.99 THEN value END) AS p99_exact
+      |  FROM cd GROUP BY event_type)
+      |SELECT e.event_type,
+      |  x.p50_exact, e.p50_est, x.p50_exact - CAST(e.p50_est AS DOUBLE) AS p50_err,
+      |  x.p90_exact, e.p90_est, x.p90_exact - CAST(e.p90_est AS DOUBLE) AS p90_err,
+      |  x.p99_exact, e.p99_est, x.p99_exact - CAST(e.p99_est AS DOUBLE) AS p99_err
+      |FROM est e JOIN exact x USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.events(s, d)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+    val wTot = Window.partitionBy("event_type")
+    val cdf = bins
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(wTot))
+    val est = cdf.groupBy("event_type").agg(
+      min(when(col("cum") * 100 >= col("total") * 50, col("bin"))).as("p50_est"),
+      min(when(col("cum") * 100 >= col("total") * 90, col("bin"))).as("p90_est"),
+      min(when(col("cum") * 100 >= col("total") * 99, col("bin"))).as("p99_est"))
+    val wCd = Window.partitionBy("event_type").orderBy("value")
+    val exact = Tables.events(s, d)
+      .select(col("event_type"), col("value"), cume_dist().over(wCd).as("cd"))
+      .groupBy("event_type").agg(
+        min(when(col("cd") >= 0.5, col("value"))).as("p50_exact"),
+        min(when(col("cd") >= 0.9, col("value"))).as("p90_exact"),
+        min(when(col("cd") >= 0.99, col("value"))).as("p99_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"),
+        col("p50_exact"), col("p50_est"),
+        (col("p50_exact") - col("p50_est").cast("double")).as("p50_err"),
+        col("p90_exact"), col("p90_est"),
+        (col("p90_exact") - col("p90_est").cast("double")).as("p90_err"),
+        col("p99_exact"), col("p99_est"),
+        (col("p99_exact") - col("p99_est").cast("double")).as("p99_err"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
     qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize,
-    qDecayedCounts, qReferentialIntegrity, qContractDashboard)
+    qDecayedCounts, qReferentialIntegrity, qContractDashboard, qQuantileSketch)
 }

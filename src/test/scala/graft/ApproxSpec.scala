@@ -54,4 +54,21 @@ class ApproxSpec extends SparkSpecBase {
     assert(report.length === 5)
     assert(report.forall(_.getLong(2) === 0L))
   }
+
+  test("q208: sketch quantiles sit within one bin width below the exact value") {
+    val rows = SparkEntry.queries("q208_quantile_sketch")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("p50", "p90", "p99").foreach { p =>
+        val exact = r.getAs[Double](s"${p}_exact")
+        val est = r.getAs[Long](s"${p}_est")
+        val err = r.getAs[Double](s"${p}_err")
+        assert(err === exact - est, s"$p err must be exact - est: $r")
+        assert(err >= 0.0 && err < 1.0,
+          s"$p estimate must sit within one bin width below exact: $r")
+        assert(est === math.floor(exact).toLong,
+          s"$p estimated bin must be the exact quantile's own bin: $r")
+      }
+    }
+  }
 }

@@ -48,4 +48,26 @@ class BloomDecontamSpec extends SparkSpecBase {
     assert(survivors - members <= total / 100,
       s"false-positive rate too high: $survivors survivors vs $members members")
   }
+
+  test("q209: a near-dup of a contaminated doc is expanded at hop 1") {
+    import spark.implicits._
+    // bench B shares exactly ONE 3-shingle ("b1 b2 b3") with train T1;
+    // T2 is T1 with that region swapped out: jaccard(T1,T2) = 58/64 =
+    // 0.906 >= 0.9 but T2 shares NO shingle with B. T3 is unrelated.
+    val fill = (1 to 60).map(i => f"w$i%03d").mkString(" ")
+    val bench = "b1 b2 b3 " + (1 to 40).map(i => f"v$i%03d").mkString(" ")
+    val t1 = "b1 b2 b3 " + fill
+    val t2 = "x1 x2 x3 " + fill
+    val t3 = (1 to 50).map(i => f"z$i%03d").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_contam").toString
+    Seq((1L, bench, "src0"), (10L, t1, "src1"), (20L, t2, "src1"),
+      (30L, t3, "src2"))
+      .map { case (id, text, src) => (id, text, "en", src, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q209_contamination_expansion")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(10L -> 0, 20L -> 1),
+      s"T1 must seed, T2 must expand at hop 1, T3 must survive: $got")
+  }
 }
