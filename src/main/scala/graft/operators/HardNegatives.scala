@@ -41,8 +41,9 @@ object HardNegatives {
 
   private val dim = 64
 
-  /** Cosine spelled as CosineSimilarity's exact op sequence. */
-  private def cosExplicitSql(a: String, b: String): String = {
+  /** Cosine spelled as CosineSimilarity's exact op sequence (shared
+    * with the q211 retrieval-metrics oracle). */
+  private[operators] def cosExplicitSql(a: String, b: String): String = {
     def sumOver(term: Int => String): String =
       (1 to dim).map(term).mkString("(", " + ", ")")
     val dot = sumOver(j => s"(CAST($a[$j] AS DOUBLE) * CAST($b[$j] AS DOUBLE))")

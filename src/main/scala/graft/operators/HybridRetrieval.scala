@@ -181,5 +181,89 @@ object HybridRetrieval {
       .orderBy("pair")
   }
 
-  def all: Seq[GraftQuery] = Seq(qHybridRrf, qRetrievalAblation)
+  /** Queries = every [[HardNegatives.anchorStride]]-th vector; metrics
+    * over the top-[[metricsTopK]] retrieved neighbors. */
+  val metricsTopK = 10
+
+  /** RETRIEVAL QUALITY METRICS (MRR@10, precision@10) with LABEL
+    * relevance — the standard IR eval sheet for an embedding index,
+    * computed exactly: for each query vector, the top-10 corpus
+    * neighbors by exact cosine (self excluded), a neighbor is
+    * RELEVANT iff it carries the query's label, and the metrics are
+    * integer rationals (ppm / permille) so both engines agree bit for
+    * bit — mrr_ppm = 10⁶ div first_rel_rank (0 when no relevant doc
+    * reaches the top 10, the MRR@k convention), p_at_k_permille =
+    * 100·hits. q172 answers "does the ANN index find the true
+    * neighbors?"; this answers the next question a retrieval system
+    * asks: "are the true neighbors actually RELEVANT?" — recall of
+    * the index vs usefulness of the embedding space.
+    *
+    * Plan: corpus × bounded-query broadcast (the q30/q199 contract),
+    * reduced by the k=10 bounded-heap TopKByScore — ObjectHashAggregate
+    * with map-side partials, the scored relation never shuffles; the
+    * |queries|·10 result rows broadcast back onto the corpus for the
+    * label lookup. The 100 TB path swaps the exact scorer for the
+    * q127 IVF-PQ tier and keeps this exact form as its eval oracle. */
+  val qRetrievalMetrics: GraftQuery = GraftQuery(
+    "q211_retrieval_metrics",
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label
+       |  FROM embeddings WHERE vec_id % ${HardNegatives.anchorStride} = 0),
+       |scored AS (
+       |  SELECT a.a_id, a.a_label, e.vec_id, e.label,
+       |    ${HardNegatives.cosExplicitSql("a.a_emb", "e.embedding")} AS cos
+       |  FROM anchors a JOIN embeddings e ON e.vec_id <> a.a_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY a_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM scored),
+       |top AS (
+       |  SELECT a_id, a_label, vec_id, label, rn,
+       |    CAST(label = a_label AS INTEGER) AS rel
+       |  FROM ranked WHERE rn <= $metricsTopK)
+       |SELECT a_id, a_label,
+       |  CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+       |  CAST(sum(rel) * 100 AS BIGINT) AS p_at_k_permille,
+       |  CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rn END), 0) AS BIGINT)
+       |    AS first_rel_rank,
+       |  CASE WHEN MIN(CASE WHEN rel = 1 THEN rn END) IS NULL THEN CAST(0 AS BIGINT)
+       |       ELSE 1000000 // CAST(MIN(CASE WHEN rel = 1 THEN rn END) AS BIGINT)
+       |  END AS mrr_ppm
+       |FROM top
+       |GROUP BY a_id, a_label
+       |ORDER BY a_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb
+      .where(pmod(col("vec_id"), lit(HardNegatives.anchorStride)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id"),
+        Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
+    // bounded heap per query: (cos desc, vec_id asc), never a shuffle
+    // of the scored relation; rank = position in the emitted array
+    val top = scored.groupBy("a_id", "a_label")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("cos"), col("vec_id"), metricsTopK).as("top"))
+      .select(col("a_id"), col("a_label"), posexplode(col("top")))
+      .select(col("a_id"), col("a_label"),
+        (col("pos") + 1).cast("int").as("rn"), col("col.id").as("vec_id"))
+    val labeled = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(top), "vec_id")
+      .withColumn("rel", (col("label") === col("a_label")).cast("int"))
+    labeled.groupBy("a_id", "a_label")
+      .agg(
+        sum("rel").as("n_rel_at_k"),
+        (sum("rel") * 100).as("p_at_k_permille"),
+        coalesce(min(when(col("rel") === 1, col("rn"))), lit(0))
+          .cast("long").as("first_rel_rank"),
+        min(when(col("rel") === 1, col("rn"))).as("__fr"))
+      .select(col("a_id"), col("a_label"), col("n_rel_at_k"),
+        col("p_at_k_permille"), col("first_rel_rank"),
+        when(col("__fr").isNull, 0L)
+          .otherwise(expr("1000000 DIV CAST(__fr AS BIGINT)")).as("mrr_ppm"))
+      .orderBy("a_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qHybridRrf, qRetrievalAblation, qRetrievalMetrics)
 }

@@ -858,10 +858,72 @@ object Streams {
     streamLateAudit(s, d)
   }
 
+  /** STREAMED q208 HISTOGRAM — the proof that the quantile sketch's
+    * "merges by addition" claim survives real micro-batched execution:
+    * the per-(type, unit-bin) counts run as a streaming groupBy (state
+    * = one counter row per occupied bin, bounded by |types|·|bins|
+    * regardless of stream volume — no watermark needed because the
+    * state IS the sketch), and the CDF estimates are read off the
+    * final streamed state. The oracle recomputes the same estimates
+    * from batch SQL, so a hash match proves streamed-partial-merge ≡
+    * batch for the whole histogram, every occupied bin.
+    *
+    * n_bins/n_events are emitted as the bounded-state evidence: a
+    * production dashboard alerts when n_bins grows toward its cap
+    * (someone started logging unbounded values). */
+  def streamQuantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val name = "graft_stream_qsketch"
+    withStreamShufflePartitions(spark) {
+      val bins = readEventsStream(spark, sfDir)
+        .groupBy(col("event_type"), floor(col("value")).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val q = bins.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+    val wTot = Window.partitionBy("event_type")
+    spark.table(name)
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(wTot))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        max("total").as("n_events"),
+        min(when(col("cum") * 100 >= col("total") * 50, col("bin"))).as("p50_est"),
+        min(when(col("cum") * 100 >= col("total") * 90, col("bin"))).as("p90_est"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("bin"))).as("p99_est"))
+      .orderBy("event_type")
+  }
+
+  val qStreamQuantileSketch: GraftQuery = GraftQuery(
+    "q210_stream_quantile_sketch",
+    """WITH bins AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY event_type, CAST(floor(value) AS BIGINT)),
+      |cdf AS (
+      |  SELECT event_type, bin, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      |  FROM bins)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_bins,
+      |  MAX(total) AS n_events,
+      |  MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END) AS p50_est,
+      |  MIN(CASE WHEN cum * 100 >= 90 * total THEN bin END) AS p90_est,
+      |  MIN(CASE WHEN cum * 100 >= 99 * total THEN bin END) AS p99_est
+      |FROM cdf
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    streamQuantileSketch(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
-      qStreamDecayedCounts, qStreamLateAudit)
+      qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch)
 }

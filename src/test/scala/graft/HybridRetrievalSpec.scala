@@ -52,4 +52,39 @@ class HybridRetrievalSpec extends SparkSpecBase {
     // both retrievers reduce through the bounded-heap partial aggregate
     assert("partial_topkbyscore".r.findAllIn(plan).length === 2, plan.take(2000))
   }
+
+  test("q211: metrics on a planted label geometry are hand-checkable") {
+    import spark.implicits._
+    // anchor 0 (label 0): neighbors by cosine are 1 (0.9, label 1),
+    // 2 (0.8, label 0), 3 (0.6, label 1) -> n_rel=1, first_rel_rank=2,
+    // mrr_ppm=500000, p@k=100
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val rows = Seq(
+      (0L, v(0 -> 1f), 0),
+      (1L, v(0 -> 0.9f, 1 -> 0.43589f), 1),
+      (2L, v(0 -> 0.8f, 1 -> 0.6f), 0),
+      (3L, v(0 -> 0.6f, 1 -> 0.8f), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_irm").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("q211_retrieval_metrics")(spark, tmp).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 0L && r.getInt(1) === 0)
+    assert(r.getAs[Long]("n_rel_at_k") === 1L)
+    assert(r.getAs[Long]("p_at_k_permille") === 100L)
+    assert(r.getAs[Long]("first_rel_rank") === 2L)
+    assert(r.getAs[Long]("mrr_ppm") === 500000L)
+  }
+
+  test("q211 plan: scored relation reduces through the bounded heap, no window") {
+    val plan = SparkEntry.queries("q211_retrieval_metrics")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topkbyscore"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }

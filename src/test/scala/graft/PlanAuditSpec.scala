@@ -276,6 +276,8 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q205: the 1-row unigram/bigram totals (N_u, N_b) cross-
     //    joined onto the collocation counts (q63/q113's bounded
     //    shape).
+    //  - q211: retrieval EVAL over the bounded query sample — q199's
+    //    corpus x broadcast-anchor shape with non-equi self-exclusion.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -288,7 +290,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q157_source_quota_cap", "q160_sketch_drift", "q165_stream_drift",
         "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall",
         "q174_temperature_mix", "q176_vocab_coverage",
-        "q199_hard_negatives", "q205_pmi_bigrams",
+        "q199_hard_negatives", "q205_pmi_bigrams", "q211_retrieval_metrics",
         "q182_embedding_drift", "q195_retrieval_ablation")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>

@@ -438,4 +438,31 @@ class StreamsSpec extends SparkSpecBase {
       .where(col("is_late")).count()
     assert(sinkLate === nLate)
   }
+
+  test("q210: streamed histogram sketch equals an independent batch rebuild") {
+    val streamed = SparkEntry.queries("q210_stream_quantile_sketch")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // independent batch rebuild of the same CDF selection
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), floor(col("value")).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val cdf = bins
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("total", sum("n").over(Window.partitionBy("event_type")))
+    val batch = cdf.groupBy("event_type")
+      .agg(count(lit(1)).as("n_bins"), max("total").as("n_events"),
+        min(when(col("cum") * 100 >= col("total") * 50, col("bin"))).as("p50"),
+        min(when(col("cum") * 100 >= col("total") * 90, col("bin"))).as("p90"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("bin"))).as("p99"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(streamed.toSeq === batch.toSeq)
+    // the state really is sketch-sized: far fewer bins than events
+    streamed.foreach { case (_, nBins, nEvents, _, _, _) =>
+      assert(nBins < nEvents, "bins must compress the stream") }
+  }
 }
