@@ -298,13 +298,14 @@ object Dedup {
     }.mkString(", ") + "))"
 
   /** DuckDB rendering of [[docBands]] for any scheme. */
-  private[operators] def bandsCteFor(sch: MinHashScheme): String = {
+  private[operators] def bandsCteFor(sch: MinHashScheme,
+      where: String = ""): String = {
     val unions = (0 until sch.bands).map(b =>
       s"SELECT doc_id, $b AS band_id, ${bandSqlFromDigests(b, sch)} AS band_hash FROM sigs")
       .mkString("\n    UNION ALL\n    ")
     s"""sigs AS (
        |  SELECT doc_id, list_transform($shinglesSql, w -> ${sch.digestsSql("w")}) AS m
-       |  FROM documents),
+       |  FROM documents $where),
        |bands AS (
        |  SELECT doc_id, band_id, band_hash FROM (
        |    $unions))""".stripMargin
@@ -1077,9 +1078,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Tombstone rule for q212: every 97th doc is deleted. */
+  val deleteModulus = 97L
+
+  /** DELETE PROPAGATION THROUGH THE PERSISTED INDEX — the
+    * right-to-be-forgotten operation for a dedup pipeline: when docs
+    * are purged from the corpus, every derived index (here the LSH
+    * band signature table, the q27/q28/q94 substrate) must forget
+    * them too, WITHOUT re-shingling the surviving 100 TB. The engine
+    * side answers the q27 bucket census from the PERSISTED band index
+    * with the tombstone set anti-joined away; the oracle REBUILDS the
+    * bands from the purged corpus from scratch. A hash match is the
+    * proof that filter-the-index ≡ rebuild-from-purged-corpus — valid
+    * because band signatures are per-document (no cross-doc state),
+    * which is exactly the index-design property that makes deletes
+    * cheap, and exactly what this query certifies every round.
+    *
+    * 100 TB: the tombstone relation is deletion-request-sized —
+    * broadcast anti-join against the index scan; no shingling, no
+    * signature recompute, no corpus read at all. The census rollup is
+    * the same map-side-combinable aggregate as q27. */
+  val qDeletePropagation: GraftQuery = GraftQuery(
+    "q212_delete_propagation",
+    s"""WITH ${bandsCteFor(MinHashScheme.default,
+        s"WHERE doc_id % $deleteModulus <> 0")}
+       |SELECT band_id, band_hash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+       |FROM bands
+       |GROUP BY band_id, band_hash
+       |HAVING COUNT(*) > 1
+       |ORDER BY band_id, band_hash""".stripMargin) { (s, d) =>
+    val tombstones = Tables.documents(s, d)
+      .where(pmod(col("doc_id"), lit(deleteModulus)) === 0)
+      .select("doc_id")
+    indexedBands(s, d)
+      .join(broadcast(tombstones), Seq("doc_id"), "left_anti")
+      .groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("band_id", "band_hash")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
     qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain,
-    qContainmentPairs)
+    qContainmentPairs, qDeletePropagation)
 }

@@ -268,6 +268,61 @@ object Formats {
       .orderBy("lang")
   }
 
+  /** SCHEMA-EVOLUTION READ (mergeSchema): a long-lived 100 TB table is
+    * never one schema — early files lack columns later files carry.
+    * This query writes the events table as two physical generations
+    * into ONE directory (even event_ids with the v1 column set —
+    * no `value`, no `props`; odd event_ids with the full v2 set),
+    * reads it back with parquet footer merging, and aggregates — the
+    * v1 rows must surface the missing columns as NULL, not fail the
+    * read and not leak another row's value. The oracle computes the
+    * same aggregate from the original table with the v1 columns
+    * CASE'd to NULL, so the hash match pins the whole evolution
+    * contract: row counts, NULL accounting, and the sums over only
+    * the rows that ever had the column.
+    *
+    * 100 TB notes: mergeSchema unions FOOTERS (per-file metadata),
+    * not data — the scan stays parallel and columnar, and files
+    * missing a projected column produce NULL vectors without reading
+    * anything extra. Production pins an explicit read schema once the
+    * union is known (the q135 inference lesson); mergeSchema is the
+    * discovery step. */
+  val qSchemaEvolution: GraftQuery = GraftQuery(
+    "q213_schema_evolution",
+    """WITH merged AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 2 = 1 THEN value END AS value,
+      |    CASE WHEN event_id % 2 = 1 THEN props END AS props
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(value) AS BIGINT) AS n_with_value,
+      |  CAST(count(props) AS BIGINT) AS n_with_props,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+      |FROM merged
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val out = scratchDir("graft_schema_evo", d)
+    val ev = Tables.events(s, d)
+    // generation 1: the narrow early schema (overwrite resets the dir)
+    ev.where(pmod(col("event_id"), lit(2L)) === 0L)
+      .select("event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(out)
+    // generation 2: the widened schema, appended into the SAME dir
+    ev.where(pmod(col("event_id"), lit(2L)) === 1L)
+      .select("event_id", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_with_value"),
+        count(col("props")).as("n_with_props"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qJsonlRoundtrip, qPartitionedExport, qOrcRoundtrip, qDppJoin)
+    Seq(qJsonlRoundtrip, qPartitionedExport, qOrcRoundtrip, qDppJoin,
+      qSchemaEvolution)
 }

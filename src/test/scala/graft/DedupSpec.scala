@@ -446,4 +446,25 @@ class DedupSpec extends SparkSpecBase {
       assert(r.getLong(7) === b.length - lcpRef - lcsRef && r.getLong(7) >= 0)
     }
   }
+
+  test("q212: delete propagation equals a from-scratch rebuild and reads the persisted index") {
+    // independent rebuild: band the PURGED corpus from scratch
+    val purged = graft.sources.Tables.documents(spark, sf001)
+      .where(pmod(col("doc_id"), lit(Dedup.deleteModulus)) =!= 0L)
+    val rebuilt = Dedup.docBands(purged, MinHashScheme.default)
+      .groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .where(col("n_docs") > 1)
+      .collect().map(_.toSeq).toSet
+    val df = SparkEntry.queries("q212_delete_propagation")(spark, sf001)
+    assert(df.collect().map(_.toSeq).toSet === rebuilt,
+      "filter-the-index must equal rebuild-from-purged-corpus")
+    // the engine path serves from the persisted index, no re-shingling
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    // and the deletes actually removed something at this SF
+    val full = SparkEntry.queries("q27_dedup_minhash_buckets")(spark, sf001)
+      .count()
+    assert(df.count() <= full)
+  }
 }

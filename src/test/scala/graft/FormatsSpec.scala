@@ -89,4 +89,22 @@ class FormatsSpec extends SparkSpecBase {
     val rt = back.collect().map(_.toSeq).toSet
     assert(rt === orig, "ORC roundtrip must be lossless row for row")
   }
+
+  test("q213: mergeSchema surfaces v1-missing columns as NULL, never another row's data") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q213_schema_evolution")(spark, sf001).collect() // stages
+    val back = spark.read.option("mergeSchema", "true")
+      .parquet(operators.Formats.scratchDir("graft_schema_evo", sf001))
+    assert(back.columns.toSet ===
+      Set("event_id", "user_id", "event_type", "value", "props"))
+    // every even event_id (generation-1 file) reads NULL for the
+    // widened columns; every odd one carries its original value
+    assert(back.where(pmod(col("event_id"), lit(2L)) === 0L &&
+      (col("value").isNotNull || col("props").isNotNull)).count() === 0L)
+    val oddNull = back.where(pmod(col("event_id"), lit(2L)) === 1L &&
+      col("value").isNull).count()
+    val origNull = Tables.events(spark, sf001)
+      .where(pmod(col("event_id"), lit(2L)) === 1L && col("value").isNull).count()
+    assert(oddNull === origNull, "v2 rows must keep their original values")
+  }
 }
