@@ -52,6 +52,7 @@ object SparkEntry {
       operators.ZOrder.all ++
       operators.ModelQueries.all ++
       operators.PgRender.all ++
+      plans.MvRewrite.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 
