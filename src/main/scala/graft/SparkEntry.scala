@@ -52,6 +52,8 @@ object SparkEntry {
       operators.ZOrder.all ++
       operators.ModelQueries.all ++
       operators.PgRender.all ++
+      operators.PhraseSearch.all ++
+      operators.Apss.all ++
       plans.MvRewrite.all ++
       streaming.Streams.all ++
       ml.Predictor.all

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.GraftQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT all-pairs similarity search (APSS) with PREFIX FILTERING —
+  * the guaranteed-complete tier above MinHash-LSH (q27/q28): every
+  * pair with shingle-set Jaccard ≥ τ is emitted, none missed. LSH
+  * trades recall for cost along its S-curve; when dedup is
+  * contractual (licensing, eval decontamination) the pipeline needs
+  * the exact tier, and the naive exact form (all pairs sharing ANY
+  * shingle) explodes on common shingles.
+  *
+  * Prefix filtering (Chaudhuri/Ganti/Kaushik ICDE'06, Bayardo et al.
+  * WWW'07) makes exactness affordable: order every document's
+  * shingles by a GLOBAL canonical order — document frequency
+  * ascending, shingle ascending — and keep only each document's
+  * first |S| − ⌈τ·|S|⌉ + 1 shingles as join keys. Soundness: two sets
+  * with J(A,B) ≥ τ have |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), and two
+  * sets whose overlap is ≥ α MUST collide within their first
+  * |·| − α + 1 elements of ANY shared total order (pigeonhole) — so
+  * joining on prefix shingles loses nothing, while the rarest-first
+  * order makes the surviving join keys the LOW-df shingles: the
+  * candidate blow-up from boilerplate shingles is filtered before the
+  * join instead of after.
+  *
+  * The threshold is exact integer arithmetic throughout: τ = 3/5,
+  * prefix length m − ⌈3m/5⌉ + 1 with ⌈3m/5⌉ = (3m+4) div 5, and the
+  * final gate 5·|A∩B| ≥ 3·|A∪B| — no doubles anywhere near a
+  * comparison (the q137/q150 discipline).
+  *
+  * Scale (100 TB):
+  *  - Input is the persisted shingle-set index
+  *    ([[Dedup.indexedShingleSets]]) — no corpus re-scan.
+  *  - The df relation is a Zipf-compact (shingle, count) aggregate;
+  *    ranking is two window columns over ONE doc_id exchange.
+  *  - The self-join keys are prefix shingles only; by construction
+  *    these are the rarest-first slice, so per-key bucket sizes are
+  *    bounded the same way q27's banded buckets are (and the
+  *    oversize-bucket guard pattern applies unchanged if a corpus
+  *    ships adversarial prefixes).
+  *  - Verification reuses the same persisted index on both sides —
+  *    one array intersection per surviving candidate.
+  */
+object Apss {
+
+  /** τ = tauNum/tauDen (= 0.6). */
+  val tauNum = 3
+  val tauDen = 5
+
+  /** Exact Jaccard ≥ τ pairs over the corpus shingle sets. */
+  def exactPairs(spark: SparkSession, d: String): DataFrame = {
+    val toks = Dedup.indexedShingleSets(spark, d)
+    val ex = toks.select(col("doc_id"), explode(col("toks")).as("sh"))
+    val dfreq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "sh")
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .where(col("r") <= expr(s"m - (($tauNum * m + ${tauDen - 1}) div $tauDen) + 1"))
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    Dedup.withJaccardToks(cand, toks)
+      .where(expr(s"$tauDen * n_inter >= $tauNum * n_union"))
+  }
+
+  /** q216: the complete Jaccard ≥ 0.6 pair set, prefix-filtered. The
+    * oracle mirrors the same canonical order, prefix arithmetic, and
+    * integer gate over the same shingle definition — and ApssSpec
+    * separately proves the pair set equals the UNFILTERED brute-force
+    * join, which is the losslessness claim. */
+  val qApss: GraftQuery = GraftQuery(
+    "q216_apss_exact_pairs",
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql} AS toks FROM documents),
+       |ex AS (SELECT doc_id, unnest(toks) AS sh FROM toks),
+       |dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY sh),
+       |ranked AS (
+       |  SELECT e.doc_id, e.sh,
+       |    COUNT(*) OVER (PARTITION BY e.doc_id) AS m,
+       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS r
+       |  FROM ex e JOIN dfreq d USING (sh)),
+       |prefix AS (
+       |  SELECT doc_id, sh FROM ranked
+       |  WHERE r <= m - (($tauNum * m + ${tauDen - 1}) // $tauDen) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ta.toks, tb.toks)) AS INTEGER) AS n_inter,
+       |    CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS INTEGER) AS n_union
+       |  FROM cand c
+       |  JOIN toks ta ON ta.doc_id = c.doc_a
+       |  JOIN toks tb ON tb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_inter, n_union,
+       |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+       |FROM j
+       |WHERE $tauDen * n_inter >= $tauNum * n_union
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    exactPairs(s, d).orderBy("doc_a", "doc_b")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qApss)
+}
