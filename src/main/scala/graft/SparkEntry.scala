@@ -54,6 +54,8 @@ object SparkEntry {
       operators.PgRender.all ++
       operators.PhraseSearch.all ++
       operators.Apss.all ++
+      operators.PrioritySample.all ++
+      operators.KmvSketch.all ++
       plans.MvRewrite.all ++
       streaming.Streams.all ++
       ml.Predictor.all
