@@ -56,6 +56,8 @@ object SparkEntry {
       operators.Apss.all ++
       operators.PrioritySample.all ++
       operators.KmvSketch.all ++
+      operators.GraphCore.all ++
+      operators.EventFlow.all ++
       plans.MvRewrite.all ++
       streaming.Streams.all ++
       ml.Predictor.all
