@@ -58,6 +58,8 @@ object SparkEntry {
       operators.KmvSketch.all ++
       operators.GraphCore.all ++
       operators.EventFlow.all ++
+      operators.MmrRerank.all ++
+      operators.SpanCoalesce.all ++
       plans.MvRewrite.all ++
       streaming.Streams.all ++
       ml.Predictor.all

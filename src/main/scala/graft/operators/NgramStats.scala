@@ -177,6 +177,25 @@ object NgramStats {
       |  FROM grams JOIN gram_counts c USING (g)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** Positional 5-gram stream CTE — [[gramsCteSql]] plus the start
+    * position and the doc's token count (q223's interval grain). */
+  private[operators] val gramsPosCteSql: String =
+    """grams_pos AS (
+      |  SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, CAST(i AS INTEGER) AS i,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+      |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |              FROM documents)))""".stripMargin
+
+  /** (doc_id, n_tokens, i, g) positional 5-gram stream — Spark mirror
+    * of [[gramsPosCteSql]]. */
+  private[operators] def gramPosStream(toksDf: DataFrame): DataFrame =
+    toksDf.where(size(col("t")) >= 5)
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        explode(sequence(lit(1), size(col("t")) - 4)).as("i"), col("t"))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(5))).as("g"))
+
   /** (doc_id, g) 5-gram stream; docs with <5 tokens yield no rows. */
   private[operators] def gramStream(toksDf: DataFrame): DataFrame =
     toksDf.where(size(col("t")) >= 5)
