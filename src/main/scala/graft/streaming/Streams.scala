@@ -920,10 +920,89 @@ object Streams {
     streamQuantileSketch(s, d)
   }
 
+  // ---- q224: streaming event-transition matrix ----
+
+  /** STREAMING TRANSITION MATRIX: q221's first-order Markov census
+    * computed incrementally with flatMapGroupsWithState — per-user
+    * state is ONE (ts_us, event_id, event_type) triple (the last event
+    * seen), so the transition that SPANS a micro-batch boundary is
+    * emitted when its second half arrives. Within a batch the group's
+    * rows are sorted by (event-time µs, event_id) — the q43
+    * discipline, since the file source guarantees no intra-batch
+    * order.
+    *
+    * Ingestion contract (documented, spec-exercised): per-user event-
+    * time order must hold ACROSS micro-batches (the log-shipping
+    * assumption); a deployment with reordered arrivals puts a
+    * watermark re-order buffer in front (q203's audit is the monitor
+    * for exactly that). Under the contract the drained stream's
+    * census is row-identical to the batch q221 — same oracle.
+    *
+    * 100 TB: state is O(users), emissions are the transition pairs
+    * themselves (bounded by input rows); the final census aggregate is
+    * map-side combinable into |types|² groups. */
+  def streamTransitions(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "graft_stream_transitions"
+    val stream = (srcDir match {
+      case Some(dir) =>
+        val fileSchema = spark.read.parquet(dir).schema
+        val reader = spark.readStream.schema(fileSchema)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        graft.sources.Tables.normalizeEventsTs(reader.parquet(dir))
+      case None => readEventsStream(spark, sfDir)
+    })
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    def update(user: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[(Long, Long, String)]): Iterator[(String, String)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      val out = Seq.newBuilder[(String, String)]
+      var last = state.getOption
+      sorted.foreach { case (_, ts, eid, tpe) =>
+        last.foreach { case (_, _, lt) => out += ((lt, tpe)) }
+        last = Some((ts, eid, tpe))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+    withStreamShufflePartitions(spark) {
+      val q = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("from_type", "to_type")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // census over ALL emitted transitions (each batch emits only its
+    // NEW pairs, so the memory sink accumulates exactly the q221 set).
+    // localCheckpoint: the totals join references the census twice and
+    // the MemoryPlan leaf reuses its exprIds across references —
+    // materializing the ≤|types|² census breaks the conflict
+    val pairs = spark.table(name)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("from_total"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
+        expr("(n * 1000000) div from_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qStreamTransitions: GraftQuery = GraftQuery(
+    "q224_stream_transitions",
+    graft.operators.EventFlow.qTransitions.oracle.get) { (s, d) =>
+    streamTransitions(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
-      qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch)
+      qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
+      qStreamTransitions)
 }

@@ -465,4 +465,36 @@ class StreamsSpec extends SparkSpecBase {
     streamed.foreach { case (_, nBins, nEvents, _, _, _) =>
       assert(nBins < nEvents, "bins must compress the stream") }
   }
+
+  test("q224: multi-batch streamed transitions equal the batch census") {
+    import org.apache.spark.sql.expressions.Window
+    // stage events as 4 TIME-ORDERED arrival files (global (ts,
+    // event_id) rank quartiles) with increasing mtimes, so
+    // maxFilesPerTrigger=1 delivers micro-batches that respect the
+    // per-user event-time contract — boundary transitions MUST then
+    // come from the carried state, not intra-batch leads
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_trans").toString
+    val sliced = Tables.events(spark, sf001)
+      .withColumn("slice", ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      val tmp = new java.io.File(dir, s"_tmp$i")
+      sliced.where(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged in $tmp"))
+      val dst = new java.io.File(dir, f"arr$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+      graft.operators.Formats.wipe(tmp.toString)
+    }
+    val streamed = Streams.streamTransitions(
+        spark, sf001, srcDir = Some(dir), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q221_event_transitions")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "drained multi-batch census must be row-identical to batch q221")
+  }
 }
