@@ -60,6 +60,8 @@ object SparkEntry {
       operators.EventFlow.all ++
       operators.MmrRerank.all ++
       operators.SpanCoalesce.all ++
+      operators.ClusterLabels.all ++
+      operators.VocabGrowth.all ++
       plans.MvRewrite.all ++
       streaming.Streams.all ++
       ml.Predictor.all

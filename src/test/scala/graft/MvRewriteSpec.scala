@@ -83,6 +83,27 @@ class MvRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("q226: incremental maintenance reads the persisted base MV, scans only the batch") {
+    val df = SparkEntry.queries("q226_mv_increment")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv_base"),
+      "merge must read the persisted base partials, not recompute them")
+    // the one lineitem scan is the batch slice (pmod filter present)
+    assert(p.contains("lineitem.parquet"))
+    assert(p.contains("pmod(l_orderkey"),
+      s"the fact scan must carry the batch predicate:\n$p")
+    // and the merge equals the full recompute (the oracle's claim,
+    // asserted here against the direct aggregate too)
+    val direct = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,1)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_price"),
+        min(col("l_shipdate")).as("mn_ship"),
+        max(col("l_shipdate")).as("mx_ship"))
+    assert(rows(df) == rows(direct))
+  }
+
   test("rule install/restore leaves the session's optimizer set unchanged") {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     val before = exp.extraOptimizations
