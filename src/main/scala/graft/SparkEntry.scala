@@ -62,6 +62,7 @@ object SparkEntry {
       operators.SpanCoalesce.all ++
       operators.ClusterLabels.all ++
       operators.VocabGrowth.all ++
+      operators.GroupSample.all ++
       plans.MvRewrite.all ++
       streaming.Streams.all ++
       ml.Predictor.all

@@ -63,6 +63,65 @@ object KmvSketch {
       .select(col("source"), explode(col("top")).as("e"))
       .select(col("source"), col("e.id").as("h"))
 
+  /** Per-source partial sketch of ONE document batch — bounded TopK
+    * heaps over the batch's own shingles (the streaming q229 unit;
+    * KMV's monoid property makes the merge of per-batch partials equal
+    * the whole-corpus sketch). */
+  def partialSketch(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(Dedup.shingles(coalesce(col("text"), lit("")))).as("sh"))
+      .select(col("source"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct()
+      .groupBy("source")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        -col("h").cast("double"), col("h"), K).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.id").as("h"))
+
+  /** Fold (source, h) partial-sketch rows into per-source K-minimum
+    * sketches (dedup by value, keep the K smallest). */
+  def foldSketches(partials: DataFrame): DataFrame =
+    partials.distinct()
+      .groupBy("source")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        -col("h").cast("double"), col("h"), K).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.id").as("h"))
+
+  /** Per-source sketch summary: size, θ (K-th minimum), and the KMV
+    * distinct estimate (exact when the sketch holds the whole set). */
+  def summarize(sk: DataFrame): DataFrame =
+    sk.groupBy("source")
+      .agg(count(lit(1)).as("n_sk"), max("h").as("theta"))
+      .select(col("source"), col("n_sk"), col("theta"),
+        when(col("n_sk") < K, col("n_sk"))
+          .otherwise(expr(s"(($K - 1) * $hashSpace) div theta"))
+          .as("est_distinct"))
+      .orderBy("source")
+
+  /** Batch SQL twin of [[summarize]] ∘ (whole-corpus sketch) — the
+    * q229 oracle: the streamed fold must land on exactly this. */
+  val summarySql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT d.source,
+       |    CAST('0x' || substring(md5(t.sh), 1, 12) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(${Dedup.shinglesSql}) AS sh
+       |        FROM documents) t
+       |  JOIN documents d USING (doc_id)),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM sh)
+       |  WHERE rn <= $K)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk,
+       |  CAST(MAX(h) AS BIGINT) AS theta,
+       |  CAST(CASE WHEN COUNT(*) < $K THEN COUNT(*)
+       |            ELSE (($K - 1) * $hashSpace) // MAX(h) END AS BIGINT) AS est_distinct
+       |FROM sk GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** q218: pairwise distinct-content overlap estimates from the
     * per-source synopses. For each source pair (a < b): the union
     * sketch's K-th value θ, the sketch-exact overlap count ρ, and the

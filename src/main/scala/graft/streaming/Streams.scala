@@ -998,11 +998,62 @@ object Streams {
     streamTransitions(s, d)
   }
 
+  // ---- q229: streaming KMV sketch merge ----
+
+  /** STREAMING KMV SKETCHES: q218's per-source K-minimum-values
+    * synopses maintained over an arriving document stream. KMV is a
+    * MONOID — merge(sketchA, sketchB) = K smallest of the union — so
+    * each micro-batch contributes its own bounded partial sketch
+    * (TopKByScore heaps over just the batch) appended to a sink, and
+    * the serving read folds partials with one more bounded rank. The
+    * drained summary is hash-identical to the batch q218 sketch over
+    * the full corpus REGARDLESS of arrival order or batch boundaries —
+    * the no-contract streaming operator (contrast q224, which needs
+    * time-ordered arrivals).
+    *
+    * 100 TB/day: per batch the exchange carries ≤ K rows per source
+    * per partition; sink growth is ≤ K·sources per trigger and
+    * compacts at read time (or via a q146-style fold). */
+  def streamKmvSketch(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_kmv", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = srcDir match {
+        case Some(dir) =>
+          val reader = spark.readStream.schema(
+            "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+          reader.parquet(dir)
+        case None => readDocsStream(spark, sfDir)
+      }
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.KmvSketch.partialSketch(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val partials = spark.read.schema("source STRING, h BIGINT").parquet(outDir)
+    graft.operators.KmvSketch.summarize(
+      graft.operators.KmvSketch.foldSketches(partials))
+  }
+
+  val qStreamKmv: GraftQuery = GraftQuery(
+    "q229_stream_kmv_sketch",
+    graft.operators.KmvSketch.summarySql) { (s, d) =>
+    streamKmvSketch(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
-      qStreamTransitions)
+      qStreamTransitions, qStreamKmv)
 }

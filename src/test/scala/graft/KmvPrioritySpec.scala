@@ -43,6 +43,27 @@ class KmvPrioritySpec extends SparkSpecBase {
     assert(viaOp == full)
   }
 
+  test("per-source sample (q228) equals the per-source window-rank definition") {
+    val grid = PrioritySample.grid
+    val viaOp = SparkEntry.queries("q228_group_priority_sample")(spark, sf001)
+      .select("source", "sample_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("priority"), asc("doc_id"))
+    val viaWindow = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("w"))
+      .withColumn("u1", conv(substring(md5(
+        concat(lit("psamp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") + 1)
+      .withColumn("priority", expr(s"(w * $grid) div u1"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= graft.operators.GroupSample.k)
+      .select("source", "rn", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaOp == viaWindow,
+      "bounded-heap per-source sample must equal the window-rank top-k")
+  }
+
   test("KMV sketch rows are exactly the K smallest hashes per source") {
     val sk = KmvSketch.sketches(spark, sf001)
     val exact = Dedup_sourceHashesForTest()

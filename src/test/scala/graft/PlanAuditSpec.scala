@@ -278,6 +278,18 @@ class PlanAuditSpec extends SparkSpecBase {
     //    shape).
     //  - q211: retrieval EVAL over the bounded query sample — q199's
     //    corpus x broadcast-anchor shape with non-equi self-exclusion.
+    //  - q217/q228: the 1-row HT threshold τ cross-joined onto the
+    //    bounded k-row sample (q167's single-row stitch).
+    //  - q218: the source-pair grid is |sources|² of SKETCH rows — a
+    //    non-equi (a < b) join of two bounded synopsis relations;
+    //    the corpus never enters the pair stage.
+    //  - q222: q30's broadcast-query-vector shape (1 query × corpus)
+    //    feeding the bounded MMR pool.
+    //  - q225: the 1-row corpus token total cross-joined onto the
+    //    compact (cluster, term) relation (q63's bounded shape).
+    //  - q227: the 1-row max-doc aggregate and the ~20-row geometric
+    //    checkpoint grid, both broadcast against compact relations
+    //    with range predicates (q75's bounded-grid shape).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -291,7 +303,10 @@ class PlanAuditSpec extends SparkSpecBase {
         "q166_chunk_retrieval", "q167_gate_auc", "q172_ivf_recall",
         "q174_temperature_mix", "q176_vocab_coverage",
         "q199_hard_negatives", "q205_pmi_bigrams", "q211_retrieval_metrics",
-        "q182_embedding_drift", "q195_retrieval_ablation")
+        "q182_embedding_drift", "q195_retrieval_ablation",
+        "q217_priority_sample", "q218_kmv_source_overlap",
+        "q222_mmr_rerank", "q225_cluster_labels", "q227_vocab_growth",
+        "q228_group_priority_sample")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)

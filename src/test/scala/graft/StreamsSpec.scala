@@ -497,4 +497,23 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch,
       "drained multi-batch census must be row-identical to batch q221")
   }
+
+  test("q229: multi-batch KMV partials fold to the batch sketch (any arrival order)") {
+    // 3 arrival files in ARBITRARY slicing (doc_id % 3) — KMV's monoid
+    // merge needs no ordering contract, unlike q224
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_kmv").toString
+    val docs = Tables.documents(spark, sf001)
+    (0 to 2).foreach { i =>
+      docs.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val streamed = Streams.streamKmvSketch(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.KmvSketch.summarize(
+        graft.operators.KmvSketch.sketches(spark, sf001))
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "streamed KMV fold must equal the whole-corpus sketch summary")
+  }
 }
