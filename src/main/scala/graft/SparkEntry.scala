@@ -64,6 +64,7 @@ object SparkEntry {
       operators.VocabGrowth.all ++
       operators.GroupSample.all ++
       plans.MvRewrite.all ++
+      plans.JoinElim.all ++
       streaming.Streams.all ++
       ml.Predictor.all
 
