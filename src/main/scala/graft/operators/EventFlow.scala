@@ -60,5 +60,74 @@ object EventFlow {
       .orderBy("from_type", "to_type")
   }
 
-  def all: Seq[GraftQuery] = Seq(qTransitions)
+  /** THEIL–SEN ROBUST TREND per event type: the median of all
+    * pairwise day-over-day slopes of the daily event counts — the
+    * estimator that shrugs off the outlier days a least-squares slope
+    * chases (up to ~29% contamination). The volume-trend monitor next
+    * to q204's MAD outlier gate: MAD asks "which days are weird",
+    * Theil–Sen asks "is the series actually growing".
+    *
+    * Exactness: slopes are RATIONALS (Δcount, Δdays) — never divided
+    * before ranking is settled. The rank order uses the IEEE double
+    * quotient (one correctly-rounded division, identical in both
+    * engines) with a (den, num) tie-break so equal-valued rationals
+    * order deterministically; the reported median is the exact
+    * integer pair plus its quotient. Lower median at even counts
+    * (rank = (n+1) div 2).
+    *
+    * Scale: the pairwise stage squares the DAY COUNT (time-span
+    * bounded — 365 days is 66k pairs), not the event count; daily
+    * counts are one map-side-combinable aggregate over the corpus.
+    * Per-type windows are bounded by the same day-pair count. */
+  val qTheilSen: GraftQuery = GraftQuery(
+    "q232_theilsen_trend",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS INTEGER) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |slopes AS (
+      |  SELECT a.event_type,
+      |    b.n - a.n AS num, CAST(b.d - a.d AS BIGINT) AS den,
+      |    CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS v
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.d < b.d),
+      |ranked AS (
+      |  SELECT event_type, num, den, v,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, den, num) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM slopes),
+      |med AS (
+      |  SELECT event_type, num, den, v, cnt FROM ranked
+      |  WHERE rn = (cnt + 1) // 2),
+      |days AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+      |SELECT m.event_type, d.n_days, CAST(m.cnt AS BIGINT) AS n_pairs,
+      |  CAST(m.num AS BIGINT) AS slope_num, m.den AS slope_den, m.v AS slope
+      |FROM med m JOIN days d USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("2024-01-01").cast("date")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.n") - col("a.n")).as("num"),
+        (col("b.d") - col("a.d")).cast("long").as("den"))
+      .withColumn("v", col("num").cast("double") / col("den"))
+    val w = Window.partitionBy("event_type")
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w.orderBy(col("v"), col("den"), col("num"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val med = ranked.where(col("rn") === expr("(cnt + 1) div 2"))
+    val days = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    med.join(days, "event_type")
+      .select(col("event_type"), col("n_days"), col("cnt").as("n_pairs"),
+        col("num").as("slope_num"), col("den").as("slope_den"), col("v").as("slope"))
+      .orderBy("event_type")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qTransitions, qTheilSen)
 }
