@@ -129,5 +129,73 @@ object EventFlow {
       .orderBy("event_type")
   }
 
-  def all: Seq[GraftQuery] = Seq(qTransitions, qTheilSen)
+  /** CONVERSION-DELAY QUANTILES: how long users take from their first
+    * `view` to their first subsequent `purchase` — the time-to-convert
+    * distribution behind funnel SLAs and attribution windows (q175
+    * answers WHICH touch converts, this answers HOW FAST). Delays are
+    * exact integer microseconds (unix_micros both engines — events.ts
+    * is µs-truncated on read, QueryDef ground rules) and the reported
+    * p50/p90/p99 are percentile_disc — ACTUAL observed delays, not
+    * interpolated values, selected with pure integer rank arithmetic
+    * (cum·k ≥ total·q, the q163 no-doubles-near-comparisons rule).
+    *
+    * Scale (100 TB): the per-user first-view / first-purchase mins are
+    * map-side-combinable aggregates with ONE exchange on user_id (the
+    * view⋈purchase join reuses that partitioning); everything after is
+    * O(converted users), then collapsed to the DISTINCT-DELAY census
+    * before any global window — the unpartitioned cumulative sum runs
+    * over that compact histogram, never over events (and degrades
+    * gracefully: a µs-grain worst case is still one row per distinct
+    * observed latency; bucket the delay to ms at ingest if even that
+    * is too wide, or swap in the q208 mergeable histogram sketch). */
+  val qConversionDelay: GraftQuery = GraftQuery(
+    "q234_conversion_delay",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |    AND epoch_us(e.ts) >= v.first_view_us
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY e.user_id),
+      |d AS (
+      |  SELECT p.first_purchase_us - v.first_view_us AS delay_us
+      |  FROM v JOIN p ON v.user_id = p.user_id),
+      |h AS (
+      |  SELECT delay_us, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM d GROUP BY delay_us),
+      |c AS (
+      |  SELECT delay_us,
+      |    CAST(SUM(n) OVER (ORDER BY delay_us) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS total
+      |  FROM h)
+      |SELECT CAST(MAX(total) AS BIGINT) AS n_converted,
+      |  MIN(CASE WHEN cum * 2 >= total THEN delay_us END) AS p50_us,
+      |  MIN(CASE WHEN cum * 10 >= total * 9 THEN delay_us END) AS p90_us,
+      |  MIN(CASE WHEN cum * 100 >= total * 99 THEN delay_us END) AS p99_us
+      |FROM c""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .where(col("ts_us") >= col("first_view_us"))
+      .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
+    val delays = v.join(p, "user_id")
+      .select((col("first_purchase_us") - col("first_view_us")).as("delay_us"))
+    val hist = delays.groupBy("delay_us").agg(count(lit(1)).as("n"))
+    // distinct-delay census: the cumulative window's RANGE frame sees
+    // unique keys, so RANGE == ROWS and the sum is unambiguous
+    val cum = hist.select(col("delay_us"),
+      sum("n").over(Window.orderBy("delay_us")).as("cum"),
+      sum("n").over(Window.partitionBy()).as("total"))
+    cum.agg(max("total").as("n_converted"),
+      min(when(col("cum") * 2 >= col("total"), col("delay_us"))).as("p50_us"),
+      min(when(col("cum") * 10 >= col("total") * 9, col("delay_us"))).as("p90_us"),
+      min(when(col("cum") * 100 >= col("total") * 99, col("delay_us"))).as("p99_us"))
+  }
+
+  def all: Seq[GraftQuery] = Seq(qTransitions, qTheilSen, qConversionDelay)
 }

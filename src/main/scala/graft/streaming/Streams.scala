@@ -1049,11 +1049,84 @@ object Streams {
     streamKmvSketch(s, d)
   }
 
+  // ---- q233: streaming MV maintenance ----
+
+  /** STREAMING MV MAINTENANCE — q226's batch increment run as a
+    * continuous pipeline: each arriving micro-batch of fact rows is
+    * folded to DISTRIBUTIVE partials at the MV grain (count, exact
+    * DECIMAL sums, min/max — the [[graft.plans.MvRewrite]] partial
+    * set) inside `foreachBatch` and APPENDED to the summary store;
+    * the serving read merges partials with one bounded re-aggregate
+    * (count=Σn, sum=Σs — decimal addition is associative, so any
+    * micro-batch slicing reconstructs the exact batch answer;
+    * min=min(mn), max=max(mx)). The q229 monoid-fold pattern applied
+    * to the MV lifecycle: build → serve (q214's rewrite rule) →
+    * maintain, now with arrival-order independence — the drained
+    * summary is hash-identical to a from-scratch recompute REGARDLESS
+    * of how the corpus is split into triggers (contrast q224, which
+    * needs time-ordered arrivals).
+    *
+    * 100 TB/day: each trigger's exchange carries ≤ grain-cardinality
+    * rows per partition (map-side partial aggregation), sink growth is
+    * ≤ |grain| rows per trigger, and the serving merge reads KBs. A
+    * production deployment compacts the partial log periodically with
+    * the same merge expression (q146-style fold) instead of at read
+    * time. */
+  def streamMvMaintain(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_mv", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = srcDir match {
+        case Some(dir) =>
+          val fileSchema = spark.read.parquet(dir).schema
+          val reader = spark.readStream.schema(fileSchema)
+          maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+          reader.parquet(dir)
+        case None =>
+          val streamDir = stageAsStreamDir("graft_stream_li", sfDir, "lineitem.parquet")
+          val fileSchema = spark.read.parquet(streamDir).schema
+          spark.readStream.schema(fileSchema).parquet(streamDir)
+      }
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.groupBy("l_returnflag", "l_linestatus")
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(12,1)")).as("s_qty"),
+              sum(col("l_extendedprice").cast("decimal(12,2)")).as("s_price"),
+              min(col("l_shipdate")).as("mn_ship"),
+              max(col("l_shipdate")).as("mx_ship"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("n")).as("n"),
+        sum(col("s_qty")).cast("double").as("sum_qty"),
+        sum(col("s_price")).cast("double").as("sum_price"),
+        min(col("mn_ship")).as("mn_ship"),
+        max(col("mx_ship")).as("mx_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Oracle = full-corpus MV recompute (q226's oracle verbatim): the
+    * hash match proves streamed maintenance ≡ recompute. */
+  val qStreamMvMaintain: GraftQuery = GraftQuery(
+    "q233_stream_mv_maintain",
+    graft.plans.MvRewrite.qMvIncrement.oracle.get) { (s, d) =>
+    streamMvMaintain(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
-      qStreamTransitions, qStreamKmv)
+      qStreamTransitions, qStreamKmv, qStreamMvMaintain)
 }

@@ -9,14 +9,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * configuration —
   *   spark.sql.extensions=org.apache.spark.sql.graftshim.GraftExtensions
   *
-  * No optimizer Rule or planner Strategy is injected deliberately:
-  * every graft operator either composes built-ins Catalyst already
-  * optimizes or is an Expression/TypedImperativeAggregate, which hook
-  * in at the function layer (SURVEY §4.3/§7.3 — revisit only if a
-  * physical ANN strategy becomes necessary).
+  * Besides the function surface, the PK/FK join-elimination rule
+  * ([[graft.plans.JoinElim.FkJoinElimination]]) is injected as a real
+  * optimizer rule: it is self-contained (its constraint declarations
+  * travel with it and it refuses every undeclared shape), so the
+  * config path gets the same semantic-layer join pruning that
+  * `JoinElim.withRule` provides programmatically. The MV rewrite rule
+  * ([[graft.plans.MvRewrite.LineitemMvRule]]) is NOT injected — it is
+  * parameterized by a per-deployment materialized-view relation, so
+  * it stays an explicit `MvRewrite.withRule(spark, dir)` opt-in. No
+  * planner Strategy is injected: every graft operator either composes
+  * built-ins Catalyst already optimizes or is an Expression/
+  * TypedImperativeAggregate, which hook in at the function layer
+  * (SURVEY §4.3/§7.3 — revisit only if a physical ANN strategy
+  * becomes necessary).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => new graft.plans.JoinElim.FkJoinElimination)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

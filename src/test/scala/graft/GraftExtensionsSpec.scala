@@ -28,4 +28,27 @@ class GraftExtensionsSpec extends graft.SparkSpecBase {
         "shingle_set", "minhash_bands", "dot_product", "char_gram_vector"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
   }
+
+  test("config-path injection carries the FK join-elimination rule and it fires") {
+    import org.apache.spark.sql.functions._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val rules = ext.buildOptimizerRules(spark)
+    val rule = rules.collectFirst {
+      case r: graft.plans.JoinElim.FkJoinElimination => r
+    }.getOrElse(fail("FkJoinElimination not injected"))
+    // extraOptimizations / injected user rules both run after the main
+    // optimizer batches — applying the built rule to the standard
+    // optimized plan reproduces exactly that position.
+    val q = graft.sources.Tables.orders(spark, sf001).as("o")
+      .join(graft.sources.Tables.customer(spark, sf001).as("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "left")
+      .groupBy(col("o.o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val before = q.queryExecution.optimizedPlan
+    assert(before.toString.contains("Join LeftOuter"), before.toString)
+    val after = rule(before)
+    assert(!after.toString.toLowerCase.contains("join"),
+      s"injected rule must eliminate the unused-dim join:\n$after")
+  }
 }

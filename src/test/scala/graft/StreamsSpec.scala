@@ -417,6 +417,27 @@ class StreamsSpec extends SparkSpecBase {
       "partial-merge decayed counts must equal the batch rollup")
   }
 
+  test("q233: multi-trigger MV maintenance equals the full recompute") {
+    // 3 staged files + maxFilesPerTrigger=1 → the fact table arrives
+    // across several triggers, each appending its own partial rows
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_mv").toString
+    graft.sources.Tables.lineitem(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamMvMaintain(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q226_mv_increment")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "streamed partial-merge MV must equal the batch recompute")
+    // the partial store really holds one generation per trigger — more
+    // partial rows than final grain rows proves >1 micro-batch folded
+    val partials = spark.read.parquet(
+      graft.operators.Formats.scratchDir("graft_stream_mv", src)).count()
+    assert(partials > streamed.size,
+      s"expected multiple per-trigger partials, got $partials rows")
+  }
+
   test("q203: late-data audit — batch 0 never late, later batches are, " +
     "totals account for every event") {
     val agg = Streams.streamLateAudit(spark, sf001).collect()
