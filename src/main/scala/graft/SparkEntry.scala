@@ -58,6 +58,7 @@ object SparkEntry {
       operators.KmvSketch.all ++
       operators.GraphCore.all ++
       operators.EventFlow.all ++
+      operators.Behavior.all ++
       operators.MmrRerank.all ++
       operators.SpanCoalesce.all ++
       operators.ClusterLabels.all ++

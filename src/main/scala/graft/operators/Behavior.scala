@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the events stream: the cohort retention
+  * matrix and multi-touch attribution — the two reports every product
+  * analytics stack derives from raw event logs (the reference's
+  * events model stops at per-event enrichment; SURVEY §2 north-star).
+  *
+  * Both follow the house exactness discipline: all timestamps are
+  * integer microseconds (`unix_micros` / `epoch_us` — QueryDef ground
+  * rules), all rates are integer ppm by cross-multiplied division,
+  * and every window carries a unique (ts, event_id) tie-break so
+  * results are partition- and engine-independent.
+  */
+object Behavior {
+
+  /** COHORT RETENTION MATRIX: users grouped by the ISO week of their
+    * FIRST event (acquisition cohort), crossed with the weeks they
+    * were active — the (cohort_week × week_offset) grid with exact
+    * integer-ppm retention. q90's single-cohort retention widened to
+    * the full triangular matrix a growth dashboard plots.
+    *
+    * Week arithmetic is engine-aligned by construction: both engines'
+    * `date_trunc('week', ts)` land on ISO Monday 00:00, so the day
+    * difference between two week starts is an exact multiple of 7 and
+    * `datediff div 7` is integer-exact.
+    *
+    * Scale (100 TB): the per-user first-event min and the DISTINCT
+    * (user, week) activity relation are map-side-combinable with ONE
+    * exchange on user_id each (the cohort⋈activity join reuses it);
+    * the matrix itself is O(weeks²) — constant in event volume. */
+  val qCohortMatrix: GraftQuery = GraftQuery(
+    "q235_cohort_retention",
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      |  FROM events),
+      |sizes AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+      |  FROM f GROUP BY cohort_week),
+      |m AS (
+      |  SELECT f.cohort_week,
+      |    CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+      |      AS week_offset,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM f JOIN a ON f.user_id = a.user_id
+      |  GROUP BY 1, 2)
+      |SELECT m.cohort_week, m.week_offset, m.n_active, s.n_cohort,
+      |  CAST((m.n_active * 1000000) // s.n_cohort AS BIGINT) AS retention_ppm
+      |FROM m JOIN sizes s ON m.cohort_week = s.cohort_week
+      |ORDER BY m.cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    // both engines land week starts on ISO Monday; DuckDB renders the
+    // truncation as DATE, so the Spark side casts to match
+    val f = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val a = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("act_week")).distinct()
+    val sizes = f.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+    val m = f.join(a, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")).cast("long") / 7)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    m.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        expr("(n_active * 1000000) div n_cohort").as("retention_ppm"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** U-SHAPED (position-based) MULTI-TOUCH ATTRIBUTION: each purchase
+    * distributes exactly 1,000,000 ppm of credit over the user's
+    * view/click touches in the 7 days before it — 40% to the first
+    * touch, 40% to the last, 20% split over the middles. q175 answers
+    * first-touch only; this is the industry-standard position model,
+    * made EXACT: middle credit is `200000 div n_mid` with the
+    * remainder assigned to the EARLIEST middle touch, so per-purchase
+    * credits sum to exactly 1,000,000 (1 touch → all; 2 touches →
+    * 500,000 each — the 20% pot split between the two poles). No
+    * doubles anywhere; reproducible under any partitioning.
+    *
+    * Scale (100 TB): the purchase⋈touch pairing is ONE exchange on
+    * user_id with the 7-day band bounding pairs per purchase by the
+    * user's own weekly activity (the q221 per-user-stream argument —
+    * a hot user salts through the q170 diagnostics path); the
+    * per-purchase rank window re-partitions on purchase_id, whose
+    * cardinality is the purchase count, not the event count; the
+    * final census is map-side combinable into |channels| rows. */
+  val qAttribution: GraftQuery = GraftQuery(
+    "q236_position_attribution",
+    """WITH t AS (
+      |  SELECT p.event_id AS purchase_id, tch.event_type AS channel,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |                       ORDER BY epoch_us(tch.ts), tch.event_id) AS rn,
+      |    count(*) OVER (PARTITION BY p.event_id) AS cnt
+      |  FROM events p JOIN events tch ON p.user_id = tch.user_id
+      |    AND epoch_us(tch.ts) < epoch_us(p.ts)
+      |    AND epoch_us(tch.ts) >= epoch_us(p.ts) - 604800000000
+      |  WHERE p.event_type = 'purchase'
+      |    AND tch.event_type IN ('view', 'click')),
+      |c AS (
+      |  SELECT purchase_id, channel,
+      |    CASE WHEN cnt = 1 THEN 1000000
+      |         WHEN cnt = 2 THEN 500000
+      |         WHEN rn = 1 OR rn = cnt THEN 400000
+      |         ELSE 200000 // (cnt - 2)
+      |              + CASE WHEN rn = 2 THEN 200000 % (cnt - 2) ELSE 0 END
+      |    END AS credit_ppm
+      |  FROM t)
+      |SELECT channel,
+      |  CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+      |  CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+      |FROM c GROUP BY channel ORDER BY channel""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_us").as("p_us"))
+    val tch = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("touch_id"), col("ts_us").as("t_us"))
+    val wRank = Window.partitionBy("purchase_id").orderBy("t_us", "touch_id")
+    val wAll = Window.partitionBy("purchase_id")
+    val t = p.join(tch, Seq("user_id"))
+      .where(col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - lit(604800000000L))
+      .select(col("purchase_id"), col("channel"),
+        row_number().over(wRank).as("rn"), count(lit(1)).over(wAll).as("cnt"))
+    val c = t.select(col("purchase_id"), col("channel"),
+      when(col("cnt") === 1, 1000000L)
+        .when(col("cnt") === 2, 500000L)
+        .when(col("rn") === 1 || col("rn") === col("cnt"), 400000L)
+        .otherwise(expr("200000 div (cnt - 2) " +
+          "+ CASE WHEN rn = 2 THEN 200000 % (cnt - 2) ELSE 0 END"))
+        .as("credit_ppm"))
+    c.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_purchases"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+      .orderBy("channel")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qCohortMatrix, qAttribution)
+}

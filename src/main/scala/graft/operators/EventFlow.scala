@@ -197,5 +197,74 @@ object EventFlow {
       min(when(col("cum") * 100 >= col("total") * 99, col("delay_us"))).as("p99_us"))
   }
 
-  def all: Seq[GraftQuery] = Seq(qTransitions, qTheilSen, qConversionDelay)
+  /** CUSUM CHANGEPOINT per event type: the day where the cumulative
+    * deviation of daily counts from the series mean peaks — the
+    * classic offline single-changepoint estimator (Page's CUSUM,
+    * argmax form). Completes the volume-monitoring triptych: q204's
+    * MAD flags WHICH days are outliers, q232's Theil–Sen asks IS the
+    * series trending, CUSUM asks WHEN the level shifted.
+    *
+    * Exactness: deviations are kept in integer units scaled by the
+    * day count — `S_d = Σ_{i≤d} (c_i·D − T)` where T is the total and
+    * D the number of observed days, so S_d = D·(classic CUSUM) with
+    * zero rounding anywhere. The changepoint is argmax |S_d| with an
+    * earliest-day tie-break; `direction` is the sign of S at the
+    * argmax (+1 = level DROPPED after the changepoint: early days sat
+    * above the mean).
+    *
+    * Scale (100 TB): daily counts are one map-side-combinable
+    * aggregate over the corpus; everything after runs on the
+    * O(types × days) census — the cumulative window and the argmax
+    * rank both touch ≤ |types|·|days| rows at any event volume. */
+  val qCusum: GraftQuery = GraftQuery(
+    "q237_cusum_changepoint",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS d_days
+      |  FROM daily GROUP BY event_type),
+      |cum AS (
+      |  SELECT daily.event_type, daily.day, tot.d_days, tot.t,
+      |    CAST(SUM(daily.c * tot.d_days - tot.t) OVER (
+      |      PARTITION BY daily.event_type ORDER BY daily.day) AS BIGINT) AS s
+      |  FROM daily JOIN tot ON daily.event_type = tot.event_type),
+      |ranked AS (
+      |  SELECT event_type, day, d_days, t, s,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY abs(s) DESC, day) AS rk
+      |  FROM cum)
+      |SELECT event_type, day AS cp_day, abs(s) AS s_abs,
+      |  CAST(CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END AS BIGINT)
+      |    AS direction,
+      |  d_days, t AS n_events
+      |FROM ranked WHERE rk = 1
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("c").as("t"), count(lit(1)).as("d_days"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+    val cum = daily.join(tot, "event_type")
+      .select(col("event_type"), col("day"), col("d_days"), col("t"),
+        sum(col("c") * col("d_days") - col("t")).over(wCum).as("s"))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(abs(col("s")).desc, col("day"))
+    cum.select(col("event_type"), col("day"), col("d_days"), col("t"),
+      col("s"), row_number().over(wRank).as("rk"))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        abs(col("s")).as("s_abs"),
+        when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L)
+          .as("direction"),
+        col("d_days"), col("t").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qTransitions, qTheilSen, qConversionDelay, qCusum)
 }

@@ -725,9 +725,76 @@ object Extras {
       .orderBy("event_type")
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT: the leading-significant-digit census
+    * of order totals against the Benford expectation — the forensic
+    * data-quality screen for fabricated or mis-scaled numeric columns
+    * (genuine multi-decade financial data follows log10(1+1/d);
+    * synthetic or clipped generators don't, and THIS generator's
+    * uniform-by-magnitude totals are exactly the kind of distribution
+    * the audit is built to flag). Joins the q196 contract dashboard as
+    * a distributional check next to its row-level checks.
+    *
+    * Exactness: the first digit comes from the BIGINT integer part
+    * rendered as a string (integer→varchar is identical across
+    * engines; no log10/pow round-trips, whose rounding at decade
+    * boundaries is not bit-specified). Expected shares are the fixed
+    * integer-ppm Benford table (floor(log10(1+1/d)·10⁶) precomputed
+    * once, same literals both sides); observed shares are integer ppm
+    * by cross-multiplication. Totals < 1 would have no leading digit
+    * in this scheme and are counted out explicitly (none in this
+    * corpus — the oracle proves it by matching).
+    *
+    * Scale: one map-side-combinable 9-group census over the corpus;
+    * the expected table is a 9-row literal relation. */
+  val qBenford: GraftQuery = GraftQuery(
+    "q238_benford_audit",
+    """WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |obs AS (
+      |  SELECT digit, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(count(*)) OVER () AS BIGINT) AS total
+      |  FROM digits GROUP BY digit),
+      |exp AS (
+      |  SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+      |    (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+      |    (9, 45757)) AS t(digit, exp_ppm))
+      |SELECT CAST(exp.digit AS BIGINT) AS digit,
+      |  CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+      |  CAST(COALESCE((obs.n * 1000000) // obs.total, 0) AS BIGINT)
+      |    AS obs_ppm,
+      |  CAST(exp.exp_ppm AS BIGINT) AS exp_ppm,
+      |  CAST(COALESCE((obs.n * 1000000) // obs.total, 0) - exp.exp_ppm
+      |    AS BIGINT) AS dev_ppm
+      |FROM exp LEFT JOIN obs ON exp.digit = obs.digit
+      |ORDER BY exp.digit""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val benford = Seq((1L, 301029L), (2L, 176091L), (3L, 124938L),
+      (4L, 96910L), (5L, 79181L), (6L, 66946L), (7L, 57991L),
+      (8L, 51152L), (9L, 45757L)).toDF("digit", "exp_ppm")
+    val obs = Tables.orders(s, d)
+      .where(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .as("total"))
+    benford.join(obs, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(expr("(n * 1000000) div total"), lit(0L)).as("obs_ppm"),
+        col("exp_ppm"),
+        (coalesce(expr("(n * 1000000) div total"), lit(0L)) - col("exp_ppm"))
+          .as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
     qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize,
-    qDecayedCounts, qReferentialIntegrity, qContractDashboard, qQuantileSketch)
+    qDecayedCounts, qReferentialIntegrity, qContractDashboard, qQuantileSketch,
+    qBenford)
 }
