@@ -682,7 +682,49 @@ object ScaleBench {
       .getOrElse(300000)
     if (spillDocs > 0) out ++= spillProbe(sfDir, spillDocs)
 
+    // ---- MV partial-log compaction A/B (q233/q239) ----
+    out ++= mvLogProbe(spark, sfDir)
+
     out.toSeq
+  }
+
+  /** The streaming small-files effect, measured: serving the q233 MV
+    * from a 256-generation partial log vs from its q239-compacted
+    * form. Data volume is identical (the fold is exact — asserted);
+    * the delta is pure file-open/footer overhead, which is what a
+    * per-trigger append store accumulates in production. Generations
+    * are replicated from one partial file (same bytes — compaction's
+    * serve-equality must hold regardless of content). */
+  private[graft] def mvLogProbe(spark: SparkSession,
+      sfDir: String): Seq[(String, Double)] = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val generations = 256
+    val dir = graft.operators.Formats.scratchDir("graft_mv_log", sfDir)
+    graft.operators.Formats.wipe(dir)
+    graft.plans.MvRewrite.mvPartial(graft.sources.Tables.lineitem(spark, sfDir))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fs = graft.spark.FsOps.fs(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val part = fs.listStatus(new Path(dir)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("no partial file written"))
+    (1 until generations).foreach { i =>
+      FileUtil.copy(fs, part, fs, new Path(dir, f"gen-$i%04d.parquet"),
+        false, conf)
+    }
+    def serve(): String =
+      graft.plans.MvRewrite.mvServe(spark.read.parquet(dir))
+        .collect().mkString("|")
+    val (pre, tLog) = time(serve())
+    val (_, tCompact) = time(
+      graft.plans.MvRewrite.compactPartials(spark, dir))
+    val (post, tCompacted) = time(serve())
+    require(pre == post, "compaction changed MV serving results")
+    Seq(
+      "mv_log_generations" -> generations.toDouble,
+      "mv_serve_log_sec" -> tLog,
+      "mv_compact_sec" -> tCompact,
+      "mv_serve_compacted_sec" -> tCompacted)
   }
 
   private[graft] def spillProbe(sfDir: String, targetDocs: Int): Seq[(String, Double)] = {

@@ -281,20 +281,70 @@ object MvRewrite {
   private val baseMvMemo =
     new graft.spark.SessionMemo[String, String]("plans.mvbase")(_ => ())
 
+  /** One batch/trigger's DISTRIBUTIVE partials at the MV grain — the
+    * canonical partial schema every MV store shares (base build, q226
+    * delta, q233 per-trigger append, q239 compaction all speak it):
+    * `n BIGINT, s_qty DECIMAL(22,1), s_price DECIMAL(22,2),
+    * mn_ship DATE, mx_ship DATE`. */
+  def mvPartial(df: DataFrame): DataFrame =
+    df.groupBy(mvGroupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,1)")).as("s_qty"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).as("s_price"),
+        min(col("l_shipdate")).as("mn_ship"),
+        max(col("l_shipdate")).as("mx_ship"))
+
+  /** Serving fold: any union of partial generations → the final MV
+    * answer (count = Σn, sums = Σ partials — decimal addition is
+    * associative, so any generation slicing reconstructs the exact
+    * from-scratch aggregate; min/max re-extremize). */
+  def mvServe(partials: DataFrame): DataFrame =
+    partials.groupBy(mvGroupCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("s_qty")).cast("double").as("sum_qty"),
+        sum(col("s_price")).cast("double").as("sum_price"),
+        min(col("mn_ship")).as("mn_ship"),
+        max(col("mx_ship")).as("mx_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Fold partial generations back INTO the canonical partial schema
+    * (same merge algebra as [[mvServe]], minus the final casts). The
+    * re-narrowing decimal casts are exact until a grain cell's sum
+    * exceeds DECIMAL(22,_) — ~10²¹ quantity units — and ANSI mode
+    * makes that overflow loud, not silent. */
+  def mvCompact(partials: DataFrame): DataFrame =
+    partials.groupBy(mvGroupCols.map(col): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("s_qty")).cast("decimal(22,1)").as("s_qty"),
+        sum(col("s_price")).cast("decimal(22,2)").as("s_price"),
+        min(col("mn_ship")).as("mn_ship"),
+        max(col("mx_ship")).as("mx_ship"))
+
+  /** COMPACT a partial-generation store in place: fold every
+    * generation into one (one file per grain shard), stage, and
+    * rename-swap via [[graft.spark.FsOps.swapInto]] — readers see
+    * either the old log or the compacted one, never a half state.
+    * Serving results are IDENTICAL before and after (the fold is the
+    * same merge algebra serving applies); what changes is the file
+    * count the serving read must open. */
+  def compactPartials(spark: SparkSession, dir: String): Unit = {
+    val staging = dir + "__compacting"
+    mvCompact(spark.read.parquet(dir))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    graft.spark.FsOps.swapInto(spark, staging, dir)
+  }
+
   /** Base-corpus MV (rows with l_orderkey % 5 != 4 — the q130 batch
     * convention) persisted to parquet once per (session, corpus). */
   def baseMvFor(spark: SparkSession, d: String): String =
     baseMvMemo.getOrElseUpdate(spark, d) {
       val path = Formats.scratchDir("graft_mv_base", d)
-      Tables.lineitem(spark, d)
-        .where(pmod(col("l_orderkey"), lit(5)) =!= 4)
-        .groupBy(mvGroupCols.map(col): _*)
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(12,1)")).as("s_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).as("s_price"),
-          min(col("l_shipdate")).as("mn_ship"),
-          max(col("l_shipdate")).as("mx_ship"))
+      mvPartial(Tables.lineitem(spark, d)
+        .where(pmod(col("l_orderkey"), lit(5)) =!= 4))
         .coalesce(1)
         .write.mode("overwrite").parquet(path)
       path
@@ -324,25 +374,39 @@ object MvRewrite {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     val base = s.read.parquet(baseMvFor(s, d))
-    val delta = Tables.lineitem(s, d)
-      .where(pmod(col("l_orderkey"), lit(5)) === 4)
-      .groupBy(mvGroupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(12,1)")).as("s_qty"),
-        sum(col("l_extendedprice").cast("decimal(12,2)")).as("s_price"),
-        min(col("l_shipdate")).as("mn_ship"),
-        max(col("l_shipdate")).as("mx_ship"))
-    base.unionByName(delta)
-      .groupBy(mvGroupCols.map(col): _*)
-      .agg(
-        sum(col("n")).as("n"),
-        sum(col("s_qty")).cast("double").as("sum_qty"),
-        sum(col("s_price")).cast("double").as("sum_price"),
-        min(col("mn_ship")).as("mn_ship"),
-        max(col("mx_ship")).as("mx_ship"))
-      .orderBy("l_returnflag", "l_linestatus")
+    val delta = mvPartial(Tables.lineitem(s, d)
+      .where(pmod(col("l_orderkey"), lit(5)) === 4))
+    mvServe(base.unionByName(delta))
   }
 
-  def all: Seq[GraftQuery] = Seq(qMvRewrite, qMvIncrement)
+  /** q239: PARTIAL-LOG COMPACTION — the missing quarter of the MV
+    * lifecycle (build q214 → serve → maintain q226/q233 → COMPACT).
+    * q233's append-per-trigger store grows one generation per trigger;
+    * left alone, the serving read's cost becomes file-open overhead,
+    * not data (the classic streaming small-files problem). Compaction
+    * folds the log back to one generation with the SAME merge algebra
+    * serving applies and swaps it in atomically (rename-aside — the
+    * FsOps discipline Ingest/Snapshot/Upsert already follow), so
+    * serving results are bit-identical
+    * before and after — proven here by serving the COMPACTED store
+    * against the full-recompute oracle, and by the ScaleBench A/B
+    * that times a 256-generation log against its compacted form.
+    * The two-generation split below stands in for two arrived
+    * triggers (deterministic by orderkey parity). */
+  val qMvCompact: GraftQuery = GraftQuery(
+    "q239_mv_compact",
+    qMvIncrement.oracle.get) { (s, d) =>
+    val dir = Formats.scratchDir("graft_mv_compact", d)
+    Formats.wipe(dir)
+    Seq(0, 1).foreach { r =>
+      mvPartial(Tables.lineitem(s, d)
+        .where(pmod(col("l_orderkey"), lit(2)) === r))
+        .coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    compactPartials(s, dir)
+    mvServe(s.read.parquet(dir))
+  }
+
+  def all: Seq[GraftQuery] = Seq(qMvRewrite, qMvIncrement, qMvCompact)
 }

@@ -1092,26 +1092,14 @@ object Streams {
       }
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.groupBy("l_returnflag", "l_linestatus")
-            .agg(count(lit(1)).as("n"),
-              sum(col("l_quantity").cast("decimal(12,1)")).as("s_qty"),
-              sum(col("l_extendedprice").cast("decimal(12,2)")).as("s_price"),
-              min(col("l_shipdate")).as("mn_ship"),
-              max(col("l_shipdate")).as("mx_ship"))
+          graft.plans.MvRewrite.mvPartial(batch.toDF())
             .write.mode("append").parquet(outDir)
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.parquet(outDir)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(col("n")).as("n"),
-        sum(col("s_qty")).cast("double").as("sum_qty"),
-        sum(col("s_price")).cast("double").as("sum_price"),
-        min(col("mn_ship")).as("mn_ship"),
-        max(col("mx_ship")).as("mx_ship"))
-      .orderBy("l_returnflag", "l_linestatus")
+    graft.plans.MvRewrite.mvServe(spark.read.parquet(outDir))
   }
 
   /** Oracle = full-corpus MV recompute (q226's oracle verbatim): the

@@ -115,4 +115,29 @@ class MvRewriteSpec extends SparkSpecBase {
     val p = directAgg().queryExecution.executedPlan.toString
     assert(!p.contains("graft_mv") && p.contains("lineitem.parquet"))
   }
+
+  test("q239: compaction folds the partial log to one generation, serving unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_cpt").toString
+    (0 to 3).foreach { r =>
+      MvRewrite.mvPartial(Tables.lineitem(spark, sf001)
+        .where(pmod(col("l_orderkey"), lit(4)) === r))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def partFiles(): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = MvRewrite.mvServe(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSeq
+    assert(partFiles() >= 4, "expected one file per generation")
+    MvRewrite.compactPartials(spark, dir)
+    assert(partFiles() === 1, "compaction must leave a single generation file")
+    val after = MvRewrite.mvServe(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction must not change serving results")
+    // compacted store holds exactly the grain cells
+    assert(spark.read.parquet(dir).count() === before.size.toLong)
+    // and the compacted rows still carry the canonical partial schema,
+    // so later triggers can keep appending to the same store
+    val sch = spark.read.parquet(dir).schema
+    assert(sch("s_qty").dataType.toString == "DecimalType(22,1)", sch.toString)
+  }
 }
