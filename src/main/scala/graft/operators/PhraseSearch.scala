@@ -83,5 +83,101 @@ object PhraseSearch {
     phraseMatches(s, d, phrase).orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qPhraseSearch)
+  /** q240: BOOLEAN RETRIEVAL — the AND/OR/NOT query algebra over the
+    * same inverted index (IIR §1), the third retrieval mode next to
+    * ranked (BM25/cosine/RRF) and positional (phrase/proximity).
+    * Fixed demo query: ("vector" AND "hash" AND NOT "slow") OR
+    * ("merge" AND "stream"); the result carries a branch bitmask so
+    * the oracle checks WHICH clause matched, not just membership.
+    *
+    * Compilation is the classic one: AND → semi-join chain on doc_id,
+    * NOT → anti-join, OR → union of branch results (here: full outer
+    * on the two branch sets to build the mask without scanning docs
+    * twice more). All term relations are DISTINCT (doc_id) sets
+    * filtered from the postings BEFORE any exchange — shuffle volume
+    * is the terms' document frequencies, like q215.
+    *
+    * Scale: each term set is df(term) rows; semi/anti joins keep the
+    * smaller side broadcastable per AQE; nothing ever touches the
+    * token stream after the initial term filters. */
+  val qBooleanSearch: GraftQuery = GraftQuery(
+    "q240_boolean_search",
+    """WITH td AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |    FROM documents)),
+      |b1 AS (
+      |  SELECT doc_id FROM td WHERE tok = 'vector'
+      |  INTERSECT SELECT doc_id FROM td WHERE tok = 'hash'
+      |  EXCEPT SELECT doc_id FROM td WHERE tok = 'slow'),
+      |b2 AS (
+      |  SELECT doc_id FROM td WHERE tok = 'merge'
+      |  INTERSECT SELECT doc_id FROM td WHERE tok = 'stream')
+      |SELECT COALESCE(b1.doc_id, b2.doc_id) AS doc_id,
+      |  CAST(CASE WHEN b1.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      |     + CASE WHEN b2.doc_id IS NOT NULL THEN 2 ELSE 0 END AS BIGINT)
+      |    AS branches
+      |FROM b1 FULL OUTER JOIN b2 ON b1.doc_id = b2.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val td = NgramStats.indexedDocToks(s, d)
+      .select(col("doc_id"), explode(col("t")).as("tok")).distinct()
+    def docsWith(w: String): DataFrame =
+      td.where(col("tok") === w).select("doc_id")
+    val b1 = docsWith("vector")
+      .join(docsWith("hash"), Seq("doc_id"), "semi")
+      .join(docsWith("slow"), Seq("doc_id"), "anti")
+      .withColumn("in_b1", lit(1L))
+    val b2 = docsWith("merge")
+      .join(docsWith("stream"), Seq("doc_id"), "semi")
+      .withColumn("in_b2", lit(2L))
+    b1.join(b2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("in_b1"), lit(0L)) + coalesce(col("in_b2"), lit(0L)))
+          .as("branches"))
+      .orderBy("doc_id")
+  }
+
+  /** q241: PROXIMITY SEARCH — "sort" within 5 positions of "merge"
+    * (unordered NEAR/5, IIR §2.4.2): the positional operator between
+    * exact phrase (distance 1, ordered) and bag-of-words AND (any
+    * distance). Per matching doc: the pair count and the closest
+    * distance.
+    *
+    * Scale: the two posting streams are term-filtered before the
+    * doc_id join; per-doc pair count is tf(w1)·tf(w2) of the QUERY
+    * terms only — bounded by each doc's own term frequencies, the
+    * q236 band-join argument. A pathological doc repeating both terms
+    * thousands of times routes through the q170 skew diagnostics; the
+    * positional band-bucket join (pos div k co-location) is the
+    * documented escape hatch, not needed at observed Zipf tf. */
+  val qProximitySearch: GraftQuery = GraftQuery(
+    "q241_proximity_search",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, t[i] AS tok, i
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+      |w1 AS (SELECT doc_id, i FROM pos WHERE tok = 'sort'),
+      |w2 AS (SELECT doc_id, i FROM pos WHERE tok = 'merge')
+      |SELECT w1.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(abs(w1.i - w2.i)) AS BIGINT) AS min_dist
+      |FROM w1 JOIN w2 ON w1.doc_id = w2.doc_id
+      |  AND abs(w1.i - w2.i) <= 5
+      |GROUP BY w1.doc_id
+      |ORDER BY w1.doc_id""".stripMargin) { (s, d) =>
+    val post = NgramStats.indexedDocToks(s, d)
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("tok"))
+    val w1 = post.where(col("tok") === "sort").select(col("doc_id"), col("i").as("i1"))
+    val w2 = post.where(col("tok") === "merge").select(col("doc_id"), col("i").as("i2"))
+    w1.join(w2, Seq("doc_id"))
+      .where(abs(col("i1") - col("i2")) <= 5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("i1") - col("i2"))).as("min_dist"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qPhraseSearch, qBooleanSearch, qProximitySearch)
 }

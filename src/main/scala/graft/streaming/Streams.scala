@@ -1110,11 +1110,113 @@ object Streams {
     streamMvMaintain(s, d)
   }
 
+  // ---- q242: stream-stream LEFT OUTER join ----
+
+  /** Stage the full events table as one arrival file followed by two
+    * SENTINEL files far in event-time future (user_id = −1, one view +
+    * one click each, +30/+60 days) with strictly increasing mtimes —
+    * the q203 ordered-arrival technique. The sentinels exist to drive
+    * the WATERMARK past every real event: sentinel 1 advances it at
+    * batch-1 end, and batch 2 (sentinel 2) is the trigger in which the
+    * engine evicts expired join state and EMITS the null-padded rows.
+    * Without them an outer join over a finite file stream holds every
+    * unmatched row forever — the part of outer-join semantics inner
+    * joins (q67) never exercise. */
+  private def stageEventsWithSentinels(spark: SparkSession,
+      sfDir: String): String = {
+    val dir = graft.operators.Formats.scratchDir("graft_stream_outer", sfDir)
+    val marker = new java.io.File(dir, "_staged")
+    if (!marker.exists()) {
+      graft.operators.Formats.wipe(dir)
+      new java.io.File(dir).mkdirs()
+      import spark.implicits._
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      def writeArrival(df: DataFrame, i: Int): Unit = {
+        val tmp = new java.io.File(dir, s"_tmp$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file staged in $tmp"))
+        val dst = new java.io.File(dir, f"arr$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        assert(dst.setLastModified(1700000000000L + i * 60000L))
+        graft.operators.Formats.wipe(tmp.toString)
+      }
+      writeArrival(ev, 0)
+      Seq(1, 2).foreach { i =>
+        val ts = maxUs + i * 30L * 86400L * 1000000L
+        writeArrival(Seq(
+          (-2L * i, ts, -1L, "view"), (-2L * i - 1, ts, -1L, "click"))
+          .toDF("event_id", "ts_us", "user_id", "event_type")
+          .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("user_id"), col("event_type")), i)
+      }
+      assert(marker.createNewFile())
+    }
+    dir
+  }
+
+  /** STREAM-STREAM LEFT OUTER JOIN with watermark-bounded state: q67's
+    * view⋈click interval join, keeping every view — matched rows emit
+    * on match, UNMATCHED views emit null-padded only once the
+    * watermark proves no qualifying click can still arrive (state
+    * eviction, the semantics that make outer streaming joins hard).
+    * The drained result equals the batch LEFT JOIN over the real
+    * events — so the oracle hash match is a proof the engine's
+    * eviction emitted exactly the unmatched set, no more, no less,
+    * with sentinels (user_id < 0) filtered from the serving read.
+    *
+    * 100 TB: state is bounded to the 1-hour interval + watermark delay
+    * per side (same physics as q67); the null-emission adds no state —
+    * it is the eviction path itself. */
+  def streamStreamLeftJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stageEventsWithSentinels(spark, sfDir)
+    val name = "graft_stream_louter"
+    withStreamShufflePartitions(spark) {
+      def src(): DataFrame = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val views = src().where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val clicks = src().where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val q = views.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+          "leftOuter")
+        .select("user_id", "view_id", "click_id")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).where(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("view_id"), col("click_id").asc_nulls_first)
+  }
+
+  val qStreamStreamLeftJoin: GraftQuery = GraftQuery(
+    "q242_stream_stream_left_join",
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM events v LEFT JOIN events c
+      |  ON v.user_id = c.user_id AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |WHERE v.event_type = 'view'
+      |ORDER BY v.user_id, view_id, click_id NULLS FIRST""".stripMargin) { (s, d) =>
+    streamStreamLeftJoin(s, d)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qStreamHourly, qStreamDedup, qStreamDedupWatermark, qStreamSessions,
       qStreamStaticJoin, qStreamStreamJoin, qStreamImageDecode,
       qStreamSessionWindow, qStreamIncrementalFunnel, qStreamAnnIngest,
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
-      qStreamTransitions, qStreamKmv, qStreamMvMaintain)
+      qStreamTransitions, qStreamKmv, qStreamMvMaintain,
+      qStreamStreamLeftJoin)
 }

@@ -438,6 +438,29 @@ class StreamsSpec extends SparkSpecBase {
       s"expected multiple per-trigger partials, got $partials rows")
   }
 
+  test("q242: outer-join eviction emits exactly the unmatched views, null-padded") {
+    val out = graft.streaming.Streams.streamStreamLeftJoin(spark, sf001).cache()
+    val nullRows = out.where(col("click_id").isNull)
+      .select("view_id").collect().map(_.getLong(0)).toSet
+    assert(nullRows.nonEmpty,
+      "watermark eviction must emit null-padded rows for unmatched views")
+    // batch anti-join: views with NO click in the following hour
+    val ev = graft.sources.Tables.events(spark, sf001)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val unmatched = views.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+        "left_anti")
+      .select("view_id").collect().map(_.getLong(0)).toSet
+    assert(nullRows === unmatched,
+      "evicted set must equal the batch anti-join set")
+    out.unpersist()
+  }
+
   test("q203: late-data audit — batch 0 never late, later batches are, " +
     "totals account for every event") {
     val agg = Streams.streamLateAudit(spark, sf001).collect()
