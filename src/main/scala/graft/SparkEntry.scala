@@ -64,6 +64,8 @@ object SparkEntry {
       operators.ClusterLabels.all ++
       operators.VocabGrowth.all ++
       operators.GroupSample.all ++
+      operators.OlapGrouping.all ++
+      operators.PageRank.all ++
       plans.MvRewrite.all ++
       plans.JoinElim.all ++
       streaming.Streams.all ++

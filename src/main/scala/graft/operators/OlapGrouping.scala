@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Multi-level aggregation, scale-shaped: the ROLLUP / CUBE /
+  * GROUPING SETS family re-expressed as the two-level rewrite that
+  * survives 100 TB, plus GROUPING() subtotal markers and a global
+  * ntile decile profile.
+  *
+  * q13/q54/q58 already cover the DIRECT grouping-set forms (Expand
+  * straight over the fact scan — correct, and fine when the fact is
+  * small or the set count is low). This family is the production
+  * counterpart: aggregate to the finest grain first, then expand the
+  * compact grain — plus the GROUPING() markers those queries omit,
+  * over a star join rather than a single table.
+  *
+  * Scale design (100 TB):
+  *  - Spark plans rollup/cube/groupingSets as Expand (one replica of
+  *    each input row per grouping set) feeding a hash aggregate.
+  *    Expanding the FACT table multiplies shuffle input by the number
+  *    of sets, so every query here aggregates to the finest grain
+  *    FIRST (partial-aggregatable, map-side combined) and applies the
+  *    grouping-set operator to the compact result. The decimal
+  *    sum-of-sums is exact and associative, so the two-level rewrite
+  *    is value-identical to the direct form — OlapGroupingSpec pins
+  *    the Expand input cardinality.
+  *  - ntile(k) with no PARTITION BY forces a single-partition window;
+  *    that is fine on a dimension-sized relation (customers) but the
+  *    fact-scale path is approximate cutpoints (q208's histogram
+  *    sketch) broadcast as a bucketing expression. The scaladoc on
+  *    q245 spells the tradeoff; q68's rank windows are the partitioned
+  *    shape that parallelizes.
+  */
+object OlapGrouping {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+
+  /** Orders revenue by region -> nation with ROLLUP subtotals and a
+    * grand total; GROUPING() markers disambiguate subtotal NULLs from
+    * data NULLs (r_name/n_name are NOT NULL here, but the markers are
+    * part of the operator's contract). Two-level: the star join
+    * aggregates to (region, nation) — 25 groups — before the rollup
+    * Expand touches anything. */
+  val qRollupRevenue: GraftQuery = GraftQuery(
+    "q243_rollup_revenue",
+    """WITH base AS (
+      |  SELECT r_name, n_name,
+      |    COUNT(*) AS n_g,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_g
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name)
+      |SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      |  CAST(SUM(n_g) AS BIGINT) AS n_orders,
+      |  CAST(SUM(rev_g) AS DOUBLE) AS revenue
+      |FROM base
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+    // subquery alias + qualified refs: rollup's Expand replicates the
+    // join-tagged grouping attributes across sets, which trips
+    // DetectAmbiguousSelfJoin's false positive on agg-over-join input;
+    // qualifying through the alias resolves each ref unambiguously
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_g"), sum(dec(col("o_totalprice"), 18, 2)).as("rev_g"))
+      .as("b")
+    base.rollup(col("b.r_name"), col("b.n_name"))
+      .agg(
+        grouping(col("b.r_name")).cast("bigint").as("g_region"),
+        grouping(col("b.n_name")).cast("bigint").as("g_nation"),
+        sum(col("n_g")).cast("bigint").as("n_orders"),
+        sum(col("rev_g")).cast("double").as("revenue"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE over (returnflag, linestatus): all four grains — cell,
+    * per-flag, per-status, grand total — in one pass over the 6-row
+    * fine-grain aggregate, never the lineitem scan. */
+  val qCubeLineitem: GraftQuery = GraftQuery(
+    "q244_cube_lineitem",
+    """WITH base AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    COUNT(*) AS n_g,
+      |    SUM(l_quantity) AS qty_g,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS disc_g
+      |  FROM lineitem
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  CAST(SUM(n_g) AS BIGINT) AS n_items,
+      |  SUM(qty_g) AS sum_qty,
+      |  CAST(SUM(disc_g) AS DOUBLE) AS sum_disc_price
+      |FROM base
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    val price = dec(col("l_extendedprice"), 12, 2)
+    val disc = dec(col("l_discount"), 4, 2)
+    val one = lit(1).cast("decimal(3,2)")
+    val base = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_g"),
+        // integral-valued double: exact under fp sum at both levels
+        sum(col("l_quantity")).as("qty_g"),
+        sum(price * (one - disc)).as("disc_g"))
+    base.cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+        sum(col("n_g")).cast("bigint").as("n_items"),
+        sum(col("qty_g")).as("sum_qty"),
+        sum(col("disc_g")).cast("double").as("sum_disc_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** GROUPING SETS ((priority), (status)): two independent order
+    * summaries from ONE pass over the 15-cell (priority x status)
+    * fine grain. The alternative — two separate groupBys — scans (or
+    * reshuffles) the input twice. */
+  val qGroupingSets: GraftQuery = GraftQuery(
+    "q246_grouping_sets",
+    """WITH base AS (
+      |  SELECT o_orderpriority, o_orderstatus,
+      |    COUNT(*) AS n_g,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_g
+      |  FROM orders
+      |  GROUP BY o_orderpriority, o_orderstatus)
+      |SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(SUM(n_g) AS BIGINT) AS n_orders,
+      |  CAST(SUM(rev_g) AS DOUBLE) AS revenue
+      |FROM base
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n_g"), sum(dec(col("o_totalprice"), 18, 2)).as("rev_g"))
+    base.groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+        sum(col("n_g")).cast("bigint").as("n_orders"),
+        sum(col("rev_g")).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** Customer-balance deciles: ntile(10) over a TOTAL unique order
+    * (c_acctbal, c_custkey) — ties broken by the key, so bucket
+    * assignment is engine-independent — then per-decile stats.
+    *
+    * Scale note: an unpartitioned ntile is a single-partition window
+    * (every row through one task). Acceptable on a dimension table;
+    * at fact scale the exact form is replaced by approximate decile
+    * cutpoints (q208's sketch) broadcast into a CASE bucketer, which
+    * keeps the scan embarrassingly parallel at the cost of boundary
+    * accuracy. */
+  val qNtileDeciles: GraftQuery = GraftQuery(
+    "q245_ntile_deciles",
+    """SELECT decile,
+      |  COUNT(*) AS n_cust,
+      |  MIN(c_acctbal) AS min_bal,
+      |  MAX(c_acctbal) AS max_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM (SELECT c_acctbal,
+      |        NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      |      FROM customer)
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_acctbal"), ntile(10).over(w).cast("bigint").as("decile"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sum(dec(col("c_acctbal"), 12, 2)).cast("double").as("sum_bal"))
+      .orderBy("decile")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(qRollupRevenue, qCubeLineitem, qNtileDeciles, qGroupingSets)
+}
