@@ -791,10 +791,70 @@ object Extras {
       .orderBy("digit")
   }
 
+  /** UNPIVOT (melt): q44's wide pivot turned back to long form with
+    * `Dataset.unpivot`, zero-filled cells dropped. The oracle is the
+    * ORIGINAL long-form aggregate — pivot then unpivot is the
+    * identity on the non-empty cells, and this query proves it.
+    * Scale: unpivot is a per-row Expand (narrow, no shuffle); the one
+    * exchange is q44's own groupBy. */
+  val qUnpivot: GraftQuery = GraftQuery(
+    "q249_unpivot",
+    """SELECT user_id, event_type, COUNT(*) AS n
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val wide = Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+      .where(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** MapType plumbing: per-user map event_type -> exact value total
+    * (map_from_entries over the grouped sums — keys unique by
+    * construction, so ANSI map building cannot throw), introspected
+    * with map_keys / try_element_at (ANSI element_at THROWS on a
+    * missing key; the try_ form gives SQL's NULL). Outputs are
+    * extracted scalars — map iteration order never surfaces (keys
+    * sorted before joining). Scale: one (user, type) hash aggregate,
+    * then a user-keyed regroup; the map lives inside a row, bounded by
+    * the event-type alphabet. */
+  val qMapProps: GraftQuery = GraftQuery(
+    "q250_map_funcs",
+    """SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  string_agg(event_type, ',' ORDER BY event_type) AS types_csv,
+      |  CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN v END), 0) AS DOUBLE) AS click_total
+      |FROM (SELECT user_id, event_type,
+      |        SUM(CAST(value AS DECIMAL(20,6))) AS v
+      |      FROM events GROUP BY user_id, event_type)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val perType = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(sum(col("value").cast("decimal(20,6)")).as("v"))
+    perType
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("v"))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        size(map_keys(col("m"))).cast("bigint").as("n_types"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("types_csv"),
+        coalesce(try_element_at(col("m"), lit("click")), lit(0).cast("decimal(20,6)"))
+          .cast("double").as("click_total"))
+      .orderBy("user_id")
+  }
+
   def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
     qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize,
     qDecayedCounts, qReferentialIntegrity, qContractDashboard, qQuantileSketch,
-    qBenford)
+    qBenford, qUnpivot, qMapProps)
 }
