@@ -1016,6 +1016,49 @@ object ScaleBench {
       "rank_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
   }
 
+  /** Grouping-set rewrite A/B (the q243/q244/q246 claim, measured):
+    * CUBE planned directly over the fact (Expand replicates EVERY row
+    * once per grouping set — 4x the bytes into the first aggregate)
+    * vs the two-level form (hash-agg to the 6-cell fine grain, Expand
+    * only the grain). Decimal sum-of-sums is exact, so both forms must
+    * produce byte-identical results — asserted via checksum. Dims are
+    * mixed deterministically from the row id (no rand — resumable). */
+  private[graft] def groupingProbe(spark: SparkSession, n: Int): Seq[(String, Double)] = {
+    val rows = spark.range(n.toLong).select(
+      col("id"),
+      concat(lit("f"), pmod(col("id") * 2654435761L + 7L, lit(3L))).as("flag"),
+      concat(lit("s"), pmod(col("id") * 40503L + 13L, lit(2L))).as("status"),
+      (pmod(col("id") * 69069L + 1L, lit(10000L)).cast("decimal(12,2)") / 100)
+        .cast("decimal(12,2)").as("price"))
+      .persist()
+    rows.count()
+    def checksum(df: DataFrame): String = df.collect()
+      .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|"))
+      .sorted.mkString(";")
+    def direct(): String = checksum(
+      rows.cube("flag", "status").agg(
+        count(lit(1)).as("n"),
+        sum(col("price")).as("rev")))
+    def twoLevel(): String = {
+      val grain = rows.groupBy("flag", "status")
+        .agg(count(lit(1)).as("n_g"), sum(col("price")).as("rev_g"))
+        .as("g")
+      checksum(grain.cube(col("g.flag"), col("g.status")).agg(
+        sum(col("n_g")).as("n"),
+        sum(col("rev_g")).as("rev")))
+    }
+    val c1 = direct()
+    val tDirect = time(direct())._2
+    val c2 = twoLevel()
+    val tTwo = time(twoLevel())._2
+    rows.unpersist()
+    Seq(
+      "grouping_rows" -> n.toDouble,
+      "grouping_direct_sec" -> tDirect,
+      "grouping_twolevel_sec" -> tTwo,
+      "grouping_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
+  }
+
   /** Z-order layout A/B: the same synthetic (user, minute) event rows
     * written time-sorted vs Morton-sorted, then three predicate shapes
     * against each layout, measuring rows SURVIVING the parquet scan
@@ -1099,7 +1142,7 @@ object ScaleBench {
   /** Standalone entry for local iteration; Bench embeds run() output.
     * `zorder`/`rank` as the first arg runs only that probe (dev loop). */
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("zorder", "rank")).getOrElse("full")
+    val mode = args.headOption.filter(Set("zorder", "rank", "grouping")).getOrElse("full")
     val rest = if (mode != "full") args.drop(1) else args
     val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.1"
     val tDocs = if (rest.length > 1) rest(1).toInt else 100000
@@ -1109,6 +1152,7 @@ object ScaleBench {
     val metrics = mode match {
       case "zorder" => zorderProbe(spark, sfDir, 4000000, 256)
       case "rank" => rankProbe(spark, sys.env.get("SPARK_GRAFT_RANK_N").map(_.toInt).getOrElse(2000000))
+      case "grouping" => groupingProbe(spark, sys.env.get("SPARK_GRAFT_GROUPING_N").map(_.toInt).getOrElse(8000000))
       case _ => run(spark, sfDir, tDocs, tVecs)
     }
     println(metrics.map { case (k, v) => s""""$k":$v""" }
