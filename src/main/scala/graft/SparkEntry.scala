@@ -66,6 +66,7 @@ object SparkEntry {
       operators.GroupSample.all ++
       operators.OlapGrouping.all ++
       operators.PageRank.all ++
+      operators.MarketBasket.all ++
       plans.MvRewrite.all ++
       plans.JoinElim.all ++
       streaming.Streams.all ++

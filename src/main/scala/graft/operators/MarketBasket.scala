@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Market-basket pair mining over the order fact: which parts
+  * co-occur in the same order more often than chance — the relational
+  * cousin of q205's token-PMI collocations, here with support
+  * filtering and integer-ppm lift (the association-rule score).
+  *
+  * Scale (100 TB):
+  *  - The pair expansion is a self-join WITHIN the order key: one
+  *    shuffle by l_orderkey, output bounded by sum(per-order items²)
+  *    — TPC-H orders hold ≤ 7 lines, so the blow-up is a small
+  *    constant, and a long-basket deployment caps it by truncating
+  *    baskets to top-N items per order (documented, not needed here).
+  *  - The support HAVING is a map-side-combinable count; everything
+  *    below the threshold dies in the aggregate, never reaching the
+  *    frequency join.
+  *  - Part frequencies are part-cardinality (dimension-sized) and
+  *    broadcast; the total-orders count is a 1-row broadcast.
+  *  - Lift is exact integer ppm by cross-multiplication
+  *    (n_both·n_tot·10⁶ div n_a·n_b) — no fp ratios, so the output is
+  *    partitioning-independent and engine-identical.
+  */
+object MarketBasket {
+
+  val minSupport = 2
+
+  val qBasketPairs: GraftQuery = GraftQuery(
+    "q251_basket_pairs",
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_tot FROM lineitem),
+       |pf AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    COUNT(*) AS n_both
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY a.l_partkey, b.l_partkey
+       |  HAVING COUNT(*) >= $minSupport)
+       |SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(fa.n_part AS BIGINT) AS n_a,
+       |  CAST(fb.n_part AS BIGINT) AS n_b,
+       |  CAST((n_both * t.n_tot * 1000000) // (fa.n_part * fb.n_part)
+       |    AS BIGINT) AS lift_ppm
+       |FROM pairs
+       |JOIN pf fa ON fa.l_partkey = part_a
+       |JOIN pf fb ON fb.l_partkey = part_b
+       |CROSS JOIN tot t
+       |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val opA = op.select(col("l_orderkey").as("ok_a"), col("l_partkey").as("part_a"))
+    val opB = op.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+    val pairs = opA
+      .join(opB, col("ok_a") === col("ok_b") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minSupport)
+    val pf = op.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val tot = Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_orderkey")).as("n_tot"))
+    pairs
+      .join(broadcast(pf.select(col("l_partkey").as("pk_a"), col("n_part").as("n_a"))),
+        col("part_a") === col("pk_a"))
+      .join(broadcast(pf.select(col("l_partkey").as("pk_b"), col("n_part").as("n_b"))),
+        col("part_b") === col("pk_b"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("part_a"), col("part_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        expr("n_both * n_tot * 1000000 div (n_a * n_b)").as("lift_ppm"))
+      .orderBy("part_a", "part_b")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qBasketPairs)
+}
