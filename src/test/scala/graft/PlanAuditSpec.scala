@@ -290,6 +290,8 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q227: the 1-row max-doc aggregate and the ~20-row geometric
     //    checkpoint grid, both broadcast against compact relations
     //    with range predicates (q75's bounded-grid shape).
+    //  - q251: the 1-row total-orders aggregate cross-joined onto the
+    //    support-filtered pair counts (q63/q113's bounded shape).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -306,7 +308,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q182_embedding_drift", "q195_retrieval_ablation",
         "q217_priority_sample", "q218_kmv_source_overlap",
         "q222_mmr_rerank", "q225_cluster_labels", "q227_vocab_growth",
-        "q228_group_priority_sample")
+        "q228_group_priority_sample", "q251_basket_pairs")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
