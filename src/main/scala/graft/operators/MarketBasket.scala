@@ -75,5 +75,64 @@ object MarketBasket {
       .orderBy("part_a", "part_b")
   }
 
-  val all: Seq[GraftQuery] = Seq(qBasketPairs)
+  /** Rule-generation step (the Apriori second phase): each qualifying
+    * pair yields BOTH directional rules a=>b and b=>a, scored by exact
+    * integer-ppm confidence (n_both·10⁶ div n_antecedent) and gated at
+    * [[minConfidencePpm]]. Scale: runs entirely on q251's
+    * support-filtered pair relation — the corpus never re-enters; the
+    * direction union doubles a relation already pruned to qualifying
+    * pairs, and the confidence gate is a per-row integer predicate. */
+  val minConfidencePpm = 100000L
+
+  val qBasketRules: GraftQuery = GraftQuery(
+    "q252_basket_rules",
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pf AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    COUNT(*) AS n_both
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY a.l_partkey, b.l_partkey
+       |  HAVING COUNT(*) >= $minSupport),
+       |rules AS (
+       |  SELECT part_a AS ante, part_b AS cons, n_both, f.n_part AS n_ante
+       |  FROM pairs JOIN pf f ON f.l_partkey = part_a
+       |  UNION ALL
+       |  SELECT part_b, part_a, n_both, f.n_part
+       |  FROM pairs JOIN pf f ON f.l_partkey = part_b)
+       |SELECT ante, cons, CAST(n_both AS BIGINT) AS n_both,
+       |  CAST(n_ante AS BIGINT) AS n_ante,
+       |  CAST((n_both * 1000000) // n_ante AS BIGINT) AS conf_ppm
+       |FROM rules
+       |WHERE (n_both * 1000000) // n_ante >= $minConfidencePpm
+       |ORDER BY ante, cons""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val opA = op.select(col("l_orderkey").as("ok_a"), col("l_partkey").as("part_a"))
+    val opB = op.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+    val pairs = opA
+      .join(opB, col("ok_a") === col("ok_b") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minSupport)
+    val pf = op.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val fwd = pairs
+      .join(broadcast(pf.select(col("l_partkey").as("pk"), col("n_part").as("n_ante"))),
+        col("part_a") === col("pk"))
+      .select(col("part_a").as("ante"), col("part_b").as("cons"),
+        col("n_both"), col("n_ante"))
+    val rev = pairs
+      .join(broadcast(pf.select(col("l_partkey").as("pk"), col("n_part").as("n_ante"))),
+        col("part_b") === col("pk"))
+      .select(col("part_b").as("ante"), col("part_a").as("cons"),
+        col("n_both"), col("n_ante"))
+    fwd.unionByName(rev)
+      .select(col("ante"), col("cons"), col("n_both"), col("n_ante"),
+        expr("n_both * 1000000 div n_ante").as("conf_ppm"))
+      .where(col("conf_ppm") >= minConfidencePpm)
+      .orderBy("ante", "cons")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qBasketPairs, qBasketRules)
 }
