@@ -265,6 +265,53 @@ object EventFlow {
       .orderBy("event_type")
   }
 
+  /** SECOND-ORDER transition matrix: given the last TWO actions, what
+    * comes next — q221's first-order Markov chain extended one step of
+    * memory (the "top user journeys" path census). Conditional
+    * probability is relative to the (e1, e2) CONTEXT total, exact
+    * integer ppm (the q221 convention).
+    *
+    * Scale: the same single user_id exchange as q221 — both lags
+    * evaluate inside one sorted partition pass; the trigram census is
+    * map-side combinable with ≤ |types|³ = 125 groups, O(1) in corpus
+    * size. Memory order k raises only the output alphabet (|types|^k
+    * rows), never the shuffle count — the window stays one pass. */
+  val qTrigrams: GraftQuery = GraftQuery(
+    "q253_event_trigrams",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type, 1) OVER w AS prev1,
+      |    lag(event_type, 2) OVER w AS prev2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tri AS (
+      |  SELECT prev2 AS e1, prev1 AS e2, event_type AS e3,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev2 IS NOT NULL
+      |  GROUP BY prev2, prev1, event_type),
+      |ctx AS (
+      |  SELECT e1, e2, CAST(SUM(n) AS BIGINT) AS ctx_total
+      |  FROM tri GROUP BY e1, e2)
+      |SELECT t.e1, t.e2, t.e3, t.n, c.ctx_total,
+      |  CAST((t.n * 1000000) // c.ctx_total AS BIGINT) AS p_ppm
+      |FROM tri t JOIN ctx c USING (e1, e2)
+      |ORDER BY e1, e2, e3""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev1"),
+        lag(col("event_type"), 2).over(w).as("prev2"))
+      .where(col("prev2").isNotNull)
+      .groupBy(col("prev2").as("e1"), col("prev1").as("e2"),
+        col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+    val ctx = tri.groupBy("e1", "e2").agg(sum("n").as("ctx_total"))
+    tri.join(ctx, Seq("e1", "e2"))
+      .select(col("e1"), col("e2"), col("e3"), col("n"), col("ctx_total"),
+        expr("(n * 1000000) div ctx_total").as("p_ppm"))
+      .orderBy("e1", "e2", "e3")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qTransitions, qTheilSen, qConversionDelay, qCusum)
+    Seq(qTransitions, qTheilSen, qConversionDelay, qCusum, qTrigrams)
 }
