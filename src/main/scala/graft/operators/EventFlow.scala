@@ -312,6 +312,62 @@ object EventFlow {
       .orderBy("e1", "e2", "e3")
   }
 
+  /** CONTEXT PREDICTABILITY: Gini impurity of the next-action
+    * distribution per (e1, e2) context — 1 − Σp² in exact integer ppm
+    * (1e6 − Σn²·1e6 div total², no logs, no doubles: unlike entropy,
+    * the Gini score is a RATIONAL of the counts, so it stays
+    * engine-identical). gini_ppm = 0 means the two-step context fully
+    * determines the next action (a deterministic flow edge worth
+    * caching/prefetching); high values mark contexts where q253's
+    * second-order memory buys nothing.
+    *
+    * Scale: reuses the q253 trigram census shape — one user_id
+    * exchange, ≤ |types|³ groups; the squares go through DECIMAL(38,0)
+    * so the statistic survives counts past 2³¹ without overflow
+    * (DuckDB's SUM is HUGEINT — same 128-bit headroom). */
+  val qContextGini: GraftQuery = GraftQuery(
+    "q254_context_predictability",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type, 1) OVER w AS prev1,
+      |    lag(event_type, 2) OVER w AS prev2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tri AS (
+      |  SELECT prev2 AS e1, prev1 AS e2, event_type AS e3,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev2 IS NOT NULL
+      |  GROUP BY prev2, prev1, event_type)
+      |SELECT e1, e2,
+      |  CAST(SUM(n) AS BIGINT) AS n_ctx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_next,
+      |  CAST(1000000 - (SUM(n * n) * 1000000) // (SUM(n) * SUM(n))
+      |    AS BIGINT) AS gini_ppm
+      |FROM tri
+      |GROUP BY e1, e2
+      |ORDER BY e1, e2""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev1"),
+        lag(col("event_type"), 2).over(w).as("prev2"))
+      .where(col("prev2").isNotNull)
+      .groupBy(col("prev2").as("e1"), col("prev1").as("e2"),
+        col("event_type").as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("e1", "e2")
+      .agg(
+        sum(col("n")).as("n_ctx"),
+        count(lit(1)).as("n_next"),
+        sum((col("n") * col("n")).cast("decimal(38,0)")).as("sumsq"))
+      .select(col("e1"), col("e2"), col("n_ctx"), col("n_next"),
+        (lit(1000000L) - expr(
+          "(sumsq * 1000000) div (cast(n_ctx as decimal(38,0)) * cast(n_ctx as decimal(38,0)))"))
+          .as("gini_ppm"))
+      .orderBy("e1", "e2")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qTransitions, qTheilSen, qConversionDelay, qCusum, qTrigrams)
+    Seq(qTransitions, qTheilSen, qConversionDelay, qCusum, qTrigrams,
+      qContextGini)
 }
