@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel conversion and peak-concurrency — the two event
+  * analytics that need ORDER, not just counts (the reference's events
+  * model stops at per-event enrichment; SURVEY §2 north-star). q221's
+  * transition matrix asks where traffic flows one hop at a time;
+  * q255 asks how far each user gets through a REQUIRED sequence, and
+  * q256 asks how many users are on the site AT ONCE — the load number
+  * capacity planning actually needs.
+  *
+  * House exactness discipline throughout: timestamps are integer
+  * microseconds (`unix_micros` / `epoch_us`), rates are integer ppm
+  * by cross-multiplied division, and every window carries a unique
+  * (ts, event_id) tie-break.
+  */
+object Funnel {
+
+  /** ORDERED FUNNEL: view → click → purchase, each step strictly
+    * AFTER the user's earliest completion of the previous step — the
+    * classic product funnel ("of the users who viewed, how many went
+    * on to click, then buy?"). Per step: users reaching it and the
+    * exact ppm conversion from step 1. Strict `>` on the µs timestamp
+    * defines "after" identically in both engines; the per-user chain
+    * is earliest-completion (min ts), so a user's funnel position is
+    * a pure function of their event set — no path enumeration.
+    *
+    * Scale (100 TB): each step is a map-side-combinable per-user MIN
+    * with ONE exchange on user_id that every subsequent step join
+    * REUSES (same key — no new shuffle); work shrinks monotonically
+    * down the funnel (step k+1 scans only step-k survivors joined
+    * against one event type). The final census is three rows; the
+    * unpartitioned first_value window runs over those three rows,
+    * never over events. A 30-step funnel is 30 chained min-joins on
+    * the same partitioning, not a per-user sort of the whole log. */
+  val qFunnelSteps: GraftQuery = GraftQuery(
+    "q255_funnel_steps",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |  GROUP BY e.user_id),
+      |steps AS (
+      |  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+      |SELECT step, step_name, n_users,
+      |  CAST((n_users * 1000000) // first_value(n_users) OVER (ORDER BY step)
+      |    AS BIGINT) AS conv_ppm
+      |FROM steps ORDER BY step""".stripMargin) { (s, d) =>
+    funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"))
+  }
+
+  /** Earliest-completion ordered funnel over (user_id, event_type, ts).
+    * Step k+1's per-user min is taken over events strictly after the
+    * user's step-k completion; returns the per-step census. */
+  def funnelSteps(events: org.apache.spark.sql.DataFrame,
+                  steps: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val reached: Seq[org.apache.spark.sql.DataFrame] =
+      steps.zipWithIndex.foldLeft(Seq.empty[org.apache.spark.sql.DataFrame]) {
+        case (acc, (step, 0)) =>
+          acc :+ ev.where(col("event_type") === step)
+            .groupBy("user_id").agg(min("ts").as("step_ts"))
+        case (acc, (step, _)) =>
+          val prev = acc.last.withColumnRenamed("step_ts", "prev_ts")
+          acc :+ ev.where(col("event_type") === step)
+            .join(prev, "user_id").where(col("ts") > col("prev_ts"))
+            .groupBy("user_id").agg(min("ts").as("step_ts"))
+      }
+    val census = reached.zip(steps).zipWithIndex.map { case ((df, nm), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(nm).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+    // |steps|-row census — the unpartitioned window is O(steps), not O(events)
+    val w = Window.orderBy("step")
+    census
+      .withColumn("first_n", first("n_users").over(w))
+      .withColumn("conv_ppm", expr("(n_users * 1000000) div first_n"))
+      .drop("first_n")
+      .orderBy("step")
+  }
+
+  /** PEAK CONCURRENT SESSIONS per day, by DISTRIBUTED SWEEP LINE.
+    * Sessionize each user's stream at a 30-minute inactivity gap
+    * (batch twin of q136's session_window), emit +1 at session start
+    * and −1 just after session end, and take the running sum's
+    * per-day maximum — the "how many users were on the site at once"
+    * number. All arithmetic is integer µs; a session is active on
+    * the closed interval [start, end], so the −1 lands at end+1µs.
+    *
+    * Scale (100 TB): the textbook sweep is a GLOBAL ordered running
+    * sum — a single-task window at any scale. This plan runs the
+    * two-level form instead: boundary deltas collapse to the
+    * distinct-µs census, the census partitions by DAY (per-day
+    * windows, parallel), and cross-day carry comes from a running sum
+    * over the per-day TOTALS — a ≤O(days) relation. Peak(day) =
+    * carry(before day) + max(intra-day prefix). Identical to the
+    * global sweep (prefix sums compose), but the only unpartitioned
+    * window is over the day census. The oracle states the global
+    * form; equality IS the distribution proof. Days with no session
+    * boundary are not emitted (every day has events in this corpus;
+    * a production run would gap-fill from the q75 calendar spine). */
+  val qConcurrency: GraftQuery = GraftQuery(
+    "q256_peak_concurrency",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |marks AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM seq),
+      |numbered AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM marks),
+      |sessions AS (
+      |  SELECT user_id, sess_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+      |  FROM numbered GROUP BY user_id, sess_id),
+      |deltas AS (
+      |  SELECT start_us AS b_us, 1 AS d FROM sessions
+      |  UNION ALL
+      |  SELECT end_us + 1, -1 FROM sessions),
+      |census AS (
+      |  SELECT b_us, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY b_us),
+      |run AS (
+      |  SELECT b_us, d,
+      |    SUM(d) OVER (ORDER BY b_us ROWS UNBOUNDED PRECEDING) AS active
+      |  FROM census),
+      |starts AS (
+      |  SELECT start_us // 86400000000 AS day_idx,
+      |    CAST(count(*) AS BIGINT) AS n_sessions
+      |  FROM sessions GROUP BY 1)
+      |SELECT DATE '1970-01-01' + CAST(r.day_idx AS INTEGER) AS day,
+      |  s.n_sessions, CAST(MAX(r.active) AS BIGINT) AS peak_concurrent
+      |FROM (SELECT b_us // 86400000000 AS day_idx, active FROM run) r
+      |JOIN starts s ON r.day_idx = s.day_idx
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    peakConcurrency(Tables.events(s, d))
+  }
+
+  /** Two-level sweep-line peak concurrency over (user_id, event_id, ts):
+    * 30-min-gap sessionization, then per-day parallel prefix sums with
+    * an O(days) cross-day carry. Equal to the global running sum. */
+  def peakConcurrency(events: org.apache.spark.sql.DataFrame,
+                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    val uw = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val seq = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(uw))
+    val marks = seq.withColumn("is_new",
+      when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
+        .otherwise(0))
+    val numbered = marks.withColumn("sess_id",
+      sum("is_new").over(
+        uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = numbered.groupBy("user_id", "sess_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    val deltas = sessions.select(col("start_us").as("b_us"), lit(1).as("d"))
+      .unionByName(sessions.select((col("end_us") + 1).as("b_us"), lit(-1).as("d")))
+    val census = deltas.groupBy("b_us").agg(sum("d").as("d"))
+      .withColumn("day_idx", expr("b_us div 86400000000"))
+    // two-level sweep: parallel per-day prefixes + O(days) carry
+    val dayW = Window.partitionBy("day_idx").orderBy("b_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = census.withColumn("prefix", sum("d").over(dayW))
+    val dayTotals = census.groupBy("day_idx").agg(sum("d").as("day_delta"))
+    val carryW = Window.orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dayTotals.withColumn("carry",
+      coalesce(sum("day_delta").over(carryW), lit(0L)))
+    val peaks = intra.groupBy("day_idx").agg(max("prefix").as("max_prefix"))
+      .join(carry.select("day_idx", "carry"), "day_idx")
+      .select(col("day_idx"), (col("carry") + col("max_prefix")).as("peak_concurrent"))
+    val starts = sessions
+      .groupBy(expr("start_us div 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("n_sessions"))
+    peaks.join(starts, "day_idx")
+      .select(date_add(lit("1970-01-01").cast("date"), col("day_idx").cast("int")).as("day"),
+        col("n_sessions"), col("peak_concurrent"))
+      .orderBy("day")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qFunnelSteps, qConcurrency)
+}
