@@ -67,6 +67,8 @@ object SparkEntry {
       operators.OlapGrouping.all ++
       operators.PageRank.all ++
       operators.MarketBasket.all ++
+      operators.Funnel.all ++
+      operators.TrendStats.all ++
       plans.MvRewrite.all ++
       plans.JoinElim.all ++
       streaming.Streams.all ++

@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact time-series and association statistics: per-group OLS trend,
+  * autocorrelation, Spearman rank correlation, and the chi-square
+  * independence audit — the monitoring layer a curation pipeline
+  * hangs dashboards off (is volume trending, is today like yesterday,
+  * do two quality signals agree, is the lang×source mix drifting from
+  * independence).
+  *
+  * All four follow the q74 power-sum discipline: moments accumulate
+  * as EXACT integer/DECIMAL(38,0) sums (associative — safe under any
+  * partial-aggregation order), and any reported double is ONE closed-
+  * form combination of those exact sums, mirrored verbatim in the
+  * oracle. Comparisons and gates never touch doubles (integer-ppm by
+  * cross-multiplied division).
+  */
+object TrendStats {
+
+  private def isum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+
+  /** OLS TREND per event type: least-squares slope/intercept/R² of the
+    * daily event count against the day index — the parametric
+    * companion to q232's Theil–Sen (same daily census input; q232
+    * survives outliers, this one is the textbook line every BI tool
+    * fits). The slope is reported BOTH as the exact integer rational
+    * (n·Sxy − Sx·Sy, n·Sxx − Sx²) and as its double quotient; R²
+    * = num² / (den·Syy_c) in double from the same exact parts.
+    * Degenerate groups (one day, or constant counts) yield NULL
+    * slope/r2 by an explicit integer gate, not by fp underflow.
+    *
+    * Scale (100 TB): the daily census is ONE map-side-combinable
+    * aggregate over the corpus (output O(types × days)); the moment
+    * sums are a second tiny aggregate over that census. Nothing else
+    * shuffles — a trillion events cost one count-by-(type, day) pass. */
+  val qOlsTrend: GraftQuery = GraftQuery(
+    "q257_ols_trend",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    SUM(d) AS sx, SUM(n) AS sy,
+      |    SUM(d * d) AS sxx, SUM(d * n) AS sxy, SUM(n * n) AS syy
+      |  FROM daily GROUP BY event_type),
+      |parts AS (
+      |  SELECT event_type, n_days,
+      |    CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+      |    CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+      |    CAST(n_days * syy - sy * sy AS BIGINT) AS syy_c,
+      |    sx, sy
+      |  FROM m)
+      |SELECT event_type, n_days, slope_num, slope_den,
+      |  CASE WHEN slope_den = 0 THEN NULL
+      |       ELSE CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE) END AS slope,
+      |  CASE WHEN slope_den = 0 THEN NULL
+      |       ELSE (CAST(sy AS DOUBLE) - CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            / CAST(n_days AS DOUBLE) END AS intercept,
+      |  CASE WHEN slope_den = 0 OR syy_c = 0 THEN NULL
+      |       ELSE CAST(slope_num AS DOUBLE) * CAST(slope_num AS DOUBLE)
+      |            / (CAST(slope_den AS DOUBLE) * CAST(syy_c AS DOUBLE)) END AS r2
+      |FROM parts ORDER BY event_type""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("2024-01-01").cast("date")).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val m = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      isum(col("d")).as("sx"), isum(col("n")).as("sy"),
+      isum(col("d") * col("d")).as("sxx"),
+      isum(col("d") * col("n")).as("sxy"),
+      isum(col("n") * col("n")).as("syy"))
+    val parts = m.select(col("event_type"), col("n_days"),
+      (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("long").as("slope_num"),
+      (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("long").as("slope_den"),
+      (col("n_days") * col("syy") - col("sy") * col("sy")).cast("long").as("syy_c"),
+      col("sx"), col("sy"))
+    val slopeD = col("slope_num").cast("double") / col("slope_den").cast("double")
+    parts.select(col("event_type"), col("n_days"), col("slope_num"), col("slope_den"),
+      when(col("slope_den") === 0, lit(null)).otherwise(slopeD).as("slope"),
+      when(col("slope_den") === 0, lit(null))
+        .otherwise((col("sy").cast("double") - slopeD * col("sx").cast("double"))
+          / col("n_days").cast("double")).as("intercept"),
+      when(col("slope_den") === 0 || col("syy_c") === 0, lit(null))
+        .otherwise(col("slope_num").cast("double") * col("slope_num").cast("double")
+          / (col("slope_den").cast("double") * col("syy_c").cast("double"))).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** AUTOCORRELATION of the daily total event count at lags 1..7 —
+    * the "is today like yesterday / like last week" drift signal
+    * (weekly seasonality shows as an ACF bump at lag 7). Each lag's
+    * Pearson r comes from exact integer power sums over the aligned
+    * (y_t, y_{t+lag}) pairs; pairs require both days present (the
+    * corpus has a full calendar; a gapped one would gap-fill from the
+    * q75 spine first).
+    *
+    * Scale (100 TB): the daily census is one aggregate; the lag
+    * expansion is a narrow 7× generate over the O(days) census joined
+    * back to itself by equi-key (day+lag) — no range join, no window.
+    * Everything past the first aggregate is calendar-bounded. */
+  val qAcf: GraftQuery = GraftQuery(
+    "q258_acf_daily",
+    """WITH daily AS (
+      |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |expanded AS (
+      |  SELECT a.d, a.n AS y0, l.lag, b.n AS y1
+      |  FROM daily a
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+      |  JOIN daily b ON b.d = a.d + l.lag),
+      |m AS (
+      |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    SUM(y0) AS sx, SUM(y1) AS sy,
+      |    SUM(y0 * y0) AS sxx, SUM(y1 * y1) AS syy, SUM(y0 * y1) AS sxy
+      |  FROM expanded GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+      |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS acf_num,
+      |  CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0 THEN NULL
+      |       ELSE CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |            / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+      |            / sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)) END AS acf
+      |FROM m ORDER BY lag""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(datediff(date_trunc("day", col("ts")).cast("date"),
+        lit("2024-01-01").cast("date")).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val expanded = daily.as("a")
+      .select(col("d"), col("n").as("y0"),
+        explode(sequence(lit(1), lit(7))).as("lag"))
+      .join(daily.as("b").select(col("d").as("bd"), col("n").as("y1")),
+        col("bd") === col("d") + col("lag"))
+    val m = expanded.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      isum(col("y0")).as("sx"), isum(col("y1")).as("sy"),
+      isum(col("y0") * col("y0")).as("sxx"),
+      isum(col("y1") * col("y1")).as("syy"),
+      isum(col("y0") * col("y1")).as("sxy"))
+    val num = col("n_pairs") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n_pairs") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n_pairs") * col("syy") - col("sy") * col("sy")
+    m.select(col("lag").cast("long").as("lag"), col("n_pairs"),
+      num.cast("long").as("acf_num"),
+      when(denx === 0 || deny === 0, lit(null))
+        .otherwise(num.cast("double") / sqrt(denx.cast("double"))
+          / sqrt(deny.cast("double"))).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** SPEARMAN RANK CORRELATION per event type between `value` and
+    * time-of-day — "do high-value events cluster late in the day?".
+    * Ranks are made UNIQUE by the (key, event_id) tie-break (the
+    * house deterministic-total-order rule), so the tie-corrected
+    * Pearson-of-ranks collapses to the exact difference form
+    * ρ = 1 − 6·Σd²/(n(n²−1)) — reported BOTH as exact integer ppm
+    * (DECIMAL(38,0) cross-multiplied division, overflow-safe past
+    * 10²² pair sums) and as the double quotient. Σd² stays below 2⁵³
+    * through sf1, so the double is a single rounding both engines.
+    *
+    * Scale (100 TB): two rank windows partitioned BY TYPE (each a
+    * sort of its own partition — salt by day first at extreme type
+    * skew and merge ranks, the q170 path), one zip join on
+    * (type, event_id) reusing the partitioning, one map-side-
+    * combinable moment aggregate. */
+  val qSpearman: GraftQuery = GraftQuery(
+    "q259_spearman_value_tod",
+    """WITH base AS (
+      |  SELECT event_type, event_id, value,
+      |    epoch_us(ts) % 86400000000 AS tod_us
+      |  FROM events),
+      |rx AS (
+      |  SELECT event_type, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r_val
+      |  FROM base),
+      |ry AS (
+      |  SELECT event_type, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY tod_us, event_id) AS r_tod
+      |  FROM base),
+      |m AS (
+      |  SELECT rx.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM((rx.r_val - ry.r_tod) * (rx.r_val - ry.r_tod)) AS sd2
+      |  FROM rx JOIN ry ON rx.event_type = ry.event_type
+      |    AND rx.event_id = ry.event_id
+      |  GROUP BY rx.event_type)
+      |SELECT event_type, n, CAST(sd2 AS BIGINT) AS sum_d2,
+      |  CAST(1000000 - (6000000 * sd2)
+      |    // (CAST(n AS HUGEINT) * n * n - n)
+      |    AS BIGINT) AS rho_ppm,
+      |  1.0 - 6.0 * CAST(sd2 AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)) AS rho
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val base = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      col("value"), (unix_micros(col("ts")) % 86400000000L).as("tod_us"))
+    val rx = base.withColumn("r_val", row_number().over(
+      Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .select(col("event_type"), col("event_id"), col("r_val"))
+    val ry = base.withColumn("r_tod", row_number().over(
+      Window.partitionBy("event_type").orderBy(col("tod_us"), col("event_id"))))
+      .select(col("event_type"), col("event_id"), col("r_tod"))
+    val dd = (col("r_val") - col("r_tod")).cast("long")
+    val m = rx.join(ry, Seq("event_type", "event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), isum(dd * dd).as("sd2"))
+    m.select(col("event_type"), col("n"), col("sd2").cast("long").as("sum_d2"),
+      (lit(1000000L) - expr(
+        "(cast(6000000 as decimal(38,0)) * sd2) div " +
+          "(cast(n as decimal(38,0)) * n * n - n)"))
+        .cast("long").as("rho_ppm"),
+      (lit(1.0) - lit(6.0) * col("sd2").cast("double")
+        / (col("n").cast("double")
+          * (col("n").cast("double") * col("n").cast("double") - lit(1.0))))
+        .as("rho"))
+      .orderBy("event_type")
+  }
+
+  /** CHI-SQUARE INDEPENDENCE audit of the documents lang × source
+    * contingency table — is the language mix the same across sources,
+    * or does some source skew? Per cell: observed count, margins, and
+    * the exact integer-ppm chi-square contribution
+    * ((O·N − R·C)²·10⁶) div (R·C·N) — plus the table-wide statistic as
+    * the sum of those exact contributions. No doubles anywhere; the
+    * whole audit is reproducible bit-for-bit under any partitioning.
+    *
+    * Scale (100 TB): one count-by-(lang, source) aggregate over the
+    * corpus (map-side combinable, output |langs|×|sources|); margins
+    * and the statistic are windows over that bounded census. */
+  val qChiSquare: GraftQuery = GraftQuery(
+    "q260_chisq_lang_source",
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT lang, source, o,
+      |    SUM(o) OVER (PARTITION BY lang) AS r_total,
+      |    SUM(o) OVER (PARTITION BY source) AS c_total,
+      |    SUM(o) OVER () AS n_total
+      |  FROM cells),
+      |contrib AS (
+      |  SELECT lang, source, o,
+      |    CAST(r_total AS BIGINT) AS r_total,
+      |    CAST(c_total AS BIGINT) AS c_total,
+      |    CAST(n_total AS BIGINT) AS n_total,
+      |    CAST(((CAST(o AS HUGEINT) * n_total - CAST(r_total AS HUGEINT) * c_total)
+      |          * (CAST(o AS HUGEINT) * n_total - CAST(r_total AS HUGEINT) * c_total) * 1000000)
+      |      // (CAST(r_total AS HUGEINT) * c_total * n_total)
+      |      AS BIGINT) AS contrib_ppm
+      |  FROM marg)
+      |SELECT lang, source, o, r_total, c_total,
+      |  contrib_ppm,
+      |  CAST(SUM(contrib_ppm) OVER () AS BIGINT) AS chi2_ppm_total
+      |FROM contrib ORDER BY lang, source""".stripMargin) { (s, d) =>
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val marg = cells
+      .withColumn("r_total", sum("o").over(Window.partitionBy("lang")))
+      .withColumn("c_total", sum("o").over(Window.partitionBy("source")))
+      .withColumn("n_total", sum("o").over(Window.partitionBy()))
+    val contrib = marg
+      .withColumn("dev",
+        (col("o").cast("decimal(38,0)") * col("n_total")
+          - col("r_total").cast("decimal(38,0)") * col("c_total")))
+      .select(col("lang"), col("source"), col("o"),
+        col("r_total"), col("c_total"), col("n_total"),
+        expr("(dev * dev * 1000000) div " +
+          "(cast(r_total as decimal(38,0)) * c_total * n_total)")
+          .cast("long").as("contrib_ppm"))
+    contrib
+      .withColumn("chi2_ppm_total", sum("contrib_ppm").over(Window.partitionBy()))
+      .select(col("lang"), col("source"), col("o"), col("r_total"),
+        col("c_total"), col("contrib_ppm"), col("chi2_ppm_total"))
+      .orderBy("lang", "source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qOlsTrend, qAcf, qSpearman, qChiSquare)
+}
