@@ -81,5 +81,81 @@ object GroupSample {
       .orderBy("source", "sample_rank")
   }
 
-  def all: Seq[GraftQuery] = Seq(qGroupSample)
+  /** LARGEST-REMAINDER STRATIFIED SAMPLE: exactly K=100 documents,
+    * strata (languages) allocated proportionally by the
+    * Hamilton/largest-remainder method — base_i = ⌊K·n_i/N⌋ and the
+    * K − Σbase leftover seats go to the largest remainders
+    * (rem desc, lang tie-break). The allocation is pure integer
+    * arithmetic over the |langs|-row census, so the TOTAL is exactly
+    * K by construction (contrast q157's probabilistic cap, which is
+    * exact only in expectation). Within a stratum the sample is the
+    * alloc_i smallest keyed md5 values — deterministic, reproducible,
+    * and independent of the allocation step.
+    *
+    * Scale (100 TB): per-stratum selection is a bounded TopKByScore
+    * heap (K-sized per partition, map-side partials — no window sort
+    * of any stratum's documents; hash values < 2³² sit exactly on the
+    * double grid so the heap's double score loses nothing); the
+    * allocation windows run over the |langs|-row census only. */
+  val sampleK = 100
+
+  val qStratifiedSample: GraftQuery = GraftQuery(
+    "q263_stratified_sample",
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substring(md5('lrs:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+       |  FROM documents),
+       |strata AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM h GROUP BY lang),
+       |quota AS (
+       |  SELECT lang, n_lang,
+       |    ($sampleK * n_lang) // (SUM(n_lang) OVER ()) AS base,
+       |    ($sampleK * n_lang) % (SUM(n_lang) OVER ()) AS rem
+       |  FROM strata),
+       |alloc AS (
+       |  SELECT lang, n_lang,
+       |    CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+       |      <= $sampleK - SUM(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |  FROM quota),
+       |ranked AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+       |  FROM h)
+       |SELECT r.lang, CAST(r.rn AS INTEGER) AS sample_rank, r.doc_id,
+       |  a.n_lang, a.alloc
+       |FROM ranked r JOIN alloc a USING (lang)
+       |WHERE r.rn <= a.alloc
+       |ORDER BY r.lang, r.rn""".stripMargin) { (s, d) =>
+    val h = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      conv(substring(md5(concat(lit("lrs:"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long").as("hv"))
+    val strata = h.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val quota = strata
+      .withColumn("n_all", sum("n_lang").over(wAll))
+      .withColumn("base", expr(s"($sampleK * n_lang) div n_all"))
+      .withColumn("rem", expr(s"($sampleK * n_lang) % n_all"))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("lang"))
+    val alloc = quota
+      .withColumn("sum_base", sum("base").over(wAll))
+      .withColumn("alloc",
+        (col("base") + when(row_number().over(wRem) <= lit(sampleK.toLong) - col("sum_base"),
+          1L).otherwise(0L)).cast("long"))
+      .select("lang", "n_lang", "alloc")
+    // bounded K-heaps per stratum: score = -hash keeps the SMALLEST
+    // hashes (ties to the smaller doc_id — the TopKByScore contract)
+    val tops = h.groupBy("lang")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        -col("hv").cast("double"), col("doc_id"), sampleK).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i0", "e")))
+      .select(col("lang"), (col("i0") + 1).cast("int").as("sample_rank"),
+        col("e.id").as("doc_id"))
+    tops.join(broadcast(alloc), "lang")
+      .where(col("sample_rank") <= col("alloc"))
+      .select(col("lang"), col("sample_rank"), col("doc_id"),
+        col("n_lang"), col("alloc"))
+      .orderBy("lang", "sample_rank")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qGroupSample, qStratifiedSample)
 }

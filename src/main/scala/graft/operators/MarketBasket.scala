@@ -134,5 +134,86 @@ object MarketBasket {
       .orderBy("ante", "cons")
   }
 
-  val all: Seq[GraftQuery] = Seq(qBasketPairs, qBasketRules)
+  /** ITEM-ITEM SIMILARITY top-k (the classic collaborative-filtering
+    * neighborhood): parts scored by co-occurrence COSINE
+    * n_both/√(n_a·n_b) over order baskets, each part keeping its 3
+    * nearest neighbors. The ranking key is cos² as exact integer ppm
+    * ((n_both²·10⁶) div (n_a·n_b)) — monotone in cosine, so the
+    * neighbor order is partitioning- and engine-independent with a
+    * (cos2 desc, neighbor id) tie-break; the reported double cosine is
+    * one sqrt of the exact rational, for humans.
+    *
+    * Scale (100 TB): reuses q251's bounded within-basket self-join and
+    * support gate (pairs below minSupport never reach ranking). The
+    * directional expansion doubles the PAIR census, not the corpus;
+    * the top-k window partitions by item over that compact census —
+    * at billions of items this is the standard sharded-ANN-free
+    * item-CF layout (each item's candidate list is its co-occurrence
+    * row, never an all-pairs scan). */
+  val qItemSimTopK: GraftQuery = GraftQuery(
+    "q262_item_sim_topk",
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pf AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey),
+       |pairs AS (
+       |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_both
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY a.l_partkey, b.l_partkey
+       |  HAVING COUNT(*) >= $minSupport),
+       |sym AS (
+       |  SELECT part_a AS item, part_b AS neighbor, n_both FROM pairs
+       |  UNION ALL
+       |  SELECT part_b, part_a, n_both FROM pairs),
+       |scored AS (
+       |  SELECT s.item, s.neighbor, s.n_both,
+       |    CAST(fa.n_part AS BIGINT) AS n_item,
+       |    CAST(fb.n_part AS BIGINT) AS n_neighbor,
+       |    CAST((n_both * n_both * 1000000) // (fa.n_part * fb.n_part)
+       |      AS BIGINT) AS cos2_ppm
+       |  FROM sym s
+       |  JOIN pf fa ON fa.l_partkey = s.item
+       |  JOIN pf fb ON fb.l_partkey = s.neighbor),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+       |    ORDER BY cos2_ppm DESC, neighbor) AS rk
+       |  FROM scored)
+       |SELECT item, rk, neighbor, n_both, n_item, n_neighbor, cos2_ppm,
+       |  CAST(n_both AS DOUBLE)
+       |    / sqrt(CAST(n_item AS DOUBLE) * CAST(n_neighbor AS DOUBLE)) AS cosine
+       |FROM ranked WHERE rk <= 3
+       |ORDER BY item, rk""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val opA = op.select(col("l_orderkey").as("ok_a"), col("l_partkey").as("part_a"))
+    val opB = op.select(col("l_orderkey").as("ok_b"), col("l_partkey").as("part_b"))
+    val pairs = opA
+      .join(opB, col("ok_a") === col("ok_b") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minSupport)
+    val sym = pairs.select(col("part_a").as("item"), col("part_b").as("neighbor"), col("n_both"))
+      .unionByName(pairs.select(col("part_b").as("item"), col("part_a").as("neighbor"), col("n_both")))
+    val pf = op.groupBy("l_partkey").agg(count(lit(1)).as("n_part"))
+    val scored = sym
+      .join(broadcast(pf.select(col("l_partkey").as("pk_a"), col("n_part").as("n_item"))),
+        col("item") === col("pk_a"))
+      .join(broadcast(pf.select(col("l_partkey").as("pk_b"), col("n_part").as("n_neighbor"))),
+        col("neighbor") === col("pk_b"))
+      .select(col("item"), col("neighbor"), col("n_both"),
+        col("n_item"), col("n_neighbor"),
+        expr("(n_both * n_both * 1000000) div (n_item * n_neighbor)").as("cos2_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(col("cos2_ppm").desc, col("neighbor"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("item"), col("rk"), col("neighbor"), col("n_both"),
+        col("n_item"), col("n_neighbor"), col("cos2_ppm"),
+        (col("n_both").cast("double")
+          / sqrt(col("n_item").cast("double") * col("n_neighbor").cast("double")))
+          .as("cosine"))
+      .orderBy("item", "rk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qBasketPairs, qBasketRules, qItemSimTopK)
 }

@@ -998,6 +998,92 @@ object Streams {
     streamTransitions(s, d)
   }
 
+  // ---- q261: streaming ordered funnel ----
+
+  /** STREAMING ORDERED FUNNEL: q255's view→click→purchase chain
+    * maintained incrementally. Per-user state is the three earliest
+    * step-completion timestamps (µs; MinValue = not reached); each
+    * micro-batch replays its rows in (event-time µs, event_id) order
+    * against that state and EMITS a (step) marker exactly once, when
+    * the user first completes the step — so the memory sink
+    * accumulates each user's funnel reach with no duplicates and the
+    * drained census equals batch q255 row-for-row (same oracle).
+    * Sequential replay is equivalent to q255's earliest-completion
+    * joins because under the q224 ingestion contract (per-user
+    * event-time order across micro-batches) the first qualifying
+    * event seen IS the earliest qualifying event.
+    *
+    * 100 TB: state is O(users) × 24 bytes; emissions are at most
+    * |steps| per user over the stream's lifetime; the serving census
+    * is map-side combinable into |steps| rows. */
+  def streamFunnel(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "graft_stream_funnel"
+    val unset = Long.MinValue
+    val stream = (srcDir match {
+      case Some(dir) =>
+        val fileSchema = spark.read.parquet(dir).schema
+        val reader = spark.readStream.schema(fileSchema)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        graft.sources.Tables.normalizeEventsTs(reader.parquet(dir))
+      case None => readEventsStream(spark, sfDir)
+    })
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    def update(user: Long, rows: Iterator[(Long, Long, Long, String)],
+        state: GroupState[(Long, Long, Long)]): Iterator[Int] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var (v, c, p) = state.getOption.getOrElse((unset, unset, unset))
+      val out = Seq.newBuilder[Int]
+      sorted.foreach { case (_, ts, _, tpe) =>
+        tpe match {
+          case "view" if v == unset =>
+            v = ts; out += 1
+          case "click" if c == unset && v != unset && ts > v =>
+            c = ts; out += 2
+          case "purchase" if p == unset && c != unset && ts > c =>
+            p = ts; out += 3
+          case _ => ()
+        }
+      }
+      state.update((v, c, p))
+      out.result().iterator
+    }
+    withStreamShufflePartitions(spark) {
+      val q = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("step")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // left join a literal step spine so an unreached step still emits
+    // its zero row (batch q255 unions three aggregates and always has 3)
+    val spine = Seq((1, "view"), (2, "click"), (3, "purchase"))
+      .toDF("step", "step_name")
+    val counts = spark.table(name)
+      .groupBy(col("step").cast("int").as("step"))
+      .agg(count(lit(1)).as("n"))
+    val census = spine.join(counts, Seq("step"), "left")
+      .select(col("step"), col("step_name"),
+        coalesce(col("n"), lit(0L)).as("n_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    census
+      .withColumn("first_n", first("n_users").over(w))
+      .withColumn("conv_ppm", expr("(n_users * 1000000) div first_n"))
+      .drop("first_n")
+      .orderBy("step")
+  }
+
+  val qStreamFunnel: GraftQuery = GraftQuery(
+    "q261_stream_funnel",
+    graft.operators.Funnel.qFunnelSteps.oracle.get) { (s, d) =>
+    streamFunnel(s, d)
+  }
+
   // ---- q229: streaming KMV sketch merge ----
 
   /** STREAMING KMV SKETCHES: q218's per-source K-minimum-values
@@ -1218,5 +1304,5 @@ object Streams {
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
-      qStreamStreamLeftJoin)
+      qStreamStreamLeftJoin, qStreamFunnel)
 }

@@ -542,6 +542,36 @@ class StreamsSpec extends SparkSpecBase {
       "drained multi-batch census must be row-identical to batch q221")
   }
 
+  test("q261: multi-batch streamed funnel equals batch q255; boundary steps carried") {
+    import org.apache.spark.sql.expressions.Window
+    // same time-ordered 4-file staging as q224 — a step whose
+    // qualifying event lands in a LATER micro-batch than its
+    // predecessor must complete from the carried (v, c, p) state
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_funnel").toString
+    val sliced = Tables.events(spark, sf001)
+      .withColumn("slice", ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      val tmp = new java.io.File(dir, s"_tmp$i")
+      sliced.where(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged in $tmp"))
+      val dst = new java.io.File(dir, f"arr$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+      graft.operators.Formats.wipe(tmp.toString)
+    }
+    val streamed = Streams.streamFunnel(
+        spark, sf001, srcDir = Some(dir), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q255_funnel_steps")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "drained multi-batch funnel census must equal batch q255")
+  }
+
   test("q229: multi-batch KMV partials fold to the batch sketch (any arrival order)") {
     // 3 arrival files in ARBITRARY slicing (doc_id % 3) — KMV's monoid
     // merge needs no ordering contract, unlike q224
