@@ -1139,10 +1139,66 @@ object ScaleBench {
     out.toSeq
   }
 
+  /** Sweep-line A/B (the q256 claim, measured): per-day peak
+    * concurrency over n synthetic sessions via the textbook GLOBAL
+    * running-sum window (one task sorts the whole boundary census)
+    * vs the two-level form (per-day parallel prefix sums + an
+    * O(days) carry). Prefix sums compose, so both forms must produce
+    * identical per-day peaks — asserted via checksum. Sessions are
+    * mixed deterministically from the row id (no rand — resumable). */
+  private[graft] def sweepProbe(spark: SparkSession, n: Int): Seq[(String, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val days = 365L
+    val sessions = spark.range(n.toLong).select(
+      pmod(col("id") * 2654435761L + 17L, lit(days * dayUs)).as("start_us"),
+      (pmod(col("id") * 40503L + 101L, lit(3L * 3600L * 1000000L)) + 1L).as("dur_us"))
+      .select(col("start_us"), (col("start_us") + col("dur_us")).as("end_us"))
+    val census = sessions.select(col("start_us").as("b_us"), lit(1).as("d"))
+      .unionByName(sessions.select((col("end_us") + 1).as("b_us"), lit(-1).as("d")))
+      .groupBy("b_us").agg(sum("d").as("d"))
+      .withColumn("day_idx", expr("b_us div 86400000000"))
+      .persist()
+    census.count()
+    def checksum(peaks: DataFrame): String =
+      peaks.agg(sum(col("peak").cast("decimal(38,0)") *
+          pmod(col("day_idx"), lit(1000003L)).cast("decimal(38,0)")))
+        .first().getDecimal(0).toPlainString
+    def global(): String = {
+      val run = census.withColumn("active",
+        sum("d").over(Window.orderBy("b_us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      checksum(run.groupBy("day_idx").agg(max("active").as("peak")))
+    }
+    def twoLevel(): String = {
+      val wDay = Window.partitionBy("day_idx").orderBy("b_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val intra = census.withColumn("prefix", sum("d").over(wDay))
+      val carry = census.groupBy("day_idx").agg(sum("d").as("day_delta"))
+        .withColumn("carry", coalesce(sum("day_delta").over(
+          Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("day_idx", "carry")
+      checksum(intra.groupBy("day_idx").agg(max("prefix").as("max_prefix"))
+        .join(broadcast(carry), "day_idx")
+        .withColumn("peak", col("carry") + col("max_prefix")))
+    }
+    val c1 = global()
+    val tGlobal = time(global())._2
+    val c2 = twoLevel()
+    val tTwo = time(twoLevel())._2
+    census.unpersist()
+    Seq(
+      "sweep_sessions" -> n.toDouble,
+      "sweep_global_sec" -> tGlobal,
+      "sweep_twolevel_sec" -> tTwo,
+      "sweep_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
+  }
+
   /** Standalone entry for local iteration; Bench embeds run() output.
     * `zorder`/`rank` as the first arg runs only that probe (dev loop). */
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("zorder", "rank", "grouping")).getOrElse("full")
+    val mode = args.headOption.filter(Set("zorder", "rank", "grouping", "sweep")).getOrElse("full")
     val rest = if (mode != "full") args.drop(1) else args
     val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.1"
     val tDocs = if (rest.length > 1) rest(1).toInt else 100000
@@ -1153,6 +1209,7 @@ object ScaleBench {
       case "zorder" => zorderProbe(spark, sfDir, 4000000, 256)
       case "rank" => rankProbe(spark, sys.env.get("SPARK_GRAFT_RANK_N").map(_.toInt).getOrElse(2000000))
       case "grouping" => groupingProbe(spark, sys.env.get("SPARK_GRAFT_GROUPING_N").map(_.toInt).getOrElse(8000000))
+      case "sweep" => sweepProbe(spark, sys.env.get("SPARK_GRAFT_SWEEP_N").map(_.toInt).getOrElse(4000000))
       case _ => run(spark, sfDir, tDocs, tVecs)
     }
     println(metrics.map { case (k, v) => s""""$k":$v""" }
