@@ -157,11 +157,11 @@ object Funnel {
     peakConcurrency(Tables.events(s, d))
   }
 
-  /** Two-level sweep-line peak concurrency over (user_id, event_id, ts):
-    * 30-min-gap sessionization, then per-day parallel prefix sums with
-    * an O(days) cross-day carry. Equal to the global running sum. */
-  def peakConcurrency(events: org.apache.spark.sql.DataFrame,
-                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+  /** Gap-based batch sessionization: one (user_id) exchange, one
+    * per-user ordered window pass. Returns one row per session with
+    * exact integer-µs bounds and the event count. */
+  def sessionize(events: org.apache.spark.sql.DataFrame,
+                 gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
     val uw = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val seq = events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
@@ -172,8 +172,17 @@ object Funnel {
     val numbered = marks.withColumn("sess_id",
       sum("is_new").over(
         uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val sessions = numbered.groupBy("user_id", "sess_id")
-      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+    numbered.groupBy("user_id", "sess_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Two-level sweep-line peak concurrency over (user_id, event_id, ts):
+    * 30-min-gap sessionization, then per-day parallel prefix sums with
+    * an O(days) cross-day carry. Equal to the global running sum. */
+  def peakConcurrency(events: org.apache.spark.sql.DataFrame,
+                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
+    val sessions = sessionize(events, gapUs)
     val deltas = sessions.select(col("start_us").as("b_us"), lit(1).as("d"))
       .unionByName(sessions.select((col("end_us") + 1).as("b_us"), lit(-1).as("d")))
     val census = deltas.groupBy("b_us").agg(sum("d").as("d"))
@@ -199,5 +208,93 @@ object Funnel {
       .orderBy("day")
   }
 
-  val all: Seq[GraftQuery] = Seq(qFunnelSteps, qConcurrency)
+  /** SESSION KPI REPORT per day: session count, bounce count (single-
+    * event sessions), exact integer-ppm bounce rate, and p50/p90
+    * session duration as percentile_disc — ACTUAL observed integer-µs
+    * durations selected with pure integer rank arithmetic
+    * (cum·100 ≥ total·q, the q234 convention). The product-analytics
+    * sheet next to q256's load number, off the SAME sessionize pass.
+    *
+    * Scale (100 TB): one user_id exchange for sessionization; the KPI
+    * aggregates are map-side combinable per day; the percentile rank
+    * runs over the per-day DISTINCT-DURATION census, never over
+    * sessions (q234's degradation argument applies — bucket durations
+    * to ms at ingest if the µs census is ever too wide). */
+  val qSessionKpis: GraftQuery = GraftQuery(
+    "q264_session_kpis",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |marks AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM seq),
+      |numbered AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM marks),
+      |sessions AS (
+      |  SELECT user_id, sess_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM numbered GROUP BY user_id, sess_id),
+      |s AS (
+      |  SELECT start_us // 86400000000 AS day_idx,
+      |    end_us - start_us AS dur_us, n_events
+      |  FROM sessions),
+      |tot AS (
+      |  SELECT day_idx, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+      |  FROM s GROUP BY day_idx),
+      |census AS (
+      |  SELECT day_idx, dur_us, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM s GROUP BY day_idx, dur_us),
+      |cum AS (
+      |  SELECT day_idx, dur_us,
+      |    SUM(c) OVER (PARTITION BY day_idx ORDER BY dur_us
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM census),
+      |p50 AS (
+      |  SELECT c.day_idx, MIN(c.dur_us) AS p50_dur_us
+      |  FROM cum c JOIN tot t ON c.day_idx = t.day_idx
+      |  WHERE c.cum * 100 >= t.n_sessions * 50 GROUP BY c.day_idx),
+      |p90 AS (
+      |  SELECT c.day_idx, MIN(c.dur_us) AS p90_dur_us
+      |  FROM cum c JOIN tot t ON c.day_idx = t.day_idx
+      |  WHERE c.cum * 100 >= t.n_sessions * 90 GROUP BY c.day_idx)
+      |SELECT DATE '1970-01-01' + CAST(t.day_idx AS INTEGER) AS day,
+      |  t.n_sessions, t.n_bounce,
+      |  CAST((t.n_bounce * 1000000) // t.n_sessions AS BIGINT) AS bounce_ppm,
+      |  p50.p50_dur_us, p90.p90_dur_us
+      |FROM tot t
+      |JOIN p50 ON p50.day_idx = t.day_idx
+      |JOIN p90 ON p90.day_idx = t.day_idx
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val sess = sessionize(Tables.events(s, d))
+      .select(expr("start_us div 86400000000").as("day_idx"),
+        (col("end_us") - col("start_us")).as("dur_us"), col("n_events"))
+    val tot = sess.groupBy("day_idx").agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+    val census = sess.groupBy("day_idx", "dur_us").agg(count(lit(1)).as("c"))
+    val cum = census.withColumn("cum",
+      sum("c").over(Window.partitionBy("day_idx").orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def pick(q: Int, nm: String) = cum.join(tot, "day_idx")
+      .where(col("cum") * 100 >= col("n_sessions") * q)
+      .groupBy("day_idx").agg(min("dur_us").as(nm))
+    tot.join(pick(50, "p50_dur_us"), "day_idx")
+      .join(pick(90, "p90_dur_us"), "day_idx")
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day_idx").cast("int")).as("day"),
+        col("n_sessions"), col("n_bounce"),
+        expr("(n_bounce * 1000000) div n_sessions").as("bounce_ppm"),
+        col("p50_dur_us"), col("p90_dur_us"))
+      .orderBy("day")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qFunnelSteps, qConcurrency, qSessionKpis)
 }

@@ -317,7 +317,86 @@ object ModelQueries {
       .orderBy("doc_id")
   }
 
+  /** MERKLE TABLE DIFF — q202's versioning audit restructured for the
+    * CROSS-DATACENTER case: instead of joining two full fingerprint
+    * relations (one shuffle per side, O(rows) exchanged), each side
+    * reduces to an ADDITIVE bucket fingerprint — per doc a 48-bit
+    * keyed hash of (doc_id, row fingerprint), summed per bucket
+    * (doc_id % 256) — and only the O(buckets) summaries are compared.
+    * Sums are commutative/associative, so the fingerprint is
+    * partitioning-independent; a level-1 rollup (bucket div 16)
+    * demonstrates the Merkle drill-down: parents that match prove all
+    * 16 children match without looking at them. The same v2 re-crawl
+    * derivation as q202, so the two audits corroborate (every bucket
+    * this query flags contains a q202 delta row and vice versa — the
+    * spec checks exactly that).
+    *
+    * 100 TB: each side's summary is one narrow scan + map-side-
+    * combinable sum into 256 cells; comparing two tables costs
+    * exchanging ~16 KB of fingerprints, then re-shipping only the
+    * differing buckets' rows. Sums are DECIMAL(38,0): 2⁴⁸-scale leaf
+    * hashes stay exact past 10²³ docs per bucket. */
+  val qMerkleDiff: GraftQuery = GraftQuery(
+    "q266_merkle_diff",
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS fp FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 3 THEN md5(text || ' rev2')
+      |         ELSE md5(text) END AS fp
+      |  FROM documents WHERE doc_id % 13 <> 5
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text || ' new') AS fp
+      |  FROM documents WHERE doc_id % 13 = 7),
+      |l1 AS (
+      |  SELECT doc_id % 256 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_a,
+      |    CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || fp), 1, 12) AS BIGINT))
+      |      AS DECIMAL(38,0)) AS f_a
+      |  FROM v1 GROUP BY 1),
+      |l2 AS (
+      |  SELECT doc_id % 256 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_b,
+      |    CAST(SUM(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || fp), 1, 12) AS BIGINT))
+      |      AS DECIMAL(38,0)) AS f_b
+      |  FROM v2 GROUP BY 1),
+      |buckets AS (
+      |  SELECT COALESCE(l1.bucket, l2.bucket) AS bucket,
+      |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+      |    COALESCE(f_a, 0) AS f_a, COALESCE(f_b, 0) AS f_b
+      |  FROM l1 FULL OUTER JOIN l2 ON l1.bucket = l2.bucket)
+      |SELECT CAST(bucket // 16 AS BIGINT) AS node1, bucket, n_a, n_b, f_a, f_b
+      |FROM buckets
+      |WHERE f_a <> f_b OR n_a <> n_b
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val docs = graft.sources.Tables.documents(s, d)
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val v2 = docs.where(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 3, md5(concat(col("text"), lit(" rev2"))))
+          .otherwise(md5(col("text"))).as("fp"))
+      .unionByName(docs.where(col("doc_id") % 13 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(col("text"), lit(" new"))).as("fp")))
+    def leaf(df: org.apache.spark.sql.DataFrame, nNm: String, fNm: String) =
+      df.groupBy((col("doc_id") % 256).as("bucket"))
+        .agg(count(lit(1)).as(nNm),
+          sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("fp"))), 1, 12), 16, 10).cast("long").cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as(fNm))
+    leaf(v1, "n_a", "f_a").join(leaf(v2, "n_b", "f_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("f_a"), lit(0L).cast("decimal(38,0)")).as("f_a"),
+        coalesce(col("f_b"), lit(0L).cast("decimal(38,0)")).as("f_b"))
+      .where(col("f_a") =!= col("f_b") || col("n_a") =!= col("n_b"))
+      .select(expr("bucket div 16").as("node1"), col("bucket"),
+        col("n_a"), col("n_b"), col("f_a"), col("f_b"))
+      .orderBy("bucket")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill, qPitLookup,
-      qSnapshotDiff)
+      qSnapshotDiff, qMerkleDiff)
 }

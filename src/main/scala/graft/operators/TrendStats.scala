@@ -67,11 +67,21 @@ object TrendStats {
       |       ELSE CAST(slope_num AS DOUBLE) * CAST(slope_num AS DOUBLE)
       |            / (CAST(slope_den AS DOUBLE) * CAST(syy_c AS DOUBLE)) END AS r2
       |FROM parts ORDER BY event_type""".stripMargin) { (s, d) =>
-    val daily = Tables.events(s, d)
-      .groupBy(col("event_type"),
-        datediff(date_trunc("day", col("ts")).cast("date"),
-          lit("2024-01-01").cast("date")).cast("long").as("d"))
+    olsFromDaily(dailyCensus(Tables.events(s, d)))
+  }
+
+  /** (event_type, day-index, count) census — the single corpus pass
+    * every trend statistic here reduces to. Per-batch censuses are
+    * ADDITIVE on n, so a streaming deployment appends partials and
+    * re-sums (q265). */
+  def dailyCensus(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+      datediff(date_trunc("day", col("ts")).cast("date"),
+        lit("2024-01-01").cast("date")).cast("long").as("d"))
       .agg(count(lit(1)).as("n"))
+
+  /** q257's closed-form OLS over a (event_type, d, n) daily census. */
+  def olsFromDaily(daily: DataFrame): DataFrame = {
     val m = daily.groupBy("event_type").agg(
       count(lit(1)).as("n_days"),
       isum(col("d")).as("sx"), isum(col("n")).as("sy"),

@@ -216,5 +216,69 @@ object ZOrder {
     touched.count()
   }
 
-  def all: Seq[GraftQuery] = Seq(qZorderCells, qZorderMaintenance)
+  /** ZONE-MAP PRUNING AUDIT: the data-skipping effectiveness report a
+    * lakehouse reads off its file manifest. Two layouts of the same
+    * fact are simulated with data-independent bucket keys — 'arrival'
+    * (l_orderkey div 512: how rows land from the OLTP feed) and
+    * 'date_grouped' (32-day shipdate ranges: the sorted-rewrite
+    * layout) — each bucket carrying its (min, max) shipdate zone map.
+    * For a Q1-1999-shaped predicate the audit reports how many buckets
+    * the zone maps prune and the exact ppm of rows skipped: arrival
+    * order prunes ~nothing (shipdate uncorrelated with orderkey in
+    * this corpus), the date layout prunes all but the overlapping
+    * ranges — the measured argument for q169/q171's layout work.
+    *
+    * 100 TB: zone maps ARE the manifest — one map-side-combinable
+    * (min, max, count) aggregate per layout, O(buckets) rows; the
+    * audit never rescans the fact to evaluate a candidate predicate. */
+  val qZoneMapAudit: GraftQuery = GraftQuery(
+    "q267_zonemap_audit",
+    """WITH f AS (
+      |  SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+      |zones AS (
+      |  SELECT 'arrival' AS layout, l_orderkey // 512 AS bucket,
+      |    min(sd) AS zmin, max(sd) AS zmax, CAST(count(*) AS BIGINT) AS n
+      |  FROM f GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'date_grouped', (sd - DATE '1992-01-01') // 32,
+      |    min(sd), max(sd), CAST(count(*) AS BIGINT)
+      |  FROM f GROUP BY 2),
+      |flagged AS (
+      |  SELECT layout, bucket, n,
+      |    CASE WHEN zmax < DATE '1999-01-01' OR zmin > DATE '1999-03-31'
+      |         THEN 1 ELSE 0 END AS pruned
+      |  FROM zones)
+      |SELECT layout,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+      |  CAST(SUM(CASE WHEN pruned = 1 THEN n ELSE 0 END) AS BIGINT) AS rows_skipped,
+      |  CAST(SUM(n) AS BIGINT) AS rows_total,
+      |  CAST((SUM(CASE WHEN pruned = 1 THEN n ELSE 0 END) * 1000000) // SUM(n)
+      |    AS BIGINT) AS skip_ppm
+      |FROM flagged GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
+    val f = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
+    val za = f.groupBy(expr("l_orderkey div 512").as("bucket"))
+      .agg(min("sd").as("zmin"), max("sd").as("zmax"), count(lit(1)).as("n"))
+      .select(lit("arrival").as("layout"), col("bucket"), col("zmin"),
+        col("zmax"), col("n"))
+    val zd = f
+      .withColumn("dd", datediff(col("sd"), lit("1992-01-01").cast("date")).cast("long"))
+      .groupBy(expr("dd div 32").as("bucket"))
+      .agg(min("sd").as("zmin"), max("sd").as("zmax"), count(lit(1)).as("n"))
+      .select(lit("date_grouped").as("layout"), col("bucket"), col("zmin"),
+        col("zmax"), col("n"))
+    val flagged = za.unionByName(zd).withColumn("pruned",
+      when(col("zmax") < lit("1999-01-01").cast("date") ||
+        col("zmin") > lit("1999-03-31").cast("date"), 1).otherwise(0))
+    flagged.groupBy("layout").agg(
+      count(lit(1)).as("n_buckets"),
+      sum("pruned").as("n_pruned"),
+      sum(when(col("pruned") === 1, col("n")).otherwise(0L)).as("rows_skipped"),
+      sum("n").as("rows_total"))
+      .withColumn("skip_ppm", expr("(rows_skipped * 1000000) div rows_total"))
+      .orderBy("layout")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qZorderCells, qZorderMaintenance, qZoneMapAudit)
 }

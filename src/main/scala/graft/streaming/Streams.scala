@@ -1084,6 +1084,58 @@ object Streams {
     streamFunnel(s, d)
   }
 
+  // ---- q265: streaming OLS trend monitor ----
+
+  /** STREAMING TREND MONITOR: q257's per-type OLS maintained over the
+    * arriving event stream. Each micro-batch appends its own
+    * (event_type, day, n_partial) census slice — counts are ADDITIVE,
+    * so the serving read re-sums the partial log into the exact daily
+    * census and runs the same closed-form moment combination; the
+    * result is hash-identical to batch q257 REGARDLESS of arrival
+    * order or batch boundaries (no ordering contract — contrast
+    * q261). This is the q233/q239 partial-log posture applied to a
+    * statistic whose moments are NOT batch-additive (n appears
+    * squared): the additive layer is the census, the non-additive
+    * math runs only at serve time over O(types × days) rows.
+    *
+    * 100 TB/day: per trigger the exchange carries the batch's own
+    * (type, day) cells; sink growth is O(types × days) per trigger
+    * and compacts by the same re-sum (a q239-style fold bounds it). */
+  def streamOlsTrend(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_ols", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = srcDir match {
+        case Some(dir) =>
+          val fileSchema = spark.read.parquet(dir).schema
+          val reader = spark.readStream.schema(fileSchema)
+          maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+          graft.sources.Tables.normalizeEventsTs(reader.parquet(dir))
+        case None => readEventsStream(spark, sfDir)
+      }
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.TrendStats.dailyCensus(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val daily = spark.read.parquet(outDir)
+      .groupBy("event_type", "d").agg(sum("n").as("n"))
+    graft.operators.TrendStats.olsFromDaily(daily)
+  }
+
+  val qStreamOlsTrend: GraftQuery = GraftQuery(
+    "q265_stream_ols_trend",
+    graft.operators.TrendStats.qOlsTrend.oracle.get) { (s, d) =>
+    streamOlsTrend(s, d)
+  }
+
   // ---- q229: streaming KMV sketch merge ----
 
   /** STREAMING KMV SKETCHES: q218's per-source K-minimum-values
@@ -1304,5 +1356,5 @@ object Streams {
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
-      qStreamStreamLeftJoin, qStreamFunnel)
+      qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend)
 }

@@ -542,6 +542,21 @@ class StreamsSpec extends SparkSpecBase {
       "drained multi-batch census must be row-identical to batch q221")
   }
 
+  test("q265: census partials across micro-batches re-sum to the batch OLS") {
+    // counts are additive, so ANY arrival slicing works — repartition(3)
+    // staging deliberately breaks time order (contrast q261)
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_ols").toString
+    Tables.events(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = Streams.streamOlsTrend(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q257_ols_trend")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "partial-log OLS must equal batch OLS under any slicing")
+  }
+
   test("q261: multi-batch streamed funnel equals batch q255; boundary steps carried") {
     import org.apache.spark.sql.expressions.Window
     // same time-ordered 4-file staging as q224 — a step whose
