@@ -214,5 +214,76 @@ object GraphCore {
     } finally e0.unpersist(): Unit
   }
 
-  def all: Seq[GraftQuery] = Seq(qKcore, qBfsDepth)
+  /** One synchronous label-propagation round over symmetric `edges`:
+    * every node adopts the most frequent label among its NEIGHBORS
+    * (count desc, then smallest label — fully deterministic, no
+    * engine-arbitrary tie). */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = edges
+      .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+      .groupBy(col("u").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lbl"))
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select("node", "lbl")
+  }
+
+  private val lpaRounds = 4
+
+  private def lpaRoundSql(prev: String, cur: String): String =
+    s"""${cur}_cnt AS MATERIALIZED (
+       |  SELECT e.u AS node, l.lbl, COUNT(*) AS c
+       |  FROM e0 e JOIN $prev l ON l.node = e.v
+       |  GROUP BY e.u, l.lbl),
+       |$cur AS MATERIALIZED (
+       |  SELECT node, lbl FROM (
+       |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+       |      ORDER BY c DESC, lbl) AS rn FROM ${cur}_cnt)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** LABEL-PROPAGATION COMMUNITIES (Raghavan et al. 2007), the
+    * modularity-flavored counterpart of connected components: q77/q133
+    * merge anything REACHABLE into one cluster; LPA lets labels
+    * compete, so a chain of borderline near-dup bridges does NOT fuse
+    * two dense duplicate families. Synchronous rounds with the
+    * deterministic (count desc, min label) adoption rule; a FIXED 4
+    * rounds — the census after round R is a pure function of the
+    * graph, so the oracle unrolls the same R rounds as CTEs and must
+    * agree bit-for-bit (non-convergence is visible, not hidden: the
+    * output is "labels after R rounds", not "communities, trust me").
+    *
+    * Scale (100 TB): each round is one edge-keyed join + one
+    * (node, label) aggregate + one per-node top-1 window over the
+    * NEIGHBOR-LABEL census (bounded by degree, not corpus);
+    * localCheckpoint truncates the per-round lineage (the q248/q133
+    * iterative discipline). R is a constant — cost is R·O(edges),
+    * diameter-independent by construction. */
+  val qLabelPropagation: GraftQuery = GraftQuery(
+    "q268_label_propagation",
+    s"""WITH ${Dedup.pairsCte},
+       |e0 AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |lp0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e0),
+       |${(1 to lpaRounds).map(r => lpaRoundSql(s"lp${r - 1}", s"lp$r")).mkString(",\n")},
+       |sizes AS (
+       |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM lp$lpaRounds GROUP BY lbl)
+       |SELECT l.node AS doc_id, l.lbl AS community, s.community_size
+       |FROM lp$lpaRounds l JOIN sizes s ON s.lbl = l.lbl
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val e0 = sym(Dedup.verifiedPairs(s, d)).localCheckpoint()
+    var labels = e0.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to lpaRounds)
+      labels = lpaRound(e0, labels).localCheckpoint()
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qKcore, qBfsDepth, qLabelPropagation)
 }

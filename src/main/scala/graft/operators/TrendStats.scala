@@ -290,5 +290,131 @@ object TrendStats {
       .orderBy("lang", "source")
   }
 
-  val all: Seq[GraftQuery] = Seq(qOlsTrend, qAcf, qSpearman, qChiSquare)
+  /** PSI DRIFT MONITOR (population stability index) of src0's
+    * document-length distribution against the rest of the corpus —
+    * the score-distribution drift check risk teams run on every model
+    * input. Bins are the corpus-wide n_chars DECILES, selected by
+    * pure integer rank over the distinct-length census (percentile_
+    * disc — actual observed boundaries, q234's rule); each doc's bin
+    * is a count of boundaries below its length (a narrow 9× compare,
+    * no sort). Per bin: exact integer shares in ppm and the PSI term
+    * (p−q)·ln(p/q) as ONE double combination of exact integer counts,
+    * mirrored verbatim (NULL for structurally-empty cells rather than
+    * an epsilon fudge). Thresholding happens per-bin on the exact ppm
+    * shares; the double is for humans.
+    *
+    * Scale (100 TB): one distinct-length census aggregate, a 9-row
+    * boundary broadcast, one (bin × side) count — all map-side
+    * combinable; nothing global beyond the ≤10-row report. */
+  val qPsiDrift: GraftQuery = GraftQuery(
+    "q269_psi_drift",
+    """WITH census AS (
+      |  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT n_chars, SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(c) OVER () AS tot
+      |  FROM census),
+      |bins AS (
+      |  SELECT n_chars,
+      |    least(9, ((cw - c) * 10) // tot) AS bin
+      |  FROM (SELECT n_chars, c, cw, tot FROM cum
+      |        JOIN census USING (n_chars))),
+      |cells AS (
+      |  SELECT b.bin,
+      |    CAST(SUM(CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN d.source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM documents d JOIN bins b ON b.n_chars = d.n_chars
+      |  GROUP BY b.bin),
+      |tots AS (
+      |  SELECT bin, n_a, n_b,
+      |    SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b
+      |  FROM cells)
+      |SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b,
+      |  CAST((n_a * 1000000) // tot_a AS BIGINT) AS p_ppm,
+      |  CAST((n_b * 1000000) // tot_b AS BIGINT) AS q_ppm,
+      |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |       ELSE (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+      |             - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE))
+      |            * ln((CAST(n_a AS DOUBLE) * CAST(tot_b AS DOUBLE))
+      |                 / (CAST(n_b AS DOUBLE) * CAST(tot_a AS DOUBLE))) END AS psi_term
+      |FROM tots ORDER BY bin""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val census = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    val cum = census
+      .withColumn("cw", sum("c").over(Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("c").over(Window.partitionBy()))
+    // bin = #{k in 1..9 : boundary_k < x} = min(9, 10*pw div tot) where
+    // pw is the cumulative count STRICTLY below x — no boundary join
+    val bins = cum
+      .withColumn("bin", least(lit(9L), expr("((cw - c) * 10) div tot")))
+      .select("n_chars", "bin")
+    val cells = docs.join(bins, "n_chars")
+      .groupBy("bin").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("source") === "src0", 0L).otherwise(1L)).as("n_b"))
+    val tots = cells
+      .withColumn("tot_a", sum("n_a").over(Window.partitionBy()))
+      .withColumn("tot_b", sum("n_b").over(Window.partitionBy()))
+    val pd = col("n_a").cast("double") / col("tot_a").cast("double")
+    val qd = col("n_b").cast("double") / col("tot_b").cast("double")
+    tots.select(col("bin").cast("long").as("bin"), col("n_a"), col("n_b"),
+      expr("(n_a * 1000000) div tot_a").as("p_ppm"),
+      expr("(n_b * 1000000) div tot_b").as("q_ppm"),
+      when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+        .otherwise((pd - qd) * log(
+          (col("n_a").cast("double") * col("tot_b").cast("double"))
+            / (col("n_b").cast("double") * col("tot_a").cast("double"))))
+        .as("psi_term"))
+      .orderBy("bin")
+  }
+
+  /** WEIGHTED MEDIAN of document length per language, weighted by
+    * token mass — "the length where half the TOKENS sit", which a
+    * packing planner wants instead of the doc-count median (long docs
+    * carry disproportionate mass). Selection is percentile_disc-style
+    * pure integer rank over the per-lang (length, Σweight) census:
+    * the smallest length whose cumulative weight doubles past the
+    * total (cum·2 ≥ W). No doubles anywhere.
+    *
+    * Scale (100 TB): one (lang, n_chars) weighted census aggregate
+    * (map-side combinable), then per-lang windows over the census —
+    * bounded by distinct lengths, never doc count. */
+  val qWeightedMedian: GraftQuery = GraftQuery(
+    "q270_weighted_median",
+    """WITH toks AS (
+      |  SELECT lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |census AS (
+      |  SELECT lang, n_chars, CAST(SUM(n_tok) AS BIGINT) AS w,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM toks GROUP BY lang, n_chars),
+      |cum AS (
+      |  SELECT lang, n_chars, w, n_docs,
+      |    SUM(w) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(w) OVER (PARTITION BY lang) AS tot_w
+      |  FROM census)
+      |SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(MAX(tot_w) AS BIGINT) AS total_tokens,
+      |  MIN(CASE WHEN cw * 2 >= tot_w THEN n_chars END) AS wmedian_chars
+      |FROM cum GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("lang"), col("n_chars"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val census = toks.groupBy("lang", "n_chars")
+      .agg(sum("n_tok").as("w"), count(lit(1)).as("n_docs"))
+    val cum = census
+      .withColumn("cw", sum("w").over(Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_w", sum("w").over(Window.partitionBy("lang")))
+    cum.groupBy("lang").agg(
+      sum("n_docs").as("n_docs"),
+      max("tot_w").as("total_tokens"),
+      min(when(col("cw") * 2 >= col("tot_w"), col("n_chars"))).as("wmedian_chars"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(qOlsTrend, qAcf, qSpearman, qChiSquare, qPsiDrift, qWeightedMedian)
 }
