@@ -694,9 +694,118 @@ object Advanced {
       .orderBy("first_touch")
   }
 
+  /** TPC-H Q22 SHAPE (lapsed rich customers): customers whose balance
+    * exceeds the global average POSITIVE balance and who placed no
+    * order in the final 90 days of the order calendar, censused by
+    * nation. Both scalars are made exact: the balance gate is integer
+    * cross-multiplication (bal_cents·n_pos > sum_cents — never an fp
+    * average near a comparison), and the recency horizon is
+    * max(orderdate) − 90 in DATE arithmetic. Each global aggregate
+    * rides in on a literal-key broadcast HASH join (an equi-join on a
+    * constant — preserves the probe side's partitioning and stays out
+    * of the nested-loop plan space the audit bans).
+    *
+    * Scale (100 TB): two narrow scalar aggregates broadcast to every
+    * partition; the recent-orders side is date-filtered BEFORE the
+    * anti join on o_custkey (the only exchange); |nations|-row census. */
+  val qIdleRich: GraftQuery = GraftQuery(
+    "q273_idle_rich_customers",
+    """WITH stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_c
+      |  FROM customer WHERE c_acctbal > 0),
+      |horizon AS (
+      |  SELECT CAST(max(o_orderdate) AS DATE) - 90 AS cutoff FROM orders),
+      |rich AS (
+      |  SELECT c.c_custkey, c.c_nationkey,
+      |    CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_c
+      |  FROM customer c CROSS JOIN stats s
+      |  WHERE CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * s.n_pos > s.sum_c),
+      |lapsed AS (
+      |  SELECT r.* FROM rich r
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders o CROSS JOIN horizon h
+      |    WHERE o.o_custkey = r.c_custkey
+      |      AND CAST(o.o_orderdate AS DATE) >= h.cutoff))
+      |SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |  CAST(SUM(bal_c) AS BIGINT) AS total_bal_cents,
+      |  CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS total_bal
+      |FROM lapsed i JOIN nation n ON n.n_nationkey = i.c_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, d) =>
+    val balC = (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), balC.as("bal_c"))
+    val stats = cust.where(col("bal_c") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_c").cast("long").as("sum_c"))
+      .withColumn("one", lit(1))
+    val horizon = Tables.orders(s, d)
+      .agg(date_sub(max(col("o_orderdate")).cast("date"), 90).as("cutoff"))
+      .withColumn("one", lit(1))
+    val rich = cust.withColumn("one", lit(1))
+      .join(broadcast(stats), "one")
+      .where(col("bal_c") * col("n_pos") > col("sum_c"))
+      .select("c_custkey", "c_nationkey", "bal_c")
+    val recent = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+      .withColumn("one", lit(1))
+      .join(broadcast(horizon), "one")
+      .where(col("od") >= col("cutoff"))
+      .select("o_custkey")
+    val lapsed = rich.join(recent,
+      col("c_custkey") === col("o_custkey"), "left_anti")
+    lapsed.join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_custs"),
+        sum("bal_c").cast("long").as("total_bal_cents"))
+      .select(col("n_name"), col("n_custs"), col("total_bal_cents"),
+        (col("total_bal_cents").cast("double") / 100.0).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  /** TPC-H Q11 SHAPE (important stock): parts whose lineitem value
+    * (price × quantity, exact cents×decades units) exceeds 1/1000 of
+    * the corpus total — the share gate done by exact
+    * cross-multiplication (val·1000 > total), share reported in exact
+    * ppm. The total rides a window over the per-part census (bounded
+    * by the part dimension, not the fact).
+    *
+    * Scale (100 TB): one part-keyed aggregate over lineitem (the only
+    * fact exchange); the census-wide total is a two-level rollup away
+    * if the part dimension ever outgrows one task (q183's measured
+    * pattern); the gate and ordering are integer-exact. */
+  val qImportantStock: GraftQuery = GraftQuery(
+    "q274_important_stock",
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      * CAST(CAST(l_quantity AS DECIMAL(12,1)) * 10 AS BIGINT)) AS BIGINT) AS val_u
+      |  FROM lineitem GROUP BY l_partkey),
+      |tot AS (
+      |  SELECT l_partkey, val_u, SUM(val_u) OVER () AS total_u FROM pv)
+      |SELECT l_partkey, val_u,
+      |  CAST((val_u * 1000000) // total_u AS BIGINT) AS share_ppm,
+      |  CAST(val_u AS DOUBLE) / 1000.0 AS value
+      |FROM tot WHERE val_u * 1000 > total_u
+      |ORDER BY val_u DESC, l_partkey""".stripMargin) { (s, d) =>
+    val priceC = (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+    val qtyD = (col("l_quantity").cast("decimal(12,1)") * 10).cast("long")
+    val pv = Tables.lineitem(s, d)
+      .select(col("l_partkey"), (priceC * qtyD).as("vu"))
+      .groupBy("l_partkey").agg(sum("vu").cast("long").as("val_u"))
+    pv.withColumn("total_u", sum("val_u").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .where(col("val_u") * 1000 > col("total_u"))
+      .select(col("l_partkey"), col("val_u"),
+        expr("(val_u * 1000000) div total_u").as("share_ppm"),
+        (col("val_u").cast("double") / 1000.0).as("value"))
+      .orderBy(col("val_u").desc, col("l_partkey"))
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
     qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention,
-    qRollingTimeWindow, qActivityStreaks, qFirstTouch)
+    qRollingTimeWindow, qActivityStreaks, qFirstTouch, qIdleRich,
+    qImportantStock)
 }

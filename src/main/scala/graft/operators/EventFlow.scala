@@ -367,7 +367,94 @@ object EventFlow {
       .orderBy("e1", "e2")
   }
 
+  /** INTERPOLATED QUANTILES (percentile_cont) of the q234 conversion
+    * delays — the SLA form that interpolates between observations
+    * instead of picking one (q234 is percentile_disc). Neither
+    * engine's builtin percentile_cont is used: the interpolation
+    * position (n−1)·q/100 is an exact integer RATIONAL (pos div 100,
+    * pos mod 100), both bracketing values are selected by pure
+    * integer rank over the distinct-delay census, and the one double
+    * operation — lo + (hi−lo)·frac — is mirrored verbatim, so the
+    * output is engine-identical (builtin implementations disagree on
+    * the position convention AND accumulate differently).
+    *
+    * Scale (100 TB): the q234 physics — per-user mins with one
+    * user_id exchange, then everything runs on the distinct-delay
+    * census; the quantile dimension is a narrow 2× explode on the
+    * census, not a join. */
+  val qInterpQuantiles: GraftQuery = GraftQuery(
+    "q272_interp_quantiles",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS first_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |    AND epoch_us(e.ts) >= v.first_view_us
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY e.user_id),
+      |d AS (
+      |  SELECT p.first_purchase_us - v.first_view_us AS delay_us
+      |  FROM v JOIN p ON v.user_id = p.user_id),
+      |h AS (
+      |  SELECT delay_us, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM d GROUP BY delay_us),
+      |c AS (
+      |  SELECT delay_us,
+      |    CAST(SUM(n) OVER (ORDER BY delay_us) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS total
+      |  FROM h),
+      |expanded AS (
+      |  SELECT c.delay_us, c.cum, c.total, q.qk,
+      |    (c.total - 1) * q.qk AS pos_num
+      |  FROM c CROSS JOIN (SELECT unnest([50, 90]) AS qk) q),
+      |picked AS (
+      |  SELECT CAST(qk AS INTEGER) AS qk, MAX(total) AS n_converted,
+      |    MAX(pos_num // 100 + 1) AS lo_rank,
+      |    MIN(CASE WHEN cum >= pos_num // 100 + 1 THEN delay_us END) AS v_lo,
+      |    MIN(CASE WHEN cum >= least(total, pos_num // 100 + 2) THEN delay_us END) AS v_hi,
+      |    MAX(pos_num % 100) AS frac_pct
+      |  FROM expanded GROUP BY qk)
+      |SELECT qk, CAST(n_converted AS BIGINT) AS n_converted,
+      |  CAST(lo_rank AS BIGINT) AS lo_rank, v_lo, v_hi,
+      |  CAST(frac_pct AS BIGINT) AS frac_pct,
+      |  CAST(v_lo AS DOUBLE)
+      |    + (CAST(v_hi AS DOUBLE) - CAST(v_lo AS DOUBLE)) * frac_pct / 100.0
+      |    AS p_interp_us
+      |FROM picked ORDER BY qk""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("first_view_us"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .where(col("ts_us") >= col("first_view_us"))
+      .groupBy("user_id").agg(min("ts_us").as("first_purchase_us"))
+    val delays = v.join(p, "user_id")
+      .select((col("first_purchase_us") - col("first_view_us")).as("delay_us"))
+    val hist = delays.groupBy("delay_us").agg(count(lit(1)).as("n"))
+    val cum = hist.select(col("delay_us"),
+      sum("n").over(Window.orderBy("delay_us")).as("cum"),
+      sum("n").over(Window.partitionBy()).as("total"))
+    val expanded = cum
+      .withColumn("qk", explode(array(lit(50L), lit(90L))))
+      .withColumn("pos_num", (col("total") - 1) * col("qk"))
+    val picked = expanded.groupBy(col("qk").cast("int").as("qk")).agg(
+      max("total").as("n_converted"),
+      max(expr("pos_num div 100 + 1")).as("lo_rank"),
+      min(when(col("cum") >= expr("pos_num div 100 + 1"), col("delay_us"))).as("v_lo"),
+      min(when(col("cum") >= least(col("total"), expr("pos_num div 100 + 2")),
+        col("delay_us"))).as("v_hi"),
+      max(expr("pos_num % 100")).as("frac_pct"))
+    picked.select(col("qk"), col("n_converted"), col("lo_rank"),
+      col("v_lo"), col("v_hi"), col("frac_pct"),
+      (col("v_lo").cast("double")
+        + (col("v_hi").cast("double") - col("v_lo").cast("double"))
+          * col("frac_pct") / lit(100.0)).as("p_interp_us"))
+      .orderBy("qk")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qTransitions, qTheilSen, qConversionDelay, qCusum, qTrigrams,
-      qContextGini)
+      qContextGini, qInterpQuantiles)
 }

@@ -181,8 +181,12 @@ object Funnel {
     * 30-min-gap sessionization, then per-day parallel prefix sums with
     * an O(days) cross-day carry. Equal to the global running sum. */
   def peakConcurrency(events: org.apache.spark.sql.DataFrame,
-                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame = {
-    val sessions = sessionize(events, gapUs)
+                      gapUs: Long = 1800000000L): org.apache.spark.sql.DataFrame =
+    sweepSessions(sessionize(events, gapUs))
+
+  /** The two-level sweep over a (start_us, end_us) session relation —
+    * shared by batch q256 and the streaming reconstruction (q271). */
+  def sweepSessions(sessions: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val deltas = sessions.select(col("start_us").as("b_us"), lit(1).as("d"))
       .unionByName(sessions.select((col("end_us") + 1).as("b_us"), lit(-1).as("d")))
     val census = deltas.groupBy("b_us").agg(sum("d").as("d"))

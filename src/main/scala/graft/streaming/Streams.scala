@@ -1084,6 +1084,81 @@ object Streams {
     streamFunnel(s, d)
   }
 
+  // ---- q271: streaming peak concurrency ----
+
+  /** STREAMING PEAK CONCURRENCY: q256's sweep line fed by stateful
+    * incremental sessionization. Per-user state is the OPEN session
+    * (start_us, last_us); each micro-batch replays its rows in
+    * event-time order and emits an UPSERT (user_id, start_us, end_us)
+    * for every session it touches — a session spanning k micro-batches
+    * emits k monotonically-growing versions, and the serving read
+    * keeps max(end_us) per (user_id, start_us). Open sessions at
+    * drain time are correct because every version was already
+    * emitted — there is no end-of-stream flush problem. Under the
+    * q224 time-order contract the reconstructed session set equals
+    * batch sessionize exactly, so the two-level sweep over it matches
+    * q256's oracle.
+    *
+    * 100 TB: state is O(users) × 16 bytes; emissions per trigger are
+    * bounded by sessions touched in that trigger; the serving dedup
+    * is one map-side-combinable max per session. */
+  def streamConcurrency(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "graft_stream_concurrency"
+    val gapUs = 1800000000L
+    val stream = (srcDir match {
+      case Some(dir) =>
+        val fileSchema = spark.read.parquet(dir).schema
+        val reader = spark.readStream.schema(fileSchema)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        graft.sources.Tables.normalizeEventsTs(reader.parquet(dir))
+      case None => readEventsStream(spark, sfDir)
+    })
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    def update(user: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long)]): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var open = state.getOption // (start_us, last_us)
+      sorted.foreach { case (_, ts, _) =>
+        open match {
+          case Some((st, last)) if ts - last <= gapUs =>
+            open = Some((st, ts))
+          case Some((st, last)) =>
+            out += ((user, st, last))
+            open = Some((ts, ts))
+          case None =>
+            open = Some((ts, ts))
+        }
+      }
+      open.foreach { case (st, last) =>
+        out += ((user, st, last)) // upsert the (possibly still open) tail
+        state.update((st, last))
+      }
+      out.result().iterator
+    }
+    withStreamShufflePartitions(spark) {
+      val q = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "start_us", "end_us")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sessions = spark.table(name)
+      .groupBy("user_id", "start_us").agg(max("end_us").as("end_us"))
+    graft.operators.Funnel.sweepSessions(sessions)
+  }
+
+  val qStreamConcurrency: GraftQuery = GraftQuery(
+    "q271_stream_concurrency",
+    graft.operators.Funnel.qConcurrency.oracle.get) { (s, d) =>
+    streamConcurrency(s, d)
+  }
+
   // ---- q265: streaming OLS trend monitor ----
 
   /** STREAMING TREND MONITOR: q257's per-type OLS maintained over the
@@ -1356,5 +1431,6 @@ object Streams {
       qStreamCountMin, qStreamDrift, qStreamZorderIngest,
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
-      qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend)
+      qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
+      qStreamConcurrency)
 }

@@ -587,6 +587,36 @@ class StreamsSpec extends SparkSpecBase {
       "drained multi-batch funnel census must equal batch q255")
   }
 
+  test("q271: sessions reconstructed across micro-batches; sweep equals batch q256") {
+    import org.apache.spark.sql.expressions.Window
+    // time-ordered 4-file staging (q224's): sessions SPANNING a file
+    // boundary must be stitched by the carried open-session state and
+    // upsert-deduped to their final extent
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_conc").toString
+    val sliced = Tables.events(spark, sf001)
+      .withColumn("slice", ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      val tmp = new java.io.File(dir, s"_tmp$i")
+      sliced.where(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged in $tmp"))
+      val dst = new java.io.File(dir, f"arr$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+      graft.operators.Formats.wipe(tmp.toString)
+    }
+    val streamed = Streams.streamConcurrency(
+        spark, sf001, srcDir = Some(dir), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q256_peak_concurrency")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "reconstructed-session sweep must equal batch q256")
+  }
+
   test("q229: multi-batch KMV partials fold to the batch sketch (any arrival order)") {
     // 3 arrival files in ARBITRARY slicing (doc_id % 3) — KMV's monoid
     // merge needs no ordering contract, unlike q224
