@@ -69,6 +69,7 @@ object SparkEntry {
       operators.MarketBasket.all ++
       operators.Funnel.all ++
       operators.TrendStats.all ++
+      operators.Pca.all ++
       plans.MvRewrite.all ++
       plans.JoinElim.all ++
       streaming.Streams.all ++

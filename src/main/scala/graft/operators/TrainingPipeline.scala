@@ -709,8 +709,84 @@ object TrainingPipeline {
       .orderBy(asc_nulls_first("lang"))
   }
 
+  /** LENGTH-BUCKETED WHOLE-DOC PACKING audit — the SFT-style packer
+    * that never splits a document (q111/q162's concat-and-chunk takes
+    * zero tail waste but pays straddlers; instruction tuning can't
+    * straddle, so it pads). Docs bucket by k = L div n_tok (how many
+    * fit a 2048-token sequence); same-k docs pack k-per-sequence — a
+    * deterministic, coordination-free grouping (any k docs of the
+    * bucket fit by construction: k·n_tok ≤ L). Per lang the audit
+    * reports exact sequences used and padding waste in ppm of emitted
+    * capacity, against the one-doc-per-sequence naive padder —
+    * the measured argument for bucketing (waste shrinks toward the
+    * tail-of-bucket remainder). Over-length docs (n_tok > L) are
+    * counted and excluded (they go to the q114 chunker).
+    *
+    * Scale (100 TB): one (lang, k) aggregate (map-side combinable,
+    * ≤ |langs|·L cells), one lang rollup — the packer itself needs no
+    * global sort: bucket membership is a per-row expression and any
+    * k-subset of a bucket forms a sequence. */
+  val qBucketedPacking: GraftQuery = GraftQuery(
+    "q276_bucketed_packing",
+    """WITH toks AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |eligible AS (
+      |  SELECT lang, n_tok, 2048 // n_tok AS k FROM toks
+      |  WHERE n_tok <= 2048 AND n_tok > 0),
+      |grp AS (
+      |  SELECT lang, k, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS tok
+      |  FROM eligible GROUP BY lang, k),
+      |packed AS (
+      |  SELECT lang, k, n_docs, tok,
+      |    (n_docs + k - 1) // k AS n_seq
+      |  FROM grp),
+      |rollup_l AS (
+      |  SELECT lang,
+      |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(SUM(tok) AS BIGINT) AS total_tok,
+      |    CAST(SUM(n_seq) AS BIGINT) AS n_seq_packed
+      |  FROM packed GROUP BY lang),
+      |overlong AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_overlong
+      |  FROM toks WHERE n_tok > 2048 GROUP BY lang)
+      |SELECT r.lang, r.n_docs,
+      |  COALESCE(o.n_overlong, 0) AS n_overlong,
+      |  r.total_tok, r.n_seq_packed,
+      |  CAST(((r.n_seq_packed * 2048 - r.total_tok) * 1000000)
+      |    // (r.n_seq_packed * 2048) AS BIGINT) AS waste_packed_ppm,
+      |  CAST(((r.n_docs * 2048 - r.total_tok) * 1000000)
+      |    // (r.n_docs * 2048) AS BIGINT) AS waste_naive_ppm
+      |FROM rollup_l r LEFT JOIN overlong o ON o.lang = r.lang
+      |ORDER BY r.lang""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("lang"),
+      tokenCount(col("text")).cast("long").as("n_tok"))
+    val eligible = toks.where(col("n_tok") <= 2048 && col("n_tok") > 0)
+      .withColumn("k", expr("2048 div n_tok"))
+    val grp = eligible.groupBy("lang", "k")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"))
+    val packed = grp.withColumn("n_seq", expr("(n_docs + k - 1) div k"))
+    val rollupL = packed.groupBy("lang").agg(
+      sum("n_docs").as("n_docs"),
+      sum("tok").as("total_tok"),
+      sum("n_seq").as("n_seq_packed"))
+    val overlong = toks.where(col("n_tok") > 2048)
+      .groupBy("lang").agg(count(lit(1)).as("n_overlong"))
+    rollupL.join(overlong, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_overlong"), lit(0L)).as("n_overlong"),
+        col("total_tok"), col("n_seq_packed"),
+        expr("((n_seq_packed * 2048 - total_tok) * 1000000) div (n_seq_packed * 2048)")
+          .as("waste_packed_ppm"),
+        expr("((n_docs * 2048 - total_tok) * 1000000) div (n_docs * 2048)")
+          .as("waste_naive_ppm"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
       qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
-      qCurriculumOrder, qSourceQuotaCap, qPackingAudit, qTemperatureMix)
+      qCurriculumOrder, qSourceQuotaCap, qPackingAudit, qTemperatureMix,
+      qBucketedPacking)
 }

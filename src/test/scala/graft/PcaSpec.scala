@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Pca
+
+/** Independent single-node replay of q275's integer power iteration:
+  * same quantization, same scatter matrix, same renormalization rule,
+  * computed in BigInt on the driver — the engine must match exactly,
+  * and the result must behave like a dominant eigenvector. */
+class PcaSpec extends SparkSpecBase {
+
+  test("q275 equals a BigInt driver replay and the Rayleigh quotient is maximal-ish") {
+    val rows = Pca.qPcaTop.fn(spark, sf001).collect()
+    assert(rows.length == Pca.dim)
+    val got = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val eig = rows.head.getDouble(3)
+
+    // driver replay
+    val embs = graft.sources.Tables.embeddings(spark, sf001)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = Pca.dim
+    val scale = BigInt(Pca.scaleU)
+    val q = embs.map(_.map(x => BigInt(math.floor(x.toDouble * Pca.scaleU).toLong)))
+    val n = BigInt(q.length)
+    val si = Array.tabulate(d)(i => q.map(_(i)).sum)
+    val g = Array.tabulate(d, d)((i, j) => q.map(v => v(i) * v(j)).sum)
+    val sMat = Array.tabulate(d, d)((i, j) => n * g(i)(j) - si(i) * si(j))
+    var v = Array.fill(d)(scale)
+    def matvec(x: Array[BigInt]) =
+      Array.tabulate(d)(i => (0 until d).map(j => sMat(i)(j) * x(j)).sum)
+    def rayleigh(x: Array[BigInt]): Double = {
+      val w = matvec(x)
+      val num = (0 until d).map(i => w(i) * x(i)).sum
+      val den = x.map(c => c * c).sum
+      (BigDecimal(num) / BigDecimal(den)).toDouble
+    }
+    val r0 = rayleigh(v)
+    for (_ <- 1 to Pca.iters) {
+      val w = matvec(v)
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(wi => (if (wi < 0) BigInt(-1) else BigInt(1)) * ((wi.abs * scale) / m))
+    }
+    val expect = (1 to d).map(i => i -> v(i - 1).toLong).toMap
+    assert(got == expect, "engine iteration diverges from the BigInt replay")
+
+    // dominant-direction behavior: iteration must not decrease the
+    // Rayleigh quotient, and the reported eig matches the replay
+    val rf = rayleigh(v)
+    assert(rf >= r0, s"power iteration decreased the quotient: $r0 -> $rf")
+    assert(math.abs(eig - rf) <= math.ulp(rf) * 64,
+      s"reported eig $eig vs replay $rf")
+    assert(eig > 0, "scatter matrix is PSD on real data")
+  }
+}
