@@ -52,9 +52,11 @@ object Pca {
        |      * ((abs(wi) * $scaleU) // (SELECT m FROM ${v}_m)) AS vj
        |  FROM $w)""".stripMargin
 
-  val qPcaTop: GraftQuery = GraftQuery(
-    "q275_pca_top_component",
-    s"""WITH flat AS (
+  /** The CTE body computing v$iters (the scaled top component) from
+    * the embeddings table — shared by q275's oracle and composers
+    * (q277). Ends with the `v<iters>` relation (j, vj) in scope. */
+  private[operators] def pcaCtesSql: String =
+    s"""flat AS (
        |  SELECT vec_id, i.i,
        |    CAST(floor(CAST(embedding[i.i] AS DOUBLE) * $scaleU) AS BIGINT) AS q
        |  FROM embeddings
@@ -74,19 +76,14 @@ object Pca {
        |v0 AS (SELECT unnest(generate_series(1, $dim)) AS j, $scaleU AS vj),
        |${(1 to iters).map(k =>
           matvecSql("smat", s"v${k - 1}", s"w$k") + ",\n" +
-            rescaleSql(s"w$k", s"v$k")).mkString(",\n")},
-       |wf AS (
-       |  SELECT m.i, SUM(m.sv * v.vj) AS wi
-       |  FROM smat m JOIN v$iters v ON v.j = m.j
-       |  GROUP BY m.i),
-       |ray AS (
-       |  SELECT SUM(w.wi * v.vj) AS num, SUM(v.vj * v.vj) AS den
-       |  FROM wf w JOIN v$iters v ON v.j = w.i)
-       |SELECT v.j AS idx, CAST(v.vj AS BIGINT) AS v_scaled,
-       |  CAST(v.vj AS DOUBLE) / $scaleU.0 AS loading,
-       |  CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) AS scatter_eig
-       |FROM v$iters v CROSS JOIN ray r
-       |ORDER BY idx""".stripMargin) { (s, d) =>
+            rescaleSql(s"w$k", s"v$k")).mkString(",\n")}""".stripMargin
+
+  private[operators] final case class PcaParts(smat: DataFrame, v: DataFrame)
+
+  /** The exact scatter matrix and scaled integer top component — the
+    * engine half of [[pcaCtesSql]], shared by q275 and composers. */
+  private[operators] def pcaParts(s: org.apache.spark.sql.SparkSession,
+      d: String): PcaParts = {
     val flat = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).as("i"),
@@ -96,7 +93,6 @@ object Pca {
       .join(flat.as("b").select(col("vec_id"), col("i").as("j"), col("q").as("qb")),
         "vec_id")
       .groupBy("i", "j").agg(isum(col("q") * col("qb")).as("g"))
-    // n rides in on the census-wide window (gram is the d² census)
     val wAll = Window.partitionBy()
     val nRow = flat.select(countDistinct("vec_id").as("n"))
       .withColumn("one", lit(1))
@@ -114,7 +110,8 @@ object Pca {
       smat.join(v, "j").groupBy("i").agg(sum(col("sv") * col("vj")).as("wi"))
 
     def rescale(w: DataFrame): DataFrame = {
-      val m = w.withColumn("m", greatest(max(abs(col("wi"))).over(wAll), lit(1L).cast("decimal(38,0)")))
+      val m = w.withColumn("m",
+        greatest(max(abs(col("wi"))).over(wAll), lit(1L).cast("decimal(38,0)")))
       m.select(col("i").as("j"),
         (when(col("wi") < 0, -1L).otherwise(1L)
           * expr(s"(abs(wi) * $scaleU) div m")).cast("long").as("vj"))
@@ -123,7 +120,28 @@ object Pca {
     var v: DataFrame = s.range(1, dim + 1)
       .select(col("id").as("j"), lit(scaleU).as("vj"))
     for (_ <- 1 to iters) v = rescale(matvec(v)).localCheckpoint()
-    val wf = matvec(v)
+    PcaParts(smat, v)
+  }
+
+  val qPcaTop: GraftQuery = GraftQuery(
+    "q275_pca_top_component",
+    s"""WITH $pcaCtesSql,
+       |wf AS (
+       |  SELECT m.i, SUM(m.sv * v.vj) AS wi
+       |  FROM smat m JOIN v$iters v ON v.j = m.j
+       |  GROUP BY m.i),
+       |ray AS (
+       |  SELECT SUM(w.wi * v.vj) AS num, SUM(v.vj * v.vj) AS den
+       |  FROM wf w JOIN v$iters v ON v.j = w.i)
+       |SELECT v.j AS idx, CAST(v.vj AS BIGINT) AS v_scaled,
+       |  CAST(v.vj AS DOUBLE) / $scaleU.0 AS loading,
+       |  CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) AS scatter_eig
+       |FROM v$iters v CROSS JOIN ray r
+       |ORDER BY idx""".stripMargin) { (s, d) =>
+    val parts = pcaParts(s, d)
+    val v = parts.v
+    val wf = parts.smat.join(v, "j").groupBy("i")
+      .agg(sum(col("sv") * col("vj")).as("wi"))
     val ray = wf.join(v.withColumnRenamed("j", "i"), "i")
       .agg(sum(col("wi") * col("vj")).as("num"),
         sum(col("vj").cast("decimal(38,0)") * col("vj")).as("den"))
@@ -135,5 +153,113 @@ object Pca {
       .orderBy("idx")
   }
 
-  val all: Seq[GraftQuery] = Seq(qPcaTop)
+  /** ALL-BUT-THE-TOP residual similarity: remove q275's dominant
+    * direction from every embedding and rank neighbors on the
+    * RESIDUAL — the Mu & Viswanath post-processing that stops one
+    * frequency/length axis from dominating every cosine (the hubness
+    * fix ahead of SemDeDup). Exact end-to-end: the residual is the
+    * integer vector r = e·(vᵀv) − (eᵀv)·v (orthogonal to v by
+    * construction — the spec checks rᵀv = 0 exactly), re-quantized to
+    * int8-style codes by non-negative integer division with a sign
+    * split, and neighbors rank on sign(dot)·(dot²·10⁶ div na·nb) —
+    * monotone in the residual cosine, pure integers.
+    *
+    * Scale (100 TB): the pairwise stage is a COORDINATE equi-join
+    * (the 8×d query codes join the corpus codes on the dimension
+    * index — never a nested-loop or an all-pairs), one shuffle, then
+    * a map-side-combinable (query, neighbor) sum; everything upstream
+    * is q275's census physics plus two narrow per-vector joins. */
+  val qResidualTopK: GraftQuery = GraftQuery(
+    "q277_residual_topk",
+    s"""WITH $pcaCtesSql,
+       |vv AS (SELECT SUM(vj * vj) AS s FROM v$iters),
+       |dots AS (
+       |  SELECT f.vec_id, SUM(f.q * v.vj) AS p
+       |  FROM flat f JOIN v$iters v ON v.j = f.i
+       |  GROUP BY f.vec_id),
+       |resid AS (
+       |  SELECT f.vec_id, f.i,
+       |    f.q * (SELECT s FROM vv) - d.p * v.vj AS r
+       |  FROM flat f
+       |  JOIN dots d ON d.vec_id = f.vec_id
+       |  JOIN v$iters v ON v.j = f.i),
+       |mx AS (
+       |  SELECT vec_id, greatest(MAX(abs(r)), 1) AS m
+       |  FROM resid GROUP BY vec_id),
+       |codes AS MATERIALIZED (
+       |  SELECT r.vec_id, r.i,
+       |    (CASE WHEN r.r < 0 THEN -1 ELSE 1 END) * ((abs(r.r) * 127) // m.m) AS c
+       |  FROM resid r JOIN mx m ON m.vec_id = r.vec_id),
+       |norms AS (
+       |  SELECT vec_id, SUM(c * c) AS nn FROM codes GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    SUM(q.c * n.c) AS dot
+       |  FROM (SELECT * FROM codes WHERE vec_id < 8) q
+       |  JOIN codes n ON n.i = q.i AND n.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, n.vec_id),
+       |scored AS (
+       |  SELECT p.query_id, p.neighbor_id, CAST(p.dot AS BIGINT) AS dot,
+       |    CAST((CASE WHEN p.dot < 0 THEN -1 ELSE 1 END)
+       |      * ((p.dot * p.dot * 1000000) // greatest(na.nn * nb.nn, 1))
+       |      AS BIGINT) AS skey
+       |  FROM pairs p
+       |  JOIN norms na ON na.vec_id = p.query_id
+       |  JOIN norms nb ON nb.vec_id = p.neighbor_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY skey DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, dot, skey
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val parts = pcaParts(s, d)
+    val v = parts.v
+    val flat = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).as("i"),
+        floor(col("x").cast("double") * scaleU).cast("long").as("q"))
+    val vv = v.agg(sum(col("vj").cast("decimal(38,0)") * col("vj")).as("s"))
+      .withColumn("one", lit(1))
+    val dots = flat.join(broadcast(v.withColumnRenamed("j", "i")), "i")
+      .groupBy("vec_id").agg(isum(col("q") * col("vj")).as("p"))
+    val resid = flat
+      .join(dots, "vec_id")
+      .join(broadcast(v.withColumnRenamed("j", "i")
+        .withColumnRenamed("vj", "vji")), "i")
+      .withColumn("one", lit(1))
+      .join(broadcast(vv), "one")
+      .select(col("vec_id"), col("i"),
+        (col("q").cast("decimal(38,0)") * col("s")
+          - col("p") * col("vji")).as("r"))
+    val mx = resid.groupBy("vec_id")
+      .agg(greatest(max(abs(col("r"))), lit(1L).cast("decimal(38,0)")).as("m"))
+    val codes = resid.join(mx, "vec_id")
+      .select(col("vec_id"), col("i"),
+        (when(col("r") < 0, -1L).otherwise(1L)
+          * expr("(abs(r) * 127) div m")).cast("long").as("c"))
+      .localCheckpoint()
+    val norms = codes.groupBy("vec_id").agg(sum(col("c") * col("c")).as("nn"))
+    val pairs = codes.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("i"), col("c").as("qc"))
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("i"), col("c")),
+        Seq("i"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qc") * col("c")).as("dot"))
+    val scored = pairs
+      .join(norms.select(col("vec_id").as("query_id"), col("nn").as("na")), "query_id")
+      .join(norms.select(col("vec_id").as("neighbor_id"), col("nn").as("nb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("dot").cast("long").as("dot"),
+        (when(col("dot") < 0, -1L).otherwise(1L)
+          * expr("(dot * dot * 1000000) div greatest(na * nb, 1)"))
+          .cast("long").as("skey"))
+    val w = Window.partitionBy("query_id").orderBy(col("skey").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"), col("skey"))
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qPcaTop, qResidualTopK)
 }

@@ -51,4 +51,34 @@ class PcaSpec extends SparkSpecBase {
       s"reported eig $eig vs replay $rf")
     assert(eig > 0, "scatter matrix is PSD on real data")
   }
+
+  test("q277: residual r = e(vᵀv) − (eᵀv)v is EXACTLY orthogonal to v") {
+    // replay the residual construction in BigInt and check rᵀv = 0
+    val embs = graft.sources.Tables.embeddings(spark, sf001)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val d = Pca.dim
+    val scale = BigInt(Pca.scaleU)
+    val q = embs.map(_.map(x => BigInt(math.floor(x.toDouble * Pca.scaleU).toLong)))
+    val n = BigInt(q.length)
+    val si = Array.tabulate(d)(i => q.map(_(i)).sum)
+    val g = Array.tabulate(d, d)((i, j) => q.map(vv => vv(i) * vv(j)).sum)
+    val sMat = Array.tabulate(d, d)((i, j) => n * g(i)(j) - si(i) * si(j))
+    var v = Array.fill(d)(scale)
+    for (_ <- 1 to Pca.iters) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => sMat(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(wi => (if (wi < 0) BigInt(-1) else BigInt(1)) * ((wi.abs * scale) / m))
+    }
+    val vtv = v.map(c => c * c).sum
+    q.take(20).foreach { e =>
+      val p = (0 until d).map(i => e(i) * v(i)).sum
+      val r = Array.tabulate(d)(i => e(i) * vtv - p * v(i))
+      val rv = (0 until d).map(i => r(i) * v(i)).sum
+      assert(rv == BigInt(0), s"residual not orthogonal: rv=$rv")
+    }
+
+    // the engine's top-5 on residuals runs and self is never returned
+    val out = Pca.qResidualTopK.fn(spark, sf001).collect()
+    assert(out.nonEmpty && out.forall(r => r.getLong(0) != r.getLong(2)))
+  }
 }
