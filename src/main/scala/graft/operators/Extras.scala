@@ -851,7 +851,63 @@ object Extras {
       .orderBy("user_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
+  /** HIGHER-ORDER-FUNCTION surface: transform / filter / aggregate /
+    * zip_with composed per row — token-length statistics computed
+    * entirely INSIDE the array column (no explode, no shuffle until
+    * the final lang census). The zip_with pairs each token length
+    * with its successor (two aligned slices — equal lengths, so the
+    * null-padding hazard never fires), giving per-doc length
+    * volatility; everything is integer-exact through the lang rollup.
+    *
+    * Scale (100 TB): all four HOFs are per-row codegen expressions —
+    * the array never leaves its row and the only exchange is the
+    * |langs|-row aggregate. The lambda binds the SPLIT ARRAY to a
+    * real column first (the q64 lesson: Spark does not CSE inside HOF
+    * lambdas — a raw split in the lambda re-tokenizes per element). */
+  val qHofTokens: GraftQuery = GraftQuery(
+    "q279_hof_tokens",
+    """WITH lens AS (
+      |  SELECT lang,
+      |    list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT)) AS l
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT lang,
+      |    COALESCE(list_aggregate(l, 'sum'), 0) AS total_chars,
+      |    CAST(len(list_filter(l, x -> x > 3)) AS BIGINT) AS long_tokens,
+      |    CAST(len(l) AS BIGINT) AS n_tokens,
+      |    COALESCE(list_aggregate(list_transform(
+      |      list_zip(l[1:len(l)-1], l[2:len(l)]),
+      |      z -> abs(z[2] - z[1])), 'sum'), 0) AS volatility
+      |  FROM lens)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(SUM(total_chars) AS BIGINT) AS token_chars,
+      |  CAST(SUM(long_tokens) AS BIGINT) AS long_tokens,
+      |  CAST(SUM(volatility) AS BIGINT) AS volatility
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val lens = Tables.documents(s, d).select(col("lang"),
+      transform(split(col("text"), " "), t => length(t).cast("long")).as("l"))
+    val perDoc = lens.select(col("lang"),
+      coalesce(aggregate(col("l"), lit(0L), (acc, x) => acc + x), lit(0L))
+        .as("total_chars"),
+      size(filter(col("l"), _ > 3)).cast("long").as("long_tokens"),
+      size(col("l")).cast("long").as("n_tokens"),
+      coalesce(aggregate(
+        zip_with(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1),
+          (a, b) => abs(b - a)),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("volatility"))
+    perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("tokens"),
+      sum("total_chars").as("token_chars"),
+      sum("long_tokens").as("long_tokens"),
+      sum("volatility").as("volatility"))
+      .orderBy("lang")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qHofTokens, qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
     qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize,

@@ -338,21 +338,31 @@ object TrendStats {
       |            * ln((CAST(n_a AS DOUBLE) * CAST(tot_b AS DOUBLE))
       |                 / (CAST(n_b AS DOUBLE) * CAST(tot_a AS DOUBLE))) END AS psi_term
       |FROM tots ORDER BY bin""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val census = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+    psiFromCensus(lengthCensus(Tables.documents(s, d)))
+  }
+
+  /** (n_chars, is-src0, count) census — the additive relation a
+    * streaming PSI deployment appends per micro-batch (q278). */
+  def lengthCensus(docs: DataFrame): DataFrame =
+    docs.groupBy(col("n_chars"), (col("source") === "src0").as("is_a"))
+      .agg(count(lit(1)).as("c"))
+
+  /** q269's bin assignment + PSI report over a merged length census. */
+  def psiFromCensus(lenCensus: DataFrame): DataFrame = {
+    val census = lenCensus.groupBy("n_chars")
+      .agg(sum("c").as("c"),
+        sum(when(col("is_a"), col("c")).otherwise(0L)).as("ca"))
     val cum = census
       .withColumn("cw", sum("c").over(Window.orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("tot", sum("c").over(Window.partitionBy()))
     // bin = #{k in 1..9 : boundary_k < x} = min(9, 10*pw div tot) where
     // pw is the cumulative count STRICTLY below x — no boundary join
-    val bins = cum
+    val cells = cum
       .withColumn("bin", least(lit(9L), expr("((cw - c) * 10) div tot")))
-      .select("n_chars", "bin")
-    val cells = docs.join(bins, "n_chars")
       .groupBy("bin").agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("source") === "src0", 0L).otherwise(1L)).as("n_b"))
+        sum(col("ca")).as("n_a"),
+        sum(col("c") - col("ca")).as("n_b"))
     val tots = cells
       .withColumn("tot_a", sum("n_a").over(Window.partitionBy()))
       .withColumn("tot_b", sum("n_b").over(Window.partitionBy()))

@@ -1211,6 +1211,49 @@ object Streams {
     streamOlsTrend(s, d)
   }
 
+  // ---- q278: streaming PSI drift ----
+
+  /** STREAMING PSI: q269's population-stability report fed by the
+    * document stream. The additive layer is the (n_chars, is-src0,
+    * count) length census — each micro-batch appends its own slice —
+    * and the NON-additive steps (global decile boundaries, bin
+    * assignment, PSI terms) run only at serve time over the merged
+    * census. Like q265, there is no ordering contract: counts merge
+    * under any arrival slicing, and the drained report is
+    * hash-identical to batch q269 (same oracle). This matters for PSI
+    * specifically because the bins are data-dependent quantiles — a
+    * naive streaming binner would freeze early-batch boundaries and
+    * silently skew every later batch's shares.
+    *
+    * 100 TB/day: per trigger the exchange carries the batch's own
+    * distinct (length, side) cells; sink growth is O(distinct
+    * lengths) per trigger and compacts by re-aggregation. */
+  def streamPsi(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_psi", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.TrendStats.lengthCensus(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.TrendStats.psiFromCensus(spark.read.parquet(outDir))
+  }
+
+  val qStreamPsi: GraftQuery = GraftQuery(
+    "q278_stream_psi",
+    graft.operators.TrendStats.qPsiDrift.oracle.get) { (s, d) =>
+    streamPsi(s, d)
+  }
+
   // ---- q229: streaming KMV sketch merge ----
 
   /** STREAMING KMV SKETCHES: q218's per-source K-minimum-values
@@ -1432,5 +1475,5 @@ object Streams {
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
-      qStreamConcurrency)
+      qStreamConcurrency, qStreamPsi)
 }

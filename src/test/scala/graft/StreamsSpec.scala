@@ -557,6 +557,21 @@ class StreamsSpec extends SparkSpecBase {
       "partial-log OLS must equal batch OLS under any slicing")
   }
 
+  test("q278: data-dependent PSI bins computed at serve over merged partials") {
+    // arrival slicing must not freeze early-batch decile boundaries —
+    // the census is additive, the bins are not, so bins recompute at
+    // serve and the report equals batch q269 under any slicing
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_psi").toString
+    Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = Streams.streamPsi(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q269_psi_drift")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("q261: multi-batch streamed funnel equals batch q255; boundary steps carried") {
     import org.apache.spark.sql.expressions.Window
     // same time-ordered 4-file staging as q224 — a step whose
