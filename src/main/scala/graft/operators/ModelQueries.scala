@@ -396,7 +396,60 @@ object ModelQueries {
       .orderBy("bucket")
   }
 
+  /** CDC MERGE APPLY — the type-1 upsert/delete semantics of
+    * `MERGE INTO` (q190's SCD2 keeps history; this keeps only the
+    * LATEST state, the change-data-capture consumer every lakehouse
+    * table runs). The change log is derived deterministically (insert
+    * for every doc, an update for doc_id%5=2, a tombstone for
+    * doc_id%11=7); apply = latest version wins, tombstone removes.
+    * The winner is picked by max_by AGGREGATES (arg_max in the
+    * oracle), not a row_number window — the q07/q08 scale form:
+    * map-side combinable, no per-key sort, and versions are unique
+    * per key so the pick is deterministic.
+    *
+    * Scale (100 TB): ONE exchange on the merge key; a billion-row
+    * change log folds to per-key partials inside the scan. Periodic
+    * log compaction is this same query written back (the q239
+    * partial-log posture). */
+  val qCdcMerge: GraftQuery = GraftQuery(
+    "q281_cdc_merge",
+    """WITH log AS (
+      |  SELECT doc_id AS k, 1 AS version, 'I' AS op, md5(text) AS payload
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'U', md5(text || ' u2')
+      |  FROM documents WHERE doc_id % 5 = 2
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'D', NULL
+      |  FROM documents WHERE doc_id % 11 = 7),
+      |latest AS (
+      |  SELECT k,
+      |    CAST(max(version) AS INTEGER) AS final_version,
+      |    arg_max(op, version) AS op,
+      |    arg_max(payload, version) AS payload
+      |  FROM log GROUP BY k)
+      |SELECT k AS doc_id, final_version, payload
+      |FROM latest WHERE op <> 'D'
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = graft.sources.Tables.documents(s, d)
+    val log = docs.select(col("doc_id").as("k"), lit(1).as("version"),
+        lit("I").as("op"), md5(col("text")).as("payload"))
+      .unionByName(docs.where(col("doc_id") % 5 === 2)
+        .select(col("doc_id").as("k"), lit(2).as("version"), lit("U").as("op"),
+          md5(concat(col("text"), lit(" u2"))).as("payload")))
+      .unionByName(docs.where(col("doc_id") % 11 === 7)
+        .select(col("doc_id").as("k"), lit(3).as("version"), lit("D").as("op"),
+          lit(null).cast("string").as("payload")))
+    log.groupBy("k")
+      .agg(max("version").as("final_version"),
+        max_by(col("op"), col("version")).as("op"),
+        max_by(col("payload"), col("version")).as("payload"))
+      .where(col("op") =!= "D")
+      .select(col("k").as("doc_id"), col("final_version"), col("payload"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill, qPitLookup,
-      qSnapshotDiff, qMerkleDiff)
+      qSnapshotDiff, qMerkleDiff, qCdcMerge)
 }

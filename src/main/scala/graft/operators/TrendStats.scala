@@ -425,6 +425,75 @@ object TrendStats {
       .orderBy("lang")
   }
 
+  /** TREND-RESIDUAL OUTLIER DAYS: days whose deviation from q257's
+    * fitted line exceeds 3σ — the volume-anomaly alarm on top of the
+    * trend monitor (q204's MAD gate asks "weird vs the median"; this
+    * asks "weird vs the TREND", so a growing series doesn't flag its
+    * own growth). Entirely exact: with slope p/q the scaled residual
+    * R_i = n·q·y_i − n·p·x_i − (q·Sy − p·Sx) is an INTEGER, and the
+    * 3σ gate r_i² > 9·SSE/n becomes the integer cross-multiplication
+    * n·R_i² > 9·ΣR² — no fp anywhere near the decision. The reported
+    * residual is R_i's one double quotient by n·q.
+    *
+    * Scale (100 TB): the q257 physics — one daily-census aggregate,
+    * one O(types) moment census broadcast back onto the O(types×days)
+    * census; the gate is a per-row integer expression. */
+  val qTrendOutliers: GraftQuery = GraftQuery(
+    "q280_trend_outliers",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd,
+      |    SUM(d) AS sx, SUM(n) AS sy,
+      |    SUM(d * d) AS sxx, SUM(d * n) AS sxy
+      |  FROM daily GROUP BY event_type),
+      |fit AS (
+      |  SELECT event_type, nd,
+      |    nd * sxy - sx * sy AS p,
+      |    nd * sxx - sx * sx AS q,
+      |    sx, sy
+      |  FROM m),
+      |resid AS (
+      |  SELECT dl.event_type, dl.d, dl.n,
+      |    f.nd * f.q * dl.n - f.nd * f.p * dl.d - (f.q * f.sy - f.p * f.sx) AS r,
+      |    f.nd, f.q
+      |  FROM daily dl JOIN fit f ON f.event_type = dl.event_type),
+      |sse AS (
+      |  SELECT event_type, SUM(CAST(r AS HUGEINT) * r) AS srr
+      |  FROM resid GROUP BY event_type)
+      |SELECT r.event_type, r.d, r.n,
+      |  CAST(r.r AS DOUBLE) / (CAST(r.nd AS DOUBLE) * CAST(r.q AS DOUBLE)) AS residual
+      |FROM resid r JOIN sse s ON s.event_type = r.event_type
+      |WHERE r.nd * (CAST(r.r AS HUGEINT) * r.r) > 9 * s.srr
+      |ORDER BY r.event_type, r.d""".stripMargin) { (s, d) =>
+    val daily = dailyCensus(Tables.events(s, d))
+    val m = daily.groupBy("event_type").agg(
+      count(lit(1)).as("nd"),
+      isum(col("d")).as("sx"), isum(col("n")).as("sy"),
+      isum(col("d") * col("d")).as("sxx"),
+      isum(col("d") * col("n")).as("sxy"))
+    val fit = m.select(col("event_type"), col("nd"),
+      (col("nd") * col("sxy") - col("sx") * col("sy")).as("p"),
+      (col("nd") * col("sxx") - col("sx") * col("sx")).as("q"),
+      col("sx"), col("sy"))
+    val resid = daily.join(broadcast(fit), "event_type")
+      .select(col("event_type"), col("d"), col("n"),
+        (col("nd") * col("q") * col("n") - col("nd") * col("p") * col("d")
+          - (col("q") * col("sy") - col("p") * col("sx"))).as("r"),
+        col("nd"), col("q"))
+    val sse = resid.groupBy("event_type").agg(sum(col("r") * col("r")).as("srr"))
+    resid.join(broadcast(sse), "event_type")
+      .where(col("nd") * col("r") * col("r") > lit(9) * col("srr"))
+      .select(col("event_type"), col("d"), col("n"),
+        (col("r").cast("double")
+          / (col("nd").cast("double") * col("q").cast("double"))).as("residual"))
+      .orderBy("event_type", "d")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(qOlsTrend, qAcf, qSpearman, qChiSquare, qPsiDrift, qWeightedMedian)
+    Seq(qOlsTrend, qAcf, qSpearman, qChiSquare, qPsiDrift, qWeightedMedian,
+      qTrendOutliers)
 }
