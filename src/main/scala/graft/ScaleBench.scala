@@ -1195,10 +1195,54 @@ object ScaleBench {
       "sweep_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
   }
 
+  /** Gram-matrix A/B (the q275 corpus-pass claim, measured): the
+    * declarative coordinate SELF-JOIN (d² intermediate rows per
+    * vector) vs the one-pass graftshim.GramMatrix upper-triangle
+    * aggregate. Same integer sums — checksum-asserted. Vectors are
+    * mixed deterministically from the row id (no rand). */
+  private[graft] def gramProbe(spark: SparkSession, n: Int): Seq[(String, Double)] = {
+    val d = 64
+    val vecs = spark.range(n.toLong).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(1, $d), " +
+        "i -> pmod(id * 2654435761 + i * 40503, 2097152) - 1048576)").as("qv"))
+      .persist()
+    vecs.count()
+    def checksum(g: DataFrame): String =
+      g.agg(sum(col("g").cast("decimal(38,0)") *
+          pmod(col("i") * 67L + col("j"), lit(1000003L)).cast("decimal(38,0)")))
+        .first().getDecimal(0).toPlainString
+    def joinForm(): String = {
+      val flat = vecs.select(col("vec_id"),
+        posexplode(col("qv")).as(Seq("p", "q")))
+        .select(col("vec_id"), (col("p") + 1).as("i"), col("q"))
+      checksum(flat.as("a")
+        .join(flat.as("b").select(col("vec_id"), col("i").as("j"), col("q").as("qb")),
+          "vec_id")
+        .where(col("i") <= col("j"))
+        .groupBy("i", "j")
+        .agg(sum((col("q") * col("qb")).cast("decimal(38,0)")).as("g")))
+    }
+    def aggForm(): String =
+      checksum(vecs
+        .agg(org.apache.spark.sql.graftshim.GramMatrix(col("qv"), d).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.g").as("g")))
+    val c1 = joinForm()
+    val tJoin = time(joinForm())._2
+    val c2 = aggForm()
+    val tAgg = time(aggForm())._2
+    vecs.unpersist()
+    Seq(
+      "gram_vectors" -> n.toDouble,
+      "gram_join_sec" -> tJoin,
+      "gram_agg_sec" -> tAgg,
+      "gram_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
+  }
+
   /** Standalone entry for local iteration; Bench embeds run() output.
     * `zorder`/`rank` as the first arg runs only that probe (dev loop). */
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("zorder", "rank", "grouping", "sweep")).getOrElse("full")
+    val mode = args.headOption.filter(Set("zorder", "rank", "grouping", "sweep", "gram")).getOrElse("full")
     val rest = if (mode != "full") args.drop(1) else args
     val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.1"
     val tDocs = if (rest.length > 1) rest(1).toInt else 100000
@@ -1210,6 +1254,7 @@ object ScaleBench {
       case "rank" => rankProbe(spark, sys.env.get("SPARK_GRAFT_RANK_N").map(_.toInt).getOrElse(2000000))
       case "grouping" => groupingProbe(spark, sys.env.get("SPARK_GRAFT_GROUPING_N").map(_.toInt).getOrElse(8000000))
       case "sweep" => sweepProbe(spark, sys.env.get("SPARK_GRAFT_SWEEP_N").map(_.toInt).getOrElse(4000000))
+      case "gram" => gramProbe(spark, sys.env.get("SPARK_GRAFT_GRAM_N").map(_.toInt).getOrElse(200000))
       case _ => run(spark, sfDir, tDocs, tVecs)
     }
     println(metrics.map { case (k, v) => s""""$k":$v""" }

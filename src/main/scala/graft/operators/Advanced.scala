@@ -701,9 +701,10 @@ object Advanced {
     * cross-multiplication (bal_cents·n_pos > sum_cents — never an fp
     * average near a comparison), and the recency horizon is
     * max(orderdate) − 90 in DATE arithmetic. Each global aggregate
-    * rides in on a literal-key broadcast HASH join (an equi-join on a
-    * constant — preserves the probe side's partitioning and stays out
-    * of the nested-loop plan space the audit bans).
+    * rides in on a 1-row broadcast (the literal join key folds to
+    * TRUE, so the planner renders a broadcast nested-loop with a
+    * 1-row build side — the q251 allowlisted shape: bounded build,
+    * probe-side partitioning preserved).
     *
     * Scale (100 TB): two narrow scalar aggregates broadcast to every
     * partition; the recent-orders side is date-filtered BEFORE the

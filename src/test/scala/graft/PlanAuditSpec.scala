@@ -292,6 +292,14 @@ class PlanAuditSpec extends SparkSpecBase {
     //    with range predicates (q75's bounded-grid shape).
     //  - q251: the 1-row total-orders aggregate cross-joined onto the
     //    support-filtered pair counts (q63/q113's bounded shape).
+    //  - q273: the 1-row balance-stats and order-horizon aggregates
+    //    broadcast onto customer/orders (the literal-key equi form
+    //    folds to TRUE, so the planner renders it as a broadcast
+    //    nested-loop with a 1-row build side — same physics).
+    //  - q275/q277: the 1-row vector-count / vᵀv / Rayleigh aggregates
+    //    broadcast onto the d² scatter census and the d-row component
+    //    (every build side is a single row; the probe sides are
+    //    censuses bounded by the embedding dimension).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -308,7 +316,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "q182_embedding_drift", "q195_retrieval_ablation",
         "q217_priority_sample", "q218_kmv_source_overlap",
         "q222_mmr_rerank", "q225_cluster_labels", "q227_vocab_growth",
-        "q228_group_priority_sample", "q251_basket_pairs")
+        "q228_group_priority_sample", "q251_basket_pairs",
+        "q273_idle_rich_customers", "q275_pca_top_component",
+        "q277_residual_topk")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
