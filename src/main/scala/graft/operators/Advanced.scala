@@ -803,10 +803,83 @@ object Advanced {
       .orderBy(col("val_u").desc, col("l_partkey"))
   }
 
+  /** LORENZ CURVE + GINI of customer revenue concentration — "what
+    * share of revenue do the bottom k/10 of customers hold", the
+    * whale-risk number next to q254's distribution-impurity Gini
+    * (that one scores categorical next-action spread; this is the
+    * classic inequality coefficient over amounts). Revenue is exact
+    * cents; customers rank by (revenue, custkey) so ties are
+    * deterministic; the ten Lorenz points are the exact cumulative
+    * shares at ranks ⌊k·n/10⌋ in integer ppm, and Gini is the exact
+    * rational (2Σi·xᵢ − (n+1)Σx, n·Σx) plus its double quotient.
+    *
+    * Scale (100 TB): revenue is one custkey aggregate over orders
+    * (the only fact exchange); the rank windows run over the CUSTOMER
+    * DIMENSION (deliberate — dimension-sized; a fact-sized variant
+    * goes through the q183 two-level rank, measured 2×+). */
+  val qLorenzGini: GraftQuery = GraftQuery(
+    "q284_lorenz_gini",
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |ranked0 AS (
+      |  SELECT o_custkey, cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n,
+      |    CAST(SUM(cents) OVER (ORDER BY cents, o_custkey
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    SUM(cents) OVER () AS tot
+      |  FROM rev),
+      |ranked AS (
+      |  SELECT *, SUM(CAST(r AS HUGEINT) * cents) OVER () AS sixi
+      |  FROM ranked0),
+      |pts AS (
+      |  SELECT k.k, r.r, r.cum, CAST(r.tot AS BIGINT) AS tot, r.n,
+      |    CAST(2 * r.sixi - (r.n + 1) * r.tot AS BIGINT) AS gini_num,
+      |    CAST(r.n * r.tot AS BIGINT) AS gini_den
+      |  FROM ranked r
+      |  JOIN (SELECT unnest(generate_series(1, 10)) AS k) k
+      |    ON r.r = (k.k * r.n) // 10)
+      |SELECT CAST(k AS INTEGER) AS decile, r AS rank, cum, tot,
+      |  CAST((cum * 1000000) // tot AS BIGINT) AS lorenz_ppm,
+      |  gini_num, gini_den,
+      |  CAST(gini_num AS DOUBLE) / CAST(gini_den AS DOUBLE) AS gini
+      |FROM pts ORDER BY decile""".stripMargin) { (s, d) =>
+    val rev = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(14,2)") * 100).cast("long"))
+        .cast("long").as("cents"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents"), col("o_custkey"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val ranked = rev
+      .withColumn("r", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("cum", sum("cents").over(
+        ord.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("tot", sum("cents").over(wAll))
+      .withColumn("sixi",
+        sum(col("r").cast("decimal(38,0)") * col("cents")).over(wAll))
+    val pts = ranked
+      .withColumn("k", explode(sequence(lit(1), lit(10))))
+      .where(col("r") === expr("(k * n) div 10"))
+      .select(col("k").cast("int").as("decile"), col("r").as("rank"),
+        col("cum"), col("tot"),
+        expr("(cum * 1000000) div tot").as("lorenz_ppm"),
+        (lit(2) * col("sixi") - (col("n") + 1) * col("tot")).cast("long").as("gini_num"),
+        (col("n") * col("tot")).cast("long").as("gini_den"))
+    pts.select(col("decile"), col("rank"), col("cum"), col("tot"),
+      col("lorenz_ppm"), col("gini_num"), col("gini_den"),
+      (col("gini_num").cast("double") / col("gini_den").cast("double")).as("gini"))
+      .orderBy("decile")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
     qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention,
     qRollingTimeWindow, qActivityStreaks, qFirstTouch, qIdleRich,
-    qImportantStock)
+    qImportantStock, qLorenzGini)
 }

@@ -148,5 +148,68 @@ object Behavior {
       .orderBy("channel")
   }
 
-  def all: Seq[GraftQuery] = Seq(qCohortMatrix, qAttribution)
+  /** KAPLAN–MEIER SURVIVAL BY TENURE: a user's lifetime is the day
+    * span from first to last event (no censoring — the window closes
+    * after the corpus; a live deployment censors open users at the
+    * snapshot date). Per observed lifetime t: users at risk (tenure
+    * ≥ t), churned at t, exact integer-ppm hazard, and the survival
+    * estimate S(t) = Π(1 − dₛ/nₛ). The product is computed as
+    * exp(Σ ln((nₛ−dₛ)/nₛ)) with the running sum over the TENURE
+    * CENSUS in ascending ROWS order — both engines accumulate the
+    * same doubles left-to-right in the same order, and each ln
+    * argument is one exact-integer division, so the estimate is
+    * engine-identical. All DECISION columns are pure integers; the
+    * final tenure row (survival exactly 0) is omitted by the
+    * at-risk > churned gate rather than rendering ±inf logs.
+    *
+    * Scale (100 TB): one per-user (min, max) aggregate — one user_id
+    * exchange — then windows over the O(max-tenure) census only. */
+  val qKaplanMeier: GraftQuery = GraftQuery(
+    "q283_kaplan_meier",
+    """WITH life AS (
+      |  SELECT user_id,
+      |    CAST(CAST(date_trunc('day', max(ts)) AS DATE)
+      |         - CAST(date_trunc('day', min(ts)) AS DATE) AS BIGINT) AS tenure
+      |  FROM events GROUP BY user_id),
+      |deaths AS (
+      |  SELECT tenure, CAST(COUNT(*) AS BIGINT) AS churned
+      |  FROM life GROUP BY tenure),
+      |c AS (
+      |  SELECT tenure, churned,
+      |    CAST(SUM(churned) OVER (ORDER BY tenure ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(churned) OVER () AS BIGINT) AS total
+      |  FROM deaths),
+      |km AS (
+      |  SELECT tenure, churned,
+      |    total - (cum - churned) AS n_at_risk,
+      |    exp(SUM(ln(CAST(total - cum AS DOUBLE)
+      |               / CAST(total - (cum - churned) AS DOUBLE)))
+      |        OVER (ORDER BY tenure ROWS UNBOUNDED PRECEDING)) AS survival
+      |  FROM c WHERE total - cum > 0)
+      |SELECT tenure, n_at_risk, churned,
+      |  CAST((churned * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm,
+      |  survival
+      |FROM km ORDER BY tenure""".stripMargin) { (s, d) =>
+    val life = Tables.events(s, d).groupBy("user_id")
+      .agg(datediff(date_trunc("day", max(col("ts"))).cast("date"),
+        date_trunc("day", min(col("ts"))).cast("date")).cast("long").as("tenure"))
+    val deaths = life.groupBy("tenure").agg(count(lit(1)).as("churned"))
+    val c = deaths
+      .withColumn("cum", sum("churned").over(Window.orderBy("tenure")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("churned").over(Window.partitionBy()))
+    val km = c.where(col("total") - col("cum") > 0)
+      .withColumn("n_at_risk", col("total") - (col("cum") - col("churned")))
+      .withColumn("survival",
+        exp(sum(log((col("total") - col("cum")).cast("double")
+          / (col("total") - (col("cum") - col("churned"))).cast("double")))
+          .over(Window.orderBy("tenure")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    km.select(col("tenure"), col("n_at_risk"), col("churned"),
+      expr("(churned * 1000000) div n_at_risk").as("hazard_ppm"),
+      col("survival"))
+      .orderBy("tenure")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qCohortMatrix, qAttribution, qKaplanMeier)
 }

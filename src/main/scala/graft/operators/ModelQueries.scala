@@ -431,8 +431,15 @@ object ModelQueries {
       |SELECT k AS doc_id, final_version, payload
       |FROM latest WHERE op <> 'D'
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = graft.sources.Tables.documents(s, d)
-    val log = docs.select(col("doc_id").as("k"), lit(1).as("version"),
+    cdcFold(cdcLatest(cdcLog(graft.sources.Tables.documents(s, d))))
+      .where(col("op") =!= "D")
+      .select(col("k").as("doc_id"), col("final_version"), col("payload"))
+      .orderBy("doc_id")
+  }
+
+  /** The deterministic change log derived from a documents slice. */
+  private[graft] def cdcLog(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id").as("k"), lit(1).as("version"),
         lit("I").as("op"), md5(col("text")).as("payload"))
       .unionByName(docs.where(col("doc_id") % 5 === 2)
         .select(col("doc_id").as("k"), lit(2).as("version"), lit("U").as("op"),
@@ -440,14 +447,20 @@ object ModelQueries {
       .unionByName(docs.where(col("doc_id") % 11 === 7)
         .select(col("doc_id").as("k"), lit(3).as("version"), lit("D").as("op"),
           lit(null).cast("string").as("payload")))
+
+  /** Per-key latest version — arg_max is a monoid on the version
+    * order, so folding partials re-folds with the SAME operator. */
+  private[graft] def cdcLatest(log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     log.groupBy("k")
       .agg(max("version").as("final_version"),
         max_by(col("op"), col("version")).as("op"),
         max_by(col("payload"), col("version")).as("payload"))
-      .where(col("op") =!= "D")
-      .select(col("k").as("doc_id"), col("final_version"), col("payload"))
-      .orderBy("doc_id")
-  }
+
+  private[graft] def cdcFold(partials: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    partials.groupBy("k")
+      .agg(max("final_version").as("final_version"),
+        max_by(col("op"), col("final_version")).as("op"),
+        max_by(col("payload"), col("final_version")).as("payload"))
 
   def all: Seq[GraftQuery] =
     Seq(qIncrementalModel, qScd2Snapshot, qAggBackfill, qPitLookup,

@@ -1254,6 +1254,50 @@ object Streams {
     streamPsi(s, d)
   }
 
+  // ---- q282: streaming CDC apply ----
+
+  /** STREAMING CDC APPLY: q281's MERGE semantics over an arriving
+    * change stream. arg_max is a MONOID on a totally-ordered version
+    * key — arg_max of per-batch arg_maxes IS the global arg_max — so
+    * each micro-batch appends its own per-key latest-version partial
+    * and the serve re-folds; no ordering contract (a late-arriving
+    * OLD version loses the max either way), no per-key state store.
+    * The drained table is hash-identical to batch q281 (same oracle).
+    *
+    * 100 TB/day: per trigger the exchange carries one row per key
+    * TOUCHED IN THAT BATCH; the sink is the q239 partial log and
+    * compacts by this same fold. This is exactly how Delta/Iceberg
+    * CDC consumers stay exactly-once without replaying the log. */
+  def streamCdcApply(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_cdc", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.ModelQueries.cdcLatest(
+            graft.operators.ModelQueries.cdcLog(batch.toDF()))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val folded = graft.operators.ModelQueries.cdcFold(spark.read.parquet(outDir))
+    folded.where(col("op") =!= "D")
+      .select(col("k").as("doc_id"), col("final_version"), col("payload"))
+      .orderBy("doc_id")
+  }
+
+  val qStreamCdcApply: GraftQuery = GraftQuery(
+    "q282_stream_cdc",
+    graft.operators.ModelQueries.qCdcMerge.oracle.get) { (s, d) =>
+    streamCdcApply(s, d)
+  }
+
   // ---- q229: streaming KMV sketch merge ----
 
   /** STREAMING KMV SKETCHES: q218's per-source K-minimum-values
@@ -1475,5 +1519,5 @@ object Streams {
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
-      qStreamConcurrency, qStreamPsi)
+      qStreamConcurrency, qStreamPsi, qStreamCdcApply)
 }

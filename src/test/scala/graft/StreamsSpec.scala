@@ -557,6 +557,20 @@ class StreamsSpec extends SparkSpecBase {
       "partial-log OLS must equal batch OLS under any slicing")
   }
 
+  test("q282: per-batch arg_max partials re-fold to the batch MERGE state") {
+    // arg_max is a monoid on the version order — any arrival slicing
+    // (repartition(3) deliberately breaks doc order) folds to q281
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_cdc").toString
+    Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = Streams.streamCdcApply(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q281_cdc_merge")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("q278: data-dependent PSI bins computed at serve over merged partials") {
     // arrival slicing must not freeze early-batch decile boundaries —
     // the census is additive, the bins are not, so bins recompute at
