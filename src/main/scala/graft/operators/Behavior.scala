@@ -211,5 +211,74 @@ object Behavior {
       .orderBy("tenure")
   }
 
-  def all: Seq[GraftQuery] = Seq(qCohortMatrix, qAttribution, qKaplanMeier)
+  /** A/B EXPERIMENT READOUT: deterministic 50/50 assignment by keyed
+    * md5 parity (the q61 hash-sampling physics — assignment is a pure
+    * function of user_id, reproducible anywhere), conversion = any
+    * purchase, and the one-row scorecard every experiment dashboard
+    * shows: per-arm exact ppm conversion, relative lift in exact ppm
+    * by cross-multiplication, and the pooled two-proportion z-score
+    * as ONE mirrored double combination of the four exact counts.
+    *
+    * Scale (100 TB): assignment and conversion are scan-fused per-row
+    * expressions + one user_id-keyed aggregate; the scorecard is a
+    * 1-row fold. No randomness anywhere — re-running the readout on
+    * re-shuffled data is bit-identical. */
+  val qAbExperiment: GraftQuery = GraftQuery(
+    "q285_ab_experiment",
+    """WITH assign AS (
+      |  SELECT user_id,
+      |    CAST(CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS INTEGER) AS variant,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      |  FROM assign)
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  CAST((conv_a * 1000000) // n_a AS BIGINT) AS conv_a_ppm,
+      |  CAST((conv_b * 1000000) // n_b AS BIGINT) AS conv_b_ppm,
+      |  CASE WHEN conv_a = 0 THEN NULL
+      |       ELSE CAST((conv_b * n_a * 1000000) // (conv_a * n_b) - 1000000 AS BIGINT)
+      |  END AS lift_ppm,
+      |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+      |       ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+      |             - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+      |            / sqrt(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+      |                   * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |  END AS z_score
+      |FROM arms""".stripMargin) { (s, d) =>
+    val assign = Tables.events(s, d).groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        (conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 2).cast("int"))
+    val arms = assign.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    arms.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      expr("(conv_a * 1000000) div n_a").as("conv_a_ppm"),
+      expr("(conv_b * 1000000) div n_b").as("conv_b_ppm"),
+      when(col("conv_a") === 0, lit(null))
+        .otherwise(expr("(conv_b * n_a * 1000000) div (conv_a * n_b) - 1000000"))
+        .cast("long").as("lift_ppm"),
+      when(col("conv_a") + col("conv_b") === 0 ||
+          col("conv_a") + col("conv_b") === col("n_a") + col("n_b"), lit(null))
+        .otherwise((col("conv_b").cast("double") / col("n_b").cast("double")
+          - col("conv_a").cast("double") / col("n_a").cast("double"))
+          / sqrt(pPool * (lit(1.0) - pPool)
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double"))))
+        .as("z_score"))
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qCohortMatrix, qAttribution, qKaplanMeier, qAbExperiment)
 }

@@ -907,7 +907,107 @@ object Extras {
       .orderBy("lang")
   }
 
-  def all: Seq[GraftQuery] = Seq(qHofTokens, qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
+  /** dbt SOURCE FRESHNESS: max loaded-at per source vs an injected
+    * "now" (E4's fixed-date discipline — the check is a pure function
+    * of data + configured clock), with warn/error thresholds applied
+    * in EXACT integer seconds. The report a scheduler gates runs on:
+    * age, status, and the thresholds that produced it.
+    *
+    * Scale (100 TB): per source ONE max aggregate — the parquet
+    * footer max statistic makes this metadata-only on a real
+    * lakehouse table; everything else is a constant-width census. */
+  val qSourceFreshness: GraftQuery = GraftQuery(
+    "q286_source_freshness",
+    """WITH loads AS (
+      |  SELECT 'events' AS source, max(ts) AS max_loaded_at FROM events
+      |  UNION ALL
+      |  SELECT 'orders', max(o_orderdate) FROM orders),
+      |aged AS (
+      |  SELECT source, max_loaded_at,
+      |    CAST(floor(epoch(TIMESTAMP '2024-02-05 00:00:00')) AS BIGINT)
+      |      - CAST(floor(epoch(max_loaded_at)) AS BIGINT) AS age_s
+      |  FROM loads)
+      |SELECT source, max_loaded_at, age_s,
+      |  CASE WHEN age_s > 1209600 THEN 'error'
+      |       WHEN age_s > 345600 THEN 'warn'
+      |       ELSE 'pass' END AS status
+      |FROM aged ORDER BY source""".stripMargin) { (s, d) =>
+    val now = to_timestamp(lit("2024-02-05 00:00:00"))
+    val loads = Tables.events(s, d)
+      .agg(max(col("ts")).as("max_loaded_at"))
+      .select(lit("events").as("source"), col("max_loaded_at"))
+      .unionByName(Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).as("max_loaded_at"))
+        .select(lit("orders").as("source"), col("max_loaded_at")))
+    loads
+      .withColumn("age_s",
+        unix_timestamp(now).cast("long")
+          - unix_timestamp(col("max_loaded_at")).cast("long"))
+      .select(col("source"), col("max_loaded_at"), col("age_s"),
+        when(col("age_s") > 1209600L, "error")
+          .when(col("age_s") > 345600L, "warn")
+          .otherwise("pass").as("status"))
+      .orderBy("source")
+  }
+
+  /** dbt ACCEPTED_VALUES tests: the last reference-family test form
+    * not yet in the q196 dashboard — set-membership contracts on a
+    * closed categorical domain. Three checks: event_type against its
+    * five known values (the PASSING state — zero violations is the
+    * contract holding), o_orderpriority against the TPC-H domain, and
+    * the props.k extract against the configured 0..49 window (REAL
+    * violations — the alerting state). Exact integer ppm everywhere.
+    *
+    * Scale (100 TB): each check is one conditional aggregate fused
+    * into a single scan of its table — the q10/q196 physics. */
+  val qAcceptedValues: GraftQuery = GraftQuery(
+    "q287_accepted_values",
+    """WITH ev AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN event_type NOT IN
+      |      ('click', 'view', 'purchase', 'signup', 'error')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad_type,
+      |    CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |      NOT BETWEEN 0 AND 49 THEN 1 ELSE 0 END) AS BIGINT) AS bad_k
+      |  FROM events),
+      |op AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_orderpriority NOT IN
+      |      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS bad
+      |  FROM orders),
+      |checks AS (
+      |  SELECT 'accepted_event_type' AS chk, n AS n_checked, bad_type AS n_violations FROM ev
+      |  UNION ALL SELECT 'accepted_props_k', n, bad_k FROM ev
+      |  UNION ALL SELECT 'accepted_orderpriority', n, bad FROM op)
+      |SELECT chk, n_checked, n_violations,
+      |  CAST((n_violations * 1000000) // n_checked AS BIGINT) AS violation_ppm
+      |FROM checks ORDER BY chk""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"), 1L).otherwise(0L))
+        .as("bad_type"),
+      sum(when(!get_json_object(col("props"), "$.k").cast("long")
+        .between(0, 49), 1L).otherwise(0L)).as("bad_k"))
+    val op = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), 1L)
+        .otherwise(0L)).as("bad"))
+    val checks = ev.select(lit("accepted_event_type").as("chk"),
+        col("n").as("n_checked"), col("bad_type").as("n_violations"))
+      .unionByName(ev.select(lit("accepted_props_k").as("chk"),
+        col("n").as("n_checked"), col("bad_k").as("n_violations")))
+      .unionByName(op.select(lit("accepted_orderpriority").as("chk"),
+        col("n").as("n_checked"), col("bad").as("n_violations")))
+    checks
+      .withColumn("violation_ppm", expr("(n_violations * 1000000) div n_checked"))
+      .orderBy("chk")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qHofTokens, qSourceFreshness, qAcceptedValues,
+    qPivot, qExplodeTokens, qMathFuncs, qSqlApi,
     qRegexRoute, qApproxDistinct, qPercentiles, qCube,
     qWindowExtras, qArrayFuncs, qStringFuncs2, qUnionByName,
     qBoolAggs, qStringAgg, qQuantileDisc, qModeDeterministic, qWinsorize,
