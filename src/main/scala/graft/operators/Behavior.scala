@@ -279,6 +279,80 @@ object Behavior {
         .as("z_score"))
   }
 
+  /** RFM SEGMENTATION: customers scored by Recency (days since last
+    * order, against the corpus's own max date — injectable-clock
+    * discipline), Frequency (order count) and Monetary (exact cents),
+    * each cut into quintiles by the q269 census-arithmetic bin rule
+    * (bin = min(4, 5·pw div tot) — percentile_disc boundaries, NO
+    * boundary join, NO per-row rank window), then censused into the
+    * ≤125 (r, f, m) segments a CRM actually targets.
+    *
+    * Scale (100 TB): one custkey aggregate over orders (the only
+    * fact exchange); each metric's quintile map is a census window
+    * over DISTINCT metric values joined back by equi-key; the segment
+    * report is map-side combinable. */
+  val qRfmSegments: GraftQuery = GraftQuery(
+    "q290_rfm_segments",
+    """WITH rfm AS (
+      |  SELECT o_custkey,
+      |    CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_d,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS m
+      |  FROM orders GROUP BY o_custkey),
+      |anch AS (
+      |  SELECT *, CAST(MAX(last_d) OVER () - last_d AS BIGINT) AS r FROM rfm),
+      |rc AS (SELECT r AS v, CAST(COUNT(*) AS BIGINT) AS c FROM anch GROUP BY r),
+      |rb AS (
+      |  SELECT v, least(4, ((SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c) * 5)
+      |    // (SUM(c) OVER ()) ) AS bin FROM rc),
+      |fc AS (SELECT f AS v, CAST(COUNT(*) AS BIGINT) AS c FROM anch GROUP BY f),
+      |fb AS (
+      |  SELECT v, least(4, ((SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c) * 5)
+      |    // (SUM(c) OVER ()) ) AS bin FROM fc),
+      |mc AS (SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS c FROM anch GROUP BY m),
+      |mb AS (
+      |  SELECT v, least(4, ((SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c) * 5)
+      |    // (SUM(c) OVER ()) ) AS bin FROM mc)
+      |SELECT CAST(rb.bin AS INTEGER) AS r_bin, CAST(fb.bin AS INTEGER) AS f_bin,
+      |  CAST(mb.bin AS INTEGER) AS m_bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(a.m) AS BIGINT) AS total_cents
+      |FROM anch a
+      |JOIN rb ON rb.v = a.r
+      |JOIN fb ON fb.v = a.f
+      |JOIN mb ON mb.v = a.m
+      |GROUP BY 1, 2, 3
+      |ORDER BY r_bin, f_bin, m_bin""".stripMargin) { (s, d) =>
+    val rfm = Tables.orders(s, d).groupBy("o_custkey").agg(
+      max(col("o_orderdate").cast("date")).as("last_d"),
+      count(lit(1)).as("f"),
+      sum((col("o_totalprice").cast("decimal(14,2)") * 100).cast("long"))
+        .cast("long").as("m"))
+    val anch = rfm.withColumn("r",
+      datediff(max("last_d").over(Window.partitionBy()), col("last_d")).cast("long"))
+    def quintile(valueCol: String): org.apache.spark.sql.DataFrame = {
+      val census = anch.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      census
+        .withColumn("cw", sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("c").over(Window.partitionBy()))
+        .select(col("v"), least(lit(4L), expr("((cw - c) * 5) div tot")).as("bin"))
+    }
+    anch
+      .join(quintile("r").withColumnRenamed("bin", "r_bin"), col("v") === col("r"))
+      .drop("v")
+      .join(quintile("f").withColumnRenamed("bin", "f_bin"), col("v") === col("f"))
+      .drop("v")
+      .join(quintile("m").withColumnRenamed("bin", "m_bin"), col("v") === col("m"))
+      .drop("v")
+      .groupBy(col("r_bin").cast("int").as("r_bin"),
+        col("f_bin").cast("int").as("f_bin"),
+        col("m_bin").cast("int").as("m_bin"))
+      .agg(count(lit(1)).as("n_customers"), sum("m").as("total_cents"))
+      .orderBy("r_bin", "f_bin", "m_bin")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qCohortMatrix, qAttribution, qKaplanMeier, qAbExperiment)
+    Seq(qCohortMatrix, qAttribution, qKaplanMeier, qAbExperiment,
+      qRfmSegments)
 }

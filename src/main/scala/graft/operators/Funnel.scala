@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.GraftQuery
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,10 +68,18 @@ object Funnel {
 
   /** Earliest-completion ordered funnel over (user_id, event_type, ts).
     * Step k+1's per-user min is taken over events strictly after the
-    * user's step-k completion; returns the per-step census. */
+    * user's step-k completion (and, when `maxGapUs` is set, within
+    * that window of it — the attribution-window form); returns the
+    * per-step census. */
   def funnelSteps(events: org.apache.spark.sql.DataFrame,
-                  steps: Seq[String]): org.apache.spark.sql.DataFrame = {
+                  steps: Seq[String],
+                  maxGapUs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    def within(prev: Column): Column = maxGapUs match {
+      case Some(g) => col("ts") > prev &&
+        unix_micros(col("ts")) <= unix_micros(prev) + g
+      case None => col("ts") > prev
+    }
     val reached: Seq[org.apache.spark.sql.DataFrame] =
       steps.zipWithIndex.foldLeft(Seq.empty[org.apache.spark.sql.DataFrame]) {
         case (acc, (step, 0)) =>
@@ -79,7 +88,7 @@ object Funnel {
         case (acc, (step, _)) =>
           val prev = acc.last.withColumnRenamed("step_ts", "prev_ts")
           acc :+ ev.where(col("event_type") === step)
-            .join(prev, "user_id").where(col("ts") > col("prev_ts"))
+            .join(prev, "user_id").where(within(col("prev_ts")))
             .groupBy("user_id").agg(min("ts").as("step_ts"))
       }
     val census = reached.zip(steps).zipWithIndex.map { case ((df, nm), i) =>
@@ -300,5 +309,49 @@ object Funnel {
       .orderBy("day")
   }
 
-  val all: Seq[GraftQuery] = Seq(qFunnelSteps, qConcurrency, qSessionKpis)
+  /** TIME-WINDOWED FUNNEL: q255 with an attribution window — each
+    * step must land within 24 HOURS of the previous step's
+    * completion, the form every funnel product actually ships ("did
+    * they buy within a day of clicking?"). The window is an exact
+    * integer-µs bound on the same earliest-completion chain; note the
+    * semantics stay greedy-earliest (the chain anchors on the FIRST
+    * view even if a later view would open a better window — the
+    * standard, deterministic convention; path-optimal funnels are
+    * NP-flavored and non-standard).
+    *
+    * Scale (100 TB): identical physics to q255 — the window predicate
+    * rides the same join, tightening it. */
+  val qFunnelWindowed: GraftQuery = GraftQuery(
+    "q289_funnel_windowed",
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      |    AND epoch_us(e.ts) <= epoch_us(v.v_ts) + 86400000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      |    AND epoch_us(e.ts) <= epoch_us(c.c_ts) + 86400000000
+      |  GROUP BY e.user_id),
+      |steps AS (
+      |  SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+      |SELECT step, step_name, n_users,
+      |  CAST((n_users * 1000000) // first_value(n_users) OVER (ORDER BY step)
+      |    AS BIGINT) AS conv_ppm
+      |FROM steps ORDER BY step""".stripMargin) { (s, d) =>
+    funnelSteps(Tables.events(s, d), Seq("view", "click", "purchase"),
+      maxGapUs = Some(86400000000L))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(qFunnelSteps, qConcurrency, qSessionKpis, qFunnelWindowed)
 }

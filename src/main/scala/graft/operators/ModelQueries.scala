@@ -371,20 +371,9 @@ object ModelQueries {
       |ORDER BY bucket""".stripMargin) { (s, d) =>
     val docs = graft.sources.Tables.documents(s, d)
     val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp"))
-    val v2 = docs.where(col("doc_id") % 13 =!= 5)
-      .select(col("doc_id"),
-        when(col("doc_id") % 13 === 3, md5(concat(col("text"), lit(" rev2"))))
-          .otherwise(md5(col("text"))).as("fp"))
-      .unionByName(docs.where(col("doc_id") % 13 === 7)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          md5(concat(col("text"), lit(" new"))).as("fp")))
-    def leaf(df: org.apache.spark.sql.DataFrame, nNm: String, fNm: String) =
-      df.groupBy((col("doc_id") % 256).as("bucket"))
-        .agg(count(lit(1)).as(nNm),
-          sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-            col("fp"))), 1, 12), 16, 10).cast("long").cast("decimal(38,0)"))
-            .cast("decimal(38,0)").as(fNm))
-    leaf(v1, "n_a", "f_a").join(leaf(v2, "n_b", "f_b"), Seq("bucket"), "full_outer")
+    val v2 = merkleV2(docs)
+    merkleLeaf(v1, "n_a", "f_a").join(merkleLeaf(v2, "n_b", "f_b"),
+        Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
@@ -395,6 +384,26 @@ object ModelQueries {
         col("n_a"), col("n_b"), col("f_a"), col("f_b"))
       .orderBy("bucket")
   }
+
+  /** The deterministic v2 re-crawl derivation shared by q202/q266/q288. */
+  private[graft] def merkleV2(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.where(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 3, md5(concat(col("text"), lit(" rev2"))))
+          .otherwise(md5(col("text"))).as("fp"))
+      .unionByName(docs.where(col("doc_id") % 13 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(concat(col("text"), lit(" new"))).as("fp")))
+
+  /** Additive per-bucket fingerprint (sum of 48-bit keyed leaf
+    * hashes) — a MONOID: per-slice partials re-sum to the whole. */
+  private[graft] def merkleLeaf(df: org.apache.spark.sql.DataFrame,
+      nNm: String, fNm: String): org.apache.spark.sql.DataFrame =
+    df.groupBy((col("doc_id") % 256).as("bucket"))
+      .agg(count(lit(1)).as(nNm),
+        sum(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("fp"))), 1, 12), 16, 10).cast("long").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as(fNm))
 
   /** CDC MERGE APPLY — the type-1 upsert/delete semantics of
     * `MERGE INTO` (q190's SCD2 keeps history; this keeps only the

@@ -1298,6 +1298,63 @@ object Streams {
     streamCdcApply(s, d)
   }
 
+  // ---- q288: streaming Merkle maintenance ----
+
+  /** STREAMING MERKLE MAINTENANCE: q266's additive bucket
+    * fingerprints kept current as documents arrive. The per-bucket
+    * (count, Σleaf-hash) summary is a MONOID, so each micro-batch
+    * appends its own partial fingerprint slice and the serve re-sums
+    * — the audit side never replays the corpus. The drained diff
+    * against the same deterministic v2 re-crawl is hash-identical to
+    * batch q266 (same oracle), under any arrival slicing.
+    *
+    * 100 TB/day: per trigger the exchange carries ≤ 256 partial
+    * cells; the sink compacts by the same re-sum. This is how a
+    * replication auditor keeps table fingerprints warm without
+    * rescanning — the q239 partial-log posture on the q266 algebra. */
+  def streamMerkle(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_merkle", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.ModelQueries.merkleLeaf(
+            batch.toDF().select(col("doc_id"), md5(col("text")).as("fp")),
+            "n_a", "f_a")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val a = spark.read.parquet(outDir).groupBy("bucket")
+      .agg(sum("n_a").cast("long").as("n_a"),
+        sum("f_a").cast("decimal(38,0)").as("f_a"))
+    val b = graft.operators.ModelQueries.merkleLeaf(
+      graft.operators.ModelQueries.merkleV2(
+        graft.sources.Tables.documents(spark, sfDir)), "n_b", "f_b")
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("f_a"), lit(0L).cast("decimal(38,0)")).as("f_a"),
+        coalesce(col("f_b"), lit(0L).cast("decimal(38,0)")).as("f_b"))
+      .where(col("f_a") =!= col("f_b") || col("n_a") =!= col("n_b"))
+      .select(expr("bucket div 16").as("node1"), col("bucket"),
+        col("n_a"), col("n_b"), col("f_a"), col("f_b"))
+      .orderBy("bucket")
+  }
+
+  val qStreamMerkle: GraftQuery = GraftQuery(
+    "q288_stream_merkle",
+    graft.operators.ModelQueries.qMerkleDiff.oracle.get) { (s, d) =>
+    streamMerkle(s, d)
+  }
+
   // ---- q229: streaming KMV sketch merge ----
 
   /** STREAMING KMV SKETCHES: q218's per-source K-minimum-values
@@ -1519,5 +1576,5 @@ object Streams {
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
-      qStreamConcurrency, qStreamPsi, qStreamCdcApply)
+      qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle)
 }
