@@ -454,7 +454,55 @@ object EventFlow {
       .orderBy("qk")
   }
 
+  /** SLO BURN-RATE ALERT (the Google-SRE multiwindow rule): error
+    * share per day against a 200,000-ppm error budget, paged only
+    * when BOTH the fast window (1 day > 1.05× budget) and the slow
+    * window (trailing 7 days > 1.0× budget) burn — the two-window
+    * AND that kills both flappy pages (slow window vetoes blips) and
+    * slow leaks going unnoticed (fast window catches spikes). Every
+    * decision is an integer cross-multiplication (err·10⁶ > n·thr);
+    * the ppm columns are exact. Daily grain keeps the rolling ROWS
+    * frame aligned with real time on this corpus's dense calendar (a
+    * sparse-grain deployment gap-fills from the q75 spine first).
+    *
+    * Scale (100 TB): one conditional count-by-day aggregate; the
+    * rolling sums run over the O(days) census. */
+  val qSloBurn: GraftQuery = GraftQuery(
+    "q292_slo_burn",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err
+      |  FROM events GROUP BY 1),
+      |rolled AS (
+      |  SELECT day, n, err,
+      |    CAST(SUM(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n7,
+      |    CAST(SUM(err) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS err7
+      |  FROM daily)
+      |SELECT day, n, err,
+      |  CAST((err * 1000000) // n AS BIGINT) AS err_ppm,
+      |  n7, err7,
+      |  CAST((err7 * 1000000) // n7 AS BIGINT) AS err7_ppm,
+      |  (err * 1000000 > n * 210000 AND err7 * 1000000 > n7 * 200000) AS page
+      |FROM rolled ORDER BY day""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    val rolled = daily
+      .withColumn("n7", sum("n").over(w7))
+      .withColumn("err7", sum("err").over(w7))
+    rolled.select(col("day"), col("n"), col("err"),
+      expr("(err * 1000000) div n").as("err_ppm"),
+      col("n7"), col("err7"),
+      expr("(err7 * 1000000) div n7").as("err7_ppm"),
+      (col("err") * 1000000L > col("n") * 210000L &&
+        col("err7") * 1000000L > col("n7") * 200000L).as("page"))
+      .orderBy("day")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qTransitions, qTheilSen, qConversionDelay, qCusum, qTrigrams,
-      qContextGini, qInterpQuantiles)
+      qContextGini, qInterpQuantiles, qSloBurn)
 }

@@ -233,6 +233,33 @@ object Funnel {
     * runs over the per-day DISTINCT-DURATION census, never over
     * sessions (q234's degradation argument applies — bucket durations
     * to ms at ingest if the µs census is ever too wide). */
+  /** q264's report computed from an already-materialized session
+    * relation (start_us, end_us, n_events) — shared with the
+    * streaming reconstruction (q291). */
+  def sessionKpisFrom(sessions: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sess = sessions
+      .select(expr("start_us div 86400000000").as("day_idx"),
+        (col("end_us") - col("start_us")).as("dur_us"), col("n_events"))
+    val tot = sess.groupBy("day_idx").agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+    val census = sess.groupBy("day_idx", "dur_us").agg(count(lit(1)).as("c"))
+    val cum = census.withColumn("cum",
+      sum("c").over(Window.partitionBy("day_idx").orderBy("dur_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def pick(q: Int, nm: String) = cum.join(tot, "day_idx")
+      .where(col("cum") * 100 >= col("n_sessions") * q)
+      .groupBy("day_idx").agg(min("dur_us").as(nm))
+    tot.join(pick(50, "p50_dur_us"), "day_idx")
+      .join(pick(90, "p90_dur_us"), "day_idx")
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day_idx").cast("int")).as("day"),
+        col("n_sessions"), col("n_bounce"),
+        expr("(n_bounce * 1000000) div n_sessions").as("bounce_ppm"),
+        col("p50_dur_us"), col("p90_dur_us"))
+      .orderBy("day")
+  }
+
   val qSessionKpis: GraftQuery = GraftQuery(
     "q264_session_kpis",
     """WITH seq AS (
@@ -286,27 +313,7 @@ object Funnel {
       |JOIN p50 ON p50.day_idx = t.day_idx
       |JOIN p90 ON p90.day_idx = t.day_idx
       |ORDER BY day""".stripMargin) { (s, d) =>
-    val sess = sessionize(Tables.events(s, d))
-      .select(expr("start_us div 86400000000").as("day_idx"),
-        (col("end_us") - col("start_us")).as("dur_us"), col("n_events"))
-    val tot = sess.groupBy("day_idx").agg(
-      count(lit(1)).as("n_sessions"),
-      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
-    val census = sess.groupBy("day_idx", "dur_us").agg(count(lit(1)).as("c"))
-    val cum = census.withColumn("cum",
-      sum("c").over(Window.partitionBy("day_idx").orderBy("dur_us")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    def pick(q: Int, nm: String) = cum.join(tot, "day_idx")
-      .where(col("cum") * 100 >= col("n_sessions") * q)
-      .groupBy("day_idx").agg(min("dur_us").as(nm))
-    tot.join(pick(50, "p50_dur_us"), "day_idx")
-      .join(pick(90, "p90_dur_us"), "day_idx")
-      .select(
-        date_add(lit("1970-01-01").cast("date"), col("day_idx").cast("int")).as("day"),
-        col("n_sessions"), col("n_bounce"),
-        expr("(n_bounce * 1000000) div n_sessions").as("bounce_ppm"),
-        col("p50_dur_us"), col("p90_dur_us"))
-      .orderBy("day")
+    sessionKpisFrom(sessionize(Tables.events(s, d)))
   }
 
   /** TIME-WINDOWED FUNNEL: q255 with an attribution window — each

@@ -1159,6 +1159,75 @@ object Streams {
     streamConcurrency(s, d)
   }
 
+  // ---- q291: streaming session KPIs ----
+
+  /** STREAMING SESSION KPIs: q264's report maintained over the live
+    * stream. Same open-session state machine as q271 with the event
+    * COUNT carried too — upserts are monotone in (end_us, n_events),
+    * so serve keeps the max per (user, start) and hands the
+    * reconstructed sessions to q264's census math. Batch q264's
+    * oracle is the contract.
+    *
+    * 100 TB: q271's physics + one serve-side fold; the KPI census
+    * never touches raw events at serve time. */
+  def streamSessionKpis(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "graft_stream_session_kpis"
+    val gapUs = 1800000000L
+    val stream = (srcDir match {
+      case Some(dir) =>
+        val fileSchema = spark.read.parquet(dir).schema
+        val reader = spark.readStream.schema(fileSchema)
+        maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+        graft.sources.Tables.normalizeEventsTs(reader.parquet(dir))
+      case None => readEventsStream(spark, sfDir)
+    })
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    def update(user: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      var open = state.getOption // (start_us, last_us, n)
+      sorted.foreach { case (_, ts, _) =>
+        open match {
+          case Some((st, last, n)) if ts - last <= gapUs =>
+            open = Some((st, ts, n + 1))
+          case Some((st, last, n)) =>
+            out += ((user, st, last, n))
+            open = Some((ts, ts, 1L))
+          case None =>
+            open = Some((ts, ts, 1L))
+        }
+      }
+      open.foreach { case (st, last, n) =>
+        out += ((user, st, last, n))
+        state.update((st, last, n))
+      }
+      out.result().iterator
+    }
+    withStreamShufflePartitions(spark) {
+      val q = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "start_us", "end_us", "n_events")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sessions = spark.table(name)
+      .groupBy("user_id", "start_us")
+      .agg(max("end_us").as("end_us"), max("n_events").as("n_events"))
+    graft.operators.Funnel.sessionKpisFrom(sessions)
+  }
+
+  val qStreamSessionKpis: GraftQuery = GraftQuery(
+    "q291_stream_session_kpis",
+    graft.operators.Funnel.qSessionKpis.oracle.get) { (s, d) =>
+    streamSessionKpis(s, d)
+  }
+
   // ---- q265: streaming OLS trend monitor ----
 
   /** STREAMING TREND MONITOR: q257's per-type OLS maintained over the
@@ -1576,5 +1645,6 @@ object Streams {
       qStreamDecayedCounts, qStreamLateAudit, qStreamQuantileSketch,
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
-      qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle)
+      qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
+      qStreamSessionKpis)
 }
