@@ -557,6 +557,32 @@ class StreamsSpec extends SparkSpecBase {
       "partial-log OLS must equal batch OLS under any slicing")
   }
 
+  test("q291: sessions with counts reconstructed across micro-batches equal batch q264") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_mb_skpi").toString
+    val sliced = Tables.events(spark, sf001)
+      .withColumn("slice", ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 4).foreach { i =>
+      val tmp = new java.io.File(dir, s"_tmp$i")
+      sliced.where(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file staged in $tmp"))
+      val dst = new java.io.File(dir, f"arr$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+      graft.operators.Formats.wipe(tmp.toString)
+    }
+    val streamed = Streams.streamSessionKpis(
+        spark, sf001, srcDir = Some(dir), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q264_session_kpis")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("q282: per-batch arg_max partials re-fold to the batch MERGE state") {
     // arg_max is a monoid on the version order — any arrival slicing
     // (repartition(3) deliberately breaks doc order) folds to q281
