@@ -876,10 +876,64 @@ object Advanced {
       .orderBy("decile")
   }
 
+  /** SUPPLIER LEAD TIME: order-to-ship days per supplier — count,
+    * exact total days, the mean as one double division, and the p50
+    * as percentile_disc by integer rank over each supplier's
+    * DISTINCT-LEAD census. The ops metric behind supplier scorecards;
+    * every decision integer-exact (DATE subtraction is integral).
+    *
+    * Scale (100 TB): the lineitem⋈orders join is the one fact-fact
+    * shuffle (the q57 physics); per-supplier censuses bound the
+    * percentile windows by distinct lead values, never line count. */
+  val qSupplierLeadTime: GraftQuery = GraftQuery(
+    "q294_supplier_leadtime",
+    """WITH leads AS (
+      |  SELECT l.l_suppkey,
+      |    CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT) AS lead_d
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |census AS (
+      |  SELECT l_suppkey, lead_d, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM leads GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_suppkey, lead_d, c,
+      |    SUM(c) OVER (PARTITION BY l_suppkey ORDER BY lead_d
+      |      ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(c) OVER (PARTITION BY l_suppkey) AS tot,
+      |    SUM(lead_d * c) OVER (PARTITION BY l_suppkey) AS total_days
+      |  FROM census)
+      |SELECT l_suppkey, CAST(MAX(tot) AS BIGINT) AS n_lines,
+      |  CAST(MAX(total_days) AS BIGINT) AS total_lead_days,
+      |  CAST(MAX(total_days) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS mean_lead_days,
+      |  MIN(CASE WHEN cw * 2 >= tot THEN lead_d END) AS p50_lead_days
+      |FROM cum GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    val leads = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("lead_d"))
+    val census = leads.groupBy("l_suppkey", "lead_d").agg(count(lit(1)).as("c"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")
+    val cum = census
+      .withColumn("cw", sum("c").over(wS.orderBy("lead_d")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("tot", sum("c").over(wS))
+      .withColumn("total_days", sum(col("lead_d") * col("c")).over(wS))
+    cum.groupBy("l_suppkey").agg(
+      max("tot").as("n_lines"),
+      max("total_days").as("total_lead_days"),
+      (max("total_days").cast("double") / max("tot").cast("double"))
+        .as("mean_lead_days"),
+      min(when(col("cw") * 2 >= col("tot"), col("lead_d"))).as("p50_lead_days"))
+      .orderBy("l_suppkey")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
     qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention,
     qRollingTimeWindow, qActivityStreaks, qFirstTouch, qIdleRich,
-    qImportantStock, qLorenzGini)
+    qImportantStock, qLorenzGini, qSupplierLeadTime)
 }

@@ -502,7 +502,61 @@ object EventFlow {
       .orderBy("day")
   }
 
+  /** RATE-LIMIT AUDIT (abuse detection): user-days whose event count
+    * reaches the corpus-wide p99 of user-day activity — the
+    * bot/scraper shortlist an abuse team reviews. The p99 threshold
+    * is percentile_disc by pure integer rank over the DISTINCT-COUNT
+    * census (cum·100 ≥ tot·99 — q234's rule), so the flag is
+    * deterministic and partitioning-independent; each offender row
+    * carries the threshold that flagged it plus its exact multiple of
+    * the median user-day (cross-multiplied ppm).
+    *
+    * Scale (100 TB): one (user, day) count aggregate; the threshold
+    * comes from the distinct-count census (bounded by the max
+    * user-day activity, not user count); flagging is a scan filter
+    * against one broadcast scalar census row. */
+  val qRateLimitAudit: GraftQuery = GraftQuery(
+    "q293_rate_limit_audit",
+    """WITH ud AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |census AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM ud GROUP BY n),
+      |cum AS (
+      |  SELECT n, SUM(c) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(c) OVER () AS tot
+      |  FROM census),
+      |thr AS (
+      |  SELECT MIN(CASE WHEN cw * 100 >= tot * 99 THEN n END) AS p99,
+      |    MIN(CASE WHEN cw * 2 >= tot THEN n END) AS p50
+      |  FROM cum)
+      |SELECT u.user_id, u.day, u.n, t.p99, t.p50,
+      |  CAST((u.n * 1000000) // t.p50 AS BIGINT) AS x_median_ppm
+      |FROM ud u CROSS JOIN thr t
+      |WHERE u.n >= t.p99
+      |ORDER BY u.day, u.user_id""".stripMargin) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val census = ud.groupBy("n").agg(count(lit(1)).as("c"))
+    val cum = census
+      .withColumn("cw", sum("c").over(Window.orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("c").over(Window.partitionBy()))
+    val thr = cum.agg(
+      min(when(col("cw") * 100 >= col("tot") * 99, col("n"))).as("p99"),
+      min(when(col("cw") * 2 >= col("tot"), col("n"))).as("p50"))
+      .withColumn("one", lit(1))
+    ud.withColumn("one", lit(1))
+      .join(broadcast(thr), "one")
+      .where(col("n") >= col("p99"))
+      .select(col("user_id"), col("day"), col("n"), col("p99"), col("p50"),
+        expr("(n * 1000000) div p50").as("x_median_ppm"))
+      .orderBy("day", "user_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qTransitions, qTheilSen, qConversionDelay, qCusum, qTrigrams,
-      qContextGini, qInterpQuantiles, qSloBurn)
+      qContextGini, qInterpQuantiles, qSloBurn, qRateLimitAudit)
 }
