@@ -930,10 +930,77 @@ object Advanced {
       .orderBy("l_suppkey")
   }
 
+  /** OPEN-ORDER AGING: the accounts-receivable-style backlog report —
+    * non-finished orders bucketed by age against the corpus's own max
+    * order date (injectable-clock discipline), with exact cents value
+    * per (status, bucket) cell and the share of open value in exact
+    * ppm. Age buckets are the standard 30/60/90/120+ ladder, assigned
+    * by integer day arithmetic.
+    *
+    * Scale (100 TB): one scan with a broadcast 1-row anchor… no — the
+    * anchor rides a window over the (status, bucket) census? It
+    * can't (the bucket needs the anchor per row), so the anchor is
+    * attached by the q273 1-row broadcast; the aggregate is map-side
+    * combinable into ≤ 2·5 cells. */
+  val qOrderAging: GraftQuery = GraftQuery(
+    "q295_order_aging",
+    """WITH anch AS (
+      |  SELECT CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS today FROM orders),
+      |aged AS (
+      |  SELECT o.o_orderstatus AS status,
+      |    CAST(a.today - CAST(o.o_orderdate AS DATE) AS BIGINT) AS age_d,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders o CROSS JOIN anch a
+      |  WHERE o.o_orderstatus <> 'F'),
+      |bucketed AS (
+      |  SELECT status,
+      |    CASE WHEN age_d < 30 THEN '0-29'
+      |         WHEN age_d < 60 THEN '30-59'
+      |         WHEN age_d < 90 THEN '60-89'
+      |         WHEN age_d < 120 THEN '90-119'
+      |         ELSE '120+' END AS bucket,
+      |    cents
+      |  FROM aged),
+      |cells AS (
+      |  SELECT status, bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) AS value_cents
+      |  FROM bucketed GROUP BY status, bucket)
+      |SELECT status, bucket, n_orders, value_cents,
+      |  CAST((value_cents * 1000000) // (SUM(value_cents) OVER ()) AS BIGINT)
+      |    AS value_share_ppm
+      |FROM cells ORDER BY status, bucket""".stripMargin) { (s, d) =>
+    val anch = Tables.orders(s, d)
+      .agg(max(col("o_orderdate").cast("date")).as("today"))
+      .withColumn("one", lit(1))
+    val aged = Tables.orders(s, d)
+      .where(col("o_orderstatus") =!= "F")
+      .withColumn("one", lit(1))
+      .join(broadcast(anch), "one")
+      .select(col("o_orderstatus").as("status"),
+        datediff(col("today"), col("o_orderdate").cast("date")).cast("long").as("age_d"),
+        (col("o_totalprice").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    val cells = aged
+      .withColumn("bucket",
+        when(col("age_d") < 30, "0-29")
+          .when(col("age_d") < 60, "30-59")
+          .when(col("age_d") < 90, "60-89")
+          .when(col("age_d") < 120, "90-119")
+          .otherwise("120+"))
+      .groupBy("status", "bucket")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").cast("long").as("value_cents"))
+    cells
+      .withColumn("tot", sum("value_cents").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("value_share_ppm",
+        expr("(value_cents * 1000000) div tot"))
+      .drop("tot")
+      .orderBy("status", "bucket")
+  }
+
   def all: Seq[GraftQuery] = Seq(
     qSmallQtyRevenue, qMarketShare, qGroupingSets, qNullSafeJoin,
     qMultisetOps, qHashSample, qHistogram, qFullOuterArgPick, qStatsExact,
     qGapFill, qForwardFill, qFunnel, qBlameSuppliers, qSlidingMau, qRetention,
     qRollingTimeWindow, qActivityStreaks, qFirstTouch, qIdleRich,
-    qImportantStock, qLorenzGini, qSupplierLeadTime)
+    qImportantStock, qLorenzGini, qSupplierLeadTime, qOrderAging)
 }

@@ -186,13 +186,47 @@ object NeuralEmbed {
     * Floats: the tier's expressions (CosineSimilarity,
     * NearestCentroid) take ARRAY<FLOAT>; double→float is one IEEE
     * rounding, identical in Spark and DuckDB's CAST. */
+  /** The featurized (doc_id, chargram-counts) relation, memoized and
+    * PERSISTED per (session, corpus). The cache is load-bearing for
+    * plan shape, not just reuse: staged projections alone do NOT
+    * protect the featurizer — CollapseProject re-inlines `v` into the
+    * 5 hidden units and those into the 16 output dims, leaving 5,121
+    * CharGramVector occurrences in the physical plan (measured: the
+    * sf0.1 materialization went 63 s → sub-second once the
+    * InMemoryRelation boundary stopped the collapse; q143 fell
+    * 137 s → ~2 s). At 100 TB this relation is the featurized table a
+    * pipeline would materialize to parquet anyway (q135's export). */
+  private val featMemo =
+    new graft.spark.SessionMemo[String, DataFrame]("neural_featurized")(_.unpersist())
+
+  private def featurized(s: SparkSession, d: String): DataFrame =
+    featMemo.getOrElseUpdate(s, d) {
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), CharGramVector(col("text"), inDim).as("v"))
+        .persist()
+      f.count()
+      f
+    }
+
+  /** The embedding relation itself is ALSO memoized+persisted: the
+    * exactness-mandated unrolled MLP (16 dims × 5 hidden × 64 terms,
+    * fixed left-assoc order) is a ~5,000-term projection whose codegen
+    * costs seconds PER QUERY; materializing it once per (session,
+    * corpus) makes every consumer (q142–q145, the ANN joins that
+    * reference it on both sides) read 64 floats instead of
+    * re-compiling and re-running the layer stack. */
+  private val vecsMemo =
+    new graft.spark.SessionMemo[String, DataFrame]("neural_vecs")(_.unpersist())
+
   private[graft] def neuralVecs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), CharGramVector(col("text"), inDim).as("v"))
-      // STAGED projections: bind h0..h4 to real columns before the
-      // 16 output dims reference them — inlining hiddenCol into every
-      // embedding dim (16×5×64 terms) rendered a ~1 MB plan string
-      // and a 3 MB task binary for no semantic difference
+    vecsMemo.getOrElseUpdate(s, d) {
+      val v = neuralVecsPlan(s, d).persist()
+      v.count()
+      v
+    }
+
+  private def neuralVecsPlan(s: SparkSession, d: String): DataFrame =
+    featurized(s, d)
       .select(col("doc_id") +:
         (0 until hidden).map(k => hiddenCol(col("v"), k).as(s"h$k")): _*)
       .select(col("doc_id"),
