@@ -434,7 +434,80 @@ object QualityGate {
       .orderBy("fold")
   }
 
+  /** CUMULATIVE GAINS / LIFT CHART for the quality gate — "if I keep
+    * only the top-k/10 of documents by gate score, what fraction of
+    * the src0 positives do I capture, and at what lift over random?"
+    * (q167 compresses ranking power to one AUC; q177 checks
+    * calibration; this is the third standard sheet — the one a
+    * budget decision actually reads.) Deciles are cut best-first over
+    * the DISTINCT-LOGIT census by the census-arithmetic rule
+    * (min(9, 10·pw div tot), pw = docs with strictly higher score —
+    * identical doubles group exactly in both engines); gains and lift
+    * are exact cross-multiplied ppm.
+    *
+    * Scale (100 TB): the score census is one map-side-combinable
+    * aggregate; deciles, gains and lift are windows over that census
+    * — the q167 physics with decile resolution. */
+  val qGateGains: GraftQuery = GraftQuery(
+    "q297_gate_gains",
+    s"""WITH grams AS (
+       |  ${TextVector.gramsSql}),
+       |vecs AS (
+       |  ${TextVector.vecSql}),
+       |scored AS (
+       |  SELECT v.doc_id, $dotSql AS logit,
+       |    CAST(d.source = 'src0' AS BIGINT) AS label
+       |  FROM vecs v JOIN documents d ON v.doc_id = d.doc_id),
+       |census AS (
+       |  SELECT logit, CAST(COUNT(*) AS BIGINT) AS c,
+       |    CAST(SUM(label) AS BIGINT) AS pos
+       |  FROM scored GROUP BY logit),
+       |cum AS (
+       |  SELECT logit, c, pos,
+       |    SUM(c) OVER (ORDER BY logit DESC ROWS UNBOUNDED PRECEDING) AS cw,
+       |    SUM(c) OVER () AS tot
+       |  FROM census),
+       |binned AS (
+       |  SELECT least(9, ((cw - c) * 10) // tot) AS decile,
+       |    CAST(SUM(c) AS BIGINT) AS n_docs, CAST(SUM(pos) AS BIGINT) AS n_pos
+       |  FROM cum GROUP BY 1),
+       |gains AS (
+       |  SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
+       |    CAST(SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+       |    SUM(n_pos) OVER () AS tot_pos,
+       |    SUM(n_docs) OVER () AS tot_docs
+       |  FROM binned)
+       |SELECT decile, n_docs, n_pos, cum_pos,
+       |  CAST((cum_pos * 1000000) // tot_pos AS BIGINT) AS gains_ppm,
+       |  CAST((n_pos * tot_docs * 1000000) // (n_docs * tot_pos) AS BIGINT) AS lift_ppm
+       |FROM gains ORDER BY decile""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        logitOf(CharGramVector(col("text"), TextVector.dim)).as("logit"),
+        (col("source") === "src0").cast("bigint").as("label"))
+    val census = scored.groupBy("logit")
+      .agg(count(lit(1)).as("c"), sum("label").as("pos"))
+    val cum = census
+      .withColumn("cw", sum("c").over(Window.orderBy(col("logit").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("c").over(Window.partitionBy()))
+    val binned = cum
+      .groupBy(least(lit(9L), expr("((cw - c) * 10) div tot")).as("decile"))
+      .agg(sum("c").as("n_docs"), sum("pos").as("n_pos"))
+    val gains = binned
+      .withColumn("cum_pos", sum("n_pos").over(Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_pos", sum("n_pos").over(Window.partitionBy()))
+      .withColumn("tot_docs", sum("n_docs").over(Window.partitionBy()))
+    gains.select(col("decile").cast("int").as("decile"),
+      col("n_docs"), col("n_pos"), col("cum_pos"),
+      expr("(cum_pos * 1000000) div tot_pos").as("gains_ppm"),
+      expr("(n_pos * tot_docs * 1000000) div (n_docs * tot_pos)").as("lift_ppm"))
+      .orderBy("decile")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qQualityGateScore, qGateAuc, qGateCalibration, qScoreNormalize,
-      qGateFoldAuc)
+      qGateFoldAuc, qGateGains)
 }

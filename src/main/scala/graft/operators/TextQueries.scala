@@ -56,6 +56,55 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX: q23's per-doc classifier rolled up
+    * into the (declared × guessed) grid with exact-ppm per-class
+    * recall — the evaluation sheet a lang-ID model actually ships
+    * with (q23 emits per-doc rows; this is the census an eval
+    * pipeline reads). Diagonal cells are hits; per declared lang the
+    * recall is hits·10⁶ div class size, all integer.
+    *
+    * Scale (100 TB): the classifier is a scan-fused expression; the
+    * matrix is one map-side-combinable count into ≤|langs|² cells. */
+  val qLangConfusion: GraftQuery = GraftQuery(
+    "q296_lang_confusion",
+    s"""WITH scored AS (
+       |  SELECT lang AS declared,
+       |    CAST(${hitCountSql(langMarkers("en"))} AS INTEGER) AS s_en,
+       |    CAST(${hitCountSql(langMarkers("es"))} AS INTEGER) AS s_es,
+       |    CAST(${hitCountSql(langMarkers("de"))} AS INTEGER) AS s_de,
+       |    CAST(${hitCountSql(langMarkers("fr"))} AS INTEGER) AS s_fr
+       |  FROM documents),
+       |guessed AS (
+       |  SELECT declared,
+       |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |         WHEN s_de >= s_fr THEN 'de'
+       |         ELSE 'fr' END AS guess
+       |  FROM scored),
+       |cells AS (
+       |  SELECT declared, guess, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM guessed GROUP BY declared, guess),
+       |tot AS (
+       |  SELECT declared, guess, n,
+       |    SUM(n) OVER (PARTITION BY declared) AS class_n
+       |  FROM cells)
+       |SELECT declared, guess, n, CAST(class_n AS BIGINT) AS class_n,
+       |  CAST((CASE WHEN declared = guess THEN n ELSE 0 END * 1000000)
+       |    // class_n AS BIGINT) AS recall_ppm
+       |FROM tot ORDER BY declared, guess""".stripMargin) { (s, d) =>
+    val guessed = Tables.documents(s, d)
+      .select(col("lang").as("declared"),
+        graft.functions.TextFunctions.langGuess(col("text")).as("guess"))
+    val cells = guessed.groupBy("declared", "guess").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("class_n", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("declared")))
+      .select(col("declared"), col("guess"), col("n"), col("class_n"),
+        expr("((CASE WHEN declared = guess THEN n ELSE 0 END) * 1000000) div class_n")
+          .as("recall_ppm"))
+      .orderBy("declared", "guess")
+  }
+
   /** Marker-based language ID (argmax over exact int scores). */
   val qTextLangid: GraftQuery = GraftQuery(
     "q23_text_langid",
@@ -155,5 +204,5 @@ object TextQueries {
 
   def all: Seq[GraftQuery] = Seq(
     qTextTokens, qTextQuality, qTextLangid, qTextFingerprint, qExtractNumbers,
-    qNfcNormalize)
+    qNfcNormalize, qLangConfusion)
 }
