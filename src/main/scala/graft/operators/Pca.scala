@@ -80,33 +80,55 @@ object Pca {
 
   private[operators] final case class PcaParts(smat: DataFrame, v: DataFrame)
 
-  /** The exact scatter matrix and scaled integer top component — the
-    * engine half of [[pcaCtesSql]], shared by q275 and composers. */
-  private[operators] def pcaParts(s: org.apache.spark.sql.SparkSession,
-      d: String): PcaParts = {
-    // ONE pass over the corpus: the quantized vectors fold into a
-    // d·(d+1)/2 upper-triangle buffer (graftshim.GramMatrix) instead
-    // of the d²-rows-per-vector coordinate self-join — same integer
-    // sums, no blow-up (ScaleBench `gram` probe measures the gap).
-    val qvec = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"),
-        x => floor(x.cast("double") * scaleU).cast("long")).as("qv"))
+  /** Quantized (vec_id, qv) relation over an embeddings slice. */
+  private[operators] def qvecOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * scaleU).cast("long")).as("qv"))
+
+  /** The per-slice MOMENT partials — upper-triangle Gram cells plus
+    * coordinate sums plus the row count, all ADDITIVE (a monoid):
+    * per-batch partials re-sum to the whole corpus's moments, which
+    * is what makes PCA incrementally maintainable (q298). */
+  private[graft] def gramPartial(emb: DataFrame): DataFrame = {
+    val qvec = qvecOf(emb)
     val tri = qvec
-      .agg(org.apache.spark.sql.graftshim.GramMatrix(col("qv"), dim).as("tri"))
-      .select(explode(col("tri")).as("e"))
+      .agg(org.apache.spark.sql.graftshim.GramMatrix(col("qv"), dim).as("tri"),
+        count(lit(1)).as("n"))
+      .select(col("n"), explode(col("tri")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"),
-        col("e.g").cast("decimal(38,0)").as("g"))
+        col("e.g").cast("decimal(38,0)").as("g"), col("n"))
+    val sums = qvec.select(posexplode(col("qv")).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).as("i")).agg(isum(col("x")).as("si"))
+    // one row per (i, j) cell carrying the slice's n and the i-sum
+    // (duplicated per j — compact: ≤ d·(d+1)/2 rows per slice)
+    tri.join(sums, "i")
+  }
+
+  /** Fold moment partials and run the fixed-iteration eigensolver —
+    * shared by q275 (one partial over the whole corpus) and q298
+    * (per-batch partials appended by the stream). */
+  private[graft] def pcaFromPartials(s: org.apache.spark.sql.SparkSession,
+      partials: DataFrame): PcaParts = {
+    val tri = partials.groupBy("i", "j")
+      .agg(sum("g").cast("decimal(38,0)").as("g"))
       .localCheckpoint()
     val gram = tri.unionByName(tri.where(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("g")))
-    val flat = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "x")))
-      .select(col("vec_id"), (col("p") + 1).as("i"),
-        floor(col("x").cast("double") * scaleU).cast("long").as("q"))
-    val sums = flat.groupBy("i").agg(isum(col("q")).as("si"))
+    // si and n ride duplicated across a slice's (i, j) rows: the
+    // diagonal (j = i) carries each (slice, i) exactly once, and cell
+    // (1, 1) carries each slice's n exactly once — so the folds below
+    // are exact sums over slices, never double-counted
+    buildAndIterate(s, gram,
+      partials.where(col("j") === col("i"))
+        .groupBy("i").agg(sum(col("si")).as("si")),
+      partials.where(col("i") === 1 && col("j") === 1)
+        .agg(sum(col("n")).as("n")))
+  }
+
+  private def buildAndIterate(s: org.apache.spark.sql.SparkSession,
+      gram: DataFrame, sums: DataFrame, nRow0: DataFrame): PcaParts = {
     val wAll = Window.partitionBy()
-    val nRow = qvec.agg(count(lit(1)).as("n"))
-      .withColumn("one", lit(1))
+    val nRow = nRow0.withColumn("one", lit(1))
     val smat = gram.withColumn("one", lit(1))
       .join(broadcast(nRow), "one")
       .join(broadcast(sums.select(col("i").as("ia"), col("si").as("sa"))),
@@ -134,6 +156,12 @@ object Pca {
     PcaParts(smat, v)
   }
 
+  /** The exact scatter matrix and scaled integer top component over
+    * the whole embeddings table — ONE moment partial folded. */
+  private[operators] def pcaParts(s: org.apache.spark.sql.SparkSession,
+      d: String): PcaParts =
+    pcaFromPartials(s, gramPartial(Tables.embeddings(s, d)))
+
   val qPcaTop: GraftQuery = GraftQuery(
     "q275_pca_top_component",
     s"""WITH $pcaCtesSql,
@@ -149,7 +177,12 @@ object Pca {
        |  CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) AS scatter_eig
        |FROM v$iters v CROSS JOIN ray r
        |ORDER BY idx""".stripMargin) { (s, d) =>
-    val parts = pcaParts(s, d)
+    pcaReport(pcaParts(s, d))
+  }
+
+  /** q275's output rendering over a solved PcaParts — shared with the
+    * streaming maintenance (q298). */
+  private[graft] def pcaReport(parts: PcaParts): DataFrame = {
     val v = parts.v
     val wf = parts.smat.join(v, "j").groupBy("i")
       .agg(sum(col("sv") * col("vj")).as("wi"))

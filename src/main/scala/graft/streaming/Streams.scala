@@ -1367,6 +1367,55 @@ object Streams {
     streamCdcApply(s, d)
   }
 
+  // ---- q298: streaming PCA maintenance ----
+
+  /** STREAMING PCA: q275's top principal component maintained over an
+    * arriving embedding stream. The eigensolver's INPUTS are a monoid
+    * — Gram cells, coordinate sums, and the row count are all
+    * additive — so each micro-batch appends one ≤ d·(d+1)/2-row
+    * moment partial (the GramMatrix one-pass aggregate over just the
+    * batch) and the serve folds the partials and runs the fixed
+    * 8-iteration integer solver. The drained component is
+    * hash-identical to batch q275 under ANY arrival slicing (same
+    * oracle): the non-linear iteration never sees partial state, only
+    * the exactly-folded moments. This is the q265/q278 partial-log
+    * posture reaching an EIGENSOLVER — the strongest form of the
+    * "additive layer below, non-additive math at serve" argument.
+    *
+    * 100 TB/day: per trigger the exchange carries one 2,080-cell
+    * partial; sink growth is O(d²) per trigger and compacts by the
+    * same fold. */
+  def streamPca(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_pca", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    val dir = srcDir.getOrElse(
+      stageAsStreamDir("graft_stream_emb", sfDir, "embeddings.parquet"))
+    withStreamShufflePartitions(spark) {
+      val reader = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val q = reader.parquet(dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Pca.gramPartial(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.operators.Pca.pcaReport(
+      graft.operators.Pca.pcaFromPartials(spark, spark.read.parquet(outDir)))
+  }
+
+  val qStreamPca: GraftQuery = GraftQuery(
+    "q298_stream_pca",
+    graft.operators.Pca.qPcaTop.oracle.get) { (s, d) =>
+    streamPca(s, d)
+  }
+
   // ---- q288: streaming Merkle maintenance ----
 
   /** STREAMING MERKLE MAINTENANCE: q266's additive bucket
@@ -1646,5 +1695,5 @@ object Streams {
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
-      qStreamSessionKpis)
+      qStreamSessionKpis, qStreamPca)
 }

@@ -583,6 +583,21 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("q298: moment partials across micro-batches solve to the batch eigenvector") {
+    // the eigensolver is non-linear, but its INPUTS are a monoid —
+    // any arrival slicing must fold to the identical component
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_pca").toString
+    Tables.embeddings(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = Streams.streamPca(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q275_pca_top_component")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "folded-moment PCA must equal batch PCA bit-for-bit")
+  }
+
   test("q282: per-batch arg_max partials re-fold to the batch MERGE state") {
     // arg_max is a monoid on the version order — any arrival slicing
     // (repartition(3) deliberately breaks doc order) folds to q281
