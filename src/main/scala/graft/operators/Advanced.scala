@@ -937,11 +937,10 @@ object Advanced {
     * ppm. Age buckets are the standard 30/60/90/120+ ladder, assigned
     * by integer day arithmetic.
     *
-    * Scale (100 TB): one scan with a broadcast 1-row anchor… no — the
-    * anchor rides a window over the (status, bucket) census? It
-    * can't (the bucket needs the anchor per row), so the anchor is
-    * attached by the q273 1-row broadcast; the aggregate is map-side
-    * combinable into ≤ 2·5 cells. */
+    * Scale (100 TB): the bucket needs the anchor PER ROW (it can't
+    * ride a census window), so the anchor is attached by the q273
+    * 1-row broadcast; the aggregate is then map-side combinable into
+    * ≤ 2·5 cells and the share window runs over that census. */
   val qOrderAging: GraftQuery = GraftQuery(
     "q295_order_aging",
     """WITH anch AS (
