@@ -291,6 +291,47 @@ object Behavior {
     * fact exchange); each metric's quintile map is a census window
     * over DISTINCT metric values joined back by equi-key; the segment
     * report is map-side combinable. */
+  /** q290's quintile/segment math over a per-customer (last order
+    * date, order count, cents) relation — shared with the streaming
+    * reconstruction (q299), whose per-batch partials fold by
+    * (max, sum, sum): a monoid, so arrival slicing cannot change the
+    * result. The anchor (corpus max date) and the quintile
+    * boundaries are data-dependent and therefore recompute at serve,
+    * never frozen from early batches (the q278 PSI lesson). */
+  def rfmSegmentsFrom(rfm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val anch = rfm.withColumn("r",
+      datediff(max("last_d").over(Window.partitionBy()), col("last_d")).cast("long"))
+    def quintile(valueCol: String): org.apache.spark.sql.DataFrame = {
+      val census = anch.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      census
+        .withColumn("cw", sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("c").over(Window.partitionBy()))
+        .select(col("v"), least(lit(4L), expr("((cw - c) * 5) div tot")).as("bin"))
+    }
+    anch
+      .join(quintile("r").withColumnRenamed("bin", "r_bin"), col("v") === col("r"))
+      .drop("v")
+      .join(quintile("f").withColumnRenamed("bin", "f_bin"), col("v") === col("f"))
+      .drop("v")
+      .join(quintile("m").withColumnRenamed("bin", "m_bin"), col("v") === col("m"))
+      .drop("v")
+      .groupBy(col("r_bin").cast("int").as("r_bin"),
+        col("f_bin").cast("int").as("f_bin"),
+        col("m_bin").cast("int").as("m_bin"))
+      .agg(count(lit(1)).as("n_customers"), sum("m").as("total_cents"))
+      .orderBy("r_bin", "f_bin", "m_bin")
+  }
+
+  /** Per-customer RFM metrics over an orders slice — the additive
+    * relation q299 appends per micro-batch. */
+  def rfmMetrics(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    orders.groupBy("o_custkey").agg(
+      max(col("o_orderdate").cast("date")).as("last_d"),
+      count(lit(1)).as("f"),
+      sum((col("o_totalprice").cast("decimal(14,2)") * 100).cast("long"))
+        .cast("long").as("m"))
+
   val qRfmSegments: GraftQuery = GraftQuery(
     "q290_rfm_segments",
     """WITH rfm AS (
@@ -323,33 +364,7 @@ object Behavior {
       |JOIN mb ON mb.v = a.m
       |GROUP BY 1, 2, 3
       |ORDER BY r_bin, f_bin, m_bin""".stripMargin) { (s, d) =>
-    val rfm = Tables.orders(s, d).groupBy("o_custkey").agg(
-      max(col("o_orderdate").cast("date")).as("last_d"),
-      count(lit(1)).as("f"),
-      sum((col("o_totalprice").cast("decimal(14,2)") * 100).cast("long"))
-        .cast("long").as("m"))
-    val anch = rfm.withColumn("r",
-      datediff(max("last_d").over(Window.partitionBy()), col("last_d")).cast("long"))
-    def quintile(valueCol: String): org.apache.spark.sql.DataFrame = {
-      val census = anch.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
-      census
-        .withColumn("cw", sum("c").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum("c").over(Window.partitionBy()))
-        .select(col("v"), least(lit(4L), expr("((cw - c) * 5) div tot")).as("bin"))
-    }
-    anch
-      .join(quintile("r").withColumnRenamed("bin", "r_bin"), col("v") === col("r"))
-      .drop("v")
-      .join(quintile("f").withColumnRenamed("bin", "f_bin"), col("v") === col("f"))
-      .drop("v")
-      .join(quintile("m").withColumnRenamed("bin", "m_bin"), col("v") === col("m"))
-      .drop("v")
-      .groupBy(col("r_bin").cast("int").as("r_bin"),
-        col("f_bin").cast("int").as("f_bin"),
-        col("m_bin").cast("int").as("m_bin"))
-      .agg(count(lit(1)).as("n_customers"), sum("m").as("total_cents"))
-      .orderBy("r_bin", "f_bin", "m_bin")
+    rfmSegmentsFrom(rfmMetrics(Tables.orders(s, d)))
   }
 
   def all: Seq[GraftQuery] =

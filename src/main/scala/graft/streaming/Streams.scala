@@ -1367,6 +1367,54 @@ object Streams {
     streamCdcApply(s, d)
   }
 
+  // ---- q299: streaming RFM maintenance ----
+
+  /** STREAMING RFM: q290's segmentation maintained over an arriving
+    * order stream. Per-batch per-customer partials (max last-order
+    * date, order count, cents) fold by (max, sum, sum) — a monoid —
+    * and EVERYTHING data-dependent (the recency anchor, all three
+    * quintile boundaries) recomputes at serve over the folded
+    * metrics, never frozen from early batches (the q278 lesson at
+    * segmentation scale: early-frozen boundaries would mis-bin every
+    * later customer). Drained segments equal batch q290 (same
+    * oracle) under any arrival slicing.
+    *
+    * 100 TB/day: per trigger the exchange carries one row per
+    * customer TOUCHED in the batch; the sink compacts by the fold. */
+  def streamRfm(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_rfm", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    val dir = srcDir.getOrElse(
+      stageAsStreamDir("graft_stream_orders", sfDir, "orders.parquet"))
+    withStreamShufflePartitions(spark) {
+      val fileSchema = spark.read.parquet(dir).schema
+      val reader = spark.readStream.schema(fileSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val q = reader.parquet(dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Behavior.rfmMetrics(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val folded = spark.read.parquet(outDir)
+      .groupBy("o_custkey")
+      .agg(max("last_d").as("last_d"), sum("f").cast("long").as("f"),
+        sum("m").cast("long").as("m"))
+    graft.operators.Behavior.rfmSegmentsFrom(folded)
+  }
+
+  val qStreamRfm: GraftQuery = GraftQuery(
+    "q299_stream_rfm",
+    graft.operators.Behavior.qRfmSegments.oracle.get) { (s, d) =>
+    streamRfm(s, d)
+  }
+
   // ---- q298: streaming PCA maintenance ----
 
   /** STREAMING PCA: q275's top principal component maintained over an
@@ -1695,5 +1743,5 @@ object Streams {
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
-      qStreamSessionKpis, qStreamPca)
+      qStreamSessionKpis, qStreamPca, qStreamRfm)
 }

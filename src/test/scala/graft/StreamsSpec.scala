@@ -583,6 +583,18 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("q299: RFM partials fold and quintiles recompute at serve — equals batch q290") {
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_rfm").toString
+    Tables.orders(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = Streams.streamRfm(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q290_rfm_segments")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("q298: moment partials across micro-batches solve to the batch eigenvector") {
     // the eigensolver is non-linear, but its INPUTS are a monoid —
     // any arrival slicing must fold to the identical component
