@@ -44,6 +44,18 @@ object Pca {
        |  FROM $s m JOIN $v v ON v.j = m.j
        |  GROUP BY m.i)""".stripMargin
 
+  /** Stage-2 renormalization (divide FIRST — the deflated operator's
+    * magnitudes leave no room for the multiply-then-divide form):
+    * vj = sign(w)·(|w| div max(m div 1024, 1)), landing near the
+    * 2¹⁰ grid. Non-negative div only, mirrored exactly. */
+  private def rescale2Sql(w: String, v: String): String =
+    s"""${v}_m AS (SELECT greatest(MAX(abs(wi)) // 1024, 1) AS m FROM $w),
+       |$v AS MATERIALIZED (
+       |  SELECT i AS j,
+       |    (CASE WHEN wi < 0 THEN -1 ELSE 1 END)
+       |      * (abs(wi) // (SELECT m FROM ${v}_m)) AS vj
+       |  FROM $w)""".stripMargin
+
   private def rescaleSql(w: String, v: String): String =
     s"""${v}_m AS (SELECT greatest(MAX(abs(wi)), 1) AS m FROM $w),
        |$v AS MATERIALIZED (
@@ -305,5 +317,134 @@ object Pca {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[GraftQuery] = Seq(qPcaTop, qResidualTopK)
+  /** SECOND PRINCIPAL COMPONENT by EXACT integer deflation. The top
+    * component v₁ (re-quantized to 2¹⁰ units so every deflated term
+    * fits DECIMAL(38,0)) is removed from the scatter matrix by the
+    * projector identity S′ = c²·S − c·(u·wᵀ + w·uᵀ) + r·u·uᵀ with
+    * u = v₁, w = S·u, c = uᵀu, r = uᵀS·u — algebra gives S′·u = 0
+    * EXACTLY (the spec replays it in BigInt), so the same fixed
+    * 8-iteration integer solver on S′ converges to the second
+    * direction. Deflation is against the QUANTIZED v₁ (the honest
+    * contract: the removed direction is exactly the one q275
+    * reports, to its own grid).
+    *
+    * Scale (100 TB): zero new corpus work — S, u, w, c, r all derive
+    * from the d² census q275 already built; deflation and the second
+    * iteration run on d²+d rows. This is why the scatter-census
+    * factoring matters: every additional component is census-only. */
+  val qPcaSecond: GraftQuery = GraftQuery(
+    "q300_pca_second_component",
+    s"""WITH $pcaCtesSql,
+       |u AS (SELECT j,
+       |  (CASE WHEN vj < 0 THEN -1 ELSE 1 END) * ((abs(vj) * 256) // $scaleU) AS uj
+       |  FROM v$iters),
+       |c1 AS (SELECT SUM(uj * uj) AS c FROM u),
+       |w AS (
+       |  SELECT m.i, SUM(m.sv * u.uj) AS wi
+       |  FROM smat m JOIN u ON u.j = m.j
+       |  GROUP BY m.i),
+       |r1 AS (
+       |  SELECT SUM(w.wi * u.uj) AS r
+       |  FROM w JOIN u ON u.j = w.i),
+       |smat2raw AS MATERIALIZED (
+       |  SELECT m.i, m.j,
+       |    (SELECT c FROM c1) * (SELECT c FROM c1) * m.sv
+       |      - (SELECT c FROM c1) * (ua.uj * wb.wi + wa.wi * ub.uj)
+       |      + (SELECT r FROM r1) * ua.uj * ub.uj AS sv
+       |  FROM smat m
+       |  JOIN u ua ON ua.j = m.i
+       |  JOIN u ub ON ub.j = m.j
+       |  JOIN w wa ON wa.i = m.i
+       |  JOIN w wb ON wb.i = m.j),
+       |smat2 AS MATERIALIZED (
+       |  SELECT i, j, sv // $scaleU AS sv
+       |  FROM smat2raw),
+       |y0 AS (SELECT unnest(generate_series(1, $dim)) AS j, 1024 AS vj),
+       |${(1 to iters).map(k =>
+          matvecSql("smat2", s"y${k - 1}", s"z$k") + ",\n" +
+            rescale2Sql(s"z$k", s"y$k")).mkString(",\n")},
+       |zf AS (
+       |  SELECT m.i, SUM(m.sv * v.vj) AS wi
+       |  FROM smat2 m JOIN y$iters v ON v.j = m.j
+       |  GROUP BY m.i),
+       |ray2 AS (
+       |  SELECT SUM(z.wi * v.vj) AS num, SUM(v.vj * v.vj) AS den
+       |  FROM zf z JOIN y$iters v ON v.j = z.i),
+       |ortho AS (
+       |  SELECT SUM(v.vj * u.uj) AS uv, SUM(abs(v.vj)) AS vabs
+       |  FROM y$iters v JOIN u ON u.j = v.j)
+       |SELECT v.j AS idx, CAST(v.vj AS BIGINT) AS v_scaled,
+       |  CAST(v.vj AS DOUBLE) / 1024.0 AS loading,
+       |  CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) AS deflated_eig,
+       |  CAST(o.uv AS BIGINT) AS u_dot_v
+       |FROM y$iters v CROSS JOIN ray2 r CROSS JOIN ortho o
+       |ORDER BY idx""".stripMargin) { (s, d) =>
+    val parts = pcaParts(s, d)
+    // sign-split the re-quantization: Spark div truncates, DuckDB //
+    // floors — identical only on non-negative operands (skill rule)
+    val u = parts.v.select(col("j"),
+      expr(s"(case when vj < 0 then -1 else 1 end) * ((abs(vj) * 256) div $scaleU)")
+        .as("uj"))
+      .localCheckpoint()
+    val w = parts.smat.join(u, "j").groupBy("i")
+      .agg(sum(col("sv") * col("uj")).as("wi")).localCheckpoint()
+    val c1 = u.agg(sum(col("uj").cast("decimal(38,0)") * col("uj")).as("c"))
+      .withColumn("one", lit(1))
+    val r1 = w.join(u.withColumnRenamed("j", "i"), "i")
+      .agg(sum(col("wi") * col("uj")).as("r")).withColumn("one", lit(1))
+    val smat2 = parts.smat.withColumn("one", lit(1))
+      .join(broadcast(c1), "one").join(broadcast(r1), "one")
+      .join(broadcast(u.select(col("j").as("i"), col("uj").as("ua"))), "i")
+      .join(broadcast(u.select(col("j"), col("uj").as("ub"))), "j")
+      .join(broadcast(w.select(col("i"), col("wi").as("wa"))), "i")
+      .join(broadcast(w.select(col("i").as("j2"), col("wi").as("wb"))),
+        col("j") === col("j2"))
+      .select(col("i"), col("j"),
+        (col("c") * col("c") * col("sv")
+          - col("c") * (col("ua") * col("wb") + col("wa") * col("ub"))
+          + col("r") * col("ua") * col("ub")).as("svr"))
+      // quantize the deflated operator to its own 2^-20 grid (the
+      // magnitudes otherwise overflow the matvec). Spark's `div`
+      // returns BIGINT — too small here — so floor-divide exactly in
+      // decimal: (x - pmod(x, s)) / s is integral (pmod is the
+      // non-negative remainder, so this is FLOOR, matching //)
+      .select(col("i"), col("j"),
+        expr(s"cast((svr - pmod(svr, $scaleU)) / $scaleU as decimal(38,0))")
+          .as("sv"))
+      .localCheckpoint()
+    val wAll = Window.partitionBy()
+    def matvec(v: DataFrame): DataFrame =
+      smat2.join(v, "j").groupBy("i").agg(sum(col("sv") * col("vj")).as("wi"))
+    def rescale(wd: DataFrame): DataFrame = {
+      val m = wd
+        .withColumn("mx", expr("max(abs(wi)) over ()"))
+        .withColumn("m", greatest(
+          expr("cast((mx - pmod(mx, 1024)) / 1024 as decimal(38,0))"),
+          lit(1L).cast("decimal(38,0)")))
+      m.select(col("i").as("j"),
+        (when(col("wi") < 0, -1L).otherwise(1L)
+          * expr("abs(wi) div m")).cast("long").as("vj"))
+    }
+    var v: DataFrame = s.range(1, dim + 1)
+      .select(col("id").as("j"), lit(1024L).as("vj"))
+    for (_ <- 1 to iters) v = rescale(matvec(v)).localCheckpoint()
+    val zf = matvec(v)
+    val ray2 = zf.join(v.withColumnRenamed("j", "i"), "i")
+      .agg(sum(col("wi") * col("vj")).as("num"),
+        sum(col("vj").cast("decimal(38,0)") * col("vj")).as("den"))
+      .withColumn("one", lit(1))
+    val ortho = v.join(u, "j")
+      .agg(sum(col("vj").cast("decimal(38,0)") * col("uj")).as("uv"),
+        sum(abs(col("vj")).cast("decimal(38,0)")).as("vabs"))
+      .withColumn("one", lit(1))
+    v.withColumn("one", lit(1))
+      .join(broadcast(ray2), "one").join(broadcast(ortho), "one")
+      .select(col("j").as("idx"), col("vj").cast("long").as("v_scaled"),
+        (col("vj").cast("double") / lit(1024.0)).as("loading"),
+        (col("num").cast("double") / col("den").cast("double")).as("deflated_eig"),
+        col("uv").cast("long").as("u_dot_v"))
+      .orderBy("idx")
+  }
+
+  val all: Seq[GraftQuery] = Seq(qPcaTop, qResidualTopK, qPcaSecond)
 }

@@ -319,7 +319,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q228_group_priority_sample", "q251_basket_pairs",
         "q273_idle_rich_customers", "q275_pca_top_component",
         "q277_residual_topk", "q293_rate_limit_audit",
-        "q295_order_aging", "q298_stream_pca")
+        "q295_order_aging", "q298_stream_pca",
+        "q300_pca_second_component")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
