@@ -256,7 +256,14 @@ object ZOrder {
       |  CAST((SUM(CASE WHEN pruned = 1 THEN n ELSE 0 END) * 1000000) // SUM(n)
       |    AS BIGINT) AS skip_ppm
       |FROM flagged GROUP BY layout ORDER BY layout""".stripMargin) { (s, d) =>
-    val f = Tables.lineitem(s, d)
+    auditZones(zoneMaps(Tables.lineitem(s, d)))
+  }
+
+  /** Per-layout (min, max, count) zone maps over a lineitem slice —
+    * a MONOID (fold by min/max/sum), so a streaming writer maintains
+    * the manifest by appending per-batch partials (q301). */
+  private[graft] def zoneMaps(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val f = lineitem
       .select(col("l_orderkey"), col("l_shipdate").cast("date").as("sd"))
     val za = f.groupBy(expr("l_orderkey div 512").as("bucket"))
       .agg(min("sd").as("zmin"), max("sd").as("zmax"), count(lit(1)).as("n"))
@@ -268,7 +275,12 @@ object ZOrder {
       .agg(min("sd").as("zmin"), max("sd").as("zmax"), count(lit(1)).as("n"))
       .select(lit("date_grouped").as("layout"), col("bucket"), col("zmin"),
         col("zmax"), col("n"))
-    val flagged = za.unionByName(zd).withColumn("pruned",
+    za.unionByName(zd)
+  }
+
+  /** q267's pruning report over a (possibly folded) zone-map relation. */
+  private[graft] def auditZones(zones: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val flagged = zones.withColumn("pruned",
       when(col("zmax") < lit("1999-01-01").cast("date") ||
         col("zmin") > lit("1999-03-31").cast("date"), 1).otherwise(0))
     flagged.groupBy("layout").agg(

@@ -1415,6 +1415,54 @@ object Streams {
     streamRfm(s, d)
   }
 
+  // ---- q301: streaming zone-map maintenance ----
+
+  /** STREAMING ZONE-MAP MAINTENANCE: q267's per-layout (min, max,
+    * count) manifests kept current as lineitem rows arrive — exactly
+    * how a lakehouse updates file statistics per commit instead of
+    * rescanning the table. Zone maps are a MONOID (fold by min / max
+    * / sum), so each micro-batch appends its own partial manifest and
+    * the serve-time audit runs on the fold; the drained pruning
+    * report is hash-identical to batch q267 under any arrival
+    * slicing (same oracle).
+    *
+    * 100 TB/day: per trigger the exchange carries the batch's own
+    * bucket cells; the manifest compacts by the same fold and the
+    * audit NEVER touches the fact table. */
+  def streamZoneMaps(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_zones", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    val dir = srcDir.getOrElse(
+      stageAsStreamDir("graft_stream_lineitem", sfDir, "lineitem.parquet"))
+    withStreamShufflePartitions(spark) {
+      val fileSchema = spark.read.parquet(dir).schema
+      val reader = spark.readStream.schema(fileSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val q = reader.parquet(dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.ZOrder.zoneMaps(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val folded = spark.read.parquet(outDir)
+      .groupBy("layout", "bucket")
+      .agg(min("zmin").as("zmin"), max("zmax").as("zmax"),
+        sum("n").cast("long").as("n"))
+    graft.operators.ZOrder.auditZones(folded)
+  }
+
+  val qStreamZoneMaps: GraftQuery = GraftQuery(
+    "q301_stream_zonemaps",
+    graft.operators.ZOrder.qZoneMapAudit.oracle.get) { (s, d) =>
+    streamZoneMaps(s, d)
+  }
+
   // ---- q298: streaming PCA maintenance ----
 
   /** STREAMING PCA: q275's top principal component maintained over an
@@ -1743,5 +1791,5 @@ object Streams {
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
-      qStreamSessionKpis, qStreamPca, qStreamRfm)
+      qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps)
 }

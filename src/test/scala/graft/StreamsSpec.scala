@@ -583,6 +583,18 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch)
   }
 
+  test("q301: zone-map partials fold to the batch manifest and pruning report") {
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_zones").toString
+    Tables.lineitem(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = Streams.streamZoneMaps(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q267_zonemap_audit")(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("q299: RFM partials fold and quintiles recompute at serve — equals batch q290") {
     val src = java.nio.file.Files.createTempDirectory("graft_mb_rfm").toString
     Tables.orders(spark, sf001).repartition(3)
