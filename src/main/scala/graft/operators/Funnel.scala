@@ -359,6 +359,84 @@ object Funnel {
       maxGapUs = Some(86400000000L))
   }
 
+  /** CO-PRESENCE PAIRS by BINNED INTERVAL SELF-JOIN: which user pairs
+    * were online simultaneously, and for how long — the social-proof /
+    * fraud-ring signal built from the same q256 sessions. A naive
+    * interval self-join is all-pairs; instead each session EXPANDS to
+    * its hour buckets and CLIPS to each bucket, the join is an
+    * EQUI-join on the bucket, and because the clipped segments
+    * partition time, per-bucket overlaps SUM to the exact total
+    * co-presence with no dedup step (integer µs; overlap =
+    * least(e) − greatest(s) + 1 on closed intervals).
+    *
+    * Scale (100 TB): the expansion factor is ⌈duration/bucket⌉ —
+    * bounded by session policy (a 30-min-gap session rarely spans
+    * many hours); the join is hash on the bucket key, pairs-per-
+    * bucket bounded by concurrent users (exactly what q256 measures
+    * — size the bucket so that number stays sane, or salt hot
+    * buckets through the q170 path); the final pair census is
+    * map-side combinable. */
+  val qCoPresence: GraftQuery = GraftQuery(
+    "q302_copresence_pairs",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |marks AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM seq),
+      |numbered AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM marks),
+      |sessions AS (
+      |  SELECT user_id, sess_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+      |  FROM numbered GROUP BY user_id, sess_id),
+      |segs AS (
+      |  SELECT user_id, hb.hb,
+      |    greatest(start_us, hb.hb * 3600000000) AS s,
+      |    least(end_us, (hb.hb + 1) * 3600000000 - 1) AS e
+      |  FROM sessions
+      |  CROSS JOIN LATERAL (
+      |    SELECT unnest(generate_series(start_us // 3600000000,
+      |                                  end_us // 3600000000)) AS hb) hb),
+      |pairs AS (
+      |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |    least(a.e, b.e) - greatest(a.s, b.s) + 1 AS o
+      |  FROM segs a JOIN segs b
+      |    ON a.hb = b.hb AND a.user_id < b.user_id
+      |  WHERE least(a.e, b.e) >= greatest(a.s, b.s))
+      |SELECT user_a, user_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  CAST(SUM(o) AS BIGINT) AS copresence_us
+      |FROM pairs GROUP BY user_a, user_b
+      |ORDER BY user_a, user_b""".stripMargin) { (s, d) =>
+    val hUs = 3600000000L
+    val sessions = sessionize(Tables.events(s, d))
+    val segs = sessions
+      .withColumn("hb", explode(sequence(
+        expr(s"start_us div $hUs"), expr(s"end_us div $hUs"))))
+      .select(col("user_id"),
+        col("hb"),
+        greatest(col("start_us"), col("hb") * hUs).as("s"),
+        least(col("end_us"), (col("hb") + 1) * hUs - 1).as("e"))
+    val pairs = segs.as("a")
+      .join(segs.as("b").select(col("hb"), col("user_id").as("user_b"),
+        col("s").as("s2"), col("e").as("e2")), Seq("hb"))
+      .where(col("user_id") < col("user_b") &&
+        least(col("e"), col("e2")) >= greatest(col("s"), col("s2")))
+      .select(col("user_id").as("user_a"), col("user_b"),
+        (least(col("e"), col("e2")) - greatest(col("s"), col("s2")) + 1).as("o"))
+    pairs.groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_segments"), sum("o").cast("long").as("copresence_us"))
+      .orderBy("user_a", "user_b")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(qFunnelSteps, qConcurrency, qSessionKpis, qFunnelWindowed)
+    Seq(qFunnelSteps, qConcurrency, qSessionKpis, qFunnelWindowed,
+      qCoPresence)
 }
