@@ -396,14 +396,16 @@ object Funnel {
       |sessions AS (
       |  SELECT user_id, sess_id, min(ts_us) AS start_us, max(ts_us) AS end_us
       |  FROM numbered GROUP BY user_id, sess_id),
+      |expanded AS (
+      |  SELECT user_id, start_us, end_us,
+      |    unnest(generate_series(start_us // 3600000000,
+      |                           end_us // 3600000000)) AS hb
+      |  FROM sessions),
       |segs AS (
-      |  SELECT user_id, hb.hb,
-      |    greatest(start_us, hb.hb * 3600000000) AS s,
-      |    least(end_us, (hb.hb + 1) * 3600000000 - 1) AS e
-      |  FROM sessions
-      |  CROSS JOIN LATERAL (
-      |    SELECT unnest(generate_series(start_us // 3600000000,
-      |                                  end_us // 3600000000)) AS hb) hb),
+      |  SELECT user_id, hb,
+      |    greatest(start_us, hb * 3600000000) AS s,
+      |    least(end_us, (hb + 1) * 3600000000 - 1) AS e
+      |  FROM expanded),
       |pairs AS (
       |  SELECT a.user_id AS user_a, b.user_id AS user_b,
       |    least(a.e, b.e) - greatest(a.s, b.s) + 1 AS o
