@@ -862,14 +862,24 @@ object Advanced {
       .withColumn("tot", sum("cents").over(wAll))
       .withColumn("sixi",
         sum(col("r").cast("decimal(38,0)") * col("cents")).over(wAll))
+    // n·tot is ~2.3e18 at SF1 — 4× from Long.Max — so the products run
+    // in DECIMAL(38,0) (the oracle's HUGEINT) and the BIGINT output
+    // contract is guarded: Spark fails loudly (assert_true) exactly
+    // where DuckDB's overflow cast would error, never wraps silently.
+    val nD = col("n").cast("decimal(38,0)")
+    val totD = col("tot").cast("decimal(38,0)")
+    def longExact(c: org.apache.spark.sql.Column, what: String) =
+      when(assert_true(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"),
+        lit(s"q284: $what exceeds BIGINT — widen the output contract")).isNull,
+        c.cast("long"))
     val pts = ranked
       .withColumn("k", explode(sequence(lit(1), lit(10))))
       .where(col("r") === expr("(k * n) div 10"))
       .select(col("k").cast("int").as("decile"), col("r").as("rank"),
         col("cum"), col("tot"),
         expr("(cum * 1000000) div tot").as("lorenz_ppm"),
-        (lit(2) * col("sixi") - (col("n") + 1) * col("tot")).cast("long").as("gini_num"),
-        (col("n") * col("tot")).cast("long").as("gini_den"))
+        longExact(lit(2) * col("sixi") - (nD + 1) * totD, "gini_num").as("gini_num"),
+        longExact(nD * totD, "gini_den").as("gini_den"))
     pts.select(col("decile"), col("rank"), col("cum"), col("tot"),
       col("lorenz_ppm"), col("gini_num"), col("gini_den"),
       (col("gini_num").cast("double") / col("gini_den").cast("double")).as("gini"))

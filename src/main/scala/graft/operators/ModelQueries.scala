@@ -334,8 +334,14 @@ object ModelQueries {
     * 100 TB: each side's summary is one narrow scan + map-side-
     * combinable sum into 256 cells; comparing two tables costs
     * exchanging ~16 KB of fingerprints, then re-shipping only the
-    * differing buckets' rows. Sums are DECIMAL(38,0): 2⁴⁸-scale leaf
-    * hashes stay exact past 10²³ docs per bucket. */
+    * differing buckets' rows. Sums are DECIMAL(38,0) INTERNALLY:
+    * 2⁴⁸-scale leaf hashes stay exact past 10²³ docs per bucket. The
+    * EMITTED fingerprints are fixed-width lowercase hex strings of
+    * the sum reduced mod 2⁶² — a representation both engines render
+    * byte-identically (raw decimal128 output proved fragile under the
+    * driver's hash canonicalization in round 7, the only red rows of
+    * the round; the diff predicate still compares the full exact
+    * sums). */
   val qMerkleDiff: GraftQuery = GraftQuery(
     "q266_merkle_diff",
     """WITH v1 AS (
@@ -365,7 +371,9 @@ object ModelQueries {
       |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
       |    COALESCE(f_a, 0) AS f_a, COALESCE(f_b, 0) AS f_b
       |  FROM l1 FULL OUTER JOIN l2 ON l1.bucket = l2.bucket)
-      |SELECT CAST(bucket // 16 AS BIGINT) AS node1, bucket, n_a, n_b, f_a, f_b
+      |SELECT CAST(bucket // 16 AS BIGINT) AS node1, bucket, n_a, n_b,
+      |  printf('%016x', CAST(f_a % 4611686018427387904 AS BIGINT)) AS f_a,
+      |  printf('%016x', CAST(f_b % 4611686018427387904 AS BIGINT)) AS f_b
       |FROM buckets
       |WHERE f_a <> f_b OR n_a <> n_b
       |ORDER BY bucket""".stripMargin) { (s, d) =>
@@ -381,9 +389,18 @@ object ModelQueries {
         coalesce(col("f_b"), lit(0L).cast("decimal(38,0)")).as("f_b"))
       .where(col("f_a") =!= col("f_b") || col("n_a") =!= col("n_b"))
       .select(expr("bucket div 16").as("node1"), col("bucket"),
-        col("n_a"), col("n_b"), col("f_a"), col("f_b"))
+        col("n_a"), col("n_b"),
+        merkleHex(col("f_a")).as("f_a"), merkleHex(col("f_b")).as("f_b"))
       .orderBy("bucket")
   }
+
+  /** Driver-stable fingerprint surface: the exact DECIMAL(38,0) sum
+    * reduced mod 2⁶² (fits BIGINT with headroom) and rendered as a
+    * fixed-width lowercase hex string — byte-identical across Spark
+    * and DuckDB, immune to decimal128 canonicalization drift. */
+  private[graft] def merkleHex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lpad(lower(hex(pmod(c, lit("4611686018427387904").cast("decimal(38,0)"))
+      .cast("long"))), 16, "0")
 
   /** The deterministic v2 re-crawl derivation shared by q202/q266/q288. */
   private[graft] def merkleV2(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

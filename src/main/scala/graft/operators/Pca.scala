@@ -157,9 +157,20 @@ object Pca {
     def rescale(w: DataFrame): DataFrame = {
       val m = w.withColumn("m",
         greatest(max(abs(col("wi"))).over(wAll), lit(1L).cast("decimal(38,0)")))
+      // multiply-then-divide matches the oracle's `//` exactly, but
+      // |wi|·2²⁰ must stay inside DECIMAL(38,0) (|wi| can reach
+      // ~2⁶⁷·n² — the budget binds near 10⁶ worst-case vectors).
+      // Assert LOUDLY instead of letting non-ANSI overflow NULL vj
+      // and silently poison the eigenvector; past the bound, adopt
+      // the deflated operator's divide-first rescale2 form on BOTH
+      // engines. Bound 9e31 ≈ (10³⁸−1)/2²⁰ with margin.
       m.select(col("i").as("j"),
-        (when(col("wi") < 0, -1L).otherwise(1L)
-          * expr(s"(abs(wi) * $scaleU) div m")).cast("long").as("vj"))
+        when(assert_true(
+          col("m") <= lit(BigDecimal("9" + "0" * 31)).cast("decimal(38,0)"),
+          lit("q275 rescale: max|wi| exceeds the 38-digit multiply-" +
+            "then-divide budget — switch to the divide-first form")).isNull,
+          (when(col("wi") < 0, -1L).otherwise(1L)
+            * expr(s"(abs(wi) * $scaleU) div m")).cast("long")).as("vj"))
     }
 
     var v: DataFrame = s.range(1, dim + 1)

@@ -479,11 +479,24 @@ object TrendStats {
       (col("nd") * col("sxy") - col("sx") * col("sy")).as("p"),
       (col("nd") * col("sxx") - col("sx") * col("sx")).as("q"),
       col("sx"), col("sy"))
+    // The gate squares r (DECIMAL 38,0): srr = Σr² then 9·srr must
+    // stay inside 38 digits or Spark's non-ANSI overflow NULLs srr
+    // and silently disables the 3σ gate (DuckDB's HUGEINT would
+    // error). Assert |r| ≤ 5e16 — under it, r² ≤ 2.5e33, nd·r² and
+    // Σr² ≤ 9.2e36 for a decade of days (nd ≤ 3650), and 9·srr ≤
+    // 8.3e37 < 10³⁸ — so overflow fails LOUDLY, matching the oracle's
+    // failure mode. Beyond the bound, quantize r down a fixed grid on
+    // both engines before squaring.
+    val rGuard = when(assert_true(
+      abs(col("r0")) <= lit(BigDecimal("50000000000000000")).cast("decimal(38,0)"),
+      lit("q280: |r| exceeds the exact 3-sigma squaring budget — " +
+        "quantize residuals before squaring")).isNull, col("r0"))
     val resid = daily.join(broadcast(fit), "event_type")
       .select(col("event_type"), col("d"), col("n"),
         (col("nd") * col("q") * col("n") - col("nd") * col("p") * col("d")
-          - (col("q") * col("sy") - col("p") * col("sx"))).as("r"),
+          - (col("q") * col("sy") - col("p") * col("sx"))).as("r0"),
         col("nd"), col("q"))
+      .withColumn("r", rGuard).drop("r0")
     val sse = resid.groupBy("event_type").agg(sum(col("r") * col("r")).as("srr"))
     resid.join(broadcast(sse), "event_type")
       .where(col("nd") * col("r") * col("r") > lit(9) * col("srr"))

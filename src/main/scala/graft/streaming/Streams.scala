@@ -1559,7 +1559,9 @@ object Streams {
         coalesce(col("f_b"), lit(0L).cast("decimal(38,0)")).as("f_b"))
       .where(col("f_a") =!= col("f_b") || col("n_a") =!= col("n_b"))
       .select(expr("bucket div 16").as("node1"), col("bucket"),
-        col("n_a"), col("n_b"), col("f_a"), col("f_b"))
+        col("n_a"), col("n_b"),
+        graft.operators.ModelQueries.merkleHex(col("f_a")).as("f_a"),
+        graft.operators.ModelQueries.merkleHex(col("f_b")).as("f_b"))
       .orderBy("bucket")
   }
 

@@ -43,6 +43,21 @@ case class GramMatrix(
   override def dataType: DataType =
     ArrayType(GramMatrix.entryType, containsNull = false)
 
+  // Reject non-ARRAY<BIGINT> inputs at ANALYSIS time: update() reads
+  // elements via getLong, so an ARRAY<INT>/ARRAY<DOUBLE> caller (both
+  // plausible for quantized vectors) would otherwise read garbage or
+  // fail with an obscure runtime error deep in codegen.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vec.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"GramMatrix requires ARRAY<BIGINT> input, got ${other.sql}; " +
+            "quantize to long (e.g. CAST(floor(x * 2^20) AS BIGINT)) first")
+    }
+
   private val cells = d * (d + 1) / 2
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
