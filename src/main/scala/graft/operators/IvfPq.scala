@@ -414,6 +414,199 @@ object IvfPq {
     rerankCollected(s, d, cand)
   }
 
+  // ---- batch-query serving (q303) ----
+
+  /** Every 97th corpus vector is a query — the bounded deterministic
+    * query TABLE convention (a RAG batch-inference workload). */
+  val batchQueryMod = 97
+
+  /** Per-query ADC lookup tables, computed ONCE per query row: for
+    * subspace s, an 8-entry array of ||q_s − codebook(s,c)||² — after
+    * this projection, scoring a code row costs 8 array lookups + 7
+    * adds regardless of how the LUT was built (the faiss ADC shape).
+    * Lives on the broadcast build side of the cell join, so the
+    * arrays materialize in the broadcast relation, never per pair. */
+  private def lutCols: Seq[org.apache.spark.sql.Column] =
+    (0 until PqAnn.subspaces).map { sub =>
+      array((0 until PqAnn.nCentroids).map { c =>
+        (0 until PqAnn.subDim).map { j =>
+          val dd = element_at(col("q_emb"), sub * PqAnn.subDim + j + 1)
+            .cast("double") - lit(PqAnn.codebook(sub)(c)(j))
+          dd * dd
+        }.reduceLeft(_ + _)
+      }: _*).as(s"lut$sub")
+    }
+
+  /** BATCH-QUERY ANN SERVING over the persisted cell-partitioned
+    * index — the production retrieval shape the single-query paths
+    * (q127/q139/q140/q146) don't cover: a TABLE of queries served in
+    * ONE distributed plan with zero per-query driver round-trips.
+    *
+    * Pipeline:
+    *  1. probe selection: queries × broadcast(centroids), per-query
+    *     top-nProbe cells via the bounded TopKByScore heap —
+    *     |Q|·nProbe rows, no window sort;
+    *  2. the UNION of probed cells is the ONE bounded driver collect
+    *     of the whole batch (≤ |cells| longs — the q139 metastore-
+    *     lookup pattern): only those `cell=` directories are handed
+    *     to the reader, so the codes scan is partition-pruned for
+    *     ALL queries at once;
+    *  3. per-(query, cell) ADC: codes ⋈ broadcast probe list on cell
+    *     (per-query LUTs ride the broadcast side, 8 lookups/pair),
+    *     per-query top-adcCand by bounded heap;
+    *  4. exact re-rank DISTRIBUTED: candidates (|Q|·adcCand rows)
+    *     equi-join the vectors table on vec_id — one narrow corpus
+    *     probe amortized across every query — then per-query top-k.
+    *
+    * 100 TB: driver traffic is ONE cell list; everything else is
+    * broadcast-equi-join + bounded heaps. The probe side carries
+    * |Q|·nProbe rows × 8 LUT arrays — past the broadcast budget
+    * (~100k queries) the same plan shuffles both sides on cell and
+    * nothing else changes. PlanAuditSpec pins: one partition-pruned
+    * codes scan, no PqEncode/NearestCentroid in the serve plan.
+    *
+    * Oracle: a from-scratch DuckDB rebuild of assignment, routing,
+    * per-pair ADC, and exact re-rank — same tie rules
+    * (dist asc, vec_id asc) via row_number. */
+  val qIvfPqBatchServe: GraftQuery = {
+    def qCentDistSql(sub: Int, c: Int): String =
+      (0 until PqAnn.subDim).map { j =>
+        val idx = sub * PqAnn.subDim + j + 1
+        val cb = PqAnn.sqlNum(PqAnn.codebook(sub)(c)(j))
+        s"((CAST(p.q_emb[$idx] AS DOUBLE) - $cb) * " +
+          s"(CAST(p.q_emb[$idx] AS DOUBLE) - $cb))"
+      }.mkString("(", " + ", ")")
+    val adcPairSql = (0 until PqAnn.subspaces).map { sub =>
+      val l = (0 until PqAnn.nCentroids).map(c => qCentDistSql(sub, c))
+        .mkString("[", ", ", "]")
+      s"($l[m.c$sub + 1])"
+    }.mkString("(", " + ", ")")
+    val exactPairSql = (0 until PqAnn.dims).map { j =>
+      s"((CAST(q.q_emb[${j + 1}] AS DOUBLE) - CAST(e.embedding[${j + 1}] AS DOUBLE)) * " +
+        s"(CAST(q.q_emb[${j + 1}] AS DOUBLE) - CAST(e.embedding[${j + 1}] AS DOUBLE)))"
+    }.mkString("(", " + ", ")")
+    GraftQuery(
+      "q303_ivfpq_batch_serve",
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
+         |scored_assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
+         |        c.cell) AS rn
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |cells AS (
+         |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+         |queries AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id % $batchQueryMod = 0),
+         |routed AS (
+         |  SELECT q.query_id, q.q_emb, c.cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
+         |        c.cell) AS c_rank
+         |  FROM queries q CROSS JOIN centroids c),
+         |probes AS (
+         |  SELECT query_id, q_emb, cell FROM routed WHERE c_rank <= $nProbe),
+         |coded AS (
+         |  SELECT m.vec_id, m.cell,
+         |    ${(0 until PqAnn.subspaces).map(s => s"${PqAnn.codeSql(s)} AS c$s").mkString(",\n    ")}
+         |  FROM cells m
+         |  JOIN (SELECT DISTINCT cell FROM probes) pc ON m.cell = pc.cell),
+         |adc AS (
+         |  SELECT p.query_id, m.vec_id, $adcPairSql AS adc_dist
+         |  FROM probes p JOIN coded m ON m.cell = p.cell),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist, vec_id) AS r
+         |    FROM adc) WHERE r <= $adcCand),
+         |rr AS (
+         |  SELECT c.query_id, c.vec_id, $exactPairSql AS exact_dist
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN queries q ON q.query_id = c.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, exact_dist
+         |FROM (
+         |  SELECT query_id, vec_id, exact_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY exact_dist, vec_id) AS rank
+         |  FROM rr) WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+      val path = codesSegment(s, d, "full", IvfAnn.assign(emb, centroids))
+      val queries = emb
+        .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      batchServe(s, Seq(path), centroids, queries, emb)
+    }
+  }
+
+  /** The distributed batch-serve body behind q303 (and the IVF tier
+    * of approximate hard-negative mining): queries routed, one pruned
+    * codes scan over the probe-cell union, per-query ADC heap, exact
+    * re-rank via equi-joins. Output: (query_id, rank, vec_id,
+    * exact_dist) per query, k rows each. */
+  private[graft] def batchServe(s: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], centroids: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftshim.{CosineSimilarity, TopKByScore}
+    // 1. per-query probe cells (bounded heap — no |Q|×|cells| sort)
+    val routed = queries
+      .crossJoin(broadcast(
+        centroids.select(col("cell").cast("long").as("cell"), col("centroid"))))
+      .select(col("query_id"), col("cell"),
+        CosineSimilarity(col("q_emb"), col("centroid")).as("c_sim"))
+      .groupBy("query_id")
+      .agg(TopKByScore(col("c_sim"), col("cell"), nProbe).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("cell"))
+    // 2. union of probed cells — the ONE bounded driver collect of the
+    //    whole batch (≤ |cells| longs), turning the cell set into
+    //    genuine partition pruning for every query at once
+    val allCells = routed.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val scans = paths.flatMap(p => probedScan(s, p, allCells))
+    require(scans.nonEmpty, s"no probed cell has data in any segment: $paths")
+    val codes = scans.reduce(_ union _)
+    // 3. ADC: per-query LUTs ride the broadcast probe side (one
+    //    materialization per (query, cell) row in the broadcast
+    //    relation); each code row pays 8 lookups + 7 adds per query
+    val probeSide = routed.join(queries, "query_id")
+      .select(col("query_id") +: col("cell") +: lutCols: _*)
+    val adcDist = (0 until PqAnn.subspaces).map { i =>
+      element_at(col(s"lut$i"), element_at(col("codes"), i + 1) + 1)
+    }.reduceLeft(_ + _)
+    val cand = codes.join(broadcast(probeSide), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), adcDist.as("adc_dist"))
+      .groupBy("query_id")
+      .agg(TopKByScore(-col("adc_dist"), col("vec_id"), adcCand).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"))
+    // 4. exact re-rank, DISTRIBUTED: candidates equi-join the vectors
+    //    table — one narrow corpus probe amortized over all queries,
+    //    zero per-query collects
+    val exactDist = (0 until PqAnn.dims).map { j =>
+      val dd = element_at(col("q_emb"), j + 1).cast("double") -
+        element_at(col("embedding"), j + 1).cast("double")
+      dd * dd
+    }.reduceLeft(_ + _)
+    corpus.join(broadcast(cand), "vec_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("vec_id"), exactDist.as("exact_dist"))
+      .groupBy("query_id")
+      .agg(TopKByScore(-col("exact_dist"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), (-col("col.score")).as("exact_dist"))
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[GraftQuery] =
-    Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted)
+    Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
+      qIvfPqBatchServe)
 }

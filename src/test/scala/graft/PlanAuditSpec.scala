@@ -143,6 +143,59 @@ class PlanAuditSpec extends SparkSpecBase {
       "compaction must copy codes, never re-encode or re-assign")
   }
 
+  test("q303: batch serve plans ONE pruned codes scan, no per-query collect") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.operators.{IvfAnn, IvfPq}
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // the final catalog frame's lineage holds the whole serve plan —
+    // batch serving never collects candidates, so unlike q139/q140 the
+    // audit reads the RETURNED frame directly
+    val served = SparkEntry.queries("q303_ivfpq_batch_serve")(spark, sf001)
+    val phys = served.queryExecution.executedPlan
+    // AQE hides the operator tree behind childless wrappers — recurse
+    def subtree(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: subtree(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: subtree(q.plan)
+      case _ => p +: p.children.flatMap(subtree)
+    }
+    val nodes = subtree(phys)
+    val scans = nodes.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq")) => s
+    }
+    assert(scans.size == 1, s"batch serve must plan ONE codes scan, got ${scans.size}")
+    val sc = scans.head
+    assert(sc.partitionFilters.exists(_.toString.contains("cell")),
+      "batch codes scan must carry a cell partition filter")
+    // pruning bound: at most |queries|·nProbe distinct cells selected
+    val emb = Tables.embeddings(spark, sf001)
+    val nQueries = emb
+      .where(pmod(col("vec_id"), lit(IvfPq.batchQueryMod)) === 0).count()
+    val nCells = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride).count()
+    // the scan may ALSO carry a runtime DPP subquery from the cell
+    // join (a bonus layer at scale) — listFiles can only evaluate the
+    // static predicates here, which are the directory-pruning bound
+    val staticFilters = sc.partitionFilters
+      .filterNot(_.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+    assert(staticFilters.nonEmpty, "static cell partition filter missing")
+    val selected = sc.relation.location.listFiles(staticFilters, Nil).size
+    assert(selected <= math.min(nQueries * IvfPq.nProbe, nCells),
+      s"scan selected $selected partitions, more than the probe-union bound")
+    val ps = nodes.map(_.verboseString(Int.MaxValue)).mkString("\n").toLowerCase
+    assert(!ps.contains("pqencode") && !ps.contains("nearestcentroid"),
+      "batch serve must READ persisted codes, never re-encode or re-assign")
+    // every result row exists and each query returns exactly k ranks
+    val perQuery = served.groupBy("query_id").count().collect()
+    assert(perQuery.length == nQueries &&
+      perQuery.forall(_.getLong(1) == IvfPq.k.toLong),
+      "each query must return exactly k ranked neighbors")
+  }
+
   test("q130: batch curation never rescans the corpus documents") {
     // warm the per-(session, corpus) indexes, then audit a subsequent
     // batch run's physical plan: corpus statistics must be served from
@@ -300,6 +353,9 @@ class PlanAuditSpec extends SparkSpecBase {
     //    broadcast onto the d² scatter census and the d-row component
     //    (every build side is a single row; the probe sides are
     //    censuses bounded by the embedding dimension).
+    //  - q303: batch-query probe ROUTING is queries × broadcast
+    //    centroids (the q55 IVF routing cost, cells ~ sqrt(corpus));
+    //    serving itself is equi-joins + bounded heaps.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -320,7 +376,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q273_idle_rich_customers", "q275_pca_top_component",
         "q277_residual_topk", "q293_rate_limit_audit",
         "q295_order_aging", "q298_stream_pca",
-        "q300_pca_second_component")
+        "q300_pca_second_component", "q303_ivfpq_batch_serve")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
