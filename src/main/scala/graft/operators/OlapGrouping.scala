@@ -165,10 +165,9 @@ object OlapGrouping {
     *
     * Scale note: an unpartitioned ntile is a single-partition window
     * (every row through one task). Acceptable on a dimension table;
-    * at fact scale the exact form is replaced by approximate decile
-    * cutpoints (q208's sketch) broadcast into a CASE bucketer, which
-    * keeps the scan embarrassingly parallel at the cost of boundary
-    * accuracy. */
+    * at fact scale use [[qDecilesScalable]] (q304) — the two-level
+    * rank decomposition that computes the SAME exact deciles with
+    * bounded-partition windows, hash-proven equal to this query. */
   val qNtileDeciles: GraftQuery = GraftQuery(
     "q245_ntile_deciles",
     """SELECT decile,
@@ -193,6 +192,66 @@ object OlapGrouping {
       .orderBy("decile")
   }
 
+  /** FACT-SCALE GLOBAL DECILES — q245's exact NTILE(10) output
+    * computed WITHOUT the single-partition window, by the q181/q148
+    * two-level rank decomposition applied globally:
+    *
+    *  1. shard rows by a monotone PREFIX of the sort order (512-wide
+    *     value-range bins of c_acctbal);
+    *  2. rank within each (bin) window — bounded partitions that
+    *     parallelize across the cluster;
+    *  3. recover the exact global rank as bin-local rank + the
+    *     cumulative count of all earlier bins (a BOUNDED per-bin
+    *     histogram — the only unpartitioned window runs over those
+    *     ~two dozen rows, never over the data);
+    *  4. map the global rank to NTILE(10)'s bucket with the standard
+    *     uneven-division arithmetic (first n%10 buckets get one extra
+    *     row), all in exact integers.
+    *
+    * The oracle is q245's plain NTILE SQL verbatim — the hash match
+    * IS the proof the decomposition is exact. At 100 TB the bin grid
+    * comes from a coarse value histogram (or a q208 sketch) instead
+    * of a fixed width; the plan shape is unchanged: one narrow scan,
+    * one bounded-partition window, two broadcast joins.
+    * PlanAuditSpec pins that no unpartitioned window consumes an
+    * unaggregated input. */
+  val qDecilesScalable: GraftQuery = GraftQuery(
+    "q304_deciles_scalable", qNtileDeciles.oracle.get) { (s, d) =>
+    val scored = Tables.customer(s, d)
+      .select(col("c_acctbal"), col("c_custkey"))
+      .withColumn("bin", floor(col("c_acctbal").cast("double") / 512.0))
+    // bounded per-bin histogram → cumulative offset of earlier bins
+    val offsets = scored.groupBy("bin").agg(count(lit(1)).as("bin_n"))
+      .withColumn("offset", coalesce(sum("bin_n").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bin"), col("offset"))
+    val total = scored.agg(count(lit(1)).as("n"))
+    val wLocal = Window.partitionBy("bin")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    scored
+      .withColumn("local_rnk", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("bin"))
+      .crossJoin(broadcast(total))
+      .withColumn("r", col("offset") + col("local_rnk"))
+      .withColumn("nq", expr("n div 10"))
+      .withColumn("rem", expr("n % 10"))
+      // NTILE(10): bucket b ≤ rem holds nq+1 rows, the rest nq. The
+      // else branch never divides by zero: nq = 0 forces rem = n and
+      // every rank takes the first branch (CASE is lazy per row).
+      .withColumn("decile", expr(
+        """CASE WHEN r <= rem * (nq + 1) THEN (r - 1) div (nq + 1) + 1
+          |     ELSE rem + (r - rem * (nq + 1) - 1) div nq + 1 END""".stripMargin))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sum(dec(col("c_acctbal"), 12, 2)).cast("double").as("sum_bal"))
+      .orderBy("decile")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(qRollupRevenue, qCubeLineitem, qNtileDeciles, qGroupingSets)
+    Seq(qRollupRevenue, qCubeLineitem, qNtileDeciles, qGroupingSets,
+      qDecilesScalable)
 }

@@ -196,6 +196,35 @@ class PlanAuditSpec extends SparkSpecBase {
       "each query must return exactly k ranked neighbors")
   }
 
+  test("q304: no unpartitioned window consumes unaggregated input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val phys = SparkEntry.queries("q304_deciles_scalable")(spark, sf001)
+      .queryExecution.executedPlan
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: subtree(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: subtree(q.plan)
+      case _ => p +: p.children.flatMap(subtree)
+    }
+    val windows = subtree(phys).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected window operators in the plan")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // the global cumulative window must run over the BOUNDED per-bin
+      // histogram (an aggregate), never over the raw customer rows
+      assert(subtree(w.child).exists {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec |
+             _: SortAggregateExec => true
+        case _ => false
+      }, s"unpartitioned window over unaggregated input:\n$w")
+    }
+    // and at least one window IS partitioned (the bin-local ranking)
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "the data-sized ranking window must be partitioned by bin")
+  }
+
   test("q130: batch curation never rescans the corpus documents") {
     // warm the per-(session, corpus) indexes, then audit a subsequent
     // batch run's physical plan: corpus statistics must be served from
@@ -356,6 +385,8 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q303: batch-query probe ROUTING is queries × broadcast
     //    centroids (the q55 IVF routing cost, cells ~ sqrt(corpus));
     //    serving itself is equi-joins + bounded heaps.
+    //  - q304: the 1-row global-count aggregate cross-joined onto the
+    //    ranked rows (q63/q89's bounded single-row shape).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -376,7 +407,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q273_idle_rich_customers", "q275_pca_top_component",
         "q277_residual_topk", "q293_rate_limit_audit",
         "q295_order_aging", "q298_stream_pca",
-        "q300_pca_second_component", "q303_ivfpq_batch_serve")
+        "q300_pca_second_component", "q303_ivfpq_batch_serve",
+        "q304_deciles_scalable")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
