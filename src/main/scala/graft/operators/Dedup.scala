@@ -284,12 +284,14 @@ object Dedup {
   /** DuckDB rendering of [[shingles]]: range() is EXCLUSIVE-upper where
     * Spark sequence() is inclusive — bounds chosen so both emit
     * i = 1 .. len-(width-1) (min 1). */
-  private[operators] val shinglesSql: String = {
+  private[operators] def shinglesSqlFor(c: String): String = {
     val w = shingleWidth
     s"list_distinct(list_transform(" +
-      s"range(1, greatest(len(string_split(lower(text), ' ')) - ${w - 2}, 2)), " +
-      s"i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + ${w - 1}), ' ')))"
+      s"range(1, greatest(len(string_split(lower($c), ' ')) - ${w - 2}, 2)), " +
+      s"i -> array_to_string(list_slice(string_split(lower($c), ' '), i, i + ${w - 1}), ' ')))"
   }
+
+  private[operators] val shinglesSql: String = shinglesSqlFor("text")
 
   private def bandSqlFromDigests(b: Int, sch: MinHashScheme): String =
     "md5(concat_ws('|', " + (0 until sch.rowsPerBand).map { i =>
@@ -1078,6 +1080,110 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Chunk-grain LSH bands: every q122 chunk (200-cp window, stride
+    * 150) of every doc signed as if it were a document — the substrate
+    * that makes SHORT-INSIDE-LONG containment findable. A long doc's
+    * whole-doc minhashes are dominated by its unshared mass, so a
+    * 20:1-skewed contained pair (jaccard ≈ 0.05) essentially never
+    * collides in q201's doc×doc bands; but a chunk interior to the
+    * quoted span shares (nearly) its whole shingle set with the short
+    * doc, so short-doc bands × chunk bands collide at the chunk's own
+    * jaccard, independent of the long doc's total length. */
+  def chunkBandsOf(docs: DataFrame,
+      sch: MinHashScheme = MinHashScheme.default): DataFrame =
+    docBands(TrainingPipeline.chunkRelationOf(docs)
+      .select(col("doc_id"), col("chunk").as("text")), sch)
+
+  private val chunkBandsIndex =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "dedup.chunkbands")(_.unpersist(): Unit)
+
+  def indexedChunkBands(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    chunkBandsIndex.getOrElseUpdate(spark, sfDir)(
+      chunkBandsOf(Tables.documents(spark, sfDir)).persist())
+
+  /** Length-skew containment candidates: whole-doc bands (the shorter
+    * side's natural signature) joined against chunk bands on the band
+    * key — directional hits normalized to (doc_a < doc_b) pairs. One
+    * equi-join on the band hash, exactly q28's physics; the chunk side
+    * is ~len/150 rows per doc. */
+  def skewCandidatePairs(wholeBands: DataFrame, chunkBands: DataFrame): DataFrame =
+    wholeBands.as("a").join(chunkBands.as("c"),
+        col("a.band_id") === col("c.band_id") &&
+        col("a.band_hash") === col("c.band_hash") &&
+        col("a.doc_id") =!= col("c.doc_id"))
+      .select(least(col("a.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("c.doc_id")).as("doc_b"))
+      .distinct()
+
+  /** q201's exact asymmetric verification gate, shared with q305. */
+  private def containmentGate(scored: DataFrame): DataFrame =
+    scored
+      .where(col("n_inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / col("n_a")).as("cont_a"),
+        (col("n_inter").cast("double") / col("n_b")).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+
+  private def chunkBandsCteSql(sch: MinHashScheme): String = {
+    val unions = (0 until sch.bands).map(b =>
+      s"SELECT doc_id, $b AS band_id, ${bandSqlFromDigests(b, sch)} AS band_hash FROM chunk_sigs")
+      .mkString("\n    UNION ALL\n    ")
+    s"""chunk_sigs AS (
+       |  SELECT doc_id, list_transform(${shinglesSqlFor("chunk")}, w -> ${sch.digestsSql("w")}) AS m
+       |  FROM chunks),
+       |chunk_bands AS (
+       |  SELECT doc_id, band_id, band_hash FROM (
+       |    $unions))""".stripMargin
+  }
+
+  /** CONTAINMENT UNDER EXTREME LENGTH SKEW — the recall fix q201's
+    * scaladoc prescribes, built: band the shorter side's WHOLE-doc
+    * signature against per-CHUNK signatures (q122's 200-cp windows)
+    * of every doc, then run the identical exact verification gate.
+    * A spec plants a ~20:1 contained pair that q201's doc×doc bands
+    * provably miss and this query catches with cont = 1.0 on the
+    * short side.
+    *
+    * 100 TB: the chunk side multiplies band rows by ~len/150 — still
+    * one equi-join on the band hash (q28's physics), no all-pairs
+    * anywhere; verification reuses the session's persisted shingle
+    * index, one projection per surviving candidate. The oracle
+    * rebuilds chunking, chunk banding, and the exact containment
+    * arithmetic from scratch in SQL. */
+  val qContainmentSkew: GraftQuery = GraftQuery(
+    "q305_containment_skew",
+    s"""WITH $bandsCte,
+       |${TrainingPipeline.chunksCteSql},
+       |${chunkBandsCteSql(MinHashScheme.default)},
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, c.doc_id) AS doc_a,
+       |    greatest(a.doc_id, c.doc_id) AS doc_b
+       |  FROM bands a JOIN chunk_bands c
+       |    ON a.band_id = c.band_id AND a.band_hash = c.band_hash
+       |   AND a.doc_id <> c.doc_id),
+       |toks AS (
+       |  SELECT doc_id, $shinglesSql AS t FROM documents),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ta.t, tb.t)) AS INTEGER) AS n_inter,
+       |    CAST(len(ta.t) AS INTEGER) AS n_a,
+       |    CAST(len(tb.t) AS INTEGER) AS n_b
+       |  FROM cand c
+       |  JOIN toks ta ON c.doc_a = ta.doc_id
+       |  JOIN toks tb ON c.doc_b = tb.doc_id)
+       |SELECT doc_a, doc_b, n_inter, n_a, n_b,
+       |  CAST(n_inter AS DOUBLE) / n_a AS cont_a,
+       |  CAST(n_inter AS DOUBLE) / n_b AS cont_b
+       |FROM scored
+       |WHERE 10 * n_inter >= 9 * least(n_a, n_b)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    containmentGate(containmentScored(
+      skewCandidatePairs(indexedBands(s, d), indexedChunkBands(s, d)),
+      indexedShingleSets(s, d)))
+  }
+
   /** Tombstone rule for q212: every 97th doc is deleted. */
   val deleteModulus = 97L
 
@@ -1122,5 +1228,5 @@ object Dedup {
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
     qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain,
-    qContainmentPairs, qDeletePropagation)
+    qContainmentPairs, qContainmentSkew, qDeletePropagation)
 }

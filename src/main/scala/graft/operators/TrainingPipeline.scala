@@ -201,7 +201,13 @@ object TrainingPipeline {
   /** (doc_id, chunk_idx, chunk_start, chunk) — the Spark mirror. */
   private[operators] def chunkRelation(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(s, d)
+    chunkRelationOf(Tables.documents(s, d))
+
+  /** [[chunkRelation]] over an arbitrary (doc_id, text) relation —
+    * shared with the length-skew containment candidates (q305). */
+  private[operators] def chunkRelationOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .where(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),

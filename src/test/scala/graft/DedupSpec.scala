@@ -467,4 +467,52 @@ class DedupSpec extends SparkSpecBase {
       .count()
     assert(df.count() <= full)
   }
+
+  test("q305: 20:1 length-skewed contained pair — q201 misses it, chunk banding catches it") {
+    // the short doc is EXACTLY one q122 chunk of the long doc: the long
+    // text places it at chunk offset 151 (pad1 = 149 cp + ' '), so the
+    // k=1 window is byte-identical to the short text and ALL bands
+    // collide deterministically. Long ≈ 4000 cp vs short 200 cp (20:1).
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => f"$prefix$i%03d").mkString(" ")
+    val shortText = {
+      // 7-cp words ("quot" + 3 digits): 25 words = 25*7 + 24 = 199 cp
+      val w = words("quot", 25)
+      assert(w.length == 199, w.length.toString)
+      w + "z" // last word becomes quot024z — 200 cp exactly
+    }
+    // pad1: exactly 150 cp ending in a space, so the short text starts
+    // at 1-based position 151 = chunk k=1's start
+    val pad1 = {
+      val base = words("prew", 17) // 17*7 + 16 = 135 cp
+      base + " " + "k" * (150 - base.length - 2) + " "
+    }
+    assert(pad1.length == 150 && pad1.endsWith(" "))
+    val pad2 = words("tail", 460) // 460*7 + 459 = 3679 cp of unrelated mass
+    val longText = pad1 + shortText + " " + pad2
+    assert(longText.substring(150, 350) == shortText,
+      "chunk k=1 (1-based 151..350) must equal the short text")
+    assert(longText.length >= 20 * shortText.length,
+      s"skew ${longText.length}/${shortText.length} must be >= 20:1")
+    val docs = Seq((1L, shortText), (2L, longText),
+      (3L, words("other", 60))).toDF("doc_id", "text")
+    val toks = Dedup.shingleSets(docs)
+    // q201's doc×doc band candidates MISS the pair (jaccard ~ 0.05)
+    val q201Pairs = Dedup.candidatePairsFromBands(Dedup.docBands(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!q201Pairs.contains((1L, 2L)),
+      s"planted pair unexpectedly collides in whole-doc bands: $q201Pairs")
+    // q305's whole-doc × chunk bands CATCH it, and verification scores
+    // the short side fully contained
+    val caught = Dedup.skewCandidatePairs(
+      Dedup.docBands(docs), Dedup.chunkBandsOf(docs))
+    val verified = Dedup.containmentScored(caught, toks)
+      .where(col("n_inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(verified.contains((1L, 2L)),
+      s"skew banding must surface the planted pair, got ${verified.keySet}")
+    val (nInter, nA, _) = verified((1L, 2L))
+    assert(nInter == nA, "the short side must be 100% contained")
+  }
 }
