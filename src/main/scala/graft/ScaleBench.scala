@@ -478,6 +478,64 @@ object ScaleBench {
         "ivf_recall3_op" -> recallOf(ivfTopOp),
         "ivf_search_op_sec" -> tIvfOp)
 
+      // ---- hard-negative mining: exact corpus×anchors vs the IVF
+      // tier (q199 vs q306). Labels synthesized from vec_id (8
+      // classes); anchors = the query stride sample. Recall = fraction
+      // of anchors whose probed argmax IS the exact hardest negative;
+      // cost = scored candidate rows vs the exact tier's |A|·(7/8)·N.
+      {
+        import graft.operators.HardNegatives
+        val lbl = pmod(col("vec_id"), lit(8)).cast("long")
+        val anchors = vecs.where(queryFilter)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+            pmod(col("vec_id"), lit(8)).cast("long").as("a_label"))
+        def argmaxOf(scored: DataFrame): Map[Long, Long] = scored
+          .groupBy("a_id")
+          .agg(org.apache.spark.sql.graftshim.TopKByScore(
+            col("cos"), col("neg_id"), 1).as("top"))
+          .select(col("a_id"), element_at(col("top"), 1).getField("id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (exactNeg, tHnExact) = time(argmaxOf(
+          vecs.select(col("vec_id"), col("embedding"), lbl.as("label"))
+            .join(broadcast(anchors), col("label") =!= col("a_label"))
+            .select(col("a_id"), col("vec_id").as("neg_id"),
+              Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))))
+        var probedRows = 0L
+        val (approxNeg, tHnIvf) = time {
+          val routed = anchors
+            .crossJoin(broadcast(centroids
+              .select(col("cell").cast("long").as("cell"), col("centroid"))))
+            .select(col("a_id"),
+              Similarity.cosine(col("a_emb"), col("centroid")).as("c_sim"),
+              col("cell"))
+            .groupBy("a_id")
+            .agg(org.apache.spark.sql.graftshim.TopKByScore(
+              col("c_sim"), col("cell"), HardNegatives.ivfNegProbe).as("top"))
+            .select(col("a_id"), explode(col("top.id")).as("p_cell"))
+          val cands = assigned.withColumn("label", lbl)
+            .join(broadcast(routed.join(anchors, "a_id")),
+              col("cell") === col("p_cell") && col("label") =!= col("a_label"))
+            .select(col("a_id"), col("vec_id").as("neg_id"),
+              Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
+            .persist()
+          probedRows = cands.count()
+          val m = argmaxOf(cands)
+          cands.unpersist()
+          m
+        }
+        val hits = exactNeg.count { case (a, n) => approxNeg.get(a).contains(n) }
+        out ++= Seq(
+          "hardneg_anchors" -> exactNeg.size.toDouble,
+          "hardneg_nprobe" -> HardNegatives.ivfNegProbe.toDouble,
+          "hardneg_exact_sec" -> tHnExact,
+          "hardneg_ivf_sec" -> tHnIvf,
+          "hardneg_ivf_recall" ->
+            (if (exactNeg.nonEmpty) hits.toDouble / exactNeg.size else -1.0),
+          "hardneg_scored_frac" ->
+            (probedRows.toDouble /
+              math.max(1.0, exactNeg.size.toDouble * nVecs * 7.0 / 8.0)))
+      }
+
       // ---- IVF-PQ composition (q127 shape) ----
       // codes materialized ONCE (the index build — 32x smaller than the
       // vectors); per query: route to opNProbe cells, ADC within them
@@ -856,6 +914,52 @@ object ScaleBench {
       "m1_bloom_survivor_frac" ->
         (if (nTrainSh > 0) nSurvivors.toDouble / nTrainSh else -1.0))
     benchSh.unpersist()
+
+    // ---- BPE above the driver budget (the forced distributed tier) ----
+    // Two questions, answered with numbers: (1) where does the 2^17
+    // in-memory word budget actually bind at 1M docs? — report the
+    // corpus vocabulary's rows and driver-collect bytes; (2) what is
+    // the certified batcher's jobs-per-merge FLOOR when forced past
+    // the budget (wordBudget=0 semantics: learnBatched directly) on a
+    // beyond-budget vocabulary slice? Bpe.learnFromWords' scaladoc
+    // PROVES the count-gap certificate cannot skip conflicted pairs
+    // (a skipped pair's count dominates every later candidate's
+    // margin), so the per-pass batch is the maximal disjoint prefix
+    // and jobs/merge ≈ 1/avg_batch is a structural floor, not a
+    // tuning gap — this entry measures that floor honestly.
+    {
+      val wfFull = graft.operators.Bpe.wordFreq(docs)
+      val (wfStats, tWf) = time(wfFull
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("w")) + lit(24)).as("bytes")).first())
+      val wfRows = wfStats.getLong(0)
+      out ++= Seq(
+        "m1_bpe_vocab_rows" -> wfRows.toDouble,
+        "m1_bpe_vocab_collect_mb" -> wfStats.getLong(1).toDouble / 1e6,
+        "m1_bpe_vocab_over_budget" ->
+          (wfRows.toDouble / (1L << 17).toDouble),
+        "m1_bpe_vocab_count_sec" -> tWf)
+      // beyond-budget slice (top 2^18 words by frequency — 2x the
+      // driver budget) keeps the forced-tier wall time bounded while
+      // exercising exactly the path a beyond-budget corpus takes
+      val wfBig = wfFull
+        .orderBy(col("freq").desc, col("w")).limit(1 << 18)
+        .localCheckpoint()
+      var res: graft.operators.Bpe.TrainResult = null
+      val jobs = countJobs(spark) {
+        res = graft.operators.Bpe.learnBatched(wfBig, 200, minFreq = 1L,
+          ckptEvery = 24)
+      }
+      val nM = math.max(1, res.merges.size)
+      out ++= Seq(
+        "m1_bpe_forced_dist_merges" -> res.merges.size.toDouble,
+        "m1_bpe_forced_dist_passes" -> res.passes.toDouble,
+        "m1_bpe_forced_dist_jobs" -> jobs.toDouble,
+        "m1_bpe_forced_dist_jobs_per_merge" -> jobs.toDouble / nM,
+        "m1_bpe_forced_dist_avg_batch" ->
+          res.merges.size.toDouble / math.max(1, res.passes))
+      org.apache.spark.sql.graftshim.Checkpoints.release(wfBig)
+    }
     Seq(toks, pairs, bands, docs).foreach(_.unpersist())
 
     // ANN at the decade: the q100 operating point vs exact brute force

@@ -228,9 +228,34 @@ object Bpe {
   /** Production entry: distributed word count, then the exact
     * single-node trainer when the vocabulary fits the driver budget
     * (the industrial shape — jobs per merge ~0), the certified
-    * distributed batcher when it doesn't. */
-  def learnFromWords(wf: DataFrame, numMerges: Int, minFreq: Long = 2L): Seq[Merge] =
-    if (wf.count() <= inMemoryWordBudget)
+    * distributed batcher when it doesn't. `wordBudget` is exposed so
+    * ScaleBench can FORCE the distributed tier (budget 0) and measure
+    * its jobs-per-merge floor on a driver-sized table.
+    *
+    * Why the distributed tier cannot reach in-memory's ~0 jobs/merge
+    * with the count-gap certificate (the round-6 "conflict-graph
+    * batching" idea, explored and CLOSED): the tempting relaxation —
+    * skip a conflicted pair p and keep applying later disjoint pairs
+    * q — is void under the certificate, not merely unsound in the
+    * riser example above. The snapshot is sorted by count, so any
+    * skipped p ranks above q: n_p ≥ n_q. p shares a symbol with the
+    * applied prefix, so p itself feeds the riser cap (a riser through
+    * p's shared symbol is bounded only by n_p), giving
+    * cap ≥ n_p ≥ n_q — the dominance margin n_q > cap can NEVER hold
+    * for any pair ranked below a skipped conflict. Certified batches
+    * are therefore exactly the maximal disjoint-with-margin PREFIX
+    * [[safeBatchLen]] already computes; the per-pass batch length is
+    * structurally bounded by how quickly top pairs share symbols
+    * (natural text shares e/t/a constantly), and exact sequence
+    * preservation with pair-count snapshots alone cannot batch past
+    * it. Going further requires post-merge counts, i.e. trigram
+    * cascades whose greedy-overlap corrections need unbounded n-gram
+    * depth ("lrlr" patterns) — the word-level state every single-node
+    * trainer keeps, which is the in-memory tier. The measured floor
+    * lives in ScaleBench (`bpe_forced_dist_*`). */
+  def learnFromWords(wf: DataFrame, numMerges: Int, minFreq: Long = 2L,
+      wordBudget: Long = inMemoryWordBudget): Seq[Merge] =
+    if (wf.count() <= wordBudget)
       learnInMemory(
         wf.collect().map(r => (r.getString(0).split(""), r.getLong(1))),
         numMerges, minFreq)

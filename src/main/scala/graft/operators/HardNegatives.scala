@@ -92,5 +92,105 @@ object HardNegatives {
       .orderBy("a_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qHardNegatives)
+  /** Cells probed per anchor by the approximate tier. */
+  val ivfNegProbe = 4
+
+  /** APPROXIMATE HARD-NEGATIVE MINING THROUGH THE IVF TIER — the
+    * scale path q199's scaladoc promises: instead of scoring each
+    * anchor against the WHOLE corpus, route it to its [[ivfNegProbe]]
+    * best IVF cells (q55's fixed-stride quantizer) and mine the
+    * hardest different-label negative among the probed cells only.
+    * The scored relation shrinks from anchors × corpus to
+    * anchors × (nProbe/|cells| of the corpus) — and since cell count
+    * grows with the corpus at fixed stride, the probed FRACTION
+    * falls as data grows.
+    *
+    * Plan: centroids broadcast for routing (TopKByScore heap per
+    * anchor, |anchors|·nProbe rows), corpus assigned by the fused
+    * NearestCentroid scan expression, candidates = one equi-join on
+    * the cell id with the label-exclusion predicate riding the join;
+    * per-anchor argmax by the k=1 bounded heap. No corpus shuffle,
+    * no per-anchor driver work. ScaleBench measures the recall of
+    * this argmax vs q199's exact answer and the scored-pair fraction
+    * at the 100k-vector operating point.
+    *
+    * Oracle: from-scratch DuckDB rebuild — assignment, routing, probe
+    * gating, and the same explicit-cosine spelling as q199 (the
+    * emitted value must be bit-equal, not ulp-close). */
+  val qHardNegativesIvf: GraftQuery = GraftQuery(
+    "q306_hard_negatives_ivf",
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
+       |scored_assign AS (
+       |  SELECT e.vec_id, e.embedding, e.label, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
+       |        c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |cells AS (
+       |  SELECT vec_id, embedding, label, cell FROM scored_assign WHERE rn = 1),
+       |anchors AS (
+       |  SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label
+       |  FROM embeddings WHERE vec_id % $anchorStride = 0),
+       |routed AS (
+       |  SELECT a.a_id, a.a_emb, a.a_label, c.cell,
+       |    row_number() OVER (PARTITION BY a.a_id
+       |      ORDER BY ${IvfAnn.cosSql.format("a.a_emb", "c.c_emb")} DESC,
+       |        c.cell) AS c_rank
+       |  FROM anchors a CROSS JOIN centroids c),
+       |probes AS (
+       |  SELECT a_id, a_emb, a_label, cell FROM routed
+       |  WHERE c_rank <= $ivfNegProbe),
+       |scored AS (
+       |  SELECT p.a_id, p.a_label, m.vec_id AS neg_id, m.label AS neg_label,
+       |    ${cosExplicitSql("p.a_emb", "m.embedding")} AS cos
+       |  FROM probes p JOIN cells m
+       |    ON m.cell = p.cell AND m.label <> p.a_label),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY a_id ORDER BY cos DESC, neg_id) AS rn
+       |  FROM scored)
+       |SELECT a_id, a_label, neg_id, neg_label, cos
+       |FROM ranked WHERE rn = 1
+       |ORDER BY a_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val assigned = IvfAnn.assignKeeping(emb, centroids, Seq("label"))
+    val anchors = emb.where(pmod(col("vec_id"), lit(anchorStride)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    // per-anchor probe cells: bounded heap over anchors × centroids
+    val routed = anchors
+      .crossJoin(broadcast(centroids
+        .select(col("cell").cast("long").as("cell"), col("centroid"))))
+      .select(col("a_id"),
+        Similarity.cosine(col("a_emb"), col("centroid")).as("c_sim"),
+        col("cell"))
+      .groupBy("a_id")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("c_sim"), col("cell"), ivfNegProbe).as("top"))
+      .select(col("a_id"), explode(col("top")).as("e"))
+      .select(col("a_id"), col("e.id").as("p_cell"))
+    val probeSide = routed.join(anchors, "a_id")
+    // candidates: ONE equi-join on the cell id; the label exclusion
+    // rides the join predicate
+    val scored = assigned.join(broadcast(probeSide),
+        col("cell") === col("p_cell") && col("label") =!= col("a_label"))
+      .select(col("a_id"), col("a_label"), col("vec_id").as("neg_id"),
+        Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
+    val top = scored.groupBy("a_id", "a_label")
+      .agg(org.apache.spark.sql.graftshim.TopKByScore(
+        col("cos"), col("neg_id"), 1).as("top"))
+      .select(col("a_id"), col("a_label"),
+        element_at(col("top"), 1).getField("id").as("neg_id"),
+        element_at(col("top"), 1).getField("score").as("cos"))
+    emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+      .join(broadcast(top), "neg_id")
+      .select(col("a_id"), col("a_label"), col("neg_id"),
+        col("neg_label"), col("cos"))
+      .orderBy("a_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qHardNegatives, qHardNegativesIvf)
 }

@@ -69,7 +69,13 @@ object IvfAnn {
     * exactly the window form's (c_sim desc, cell asc). Embeddings
     * don't ride through the aggregate; they re-attach by key. */
   def assign(emb: DataFrame, centroids: DataFrame,
-      metric: String = "cos"): DataFrame = {
+      metric: String = "cos"): DataFrame =
+    assignKeeping(emb, centroids, Nil, metric)
+
+  /** [[assign]] with passthrough columns (e.g. `label` for the
+    * hard-negative IVF tier) — same fused scan-stage expression. */
+  def assignKeeping(emb: DataFrame, centroids: DataFrame,
+      keep: Seq[String], metric: String = "cos"): DataFrame = {
     // centroids are bounded (cell count — the one documented driver-
     // side collect); scoring every vector against them is then a
     // single fused expression in the scan stage: no N × C join, no
@@ -78,9 +84,9 @@ object IvfAnn {
     // assignment must match the metric the index serves.
     val cents = centroids.select(col("cell").cast("long"), col("centroid"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    emb.select(col("vec_id"), col("embedding"),
+    emb.select(Seq(col("vec_id"), col("embedding")) ++ keep.map(col) :+
       org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), cents, metric)
-        .as("cell"))
+        .as("cell"): _*)
   }
 
   /** Join+bounded-heap formulation of [[assign]] — kept as the

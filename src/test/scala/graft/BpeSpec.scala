@@ -219,6 +219,12 @@ class BpeSpec extends SparkSpecBase {
     val inMem = Bpe.learnFromWords(wfDf, numMerges = 30, minFreq = 2L)
     val dist = Bpe.learnBatched(wfDf, numMerges = 30, minFreq = 2L).merges
     assert(inMem === dist)
+    // forced-distributed dispatch (wordBudget = 0, the ScaleBench
+    // beyond-budget configuration) must take the batcher path and
+    // still produce the identical sequence
+    val forced = Bpe.learnFromWords(wfDf, numMerges = 30, minFreq = 2L,
+      wordBudget = 0L)
+    assert(forced === inMem)
   }
 
   test("q121 top pair equals the learner's first merge") {

@@ -387,6 +387,9 @@ class PlanAuditSpec extends SparkSpecBase {
     //    serving itself is equi-joins + bounded heaps.
     //  - q304: the 1-row global-count aggregate cross-joined onto the
     //    ranked rows (q63/q89's bounded single-row shape).
+    //  - q306: anchor probe ROUTING is anchors × broadcast centroids
+    //    (q55's IVF routing cost); mining itself is one cell equi-join
+    //    with the label exclusion riding the join predicate.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -408,7 +411,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q277_residual_topk", "q293_rate_limit_audit",
         "q295_order_aging", "q298_stream_pca",
         "q300_pca_second_component", "q303_ivfpq_batch_serve",
-        "q304_deciles_scalable")
+        "q304_deciles_scalable", "q306_hard_negatives_ivf")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
