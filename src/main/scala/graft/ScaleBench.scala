@@ -500,40 +500,46 @@ object ScaleBench {
             .join(broadcast(anchors), col("label") =!= col("a_label"))
             .select(col("a_id"), col("vec_id").as("neg_id"),
               Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))))
-        var probedRows = 0L
-        val (approxNeg, tHnIvf) = time {
-          val routed = anchors
-            .crossJoin(broadcast(centroids
-              .select(col("cell").cast("long").as("cell"), col("centroid"))))
-            .select(col("a_id"),
-              Similarity.cosine(col("a_emb"), col("centroid")).as("c_sim"),
-              col("cell"))
-            .groupBy("a_id")
-            .agg(org.apache.spark.sql.graftshim.TopKByScore(
-              col("c_sim"), col("cell"), HardNegatives.ivfNegProbe).as("top"))
-            .select(col("a_id"), explode(col("top.id")).as("p_cell"))
-          val cands = assigned.withColumn("label", lbl)
-            .join(broadcast(routed.join(anchors, "a_id")),
-              col("cell") === col("p_cell") && col("label") =!= col("a_label"))
-            .select(col("a_id"), col("vec_id").as("neg_id"),
-              Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
-            .persist()
-          probedRows = cands.count()
-          val m = argmaxOf(cands)
-          cands.unpersist()
-          m
-        }
-        val hits = exactNeg.count { case (a, n) => approxNeg.get(a).contains(n) }
         out ++= Seq(
           "hardneg_anchors" -> exactNeg.size.toDouble,
-          "hardneg_nprobe" -> HardNegatives.ivfNegProbe.toDouble,
-          "hardneg_exact_sec" -> tHnExact,
-          "hardneg_ivf_sec" -> tHnIvf,
-          "hardneg_ivf_recall" ->
-            (if (exactNeg.nonEmpty) hits.toDouble / exactNeg.size else -1.0),
-          "hardneg_scored_frac" ->
-            (probedRows.toDouble /
-              math.max(1.0, exactNeg.size.toDouble * nVecs * 7.0 / 8.0)))
+          "hardneg_exact_sec" -> tHnExact)
+        // two dials: the cheap q306 default (nProbe=4) and the q55
+        // operating point (nProbe=32) — argmax recall is strictly
+        // harder than top-k set recall (ONE right answer per anchor),
+        // so the recall/cost CURVE is the honest report
+        for (nProbe <- Seq(HardNegatives.ivfNegProbe, IvfAnn.opNProbe)) {
+          var probedRows = 0L
+          val (approxNeg, tHnIvf) = time {
+            val routed = anchors
+              .crossJoin(broadcast(centroids
+                .select(col("cell").cast("long").as("cell"), col("centroid"))))
+              .select(col("a_id"),
+                Similarity.cosine(col("a_emb"), col("centroid")).as("c_sim"),
+                col("cell"))
+              .groupBy("a_id")
+              .agg(org.apache.spark.sql.graftshim.TopKByScore(
+                col("c_sim"), col("cell"), nProbe).as("top"))
+              .select(col("a_id"), explode(col("top.id")).as("p_cell"))
+            val cands = assigned.withColumn("label", lbl)
+              .join(broadcast(routed.join(anchors, "a_id")),
+                col("cell") === col("p_cell") && col("label") =!= col("a_label"))
+              .select(col("a_id"), col("vec_id").as("neg_id"),
+                Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
+              .persist()
+            probedRows = cands.count()
+            val m = argmaxOf(cands)
+            cands.unpersist()
+            m
+          }
+          val hits = exactNeg.count { case (a, n) => approxNeg.get(a).contains(n) }
+          out ++= Seq(
+            s"hardneg_ivf${nProbe}_sec" -> tHnIvf,
+            s"hardneg_ivf${nProbe}_recall" ->
+              (if (exactNeg.nonEmpty) hits.toDouble / exactNeg.size else -1.0),
+            s"hardneg_ivf${nProbe}_scored_frac" ->
+              (probedRows.toDouble /
+                math.max(1.0, exactNeg.size.toDouble * nVecs * 7.0 / 8.0)))
+        }
       }
 
       // ---- IVF-PQ composition (q127 shape) ----

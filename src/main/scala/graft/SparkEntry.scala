@@ -47,6 +47,7 @@ object SparkEntry {
       operators.HybridRetrieval.all ++
       operators.GopherRules.all ++
       operators.HardNegatives.all ++
+      operators.CdcChunking.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ZOrder.all ++

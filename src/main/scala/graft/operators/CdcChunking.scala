@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CONTENT-DEFINED CHUNKING (the rsync/LBFS/FastCDC idea): chunk
+  * boundaries are chosen by the CONTENT — position i ends a chunk iff
+  * the hash of the w-char window ending at i satisfies
+  * `H mod D == 0` — so an insertion or deletion shifts only the chunk
+  * it lands in and the cutter RESYNCS at the next content-defined
+  * boundary. Fixed-offset windows (q122's 200-cp/stride-150 chunks)
+  * lose ALL chunk identity after a one-character prefix edit; CDC
+  * chunks keep every chunk md5 past the first resync point — the
+  * property that makes chunk-grain dedup robust to the edits real
+  * crawls are full of (banners injected, headers shifted, bylines
+  * prepended). CdcChunkingSpec plants exactly that A/B.
+  *
+  * Boundary rule here: w = 8, the window hash is the first 8 hex
+  * chars of md5(window) as an integer, cut iff ≡ 0 (mod 64) — an
+  * expected chunk length of ~64 chars with no minimum-length state,
+  * so every position's verdict is INDEPENDENT (memoryless), which is
+  * what keeps the operator declarative and embarrassingly parallel:
+  * no sequential scan, no per-doc state, boundaries computable inside
+  * the row's own projection.
+  *
+  * 100 TB: the whole operator is a per-row array pipeline fused into
+  * the scan — zero exchanges for chunking itself; the dedup census
+  * (q308) shuffles 16-byte chunk hashes only, never text (the q26
+  * physics at chunk grain). An md5 per position is the ORACLE-PORTABLE
+  * spelling; a production cutter swaps in a fused rolling-hash
+  * (gear/Rabin-Karp) codegen Expression with the identical
+  * boundary SEMANTICS — the census and downstream dedup are
+  * hash-checked against this definition either way.
+  */
+object CdcChunking {
+
+  /** Window width (chars) and the boundary modulus (expected chunk
+    * length). */
+  val w = 8
+  val modD = 64
+
+  /** Ordered chunk-boundary array for a text column: 0, every
+    * content-defined cut, and len — distinct and ascending. */
+  private def boundsCol(text: Column): Column = {
+    val cuts = filter(
+      when(length(text) >= w, sequence(lit(w), length(text)))
+        .otherwise(array().cast("array<int>")),
+      i => conv(substring(md5(text.substr(i - lit(w - 1), lit(w))), 1, 8), 16, 10)
+        .cast("long") % modD === 0)
+    sort_array(array_distinct(concat(
+      array(lit(0)), cuts, array(length(text)))))
+  }
+
+  /** (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) — the CDC
+    * mirror of q122's fixed-window chunk relation. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"), boundsCol(col("text")).as("bs"))
+      .select(col("doc_id"), col("text"), col("bs"),
+        explode(sequence(lit(1), size(col("bs")) - 1)).as("i"))
+      .select(col("doc_id"),
+        col("i").cast("int").as("chunk_idx"),
+        (element_at(col("bs"), col("i")) + 1).cast("int").as("chunk_start"),
+        (element_at(col("bs"), col("i") + 1) - element_at(col("bs"), col("i")))
+          .cast("int").as("chunk_len"),
+        md5(col("text").substr(
+          (element_at(col("bs"), col("i")) + 1).cast("int"),
+          (element_at(col("bs"), col("i") + 1) - element_at(col("bs"), col("i")))
+            .cast("int"))).as("chunk_md5"))
+
+  /** The chunks CTE shared by q307/q308 — from-scratch DuckDB
+    * rebuild of the boundary rule and chunk extraction. */
+  private val cdcChunksCteSql: String =
+    s"""cuts AS (
+       |  SELECT doc_id, text,
+       |    list_filter(range($w, length(text) + 1),
+       |      i -> CAST('0x' || substring(md5(substring(text,
+       |             CAST(i - ${w - 1} AS INTEGER), $w)), 1, 8) AS BIGINT)
+       |           % $modD = 0) AS cs
+       |  FROM documents WHERE length(text) >= 1),
+       |bounds AS (
+       |  SELECT doc_id, text,
+       |    list_sort(list_distinct(
+       |      list_concat(list_concat([0], cs), [length(text)]))) AS bs
+       |  FROM cuts),
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       |    CAST(bs[CAST(i AS INTEGER)] + 1 AS INTEGER) AS chunk_start,
+       |    CAST(bs[CAST(i AS INTEGER) + 1] - bs[CAST(i AS INTEGER)] AS INTEGER) AS chunk_len,
+       |    md5(substring(text, CAST(bs[CAST(i AS INTEGER)] + 1 AS INTEGER),
+       |      CAST(bs[CAST(i AS INTEGER) + 1] - bs[CAST(i AS INTEGER)] AS INTEGER))) AS chunk_md5
+       |  FROM (SELECT doc_id, text, bs, unnest(range(1, len(bs))) AS i
+       |        FROM bounds))""".stripMargin
+
+  /** Per-doc CDC chunk table — the edit-robust counterpart of q122. */
+  val qCdcChunks: GraftQuery = GraftQuery(
+    "q307_cdc_chunks",
+    s"""WITH $cdcChunksCteSql
+       |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
+       |FROM chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    cdcChunks(Tables.documents(s, d))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunk-grain dedup census over CDC chunks: every chunk hash seen
+    * more than once across the corpus — the repeated-boilerplate
+    * detector robust to the edits that defeat fixed-window chunk
+    * hashes. One 16-byte-key shuffle; text never moves. */
+  val qCdcDedup: GraftQuery = GraftQuery(
+    "q308_cdc_dedup",
+    s"""WITH $cdcChunksCteSql
+       |SELECT chunk_md5,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  MIN(doc_id) AS min_doc,
+       |  CAST(MAX(chunk_len) AS INTEGER) AS chunk_len
+       |FROM chunks
+       |GROUP BY chunk_md5
+       |HAVING COUNT(*) > 1
+       |ORDER BY chunk_md5""".stripMargin) { (s, d) =>
+    cdcChunks(Tables.documents(s, d))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("chunk_len")).as("chunk_len"))
+      .where(col("n_occurrences") > 1)
+      .orderBy("chunk_md5")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qCdcChunks, qCdcDedup)
+}

@@ -205,7 +205,7 @@ object TrainingPipeline {
 
   /** [[chunkRelation]] over an arbitrary (doc_id, text) relation —
     * shared with the length-skew containment candidates (q305). */
-  private[operators] def chunkRelationOf(
+  private[graft] def chunkRelationOf(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .where(length(col("text")) >= 1)
