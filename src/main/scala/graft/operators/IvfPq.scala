@@ -606,7 +606,27 @@ object IvfPq {
       .orderBy("query_id", "rank")
   }
 
+  /** Batch serving over the SEGMENTED index — q303's query table
+    * served from q140's base+delta layout instead of the single full
+    * segment: per-query probes, ONE pruned scan per segment (two
+    * total), union, same ADC/re-rank pipeline. Because the stride-50
+    * centroids all live in the base corpus (ids ≡ 0 mod 5 are never
+    * ≡ 4 — the q140 property), base+delta is code-for-code identical
+    * to the full rebuild, so the oracle is q303's from-scratch SQL
+    * VERBATIM and the hash match proves batch serving composes with
+    * incremental maintenance — the answer does not change mid-
+    * lifecycle. */
+  val qIvfPqBatchServeSegmented: GraftQuery = GraftQuery(
+    "q309_batch_serve_segmented", qIvfPqBatchServe.oracle.get) { (s, d) =>
+    val (centroids, basePath, deltaPath) = baseDeltaSegments(s, d)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb
+      .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    batchServe(s, Seq(basePath, deltaPath), centroids, queries, emb)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
-      qIvfPqBatchServe)
+      qIvfPqBatchServe, qIvfPqBatchServeSegmented)
 }

@@ -411,7 +411,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q277_residual_topk", "q293_rate_limit_audit",
         "q295_order_aging", "q298_stream_pca",
         "q300_pca_second_component", "q303_ivfpq_batch_serve",
-        "q304_deciles_scalable", "q306_hard_negatives_ivf")
+        "q304_deciles_scalable", "q306_hard_negatives_ivf",
+        "q309_batch_serve_segmented")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
