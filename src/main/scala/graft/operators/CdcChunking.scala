@@ -71,29 +71,33 @@ object CdcChunking {
           (element_at(col("bs"), col("i") + 1) - element_at(col("bs"), col("i")))
             .cast("int"))).as("chunk_md5"))
 
-  /** The chunks CTE shared by q307/q308 — from-scratch DuckDB
-    * rebuild of the boundary rule and chunk extraction. */
-  private val cdcChunksCteSql: String =
-    s"""cuts AS (
+  /** The chunks CTE shared by q307/q308/q311 — from-scratch DuckDB
+    * rebuild of the boundary rule and chunk extraction, parameterized
+    * by a CTE-name prefix and an extra doc filter so two document
+    * slices can be chunked in one statement. */
+  private def cdcChunksCteSqlFor(p: String, extraWhere: String): String =
+    s"""${p}cuts AS (
        |  SELECT doc_id, text,
        |    list_filter(range($w, length(text) + 1),
        |      i -> CAST('0x' || substring(md5(substring(text,
        |             CAST(i - ${w - 1} AS INTEGER), $w)), 1, 8) AS BIGINT)
        |           % $modD = 0) AS cs
-       |  FROM documents WHERE length(text) >= 1),
-       |bounds AS (
+       |  FROM documents WHERE length(text) >= 1 $extraWhere),
+       |${p}bounds AS (
        |  SELECT doc_id, text,
        |    list_sort(list_distinct(
        |      list_concat(list_concat([0], cs), [length(text)]))) AS bs
-       |  FROM cuts),
-       |chunks AS (
+       |  FROM ${p}cuts),
+       |${p}chunks AS (
        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
        |    CAST(bs[CAST(i AS INTEGER)] + 1 AS INTEGER) AS chunk_start,
        |    CAST(bs[CAST(i AS INTEGER) + 1] - bs[CAST(i AS INTEGER)] AS INTEGER) AS chunk_len,
        |    md5(substring(text, CAST(bs[CAST(i AS INTEGER)] + 1 AS INTEGER),
        |      CAST(bs[CAST(i AS INTEGER) + 1] - bs[CAST(i AS INTEGER)] AS INTEGER))) AS chunk_md5
        |  FROM (SELECT doc_id, text, bs, unnest(range(1, len(bs))) AS i
-       |        FROM bounds))""".stripMargin
+       |        FROM ${p}bounds))""".stripMargin
+
+  private val cdcChunksCteSql: String = cdcChunksCteSqlFor("", "")
 
   /** Per-doc CDC chunk table — the edit-robust counterpart of q122. */
   val qCdcChunks: GraftQuery = GraftQuery(
@@ -132,5 +136,63 @@ object CdcChunking {
       .orderBy("chunk_md5")
   }
 
-  def all: Seq[GraftQuery] = Seq(qCdcChunks, qCdcDedup)
+  /** Per-(session, corpus) persisted index of the CORPUS side's
+    * distinct chunk hashes (docs outside the %5==4 batch — the q130
+    * batch convention): built once, reused by every arriving batch.
+    * 16-byte keys only; text never persists. */
+  private val corpusChunkIndex =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "cdc.corpuschunks")(_.unpersist(): Unit)
+
+  private def corpusChunkHashes(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    corpusChunkIndex.getOrElseUpdate(s, d)(
+      cdcChunks(Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(5)) =!= 4))
+        .select("chunk_md5").distinct().persist())
+
+  /** CDC BATCH-vs-CORPUS — the ingest-time boilerplate detector: each
+    * arriving batch doc (doc_id % 5 == 4) is CDC-chunked and its
+    * chunk hashes probed against the persisted corpus chunk index;
+    * the per-doc known-chunk fraction (integer ppm) is the admission
+    * signal ("this page is 90% chunks we already have"). Because the
+    * chunks are content-defined, the signal survives the banner/
+    * byline edits that zero fixed-window overlap (the
+    * CdcChunkingSpec A/B).
+    *
+    * 100 TB: the corpus side is chunked ONCE into a persisted
+    * 16-byte-key index (the q94 pattern at chunk grain); per batch,
+    * cost is chunking the batch + one hash equi-join — independent of
+    * corpus growth. The oracle rebuilds both sides from scratch. */
+  val qCdcBatchVsCorpus: GraftQuery = GraftQuery(
+    "q311_cdc_batch_vs_corpus",
+    s"""WITH ${cdcChunksCteSqlFor("b", "AND doc_id % 5 = 4")},
+       |${cdcChunksCteSqlFor("c", "AND doc_id % 5 <> 4")},
+       |hits AS (
+       |  SELECT b.doc_id, b.chunk_md5,
+       |    CASE WHEN c.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bchunks b
+       |  LEFT JOIN (SELECT DISTINCT chunk_md5 FROM cchunks) c
+       |    ON b.chunk_md5 = c.chunk_md5)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(hit) AS BIGINT) AS n_known,
+       |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS known_ppm
+       |FROM hits
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val batch = cdcChunks(Tables.documents(s, d)
+      .where(pmod(col("doc_id"), lit(5)) === 4))
+    batch
+      .join(corpusChunkHashes(s, d).withColumn("hit", lit(1L)),
+        Seq("chunk_md5"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_known"))
+      .select(col("doc_id"), col("n_chunks"), col("n_known"),
+        expr("n_known * 1000000 div n_chunks").as("known_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qCdcChunks, qCdcDedup, qCdcBatchVsCorpus)
 }

@@ -1043,10 +1043,9 @@ object Dedup {
     * tracks SYMMETRIC Jaccard, so a 10×-length-skewed containment pair
     * (jaccard ≈ 0.1) rarely collides — this query catches the
     * moderately-skewed shapes the band index already surfaces. The
-    * production fix for extreme skew is banding the SHORTER side's
-    * signature against per-chunk signatures of long docs (the q122
-    * chunk relation is the ready substrate); the verify stage here is
-    * already correct for any candidate generator. */
+    * extreme-skew fix is BUILT as [[qContainmentSkew]] (q305): the
+    * shorter side's whole-doc signature banded against per-chunk
+    * signatures, feeding this same verify stage. */
   val qContainmentPairs: GraftQuery = GraftQuery(
     "q201_containment_pairs",
     s"""WITH $bandsCte,

@@ -251,7 +251,70 @@ object OlapGrouping {
       .orderBy("decile")
   }
 
+  /** FACT-SCALE EXACT PERCENTILES by bin selection — the companion to
+    * q304 for SELECTION (find the k-th value) rather than full ranking:
+    * p50/p90/p99 of the event `value` with no global sort and no
+    * single-partition window anywhere.
+    *
+    *  1. one map-side-combined pass builds the bounded value-range
+    *     histogram (bin = floor(value/8), ~70 bins here) — the ONE
+    *     bounded driver collect (≤ |bins| rows, the probeCells class);
+    *  2. the driver walks the histogram to find, per percentile, the
+    *     bin containing global rank k = ⌈p·n⌉ and the residual local
+    *     rank within it;
+    *  3. per percentile, ONE narrow scan with the bin's VALUE RANGE
+    *     pushed to parquet (v/8 is a power-of-two division — exact —
+    *     so `floor(v/8)=b ⟺ v ∈ [8b, 8b+8)` is an exact rewrite to a
+    *     pushable range predicate) feeds a bounded
+    *     TakeOrderedAndProject(local_k) and a 1-row max.
+    *
+    * At 100 TB the histogram pass is scan-speed and each selection
+    * touches one bin's rows; a skewed bin re-bisects with the same
+    * machinery (one more pass), never sorts. The oracle states the
+    * semantics as the plain global row_number selection — the hash
+    * match proves the decomposition exact. */
+  val qPercentileScalable: GraftQuery = GraftQuery(
+    "q310_percentile_exact_scalable",
+    """WITH ranked AS (
+      |  SELECT event_id, value,
+      |    row_number() OVER (ORDER BY value, event_id) AS r,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT CAST(p.pct AS INTEGER) AS pct, r.n,
+      |  CAST(r.r AS BIGINT) AS rank, r.value
+      |FROM ranked r
+      |JOIN (VALUES (50), (90), (99)) p(pct)
+      |  ON r.r = (r.n * p.pct + 99) // 100
+      |ORDER BY pct""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+    val binW = 8.0
+    val hist = ev
+      .groupBy(floor(col("value") / binW).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    def pick(pct: Int): org.apache.spark.sql.DataFrame = {
+      val k = (n * pct + 99) / 100
+      var cum = 0L
+      val (bin, local) = hist.collectFirst {
+        case (b, c) if { val hit = cum + c >= k; if (!hit) cum += c; hit } =>
+          (b, k - cum)
+      }.getOrElse(sys.error(s"rank $k beyond histogram total $n"))
+      ev.where(col("value") >= lit(bin * binW) &&
+          col("value") < lit((bin + 1) * binW))
+        .orderBy(col("value"), col("event_id"))
+        .limit(local.toInt)
+        .agg(max(col("value")).as("value"))
+        .select(lit(pct).cast("int").as("pct"), lit(n).as("n"),
+          lit(k).as("rank"), col("value"))
+    }
+    pick(50).unionByName(pick(90)).unionByName(pick(99)).orderBy("pct")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qRollupRevenue, qCubeLineitem, qNtileDeciles, qGroupingSets,
-      qDecilesScalable)
+      qDecilesScalable, qPercentileScalable)
 }

@@ -1571,6 +1571,56 @@ object Streams {
     streamMerkle(s, d)
   }
 
+  // ---- q312: streaming CDC chunk-census maintenance ----
+
+  /** STREAMING CDC CENSUS: q308's chunk-hash dedup census maintained
+    * as documents arrive. Each micro-batch CDC-chunks ONLY its own
+    * docs and appends a per-chunk partial (n_occurrences, n_docs,
+    * min_doc, max_len) — all four are monoid components (the file
+    * stream partitions docs across batches, so per-batch distinct-doc
+    * counts SUM exactly), so the serve-side fold is hash-identical to
+    * batch q308 under any arrival slicing. The corpus is never
+    * re-chunked: per trigger the exchange carries 16-byte chunk keys
+    * of the batch only — the q288 partial-log posture on the q308
+    * algebra (boilerplate detection that stays warm at ingest). */
+  def streamCdcCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_cdc_census", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.CdcChunking.cdcChunks(batch.toDF())
+            .groupBy("chunk_md5")
+            .agg(count(lit(1)).as("n_occurrences"),
+              countDistinct(col("doc_id")).as("n_docs"),
+              min(col("doc_id")).as("min_doc"),
+              max(col("chunk_len")).as("chunk_len"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .groupBy("chunk_md5")
+      .agg(sum("n_occurrences").cast("long").as("n_occurrences"),
+        sum("n_docs").cast("long").as("n_docs"),
+        min("min_doc").as("min_doc"),
+        max("chunk_len").cast("int").as("chunk_len"))
+      .where(col("n_occurrences") > 1)
+      .orderBy("chunk_md5")
+  }
+
+  val qStreamCdcCensus: GraftQuery = GraftQuery(
+    "q312_stream_cdc_census",
+    graft.operators.CdcChunking.qCdcDedup.oracle.get) { (s, d) =>
+    streamCdcCensus(s, d)
+  }
+
   // ---- q229: streaming KMV sketch merge ----
 
   /** STREAMING KMV SKETCHES: q218's per-source K-minimum-values
@@ -1793,5 +1843,6 @@ object Streams {
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
+      qStreamCdcCensus,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps)
 }
