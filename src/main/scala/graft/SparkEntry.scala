@@ -48,6 +48,7 @@ object SparkEntry {
       operators.GopherRules.all ++
       operators.HardNegatives.all ++
       operators.CdcChunking.all ++
+      operators.MaxSim.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ZOrder.all ++
