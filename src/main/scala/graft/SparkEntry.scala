@@ -49,6 +49,7 @@ object SparkEntry {
       operators.HardNegatives.all ++
       operators.CdcChunking.all ++
       operators.MaxSim.all ++
+      operators.KAnonymity.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ZOrder.all ++

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K-ANONYMITY AUDIT with a local generalization ladder — the privacy
+  * check a training-data release runs over quasi-identifiers: any
+  * combination of QI values shared by fewer than k records is a
+  * re-identification handle. QIs here are (lang, source, length
+  * bucket); the ladder GENERALIZES under-k records instead of just
+  * flagging them (the Samarati/Sweeney mechanic, local-recoding
+  * form):
+  *
+  *   level 0: (lang, source, n_chars÷100) — groups with n ≥ k pass;
+  *   level 1: survivors regroup at the coarser n_chars÷400 bucket;
+  *   level 2: survivors regroup at (lang, source) alone;
+  *   level 3: still under k → SUPPRESS (the output rows a release
+  *            must drop).
+  *
+  * Every decision is an exact integer census — deterministic under
+  * any partitioning, no windows anywhere.
+  *
+  * 100 TB: each level is one map-side-combined groupBy over a
+  * QI-cardinality-bounded census, broadcast back onto the (shrinking)
+  * candidate set — three broadcast joins, zero data-sized shuffles of
+  * anything but the first census keys; level 1+ operate only on the
+  * under-k residue, which the ladder exists to make small. */
+object KAnonymity {
+
+  val k = 5
+
+  val qKAnonymity: GraftQuery = GraftQuery(
+    "q315_k_anonymity",
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |    n_chars // 100 AS b0, n_chars // 400 AS b1
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT lang, source, b0, COUNT(*) AS n0
+       |  FROM d GROUP BY lang, source, b0),
+       |l0 AS (
+       |  SELECT d.doc_id, d.lang, d.source, d.b1, g0.n0
+       |  FROM d JOIN g0 USING (lang, source, b0)),
+       |rest1 AS (SELECT * FROM l0 WHERE n0 < $k),
+       |g1 AS (
+       |  SELECT lang, source, b1, COUNT(*) AS n1
+       |  FROM rest1 GROUP BY lang, source, b1),
+       |l1 AS (
+       |  SELECT r.doc_id, r.lang, r.source, g1.n1
+       |  FROM rest1 r JOIN g1 USING (lang, source, b1)),
+       |rest2 AS (SELECT * FROM l1 WHERE n1 < $k),
+       |g2 AS (
+       |  SELECT lang, source, COUNT(*) AS n2
+       |  FROM rest2 GROUP BY lang, source),
+       |l2 AS (
+       |  SELECT r.doc_id, r.lang, r.source, g2.n2
+       |  FROM rest2 r JOIN g2 USING (lang, source)),
+       |assigned AS (
+       |  SELECT doc_id, lang, source, 0 AS level, n0 AS group_n
+       |  FROM l0 WHERE n0 >= $k
+       |  UNION ALL
+       |  SELECT doc_id, lang, source, 1, n1 FROM l1 WHERE n1 >= $k
+       |  UNION ALL
+       |  SELECT doc_id, lang, source, 2, n2 FROM l2 WHERE n2 >= $k
+       |  UNION ALL
+       |  SELECT doc_id, lang, source, 3, n2 FROM l2 WHERE n2 < $k)
+       |SELECT doc_id, lang, source,
+       |  CAST(level AS INTEGER) AS level,
+       |  CAST(group_n AS BIGINT) AS group_n,
+       |  level = 3 AS suppressed
+       |FROM assigned
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("b0"), expr("n_chars div 400").as("b1"))
+    val g0 = docs.groupBy("lang", "source", "b0").agg(count(lit(1)).as("n0"))
+    val l0 = docs.join(broadcast(g0), Seq("lang", "source", "b0"))
+    val rest1 = l0.where(col("n0") < k)
+    val g1 = rest1.groupBy("lang", "source", "b1").agg(count(lit(1)).as("n1"))
+    val l1 = rest1.select("doc_id", "lang", "source", "b1")
+      .join(broadcast(g1), Seq("lang", "source", "b1"))
+    val rest2 = l1.where(col("n1") < k)
+    val g2 = rest2.groupBy("lang", "source").agg(count(lit(1)).as("n2"))
+    val l2 = rest2.select("doc_id", "lang", "source")
+      .join(broadcast(g2), Seq("lang", "source"))
+    def lvl(df: DataFrame, nCol: String, level: Int) =
+      df.select(col("doc_id"), col("lang"), col("source"),
+        lit(level).as("level"), col(nCol).as("group_n"))
+    lvl(l0.where(col("n0") >= k), "n0", 0)
+      .unionByName(lvl(l1.where(col("n1") >= k), "n1", 1))
+      .unionByName(lvl(l2.where(col("n2") >= k), "n2", 2))
+      .unionByName(lvl(l2.where(col("n2") < k), "n2", 3))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("level").cast("int").as("level"),
+        col("group_n").cast("long").as("group_n"),
+        (col("level") === 3).as("suppressed"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qKAnonymity)
+}

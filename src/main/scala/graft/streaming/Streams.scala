@@ -541,6 +541,60 @@ object Streams {
     streamAnnIngest(s, d)
   }
 
+  /** STREAMING QUERY SERVING: q303's batch-query ANN serving run as a
+    * continuous retrieval service — query vectors ARRIVE as a stream
+    * (every 97th vector), each micro-batch is served against the
+    * persisted cell-partitioned index by the same distributed
+    * batch-serve plan (per-batch probe-union pruned scan, broadcast
+    * LUT ADC, distributed exact re-rank), and results land in a
+    * batchId-keyed overwrite sink (the q147 replay-idempotent shape —
+    * an at-least-once redelivery rewrites the same bytes). File
+    * streams partition rows, so each query is served exactly once and
+    * the drained result is row-identical to batch q303 — the oracle
+    * is q303's from-scratch SQL verbatim.
+    *
+    * 100 TB/day: the index builds once; per trigger the work is
+    * O(batch queries × probed cells) — the serving cost a RAG
+    * inference tier actually pays, with zero per-query driver
+    * round-trips inside each batch. */
+  def streamBatchServe(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.{IvfAnn, IvfPq}
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val fullPath = IvfPq.codesSegment(spark, sfDir, "full",
+      IvfAnn.assign(emb, centroids))
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_serve", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readEmbeddingsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("vec_id"), lit(IvfPq.batchQueryMod)) === 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            val queries = batch.toDF()
+              .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+            IvfPq.batchServe(spark, Seq(fullPath), centroids, queries, emb)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .select("query_id", "rank", "vec_id", "exact_dist")
+      .orderBy("query_id", "rank")
+  }
+
+  val qStreamBatchServe: GraftQuery = GraftQuery(
+    "q314_stream_batch_serve",
+    graft.operators.IvfPq.qIvfPqBatchServe.oracle.get) { (s, d) =>
+    streamBatchServe(s, d)
+  }
+
   /** STREAMING COUNT-MIN SKETCH: q151's frequency estimator maintained
     * across micro-batches. Each arriving document batch contributes a
     * PARTIAL sketch (≤ depth×width counter rows — the bounded thing a
@@ -1843,6 +1897,6 @@ object Streams {
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
-      qStreamCdcCensus,
+      qStreamCdcCensus, qStreamBatchServe,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps)
 }
