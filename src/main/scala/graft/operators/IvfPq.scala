@@ -626,7 +626,97 @@ object IvfPq {
     batchServe(s, Seq(basePath, deltaPath), centroids, queries, emb)
   }
 
+  /** Tombstone rule for q316: every 7th vector is purged — chosen so
+    * the tombstone set demonstrably intersects the served top-k at the
+    * tested SFs (a delete test whose deletions never reach the answer
+    * proves nothing; IvfPqSpec pins that q316's top-k differs from
+    * q139's and contains no tombstoned id). 7 is coprime to the
+    * centroid stride and the batch moduli. */
+  val vecDeleteModulus = 7L
+
+  /** DELETE PROPAGATION THROUGH THE ANN INDEX — q212's
+    * right-to-be-forgotten contract for the VECTOR tier: when vectors
+    * are purged, the persisted codes segments must forget them WITHOUT
+    * re-encoding the surviving corpus. The engine serves q127's search
+    * from the persisted full segment with the tombstone set
+    * anti-joined away before ADC; the oracle REBUILDS assignment and
+    * search from the purged corpus under the SAME quantizer (centroids
+    * are index PARAMETERS, not data — production deletes never retrain
+    * the coarse quantizer, and stride-50 centroid VECTORS deleted from
+    * the corpus remain valid cell centers). The hash match proves
+    * filter-the-index ≡ rebuild-from-purged-corpus — valid because
+    * codes are per-vector (no cross-vector state), the same
+    * index-design property q212 certifies for the LSH bands.
+    *
+    * 100 TB: tombstones are deletion-request-sized — a broadcast
+    * anti-join against the pruned codes scan; no re-assignment, no
+    * re-encoding, no corpus read. Periodic compaction (q146) folds the
+    * tombstones physically. */
+  val qIvfPqDeletePropagation: GraftQuery = {
+    val lutSql = (0 until PqAnn.subspaces).map { sp =>
+      val l = PqAnn.lut(sp).map(PqAnn.sqlNum).mkString("[", ", ", "]")
+      s"CAST($l[c$sp + 1] AS DOUBLE)"
+    }.mkString("(", " + ", ")")
+    GraftQuery(
+      "q316_ann_delete_propagation",
+      s"""WITH centroids AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+         |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
+         |live AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % $vecDeleteModulus <> 0),
+         |scored_assign AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
+         |        c.cell) AS rn
+         |  FROM live e CROSS JOIN centroids c),
+         |cells AS (
+         |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+         |probes AS (
+         |  SELECT cell FROM (
+         |    SELECT cell, row_number() OVER (ORDER BY
+         |      list_cosine_similarity(CAST(c_emb AS DOUBLE[]),
+         |        CAST(${PqAnn.query.map(PqAnn.sqlNum).mkString("[", ", ", "]")} AS DOUBLE[])) DESC, cell) AS r
+         |    FROM centroids) WHERE r <= $nProbe),
+         |coded AS (
+         |  SELECT m.vec_id, m.embedding, m.cell,
+         |    ${(0 until PqAnn.subspaces).map(sp => s"${PqAnn.codeSql(sp)} AS c$sp").mkString(",\n    ")}
+         |  FROM cells m JOIN probes p ON m.cell = p.cell),
+         |adc AS (
+         |  SELECT vec_id, embedding, cell, $lutSql AS adc_dist FROM coded),
+         |cand AS (
+         |  SELECT * FROM adc ORDER BY adc_dist, vec_id LIMIT $adcCand)
+         |SELECT vec_id, cell, adc_dist, ${PqAnn.exactDistSql} AS exact_dist
+         |FROM cand
+         |ORDER BY exact_dist, vec_id
+         |LIMIT $k""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+      // the index was built over the FULL corpus (memoized with
+      // q139); deletes arrive later and must not touch it
+      val path = codesSegment(s, d, "full", IvfAnn.assign(emb, centroids))
+      val tombstones = emb
+        .where(pmod(col("vec_id"), lit(vecDeleteModulus)) === 0)
+        .select("vec_id")
+      val probes = probeCells(centroids)
+      val adcDist = (0 until PqAnn.subspaces).map { i =>
+        element_at(array(PqAnn.lut(i).map(lit): _*),
+          element_at(col("codes"), i + 1) + 1)
+      }.reduceLeft(_ + _)
+      val scan = probedScan(s, path, probes)
+        .getOrElse(sys.error("no probed cell has data"))
+      val cand = scan
+        .join(broadcast(tombstones), Seq("vec_id"), "left_anti")
+        .withColumn("adc_dist", adcDist)
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(adcCand)
+        .collect()
+      rerankCollected(s, d, cand)
+    }
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
-      qIvfPqBatchServe, qIvfPqBatchServeSegmented)
+      qIvfPqBatchServe, qIvfPqBatchServeSegmented, qIvfPqDeletePropagation)
 }

@@ -119,4 +119,21 @@ class IvfAnnSpec extends SparkSpecBase {
         s"query $q: n_hit ${recall(q)} != driver intersection $expected")
     }
   }
+
+  test("q316: ANN delete propagation has teeth and never serves a tombstone") {
+    import graft.operators.IvfPq
+    val served = SparkEntry.queries("q316_ann_delete_propagation")(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // no tombstoned id is ever served
+    assert(served.forall(_ % IvfPq.vecDeleteModulus != 0),
+      s"tombstoned ids served: ${served.filter(_ % IvfPq.vecDeleteModulus == 0)}")
+    // and the deletions actually CHANGED the answer (a delete test
+    // whose tombstones never reach the top-k proves nothing)
+    val preDelete = SparkEntry.queries("q139_ivfpq_partitioned")(spark, sf001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served != preDelete,
+      "q316 must differ from the pre-delete q139 top-k at this SF")
+    assert(preDelete.exists(_ % IvfPq.vecDeleteModulus == 0),
+      "the pre-delete top-k should contain a tombstoned id at this SF")
+  }
 }
