@@ -314,7 +314,57 @@ object OlapGrouping {
     pick(50).unionByName(pick(90)).unionByName(pick(99)).orderBy("pct")
   }
 
+  /** PER-GROUP exact percentiles under group skew — the q181
+    * decomposition applied to percentile SELECTION: a per-group
+    * window puts each whole group on one task (an 80%-hot event type
+    * = one straggler), so ranks are recovered from bounded
+    * (group, value-bin) windows + the cumulative per-group bin
+    * histogram, and each group's p50/p95 rows are selected by exact
+    * integer rank equality — ONE pass over the fact, windows bounded
+    * by bin occupancy, target ranks via a broadcast of the per-group
+    * totals. Oracle states the plain per-group row_number selection;
+    * the hash match proves the decomposition. */
+  val qGroupPercentileScalable: GraftQuery = GraftQuery(
+    "q317_group_percentile_scalable",
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS r,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, CAST(p.pct AS INTEGER) AS pct, n,
+      |  CAST(r AS BIGINT) AS rank, value
+      |FROM ranked
+      |JOIN (VALUES (50), (95)) p(pct)
+      |  ON r = (n * p.pct + 99) // 100
+      |ORDER BY event_type, pct""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("bin", floor(col("value") / 8.0).cast("long"))
+    val wOff = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("bin_n"))
+      .withColumn("offset", coalesce(sum("bin_n").over(wOff), lit(0L)))
+      .select("event_type", "bin", "offset")
+    val targets = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("pct", explode(array(lit(50), lit(95))))
+      .withColumn("k", expr("(n * pct + 99) div 100"))
+    val wLocal = Window.partitionBy("event_type", "bin")
+      .orderBy(col("value"), col("event_id"))
+    val tgt = targets.withColumnRenamed("event_type", "t_type")
+    ev.withColumn("local_rnk", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("event_type", "bin"))
+      .withColumn("r", col("offset") + col("local_rnk"))
+      .join(broadcast(tgt),
+        col("event_type") === col("t_type") && col("r") === col("k"))
+      .select(col("event_type"), col("pct").cast("int").as("pct"),
+        col("n"), col("r").as("rank"), col("value"))
+      .orderBy("event_type", "pct")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qRollupRevenue, qCubeLineitem, qNtileDeciles, qGroupingSets,
-      qDecilesScalable, qPercentileScalable)
+      qDecilesScalable, qPercentileScalable, qGroupPercentileScalable)
 }
