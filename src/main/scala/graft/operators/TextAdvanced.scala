@@ -608,11 +608,16 @@ object TextAdvanced {
       .select(split(lower(col("text")), " ").as("__toks"))
     val cu = toks.select(explode(t).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val nu = cu.agg(sum("c").cast("long").as("n_u"))
+    // totals WITHOUT re-running the explode+aggregate lineage: N_u is
+    // the corpus token count and N_b the corpus pair count, both plain
+    // narrow sums over the tokenized relation (Σ|t| and Σmax(|t|−1,0)
+    // — equal to sum(c) over cu / sum(c_xy) over cb by construction,
+    // at a scan instead of a recomputed aggregate each)
+    val nu = toks.agg(sum(size(t)).cast("long").as("n_u"))
     val cb = toks.select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-    val nb = cb.agg(sum("c_xy").cast("long").as("n_b"))
+    val nb = toks.agg(sum(greatest(size(t) - 1, lit(0))).cast("long").as("n_b"))
     cb.join(broadcast(cu.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_x")), "w1")
       .join(broadcast(cu.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_y")), "w2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
