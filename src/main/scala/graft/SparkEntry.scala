@@ -50,6 +50,7 @@ object SparkEntry {
       operators.CdcChunking.all ++
       operators.MaxSim.all ++
       operators.KAnonymity.all ++
+      operators.SequencePatterns.all ++
       operators.SemDedup.all ++
       operators.Formats.all ++
       operators.ZOrder.all ++
