@@ -192,5 +192,94 @@ object HardNegatives {
       .orderBy("a_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qHardNegatives, qHardNegativesIvf)
+  /** CONTRASTIVE TRIPLET GENERATION — the training-data export a
+    * dual-encoder fine-tune consumes: per anchor, (positive = most
+    * similar SAME-label vector, hard negative = most similar
+    * DIFFERENT-label vector, random negative = hash-picked
+    * different-label vector). The random negative uses a
+    * deterministic md5 gate (argmin of the 32-bit hash of
+    * "a_id:cand_id") so the sample is reproducible under any
+    * partitioning — the q61/q109 hash-sampling discipline applied to
+    * negative sampling.
+    *
+    * Plan: anchors broadcast twice (same-label and different-label
+    * relations); the different-label pass computes BOTH negatives in
+    * ONE ObjectHashAggregate (two k=1 bounded heaps side by side), so
+    * the triple costs two scans of the corpus regardless of anchor
+    * count — and the hard-negative side can swap in the q306 IVF tier
+    * unchanged when exactness isn't contractual.
+    *
+    * Oracle: three window argmins/argmaxes with the same explicit
+    * cosine spelling and tie rules. */
+  val qContrastiveTriplets: GraftQuery = GraftQuery(
+    "q319_contrastive_triplets",
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS a_id, embedding AS a_emb, label AS a_label
+       |  FROM embeddings WHERE vec_id % $anchorStride = 0),
+       |same_scored AS (
+       |  SELECT a.a_id, e.vec_id AS cand,
+       |    ${cosExplicitSql("a.a_emb", "e.embedding")} AS cos
+       |  FROM anchors a JOIN embeddings e
+       |    ON e.label = a.a_label AND e.vec_id <> a.a_id),
+       |pos AS (
+       |  SELECT a_id, cand AS pos_id, cos AS pos_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cos DESC, cand) AS rn FROM same_scored) WHERE rn = 1),
+       |diff_scored AS (
+       |  SELECT a.a_id, e.vec_id AS cand,
+       |    ${cosExplicitSql("a.a_emb", "e.embedding")} AS cos,
+       |    CAST('0x' || substring(md5(CAST(a.a_id AS VARCHAR) || ':'
+       |      || CAST(e.vec_id AS VARCHAR)), 1, 8) AS BIGINT) AS gate
+       |  FROM anchors a JOIN embeddings e ON e.label <> a.a_label),
+       |hard AS (
+       |  SELECT a_id, cand AS hardneg_id, cos AS hardneg_cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cos DESC, cand) AS rn FROM diff_scored) WHERE rn = 1),
+       |rnd AS (
+       |  SELECT a_id, cand AS randneg_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY gate, cand) AS rn FROM diff_scored) WHERE rn = 1)
+       |SELECT a.a_id, a.a_label, p.pos_id, p.pos_cos,
+       |  h.hardneg_id, h.hardneg_cos, r.randneg_id
+       |FROM anchors a
+       |JOIN pos p ON p.a_id = a.a_id
+       |JOIN hard h ON h.a_id = a.a_id
+       |JOIN rnd r ON r.a_id = a.a_id
+       |ORDER BY a.a_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.graftshim.TopKByScore
+    val emb = Tables.embeddings(s, d)
+    val anchors = emb.where(pmod(col("vec_id"), lit(anchorStride)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    val pos = emb.join(broadcast(anchors),
+        col("label") === col("a_label") && col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("cand"),
+        Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
+      .groupBy("a_id")
+      .agg(TopKByScore(col("cos"), col("cand"), 1).as("t"))
+      .select(col("a_id"),
+        element_at(col("t"), 1).getField("id").as("pos_id"),
+        element_at(col("t"), 1).getField("score").as("pos_cos"))
+    val gate = conv(substring(md5(concat(col("a_id").cast("string"), lit(":"),
+      col("vec_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val diff = emb.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("a_id"), col("vec_id").as("cand"),
+        Similarity.cosine(col("a_emb"), col("embedding")).as("cos"),
+        gate.as("g"))
+      .groupBy("a_id")
+      .agg(TopKByScore(col("cos"), col("cand"), 1).as("h"),
+        TopKByScore(-col("g").cast("double"), col("cand"), 1).as("r"))
+      .select(col("a_id"),
+        element_at(col("h"), 1).getField("id").as("hardneg_id"),
+        element_at(col("h"), 1).getField("score").as("hardneg_cos"),
+        element_at(col("r"), 1).getField("id").as("randneg_id"))
+    anchors.select(col("a_id"), col("a_label"))
+      .join(pos, "a_id").join(diff, "a_id")
+      .select(col("a_id"), col("a_label"), col("pos_id"), col("pos_cos"),
+        col("hardneg_id"), col("hardneg_cos"), col("randneg_id"))
+      .orderBy("a_id")
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qHardNegatives, qHardNegativesIvf, qContrastiveTriplets)
 }

@@ -390,6 +390,9 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q306: anchor probe ROUTING is anchors × broadcast centroids
     //    (q55's IVF routing cost); mining itself is one cell equi-join
     //    with the label exclusion riding the join predicate.
+    //  - q319: the different-label negative pass is q199's corpus ×
+    //    broadcast-anchor non-equi shape (the exact-mining contract);
+    //    the q306 IVF tier substitutes when exactness isn't required.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -412,7 +415,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q295_order_aging", "q298_stream_pca",
         "q300_pca_second_component", "q303_ivfpq_batch_serve",
         "q304_deciles_scalable", "q306_hard_negatives_ivf",
-        "q309_batch_serve_segmented")
+        "q309_batch_serve_segmented", "q319_contrastive_triplets")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
