@@ -225,6 +225,16 @@ class PlanAuditSpec extends SparkSpecBase {
       "the data-sized ranking window must be partitioned by bin")
   }
 
+  test("q310: percentile selection scans carry pushed value-range filters") {
+    val p = plan("q310_percentile_exact_scalable")
+    // the per-percentile selection scan must push its bin's value
+    // range to parquet — the property that makes selection O(bin)
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(value") && p.contains("LessThan(value"),
+      s"bin range must reach the scan:\n${p.take(3000)}")
+    assert(!p.contains("Window"), "selection must not plan any window")
+  }
+
   test("q130: batch curation never rescans the corpus documents") {
     // warm the per-(session, corpus) indexes, then audit a subsequent
     // batch run's physical plan: corpus statistics must be served from
