@@ -219,6 +219,58 @@ object TrainingPipeline {
         col("text").substr((lit(1) + lit(150) * col("k")).cast("int"), lit(200))
           .as("chunk"))
 
+  /** FILL-IN-MIDDLE (FIM) example assembly — the span-reordering
+    * transform code-model pipelines apply to a fraction of training
+    * docs (Bavarian et al.): split each doc into prefix/middle/suffix
+    * thirds (exact integer code-point arithmetic — l1 = len div 3,
+    * l2 = 2·len div 3 − l1) and emit the PSM rendering
+    * `<PRE>prefix<SUF>suffix<MID>middle`, so the model learns to
+    * infill. The md5 of the assembled example makes the oracle prove
+    * every BYTE of the surgery, not just the lengths; which docs get
+    * FIM'd is the q109 hash-gate discipline (doc_id md5 < 0x8000 —
+    * a reproducible 50% coin, join-stable across derived tables).
+    *
+    * 100 TB: a pure per-row projection fused into the scan — zero
+    * exchanges; the ORDER BY exists only for oracle determinism. */
+  val qFimExamples: GraftQuery = GraftQuery(
+    "q320_fim_examples",
+    """WITH cuts AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    length(text) // 3 AS l1,
+      |    (2 * length(text)) // 3 - length(text) // 3 AS l2,
+      |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS fim
+      |  FROM documents WHERE length(text) >= 3)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_chars, fim,
+      |  CAST(l1 AS INTEGER) AS l_prefix,
+      |  CAST(l2 AS INTEGER) AS l_middle,
+      |  CAST(n - l1 - l2 AS INTEGER) AS l_suffix,
+      |  CASE WHEN fim THEN md5('<PRE>' || substring(text, 1, CAST(l1 AS INTEGER))
+      |    || '<SUF>' || substring(text, CAST(l1 + l2 + 1 AS INTEGER), CAST(n - l1 - l2 AS INTEGER))
+      |    || '<MID>' || substring(text, CAST(l1 + 1 AS INTEGER), CAST(l2 AS INTEGER)))
+      |  ELSE md5(text) END AS example_md5
+      |FROM cuts
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val n = length(col("text"))
+    val l1 = expr("length(text) div 3")
+    val l2 = expr("(2 * length(text)) div 3 - length(text) div 3")
+    Tables.documents(s, d)
+      .where(length(col("text")) >= 3)
+      .select(col("doc_id"), col("text"), n.as("n"), l1.as("l1"), l2.as("l2"),
+        (substring(md5(col("doc_id").cast("string")), 1, 4) < "8000").as("fim"))
+      .select(col("doc_id"), col("n").cast("int").as("n_chars"), col("fim"),
+        col("l1").cast("int").as("l_prefix"),
+        col("l2").cast("int").as("l_middle"),
+        (col("n") - col("l1") - col("l2")).cast("int").as("l_suffix"),
+        when(col("fim"), md5(concat(
+          lit("<PRE>"), col("text").substr(lit(1), col("l1").cast("int")),
+          lit("<SUF>"), col("text").substr((col("l1") + col("l2") + 1).cast("int"),
+            (col("n") - col("l1") - col("l2")).cast("int")),
+          lit("<MID>"), col("text").substr((col("l1") + 1).cast("int"),
+            col("l2").cast("int")))))
+          .otherwise(md5(col("text"))).as("example_md5"))
+      .orderBy("doc_id")
+  }
+
   val qChunkDocuments: GraftQuery = GraftQuery(
     "q122_chunk_documents",
     s"""WITH $chunksCteSql
@@ -792,7 +844,7 @@ object TrainingPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
-      qChunkDocuments, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
+      qChunkDocuments, qFimExamples, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
       qCurriculumOrder, qSourceQuotaCap, qPackingAudit, qTemperatureMix,
       qBucketedPacking)
 }
