@@ -37,6 +37,24 @@ class CdcChunkingSpec extends SparkSpecBase {
     assert(shared > fixedShared)
   }
 
+  test("fused CdcBounds equals the composed boundary pipeline element-for-element") {
+    val edgy = Seq(
+      "a", "ab", "abcdefg", "abcdefgh", // below/at the window width
+      "x" * 500, // degenerate repetition
+      "unicode éèê and 𝄞 supplementary plane chars mixed in 𝄢 here",
+      (0 until 300).map(i => f"tok$i%03d").mkString(" "))
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("text")).limit(200)
+      .unionByName(edgy.toDF("text"))
+    val both = docs.where(length(col("text")) >= 1)
+      .select(CdcChunking.boundsColComposed(col("text")).as("c"),
+        CdcChunking.boundsColFused(col("text")).as("f"))
+    // the composed form emits INT via the sequence (Spark types them
+    // int already); compare as sequences
+    val bad = both.where(not(col("c") === col("f"))).count()
+    assert(bad == 0, s"$bad rows differ between fused and composed bounds")
+  }
+
   test("chunks partition the text exactly: offsets contiguous, lengths sum to len") {
     val docs = graft.sources.Tables.documents(spark, sf001).limit(50)
     val rows = CdcChunking.cdcChunks(docs)
