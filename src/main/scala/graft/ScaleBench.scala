@@ -159,6 +159,24 @@ object ScaleBench {
       "minhash_bucket_mean" -> bucketStats.getDouble(3),
       "minhash_bands_sec" -> tBands)
 
+    // CDC chunking at this scale (q307/q308 shape): the fused cutter's
+    // throughput and the chunk-census dup structure — chunking is
+    // scan-fused per-row work, so seconds here ARE the per-scan cost a
+    // 100 TB pass would amortize
+    {
+      val chunks = graft.operators.CdcChunking.cdcChunks(docs).persist()
+      val (nChunks, tChunks) = time(chunks.count())
+      val (dupChunks, tCensus) = time(
+        chunks.groupBy("chunk_md5").agg(count(lit(1)).as("n"))
+          .where(col("n") > 1).count())
+      chunks.unpersist()
+      out ++= Seq(
+        "cdc_chunks_n" -> nChunks.toDouble,
+        "cdc_chunks_sec" -> tChunks,
+        "cdc_dup_hashes" -> dupChunks.toDouble,
+        "cdc_census_sec" -> tCensus)
+    }
+
     val pairs = Dedup.candidatePairsFromBands(bands).persist()
     val (pairsFull, tCand) = time(pairs.count())
     out ++= Seq("cand_pairs_full" -> pairsFull.toDouble, "cand_pairs_sec" -> tCand)
