@@ -303,6 +303,13 @@ object OlapGrouping {
         case (b, c) if { val hit = cum + c >= k; if (!hit) cum += c; hit } =>
           (b, k - cum)
       }.getOrElse(sys.error(s"rank $k beyond histogram total $n"))
+      // a bin's residual rank must fit the TakeOrdered heap: past
+      // Int.MaxValue rows in one bin, re-bisect the bin with the same
+      // machinery (one more histogram pass on a finer grid) — fail
+      // loudly here rather than silently truncating the limit
+      require(local <= Int.MaxValue,
+        s"q310: bin $bin holds rank residue $local > Int.MaxValue — " +
+          "re-bisect with a finer grid before selecting")
       ev.where(col("value") >= lit(bin * binW) &&
           col("value") < lit((bin + 1) * binW))
         .orderBy(col("value"), col("event_id"))

@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * find-all semantics identical for these deterministic patterns.
   *
   * 100 TB: ONE user_id exchange builds the journey strings
-  * (collect_list is ObjectHashAggregate — map-side partials; strings
-  * bounded by per-user event counts); ALL patterns evaluate in one
-  * explode+aggregate pass over the journeys — adding a pattern costs
-  * a scan-side regex, never another shuffle. The per-user string IS
-  * the materialization a production row-pattern engine builds. */
+  * (collect_list is ObjectHashAggregate — map-side partials); ALL
+  * patterns evaluate in one explode+aggregate pass over the journeys
+  * — adding a pattern costs a scan-side regex, never another shuffle.
+  * The per-user string IS the materialization a production
+  * row-pattern engine builds. Honest bound: the string is per-user
+  * event count — a bot with 10⁸ events makes a 100 MB row, so a
+  * production run caps history first (sessionize, or truncate to the
+  * trailing N events — a deterministic per-user bounded TopKByScore
+  * pick); the pattern algebra is unchanged under that cap. */
 object SequencePatterns {
 
   val patterns: Seq[String] = Seq("vc", "v[^p]*p", "ee+", "sv")
