@@ -1183,6 +1183,55 @@ object Dedup {
       indexedShingleSets(s, d)))
   }
 
+  /** EFFECTIVE DATASET SIZE under soft dedup — the data-vendor
+    * scorecard: instead of DROPPING near-dups, weight every document
+    * by 1/|its near-dup cluster| (the soft-dedup / repetition-
+    * reweighting ablation from the SemDeDup line of work) and report
+    * per-source totals: raw docs, clustered docs, and the effective
+    * ppm-weighted size. A source whose effective size is far below
+    * its raw size is selling copies. Weights are exact integer ppm
+    * (1000000 div cluster_size — clusters have ≥ 2 members, singletons
+    * weigh 1000000), so the report is bit-deterministic.
+    *
+    * 100 TB: cluster labels come from the persisted component index
+    * (built once — the q77 loop over the LSH-bounded pair relation);
+    * sizes are a census over that pair-bounded relation; both
+    * broadcast back onto one narrow corpus projection. */
+  val qEffectiveSize: GraftQuery = GraftQuery(
+    "q321_effective_dataset_size",
+    s"""WITH RECURSIVE $componentLblCte,
+       |sizes AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM lbl GROUP BY cluster_id),
+       |docw AS (
+       |  SELECT d.doc_id, d.source,
+       |    l.doc_id IS NOT NULL AS clustered,
+       |    COALESCE(1000000 // s.csize, 1000000) AS w_ppm
+       |  FROM documents d
+       |  LEFT JOIN lbl l ON d.doc_id = l.doc_id
+       |  LEFT JOIN sizes s ON l.cluster_id = s.cluster_id)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+       |  CAST(SUM(w_ppm) AS BIGINT) AS effective_ppm
+       |FROM docw GROUP BY source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val labels = indexedComponents(s, d)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    Tables.documents(s, d).select("doc_id", "source")
+      .join(broadcast(labels.withColumn("clustered", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("cluster_id"), "left")
+      .select(col("source"),
+        coalesce(col("clustered"), lit(false)).as("clustered"),
+        coalesce(expr("1000000 div csize"), lit(1000000L)).as("w_ppm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("clustered"), 1L).otherwise(0L)).as("n_clustered"),
+        sum("w_ppm").as("effective_ppm"))
+      .orderBy("source")
+  }
+
   /** Tombstone rule for q212: every 97th doc is deleted. */
   val deleteModulus = 97L
 
@@ -1227,5 +1276,5 @@ object Dedup {
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
     qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain,
-    qContainmentPairs, qContainmentSkew, qDeletePropagation)
+    qContainmentPairs, qContainmentSkew, qEffectiveSize, qDeletePropagation)
 }
