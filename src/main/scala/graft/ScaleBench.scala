@@ -1083,6 +1083,31 @@ object ScaleBench {
         "m1_ivfpq_disk_pruned_sec" -> tPruned,
         "m1_ivfpq_disk_prune_speedup" ->
           (if (tPruned > 0) tSemi / tPruned else -1.0))
+
+      // ---- batch-query serving at the decade (q303's physics) ----
+      // 64 queries served by ONE distributed plan against the
+      // partitioned index (probe-union pruned scan, broadcast LUT ADC,
+      // distributed exact re-rank). The amortization claim measured:
+      // wall-clock vs |Q| independent single-query pruned searches.
+      {
+        val qStride2 = math.max(1L, nVecs / 64)
+        val queries = vecs
+          .where(pmod(col("vec_id"), lit(qStride2)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val nQ = queries.count()
+        def serve(): Long =
+          IvfPq.batchServe(spark, Seq(partPath), centroids, queries, vecs)
+            .count()
+        serve() // warm
+        val (_, tBatch) = time(serve())
+        out ++= Seq(
+          "m1_batch_serve_queries" -> nQ.toDouble,
+          "m1_batch_serve_sec" -> tBatch,
+          "m1_batch_serve_ms_per_query" ->
+            (if (nQ > 0) tBatch * 1000.0 / nQ else -1.0),
+          "m1_batch_serve_amortization_x" ->
+            (if (tBatch > 0 && nQ > 0) nQ * tPruned / tBatch else -1.0))
+      }
     }
     vecs.unpersist()
 
