@@ -125,5 +125,113 @@ object Apss {
     exactPairs(s, d).orderBy("doc_a", "doc_b")
   }
 
-  def all: Seq[GraftQuery] = Seq(qApss)
+  /** The corpus-side prefix index: corpus document frequencies and
+    * each corpus doc's prefix shingles under the canonical
+    * (df asc, sh asc) order — built once per (session, corpus),
+    * persisted, reused by every arriving batch (the q94 posture at
+    * the EXACT tier). */
+  private val corpusPrefixIndex =
+    new graft.spark.SessionMemo[String, (DataFrame, DataFrame)](
+      "apss.corpusprefix")({ case (a, b) => a.unpersist(); b.unpersist(); () })
+
+  private def corpusPrefix(spark: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    corpusPrefixIndex.getOrElseUpdate(spark, d)({
+      val toksC = Dedup.indexedShingleSets(spark, d)
+        .where(pmod(col("doc_id"), lit(5)) =!= 4)
+      val exC = toksC.select(col("doc_id"), size(col("toks")).as("m"),
+        explode(col("toks")).as("sh"))
+      val dfreq = exC.groupBy("sh").agg(count(lit(1)).as("df")).persist()
+      val pre = exC.join(dfreq, "sh")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+        .where(col("r") <= expr(s"m - (($tauNum * m + ${tauDen - 1}) div $tauDen) + 1"))
+        .select(col("doc_id"), col("sh"), col("m"), col("r"))
+        .persist()
+      pre.count(); dfreq.count()
+      (dfreq, pre)
+    })
+
+  /** INCREMENTAL EXACT APSS — the daily-ingest form of the
+    * guaranteed-complete tier: every (batch doc, corpus doc) pair with
+    * Jaccard ≥ τ, none missed, at cost O(batch), never re-paying the
+    * corpus. The shared canonical order is the CORPUS's df (batch-only
+    * shingles order as df 0 — ANY shared total order keeps the
+    * pigeonhole prefix guarantee, and corpus df is the one the
+    * persisted index already carries); both sides keep their own
+    * |S| − ⌈τ|S|⌉ + 1 prefix, candidates come from one prefix×prefix
+    * equi-join with the ppjoin positional bound, and verification is
+    * exact. The corpus prefix relation and df table are persisted
+    * per (session, corpus) — an arriving batch pays its own
+    * shingling + one bounded join, independent of corpus growth. */
+  val qApssBatchVsCorpus: GraftQuery = GraftQuery(
+    "q322_apss_batch_vs_corpus",
+    s"""WITH toks_c AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql} AS t FROM documents
+       |  WHERE doc_id % 5 <> 4),
+       |toks_b AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql} AS t FROM documents
+       |  WHERE doc_id % 5 = 4),
+       |ex_c AS (SELECT doc_id, unnest(t) AS sh FROM toks_c),
+       |dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ex_c GROUP BY sh),
+       |ranked_c AS (
+       |  SELECT e.doc_id, e.sh,
+       |    COUNT(*) OVER (PARTITION BY e.doc_id) AS m,
+       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.sh) AS r
+       |  FROM ex_c e JOIN dfreq d USING (sh)),
+       |ex_b AS (SELECT doc_id, unnest(t) AS sh FROM toks_b),
+       |ranked_b AS (
+       |  SELECT e.doc_id, e.sh,
+       |    COUNT(*) OVER (PARTITION BY e.doc_id) AS m,
+       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id
+       |      ORDER BY COALESCE(d.df, 0), e.sh) AS r
+       |  FROM ex_b e LEFT JOIN dfreq d USING (sh)),
+       |pre_c AS (
+       |  SELECT doc_id, sh, m, r FROM ranked_c
+       |  WHERE r <= m - (($tauNum * m + ${tauDen - 1}) // $tauDen) + 1),
+       |pre_b AS (
+       |  SELECT doc_id, sh, m, r FROM ranked_b
+       |  WHERE r <= m - (($tauNum * m + ${tauDen - 1}) // $tauDen) + 1),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS doc_batch, c.doc_id AS doc_corpus
+       |  FROM pre_b b JOIN pre_c c ON b.sh = c.sh
+       |  WHERE 1 + least(b.m - b.r, c.m - c.r)
+       |        >= ($tauNum * greatest(b.m, c.m) + ${tauDen - 1}) // $tauDen),
+       |j AS (
+       |  SELECT cd.doc_batch, cd.doc_corpus,
+       |    CAST(len(list_intersect(tb.t, tc.t)) AS INTEGER) AS n_inter,
+       |    CAST(len(list_distinct(list_concat(tb.t, tc.t))) AS INTEGER) AS n_union
+       |  FROM cand cd
+       |  JOIN toks_b tb ON tb.doc_id = cd.doc_batch
+       |  JOIN toks_c tc ON tc.doc_id = cd.doc_corpus)
+       |SELECT doc_batch, doc_corpus, n_inter, n_union,
+       |  CAST(n_inter AS DOUBLE) / n_union AS jaccard
+       |FROM j
+       |WHERE $tauDen * n_inter >= $tauNum * n_union
+       |ORDER BY doc_batch, doc_corpus""".stripMargin) { (s, d) =>
+    val toks = Dedup.indexedShingleSets(s, d)
+    val (dfreq, preC) = corpusPrefix(s, d)
+    val exB = toks.where(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id"), size(col("toks")).as("m"),
+        explode(col("toks")).as("sh"))
+    val preB = exB.join(dfreq, Seq("sh"), "left")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+          coalesce(col("df"), lit(0L)), col("sh"))))
+      .where(col("r") <= expr(s"m - (($tauNum * m + ${tauDen - 1}) div $tauDen) + 1"))
+      .select(col("doc_id"), col("sh"), col("m"), col("r"))
+    val cand = preB.as("b").join(preC.as("c"),
+        col("b.sh") === col("c.sh") &&
+        lit(1) + least(col("b.m") - col("b.r"), col("c.m") - col("c.r"))
+          >= expr(s"($tauNum * greatest(b.m, c.m) + ${tauDen - 1}) div $tauDen"))
+      .select(col("b.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    Dedup.withJaccardToks(cand, toks)
+      .where(expr(s"$tauDen * n_inter >= $tauNum * n_union"))
+      .select(col("doc_a").as("doc_batch"), col("doc_b").as("doc_corpus"),
+        col("n_inter"), col("n_union"), col("jaccard"))
+      .orderBy("doc_batch", "doc_corpus")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qApss, qApssBatchVsCorpus)
 }

@@ -34,4 +34,24 @@ class ApssSpec extends SparkSpecBase {
       assert((3 * m + 4) / 5 == math.ceil(3.0 * m / 5).toInt, s"m=$m")
     }
   }
+
+  test("q322: batch-vs-corpus exact pairs == brute-force cross pairs at tau = 0.6") {
+    import graft.operators.{Apss, Dedup}
+    val toks = Dedup.indexedShingleSets(spark, sf001)
+    val exB = toks.where(pmod(col("doc_id"), lit(5)) === 4)
+      .select(col("doc_id").as("doc_a"), explode(col("toks")).as("sh"))
+    val exC = toks.where(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(col("doc_id").as("doc_b"), explode(col("toks")).as("sh"))
+    val cand = exB.join(exC, "sh").select("doc_a", "doc_b").distinct()
+    val brute = Dedup.withJaccardToks(cand, toks)
+      .where(expr(s"${Apss.tauDen} * n_inter >= ${Apss.tauNum} * n_union"))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = SparkEntry.queries("q322_apss_batch_vs_corpus")(spark, sf001)
+      .select("doc_batch", "doc_corpus")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain cross near-dup pairs")
+    assert(filtered == brute,
+      s"missed=${(brute -- filtered).take(5)} extra=${(filtered -- brute).take(5)}")
+  }
 }
