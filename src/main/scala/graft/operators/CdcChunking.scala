@@ -207,5 +207,72 @@ object CdcChunking {
       .orderBy("doc_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qCdcChunks, qCdcDedup, qCdcBatchVsCorpus)
+  /** CDC PAIR CANDIDATES — near-dup detection through shared
+    * content-defined chunks, the storage-dedup mechanism (FastCDC/
+    * backup systems) applied to corpus curation: two docs sharing ≥ 2
+    * chunk hashes are candidates, scored by how much of EACH side's
+    * length the shared chunks cover (integer ppm per side — the
+    * asymmetric containment signal, byte-grounded instead of
+    * shingle-estimated). Complements MinHash (q28: jaccard-tuned,
+    * probabilistic) and chunk banding (q305): CDC pairs are exact on
+    * shared SPANS and survive arbitrary edits between them.
+    *
+    * 100 TB: one equi-join on 16-byte chunk hashes restricted to DUP
+    * hashes only (the census gate runs first, so unique chunks — the
+    * overwhelming mass — never enter the join); per-pair stats are
+    * one aggregate. A boilerplate chunk shared by m docs contributes
+    * m²/2 pairs — the q27 bucket-flood shape — so the same oversize
+    * guard applies; at the tested SFs buckets are tiny (the census is
+    * the observability surface). */
+  val qCdcPairs: GraftQuery = GraftQuery(
+    "q323_cdc_pair_candidates",
+    s"""WITH $cdcChunksCteSql,
+       |dup AS (
+       |  SELECT chunk_md5 FROM chunks
+       |  GROUP BY chunk_md5 HAVING COUNT(*) > 1),
+       |dchunks AS (
+       |  SELECT c.doc_id, c.chunk_md5, c.chunk_len
+       |  FROM chunks c JOIN dup d USING (chunk_md5)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared,
+       |    CAST(SUM(a.chunk_len) AS BIGINT) AS shared_len
+       |  FROM dchunks a JOIN dchunks b
+       |    ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= 2),
+       |lens AS (SELECT doc_id, length(text) AS len FROM documents)
+       |SELECT p.doc_a, p.doc_b, p.n_shared, p.shared_len,
+       |  CAST(la.len AS BIGINT) AS len_a, CAST(lb.len AS BIGINT) AS len_b,
+       |  CAST(p.shared_len * 1000000 // la.len AS BIGINT) AS cover_a_ppm,
+       |  CAST(p.shared_len * 1000000 // lb.len AS BIGINT) AS cover_b_ppm
+       |FROM pairs p
+       |JOIN lens la ON la.doc_id = p.doc_a
+       |JOIN lens lb ON lb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val chunks = cdcChunks(Tables.documents(s, d))
+      .select("doc_id", "chunk_md5", "chunk_len")
+    val dup = chunks.groupBy("chunk_md5").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("chunk_md5")
+    val dchunks = chunks.join(dup, "chunk_md5")
+    val pairs = dchunks.as("a").join(dchunks.as("b"),
+        col("a.chunk_md5") === col("b.chunk_md5") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("a.chunk_len")).as("shared_len"))
+      .where(col("n_shared") >= 2)
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    pairs
+      .join(lens.toDF("doc_a", "len_a"), "doc_a")
+      .join(lens.toDF("doc_b", "len_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("shared_len"),
+        col("len_a"), col("len_b"),
+        expr("shared_len * 1000000 div len_a").as("cover_a_ppm"),
+        expr("shared_len * 1000000 div len_b").as("cover_b_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def all: Seq[GraftQuery] = Seq(qCdcChunks, qCdcDedup, qCdcBatchVsCorpus, qCdcPairs)
 }
