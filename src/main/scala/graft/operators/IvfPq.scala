@@ -468,66 +468,77 @@ object IvfPq {
     * Oracle: a from-scratch DuckDB rebuild of assignment, routing,
     * per-pair ADC, and exact re-rank — same tie rules
     * (dist asc, vec_id asc) via row_number. */
+  private def qCentDistSql(sub: Int, c: Int): String =
+    (0 until PqAnn.subDim).map { j =>
+      val idx = sub * PqAnn.subDim + j + 1
+      val cb = PqAnn.sqlNum(PqAnn.codebook(sub)(c)(j))
+      s"((CAST(p.q_emb[$idx] AS DOUBLE) - $cb) * " +
+        s"(CAST(p.q_emb[$idx] AS DOUBLE) - $cb))"
+    }.mkString("(", " + ", ")")
+
+  private def adcPairSql: String = (0 until PqAnn.subspaces).map { sub =>
+    val l = (0 until PqAnn.nCentroids).map(c => qCentDistSql(sub, c))
+      .mkString("[", ", ", "]")
+    s"($l[m.c$sub + 1])"
+  }.mkString("(", " + ", ")")
+
+  /** Exact squared L2 between a queries-CTE row `q` and an embeddings
+    * row `e` — left-assoc, mirroring batchServe's expression. */
+  private def exactPairSql: String = (0 until PqAnn.dims).map { j =>
+    s"((CAST(q.q_emb[${j + 1}] AS DOUBLE) - CAST(e.embedding[${j + 1}] AS DOUBLE)) * " +
+      s"(CAST(q.q_emb[${j + 1}] AS DOUBLE) - CAST(e.embedding[${j + 1}] AS DOUBLE)))"
+  }.mkString("(", " + ", ")")
+
+  /** The q303 oracle's CTE chain, ending with `rr` (candidate exact
+    * distances per query) — shared verbatim by q303 and the serving
+    * recall eval (q324). */
+  private def batchServeCtesSql: String =
+    s"""centroids AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
+       |scored_assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
+       |        c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |cells AS (
+       |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
+       |queries AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % $batchQueryMod = 0),
+       |routed AS (
+       |  SELECT q.query_id, q.q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
+       |        c.cell) AS c_rank
+       |  FROM queries q CROSS JOIN centroids c),
+       |probes AS (
+       |  SELECT query_id, q_emb, cell FROM routed WHERE c_rank <= $nProbe),
+       |coded AS (
+       |  SELECT m.vec_id, m.cell,
+       |    ${(0 until PqAnn.subspaces).map(s => s"${PqAnn.codeSql(s)} AS c$s").mkString(",\n    ")}
+       |  FROM cells m
+       |  JOIN (SELECT DISTINCT cell FROM probes) pc ON m.cell = pc.cell),
+       |adc AS (
+       |  SELECT p.query_id, m.vec_id, $adcPairSql AS adc_dist
+       |  FROM probes p JOIN coded m ON m.cell = p.cell),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, vec_id) AS r
+       |    FROM adc) WHERE r <= $adcCand),
+       |rr AS (
+       |  SELECT c.query_id, c.vec_id, $exactPairSql AS exact_dist
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN queries q ON q.query_id = c.query_id)""".stripMargin
+
   val qIvfPqBatchServe: GraftQuery = {
-    def qCentDistSql(sub: Int, c: Int): String =
-      (0 until PqAnn.subDim).map { j =>
-        val idx = sub * PqAnn.subDim + j + 1
-        val cb = PqAnn.sqlNum(PqAnn.codebook(sub)(c)(j))
-        s"((CAST(p.q_emb[$idx] AS DOUBLE) - $cb) * " +
-          s"(CAST(p.q_emb[$idx] AS DOUBLE) - $cb))"
-      }.mkString("(", " + ", ")")
-    val adcPairSql = (0 until PqAnn.subspaces).map { sub =>
-      val l = (0 until PqAnn.nCentroids).map(c => qCentDistSql(sub, c))
-        .mkString("[", ", ", "]")
-      s"($l[m.c$sub + 1])"
-    }.mkString("(", " + ", ")")
-    val exactPairSql = (0 until PqAnn.dims).map { j =>
-      s"((CAST(q.q_emb[${j + 1}] AS DOUBLE) - CAST(e.embedding[${j + 1}] AS DOUBLE)) * " +
-        s"(CAST(q.q_emb[${j + 1}] AS DOUBLE) - CAST(e.embedding[${j + 1}] AS DOUBLE)))"
-    }.mkString("(", " + ", ")")
     GraftQuery(
       "q303_ivfpq_batch_serve",
-      s"""WITH centroids AS (
-         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
-         |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
-         |scored_assign AS (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
-         |        c.cell) AS rn
-         |  FROM embeddings e CROSS JOIN centroids c),
-         |cells AS (
-         |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
-         |queries AS (
-         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-         |  WHERE vec_id % $batchQueryMod = 0),
-         |routed AS (
-         |  SELECT q.query_id, q.q_emb, c.cell,
-         |    row_number() OVER (PARTITION BY q.query_id
-         |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
-         |        c.cell) AS c_rank
-         |  FROM queries q CROSS JOIN centroids c),
-         |probes AS (
-         |  SELECT query_id, q_emb, cell FROM routed WHERE c_rank <= $nProbe),
-         |coded AS (
-         |  SELECT m.vec_id, m.cell,
-         |    ${(0 until PqAnn.subspaces).map(s => s"${PqAnn.codeSql(s)} AS c$s").mkString(",\n    ")}
-         |  FROM cells m
-         |  JOIN (SELECT DISTINCT cell FROM probes) pc ON m.cell = pc.cell),
-         |adc AS (
-         |  SELECT p.query_id, m.vec_id, $adcPairSql AS adc_dist
-         |  FROM probes p JOIN coded m ON m.cell = p.cell),
-         |cand AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY adc_dist, vec_id) AS r
-         |    FROM adc) WHERE r <= $adcCand),
-         |rr AS (
-         |  SELECT c.query_id, c.vec_id, $exactPairSql AS exact_dist
-         |  FROM cand c
-         |  JOIN embeddings e ON e.vec_id = c.vec_id
-         |  JOIN queries q ON q.query_id = c.query_id)
+      s"""WITH $batchServeCtesSql
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, exact_dist
          |FROM (
          |  SELECT query_id, vec_id, exact_dist,
@@ -716,7 +727,85 @@ object IvfPq {
     }
   }
 
+  /** SERVING RECALL EVAL — the q172-style evaluation for the batch
+    * serving tier: per query, how many of the exact brute-force
+    * top-k (same squared-L2 metric and tie rule as the re-rank) the
+    * probed q303 serve returned. The eval a retrieval tier publishes
+    * next to its latency; integer hit counts, ppm recall.
+    *
+    * Reading the number honestly: at sf0.1 this measures ~0.22 mean
+    * recall@10 — the documented artifact of the FIXED oracle codebook
+    * (data-oblivious, 8 centroids/subspace; PqAnn's scaladoc records
+    * the same gap, 0.07 fixed vs trained at 100k). The q303 family
+    * exists to hash-prove the PLAN/layout/serving semantics; the
+    * production recall operating point is the TRAINED PQ8x256
+    * codebook ScaleBench measures at 0.95 recall@3 on 1M vectors.
+    * This query is the harness that would publish that number for
+    * any codebook swapped in.
+    *
+    * 100 TB: the exact side is brute force over the corpus BY
+    * DEFINITION, which is why it runs only for the bounded query
+    * sample (q172's argument) — eval pays sample × corpus, never
+    * corpus × corpus; the approx side is the production q303 plan
+    * unchanged. */
+  val qBatchServeRecall: GraftQuery = GraftQuery(
+    "q324_batch_serve_recall",
+    s"""WITH $batchServeCtesSql,
+       |served AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY exact_dist, vec_id) AS rank
+       |    FROM rr) WHERE rank <= $k),
+       |exact_scored AS (
+       |  SELECT q.query_id, e.vec_id, $exactPairSql AS ed
+       |  FROM queries q CROSS JOIN embeddings e),
+       |exactk AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ed, vec_id) AS r
+       |    FROM exact_scored) WHERE r <= $k),
+       |hits AS (
+       |  SELECT s.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM served s
+       |  JOIN exactk x ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+       |  GROUP BY s.query_id)
+       |SELECT q.query_id,
+       |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(COALESCE(h.n_hit, 0) * 1000000 // $k AS BIGINT) AS recall_ppm
+       |FROM queries q LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.graftshim.TopKByScore
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val path = codesSegment(s, d, "full", IvfAnn.assign(emb, centroids))
+    val queries = emb
+      .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val served = batchServe(s, Seq(path), centroids, queries, emb)
+      .select("query_id", "vec_id")
+    val exactDist = (0 until PqAnn.dims).map { j =>
+      val dd = element_at(col("q_emb"), j + 1).cast("double") -
+        element_at(col("embedding"), j + 1).cast("double")
+      dd * dd
+    }.reduceLeft(_ + _)
+    val exactK = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), exactDist.as("ed"))
+      .groupBy("query_id")
+      .agg(TopKByScore(-col("ed"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val hits = served.join(exactK, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select("query_id")
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr(s"coalesce(n_hit, 0) * 1000000 div $k").as("recall_ppm"))
+      .orderBy("query_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
-      qIvfPqBatchServe, qIvfPqBatchServeSegmented, qIvfPqDeletePropagation)
+      qIvfPqBatchServe, qIvfPqBatchServeSegmented, qIvfPqDeletePropagation,
+      qBatchServeRecall)
 }

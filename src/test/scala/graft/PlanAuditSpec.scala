@@ -225,6 +225,34 @@ class PlanAuditSpec extends SparkSpecBase {
       "the data-sized ranking window must be partitioned by bin")
   }
 
+  test("q309: segmented batch serve plans TWO pruned codes scans, never re-encodes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val served = SparkEntry.queries("q309_batch_serve_segmented")(spark, sf001)
+    val phys = served.queryExecution.executedPlan
+    def subtree(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: subtree(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: subtree(q.plan)
+      case _ => p +: p.children.flatMap(subtree)
+    }
+    val nodes = subtree(phys)
+    val scans = nodes.collect {
+      case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq")) => s
+    }
+    assert(scans.size == 2,
+      s"segmented batch serve must plan one pruned scan PER SEGMENT, got ${scans.size}")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.exists(_.toString.contains("cell")),
+        "each segment scan must carry a cell partition filter")
+    }
+    val ps = nodes.map(_.verboseString(Int.MaxValue)).mkString("\n").toLowerCase
+    assert(!ps.contains("pqencode") && !ps.contains("nearestcentroid"),
+      "segmented batch serve must READ codes, never re-encode or re-assign")
+  }
+
   test("q310: percentile selection scans carry pushed value-range filters") {
     val p = plan("q310_percentile_exact_scalable")
     // the per-percentile selection scan must push its bin's value
@@ -403,6 +431,9 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q319: the different-label negative pass is q199's corpus ×
     //    broadcast-anchor non-equi shape (the exact-mining contract);
     //    the q306 IVF tier substitutes when exactness isn't required.
+    //  - q324: recall EVAL — the exact side is brute force over the
+    //    bounded query sample by definition (q172's argument); the
+    //    approx side is the production q303 plan.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -425,7 +456,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q295_order_aging", "q298_stream_pca",
         "q300_pca_second_component", "q303_ivfpq_batch_serve",
         "q304_deciles_scalable", "q306_hard_negatives_ivf",
-        "q309_batch_serve_segmented", "q319_contrastive_triplets")
+        "q309_batch_serve_segmented", "q319_contrastive_triplets",
+        "q324_batch_serve_recall")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
