@@ -595,6 +595,73 @@ object Streams {
     streamBatchServe(s, d)
   }
 
+  /** STREAMING HARD-NEGATIVE MINING: q199's per-anchor argmax
+    * maintained as candidate vectors ARRIVE. Argmax under the
+    * (cos desc, id asc) total order is a MONOID — the fold of
+    * per-batch winners IS the global winner — so each micro-batch
+    * scores only ITS OWN vectors against the broadcast anchors and
+    * appends one bounded partial row per (anchor, batch); the serve
+    * re-folds with the same k=1 heap and is hash-identical to batch
+    * q199 under any arrival slicing (oracle verbatim). This is how a
+    * contrastive-training pipeline keeps its negative pool warm while
+    * the corpus grows: per trigger, work is O(batch × anchors), and
+    * the durable state is |anchors| rows per trigger, never vectors. */
+  def streamHardNegatives(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.{HardNegatives, Similarity}
+    import org.apache.spark.sql.graftshim.TopKByScore
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_hardneg", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val anchors = emb
+      .where(pmod(col("vec_id"), lit(HardNegatives.anchorStride)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+    withStreamShufflePartitions(spark) {
+      val stream = readEmbeddingsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.toDF()
+            .join(broadcast(anchors), col("label") =!= col("a_label"))
+            .select(col("a_id"), col("a_label"), col("vec_id").as("neg_id"),
+              Similarity.cosine(col("a_emb"), col("embedding")).as("cos"))
+            .groupBy("a_id", "a_label")
+            .agg(TopKByScore(col("cos"), col("neg_id"), 1).as("t"))
+            .select(col("a_id"), col("a_label"),
+              element_at(col("t"), 1).getField("id").as("neg_id"),
+              element_at(col("t"), 1).getField("score").as("cos"))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // serve: fold per-batch winners with the same total order, then
+    // attach the winner's label (|anchors| rows broadcast — a point
+    // lookup against the corpus)
+    val folded = spark.read
+      .schema("a_id BIGINT, a_label INT, neg_id BIGINT, cos DOUBLE")
+      .parquet(outDir)
+      .groupBy("a_id", "a_label")
+      .agg(TopKByScore(col("cos"), col("neg_id"), 1).as("t"))
+      .select(col("a_id"), col("a_label"),
+        element_at(col("t"), 1).getField("id").as("neg_id"),
+        element_at(col("t"), 1).getField("score").as("cos"))
+    emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+      .join(broadcast(folded), "neg_id")
+      .select(col("a_id"), col("a_label"), col("neg_id"),
+        col("neg_label"), col("cos"))
+      .orderBy("a_id")
+  }
+
+  val qStreamHardNegatives: GraftQuery = GraftQuery(
+    "q325_stream_hard_negatives",
+    graft.operators.HardNegatives.qHardNegatives.oracle.get) { (s, d) =>
+    streamHardNegatives(s, d)
+  }
+
   /** STREAMING COUNT-MIN SKETCH: q151's frequency estimator maintained
     * across micro-batches. Each arriving document batch contributes a
     * PARTIAL sketch (≤ depth×width counter rows — the bounded thing a
@@ -1897,6 +1964,6 @@ object Streams {
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
-      qStreamCdcCensus, qStreamBatchServe,
+      qStreamCdcCensus, qStreamBatchServe, qStreamHardNegatives,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps)
 }
