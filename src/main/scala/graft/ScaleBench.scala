@@ -1068,13 +1068,16 @@ object ScaleBench {
       def prunedSearch(): Long = top50(
         IvfPq.probedScan(spark, partPath, probes)
           .getOrElse(sys.error("no probed cell dir exists")))
-      def median3(f: () => Long): Double = {
+      // median of 5: the pruned side is sub-200 ms, so scheduling
+      // noise dominated a 3-sample median (observed speedups 1.4-2.9x
+      // across otherwise-identical runs)
+      def median5(f: () => Long): Double = {
         f() // warm (page cache, codegen)
-        val ts = (1 to 3).map(_ => time(f())._2).sorted
-        ts(1)
+        val ts = (1 to 5).map(_ => time(f())._2).sorted
+        ts(2)
       }
-      val tSemi = median3(semiJoinSearch _)
-      val tPruned = median3(prunedSearch _)
+      val tSemi = median5(semiJoinSearch _)
+      val tPruned = median5(prunedSearch _)
       out ++= Seq(
         "m1_ivfpq_disk_cells" -> math.ceil(nVecs.toDouble / stride),
         "m1_ivfpq_disk_write_flat_sec" -> tWriteFlat,
