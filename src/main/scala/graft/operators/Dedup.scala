@@ -640,6 +640,10 @@ object Dedup {
        |  SELECT n AS doc_id, least(n, MIN(m)) AS cluster_id
        |  FROM reach GROUP BY n)""".stripMargin
 
+  /** The component-label CTE chain, shared with composers outside
+    * this object (q326's dedup-aware mixture). */
+  private[operators] def componentLblCteShared: String = componentLblCte
+
   /** Verified-pair connected-component labels (node, label), built
     * once per (session, corpus). */
   private[graft] def indexedComponents(

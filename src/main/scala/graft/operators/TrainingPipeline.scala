@@ -271,6 +271,91 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
+  /** DEDUP-AWARE TOKEN-BUDGET MIXTURE — q137's budget gate with the
+    * per-language token totals replaced by EFFECTIVE totals (each
+    * doc's tokens weighted 1/|near-dup cluster| in integer ppm, the
+    * q321 soft-dedup weighting): a language whose mass is copies no
+    * longer crowds the budget it hasn't earned. The gate stays the
+    * exact cross-multiplied integer comparison
+    * h · T_eff_l · 1000 < 2³² · B_eff · w_l in DECIMAL(38,0) ↔
+    * HUGEINT (T_eff carries a 10⁶ ppm factor on both sides of the
+    * inequality, so it cancels — no division, no doubles, kept set
+    * bit-deterministic). Emitted token totals divide the ppm factor
+    * back out, so the BIGINT output contract holds at any corpus
+    * scale.
+    *
+    * 100 TB: q137's physics (one aggregate pass, |langs| rows
+    * broadcast back, scan-fused gate) plus two broadcast joins
+    * against the pair-bounded cluster index — the corpus never
+    * shuffles. */
+  val qDedupAwareMix: GraftQuery = GraftQuery(
+    "q326_dedup_aware_mix",
+    s"""WITH RECURSIVE ${Dedup.componentLblCteShared},
+       |sizes AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM lbl GROUP BY cluster_id),
+       |wtoks AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+       |    COALESCE(1000000 // s.csize, 1000000) AS w_ppm
+       |  FROM documents d
+       |  LEFT JOIN lbl l ON d.doc_id = l.doc_id
+       |  LEFT JOIN sizes s ON l.cluster_id = s.cluster_id),
+       |tot AS (
+       |  SELECT lang, CAST(sum(CAST(n_tok AS HUGEINT) * w_ppm) AS HUGEINT) AS t_eff
+       |  FROM wtoks GROUP BY lang),
+       |g AS (SELECT CAST(sum(t_eff) AS HUGEINT) // 2 AS budget FROM tot),
+       |kept AS (
+       |  SELECT t.doc_id, t.lang, t.n_tok, t.w_ppm, tot.t_eff
+       |  FROM wtoks t JOIN tot USING (lang) CROSS JOIN g
+       |  WHERE CAST(t.h AS HUGEINT) * tot.t_eff * 1000
+       |      < CAST(4294967296 AS HUGEINT) * g.budget
+       |        * (CASE WHEN t.lang = 'en' THEN 400 ELSE 150 END))
+       |SELECT lang,
+       |  CAST(CASE WHEN lang = 'en' THEN 400 ELSE 150 END AS BIGINT)
+       |    AS target_permille,
+       |  CAST(count(*) AS BIGINT) AS kept_docs,
+       |  CAST(sum(CAST(n_tok AS HUGEINT) * w_ppm) // 1000000 AS BIGINT)
+       |    AS kept_eff_tokens,
+       |  CAST(max(t_eff) // 1000000 AS BIGINT) AS total_eff_tokens
+       |FROM kept GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin) { (s, d) =>
+    val labels = Dedup.indexedComponents(s, d)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val wtoks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        gate32(col("doc_id")).as("h"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("cluster_id"), "left")
+      .withColumn("w_ppm", coalesce(expr("1000000 div csize"), lit(1000000L)))
+    val tot = wtoks.groupBy("lang")
+      .agg(sum(dec(col("n_tok")) * dec(col("w_ppm"))).cast("decimal(38,0)")
+        .as("t_eff"))
+    // floor-divide the decimal total by 2 exactly (Spark `div` returns
+    // BIGINT — the q300 lesson)
+    val g = tot.agg(sum("t_eff").cast("decimal(38,0)").as("t_all"))
+      .select(expr("cast((t_all - pmod(t_all, 2)) / 2 as decimal(38,0))")
+        .as("budget"))
+    wtoks.join(broadcast(tot), "lang")
+      .crossJoin(broadcast(g))
+      .where(budgetKeep(col("h"), col("t_eff"), col("budget"), mixWeight))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(dec(col("n_tok")) * dec(col("w_ppm"))).cast("decimal(38,0)")
+          .as("kept_eff_ppm"),
+        max(col("t_eff")).as("t_eff_max"))
+      .select(col("lang"), mixWeight.as("target_permille"), col("kept_docs"),
+        expr("cast((kept_eff_ppm - pmod(kept_eff_ppm, 1000000)) / 1000000 as bigint)")
+          .as("kept_eff_tokens"),
+        expr("cast((t_eff_max - pmod(t_eff_max, 1000000)) / 1000000 as bigint)")
+          .as("total_eff_tokens"))
+      .orderBy("lang")
+  }
+
   val qChunkDocuments: GraftQuery = GraftQuery(
     "q122_chunk_documents",
     s"""WITH $chunksCteSql
@@ -844,7 +929,7 @@ object TrainingPipeline {
 
   val all: Seq[GraftQuery] =
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
-      qChunkDocuments, qFimExamples, qTokenBudgetMix, qEpochShuffle, qSplitLeakage,
+      qChunkDocuments, qFimExamples, qTokenBudgetMix, qDedupAwareMix, qEpochShuffle, qSplitLeakage,
       qCurriculumOrder, qSourceQuotaCap, qPackingAudit, qTemperatureMix,
       qBucketedPacking)
 }
