@@ -434,6 +434,8 @@ class PlanAuditSpec extends SparkSpecBase {
     //  - q324: recall EVAL — the exact side is brute force over the
     //    bounded query sample by definition (q172's argument); the
     //    approx side is the production q303 plan.
+    //  - q326: q137's 1-row effective-budget aggregate cross-joined
+    //    onto the gate scan (the exact-gate sampling pattern).
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -457,7 +459,7 @@ class PlanAuditSpec extends SparkSpecBase {
         "q300_pca_second_component", "q303_ivfpq_batch_serve",
         "q304_deciles_scalable", "q306_hard_negatives_ivf",
         "q309_batch_serve_segmented", "q319_contrastive_triplets",
-        "q324_batch_serve_recall")
+        "q324_batch_serve_recall", "q326_dedup_aware_mix")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
