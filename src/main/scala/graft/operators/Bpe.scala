@@ -255,7 +255,9 @@ object Bpe {
     * lives in ScaleBench (`bpe_forced_dist_*`). */
   def learnFromWords(wf: DataFrame, numMerges: Int, minFreq: Long = 2L,
       wordBudget: Long = inMemoryWordBudget): Seq[Merge] =
-    if (wf.count() <= wordBudget)
+    // wordBudget <= 0 forces the distributed tier — don't pay a count
+    // job whose answer can't change the dispatch
+    if (wordBudget > 0 && wf.count() <= wordBudget)
       learnInMemory(
         wf.collect().map(r => (r.getString(0).split(""), r.getLong(1))),
         numMerges, minFreq)

@@ -76,15 +76,23 @@ object KAnonymity {
       .select(col("doc_id"), col("lang"), col("source"),
         expr("n_chars div 100").as("b0"), expr("n_chars div 400").as("b1"))
     val g0 = docs.groupBy("lang", "source", "b0").agg(count(lit(1)).as("n0"))
+    // each ladder level feeds TWO consumers (its pass-through output
+    // and the next level's residue) and the final union has four
+    // branches — persist the levels so the docs scan and every census
+    // join run ONCE, not once per branch (the "each level is one
+    // groupBy" scale note made physical)
     val l0 = docs.join(broadcast(g0), Seq("lang", "source", "b0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rest1 = l0.where(col("n0") < k)
     val g1 = rest1.groupBy("lang", "source", "b1").agg(count(lit(1)).as("n1"))
     val l1 = rest1.select("doc_id", "lang", "source", "b1")
       .join(broadcast(g1), Seq("lang", "source", "b1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rest2 = l1.where(col("n1") < k)
     val g2 = rest2.groupBy("lang", "source").agg(count(lit(1)).as("n2"))
     val l2 = rest2.select("doc_id", "lang", "source")
       .join(broadcast(g2), Seq("lang", "source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def lvl(df: DataFrame, nCol: String, level: Int) =
       df.select(col("doc_id"), col("lang"), col("source"),
         lit(level).as("level"), col(nCol).as("group_n"))

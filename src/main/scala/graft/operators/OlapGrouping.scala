@@ -270,9 +270,15 @@ object OlapGrouping {
     *
     * At 100 TB the histogram pass is scan-speed and each selection
     * touches one bin's rows; a skewed bin re-bisects with the same
-    * machinery (one more pass), never sorts. The oracle states the
-    * semantics as the plain global row_number selection — the hash
-    * match proves the decomposition exact. */
+    * machinery — implemented in [[kthValueByBins]]: past `hotBinLimit`
+    * rows in the selected bin, the bin's range re-histograms at
+    * width/8 with the residual rank (recursing up to 3 levels), and a
+    * bin that is STILL hot at the floor is answered by a 1-row
+    * min=max aggregate when single-valued (ties can't change the
+    * VALUE) — so the TakeOrdered heap is bounded by construction,
+    * never sorts a hot bin. The oracle states the semantics as the
+    * plain global row_number selection — the hash match proves the
+    * decomposition exact. */
   val qPercentileScalable: GraftQuery = GraftQuery(
     "q310_percentile_exact_scalable",
     """WITH ranked AS (
@@ -289,36 +295,98 @@ object OlapGrouping {
     val ev = Tables.events(s, d)
       .where(col("value").isNotNull)
       .select(col("event_id"), col("value"))
-    val binW = 8.0
-    val hist = ev
+    percentilesByBins(ev, Seq(50, 90, 99), 8.0, hotBinLimit = Int.MaxValue)
+  }
+
+  /** The q310 body, parameterized so the spec can force the re-bisect
+    * path with a small `hotBinLimit`. `binW` must be a power of two:
+    * the `floor(value/w) = b ⟺ value ∈ [b·w, b·w + w)` rewrite to a
+    * pushable range predicate, and the alignment of width/8 sub-bins
+    * inside a parent bin, are exact only for power-of-two widths. */
+  private[graft] def percentilesByBins(
+      ev: org.apache.spark.sql.DataFrame, pcts: Seq[Int], binW: Double,
+      hotBinLimit: Long): org.apache.spark.sql.DataFrame = {
+    val hist = binHistogram(ev, None, binW)
+    val n = hist.map(_._2).sum
+    if (n == 0)
+      // empty relation: the oracle's row_number selection yields zero
+      // rows — short-circuit with the output schema instead of walking
+      // an empty histogram (limit(0) keeps `value`'s type from ev)
+      return ev.limit(0).select(lit(0).cast("int").as("pct"),
+        lit(0L).as("n"), lit(0L).as("rank"), col("value"))
+    def pick(pct: Int): org.apache.spark.sql.DataFrame = {
+      val k = (n * pct + 99) / 100
+      kthValueByBins(ev, k, None, binW, hotBinLimit, Some(hist), 0)
+        .select(lit(pct).cast("int").as("pct"), lit(n).as("n"),
+          lit(k).as("rank"), col("value"))
+    }
+    pcts.map(pick).reduceLeft(_ unionByName _).orderBy("pct")
+  }
+
+  /** One bounded histogram pass: (bin, count) for `ev.value` within
+    * `range`, bin = floor(value/binW) — the ≤|bins|-row driver collect
+    * of the selection machinery. */
+  private def binHistogram(ev: org.apache.spark.sql.DataFrame,
+      range: Option[(Double, Double)],
+      binW: Double): Array[(Long, Long)] = {
+    val scoped = range match {
+      case Some((lo, hi)) =>
+        ev.where(col("value") >= lit(lo) && col("value") < lit(hi))
+      case None => ev
+    }
+    scoped
       .groupBy(floor(col("value") / binW).cast("long").as("bin"))
       .agg(count(lit(1)).as("c"))
       .orderBy("bin")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val n = hist.map(_._2).sum
-    def pick(pct: Int): org.apache.spark.sql.DataFrame = {
-      val k = (n * pct + 99) / 100
-      var cum = 0L
-      val (bin, local) = hist.collectFirst {
-        case (b, c) if { val hit = cum + c >= k; if (!hit) cum += c; hit } =>
-          (b, k - cum)
-      }.getOrElse(sys.error(s"rank $k beyond histogram total $n"))
-      // a bin's residual rank must fit the TakeOrdered heap: past
-      // Int.MaxValue rows in one bin, re-bisect the bin with the same
-      // machinery (one more histogram pass on a finer grid) — fail
-      // loudly here rather than silently truncating the limit
-      require(local <= Int.MaxValue,
-        s"q310: bin $bin holds rank residue $local > Int.MaxValue — " +
-          "re-bisect with a finer grid before selecting")
-      ev.where(col("value") >= lit(bin * binW) &&
-          col("value") < lit((bin + 1) * binW))
+  }
+
+  /** The k-th (1-based, ordered by value then event_id) `value` of
+    * `ev` restricted to `range`, as a 1-row frame: walk the bin
+    * histogram to the bin holding rank k, then
+    *  - bin ≤ hotBinLimit rows → pushed-range scan + bounded
+    *    TakeOrdered(local) + 1-row max (the normal path);
+    *  - hot bin → RE-BISECT: recurse into the bin's range at width/8
+    *    with the residual rank (same machinery, one more bounded
+    *    histogram pass), up to 3 levels;
+    *  - still hot at the floor → if the bin is single-valued
+    *    (min = max; a 90%-of-mass repeated value never thins under
+    *    re-bisection) the k-th value IS that value — answer with a
+    *    1-row aggregate, no ordering at all; a multi-valued hot floor
+    *    bin fails loudly rather than truncating the heap. */
+  private[graft] def kthValueByBins(ev: org.apache.spark.sql.DataFrame,
+      k: Long, range: Option[(Double, Double)], binW: Double,
+      hotBinLimit: Long, precomputed: Option[Array[(Long, Long)]],
+      depth: Int): org.apache.spark.sql.DataFrame = {
+    val hist = precomputed.getOrElse(binHistogram(ev, range, binW))
+    var cum = 0L
+    val (bin, local, binN) = hist.collectFirst {
+      case (b, c) if { val hit = cum + c >= k; if (!hit) cum += c; hit } =>
+        (b, k - cum, c)
+    }.getOrElse(sys.error(
+      s"rank $k beyond histogram total ${hist.map(_._2).sum}"))
+    val lo = bin * binW
+    val hi = (bin + 1) * binW
+    val binRows = ev.where(col("value") >= lit(lo) && col("value") < lit(hi))
+    if (binN <= hotBinLimit && local <= Int.MaxValue)
+      binRows
         .orderBy(col("value"), col("event_id"))
         .limit(local.toInt)
         .agg(max(col("value")).as("value"))
-        .select(lit(pct).cast("int").as("pct"), lit(n).as("n"),
-          lit(k).as("rank"), col("value"))
+    else if (depth < 3)
+      kthValueByBins(ev, local, Some((lo, hi)), binW / 8.0, hotBinLimit,
+        None, depth + 1)
+    else {
+      val mm = binRows.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx")).first()
+      require(mm.get(0) == mm.get(1),
+        s"q310: bin [$lo,$hi) still holds $binN > $hotBinLimit rows of " +
+          s"distinct values after 3 re-bisections (width $binW) — " +
+          "raise hotBinLimit or the re-bisect depth")
+      ev.sparkSession.range(1)
+        .select(lit(mm.get(0)).cast(
+          ev.schema("value").dataType).as("value"))
     }
-    pick(50).unionByName(pick(90)).unionByName(pick(99)).orderBy("pct")
   }
 
   /** PER-GROUP exact percentiles under group skew — the q181
