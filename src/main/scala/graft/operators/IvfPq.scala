@@ -420,23 +420,6 @@ object IvfPq {
     * query TABLE convention (a RAG batch-inference workload). */
   val batchQueryMod = 97
 
-  /** Per-query ADC lookup tables, computed ONCE per query row: for
-    * subspace s, an 8-entry array of ||q_s − codebook(s,c)||² — after
-    * this projection, scoring a code row costs 8 array lookups + 7
-    * adds regardless of how the LUT was built (the faiss ADC shape).
-    * Lives on the broadcast build side of the cell join, so the
-    * arrays materialize in the broadcast relation, never per pair. */
-  private def lutCols: Seq[org.apache.spark.sql.Column] =
-    (0 until PqAnn.subspaces).map { sub =>
-      array((0 until PqAnn.nCentroids).map { c =>
-        (0 until PqAnn.subDim).map { j =>
-          val dd = element_at(col("q_emb"), sub * PqAnn.subDim + j + 1)
-            .cast("double") - lit(PqAnn.codebook(sub)(c)(j))
-          dd * dd
-        }.reduceLeft(_ + _)
-      }: _*).as(s"lut$sub")
-    }
-
   /** BATCH-QUERY ANN SERVING over the persisted cell-partitioned
     * index — the production retrieval shape the single-query paths
     * (q127/q139/q140/q146) don't cover: a TABLE of queries served in
@@ -451,18 +434,25 @@ object IvfPq {
     *     lookup pattern): only those `cell=` directories are handed
     *     to the reader, so the codes scan is partition-pruned for
     *     ALL queries at once;
-    *  3. per-(query, cell) ADC: codes ⋈ broadcast probe list on cell
-    *     (per-query LUTs ride the broadcast side, 8 lookups/pair),
+    *  3. per-(query, cell) ADC: codes ⋈ broadcast probe list on cell —
+    *     the probe side is the NARROW (query_id, cell, q_emb) relation
+    *     and each scored pair runs the fused [[org.apache.spark.sql.
+    *     graftshim.PqAdcDistLut]] codegen loop (bit-identical to
+    *     materialized per-query LUTs, which is what the oracle spells;
+    *     r8 materialized 8 LUT arrays per (query, cell) broadcast row —
+    *     3× the broadcast bytes for the same arithmetic) — then
     *     per-query top-adcCand by bounded heap;
     *  4. exact re-rank DISTRIBUTED: candidates (|Q|·adcCand rows)
     *     equi-join the vectors table on vec_id — one narrow corpus
     *     probe amortized across every query — then per-query top-k.
     *
     * 100 TB: driver traffic is ONE cell list; everything else is
-    * broadcast-equi-join + bounded heaps. The probe side carries
-    * |Q|·nProbe rows × 8 LUT arrays — past the broadcast budget
-    * (~100k queries) the same plan shuffles both sides on cell and
-    * nothing else changes. PlanAuditSpec pins: one partition-pruned
+    * broadcast-equi-join + bounded heaps. The broadcast hints are
+    * GATED on the counted query-table size: past `maxBroadcastQueries`
+    * (default 100k — the ~30 MB probe-side budget) the same plan
+    * falls back to plain equi-joins that shuffle both sides on
+    * cell/vec_id/query_id instead of hard-OOMing the driver on a
+    * forced broadcast. PlanAuditSpec pins: one partition-pruned
     * codes scan, no PqEncode/NearestCentroid in the serve plan.
     *
     * Oracle: a from-scratch DuckDB rebuild of assignment, routing,
@@ -564,8 +554,17 @@ object IvfPq {
   private[graft] def batchServe(s: org.apache.spark.sql.SparkSession,
       paths: Seq[String], centroids: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame,
-      corpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.graftshim.{CosineSimilarity, TopKByScore}
+      corpus: org.apache.spark.sql.DataFrame,
+      codebook: Seq[Seq[Seq[Double]]] = PqAnn.codebook,
+      maxBroadcastQueries: Long = 100000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftshim.{CosineSimilarity, PqAdcDistLut, TopKByScore}
+    // broadcast gating: one count over the (narrow) query relation
+    // decides hint vs plain join — past the budget a forced broadcast
+    // would OOM the driver, and the shuffle fallback is the documented
+    // behavior, not just documentation
+    val nQ = queries.count()
+    val bc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (nQ <= maxBroadcastQueries) broadcast else identity
     // 1. per-query probe cells (bounded heap — no |Q|×|cells| sort)
     val routed = queries
       .crossJoin(broadcast(
@@ -584,16 +583,15 @@ object IvfPq {
     val scans = paths.flatMap(p => probedScan(s, p, allCells))
     require(scans.nonEmpty, s"no probed cell has data in any segment: $paths")
     val codes = scans.reduce(_ union _)
-    // 3. ADC: per-query LUTs ride the broadcast probe side (one
-    //    materialization per (query, cell) row in the broadcast
-    //    relation); each code row pays 8 lookups + 7 adds per query
+    // 3. ADC: the probe side is (query_id, cell, q_emb) — no LUT
+    //    arrays materialize anywhere; each scored pair runs one fused
+    //    codegen loop whose accumulation order IS the LUT
+    //    decomposition's (oracle parity, PqAnnSpec-pinned)
     val probeSide = routed.join(queries, "query_id")
-      .select(col("query_id") +: col("cell") +: lutCols: _*)
-    val adcDist = (0 until PqAnn.subspaces).map { i =>
-      element_at(col(s"lut$i"), element_at(col("codes"), i + 1) + 1)
-    }.reduceLeft(_ + _)
-    val cand = codes.join(broadcast(probeSide), Seq("cell"))
-      .select(col("query_id"), col("vec_id"), adcDist.as("adc_dist"))
+      .select(col("query_id"), col("cell"), col("q_emb"))
+    val cand = codes.join(bc(probeSide), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        PqAdcDistLut(col("codes"), col("q_emb"), codebook).as("adc_dist"))
       .groupBy("query_id")
       .agg(TopKByScore(-col("adc_dist"), col("vec_id"), adcCand).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
@@ -606,8 +604,8 @@ object IvfPq {
         element_at(col("embedding"), j + 1).cast("double")
       dd * dd
     }.reduceLeft(_ + _)
-    corpus.join(broadcast(cand), "vec_id")
-      .join(broadcast(queries), "query_id")
+    corpus.join(bc(cand), "vec_id")
+      .join(bc(queries), "query_id")
       .select(col("query_id"), col("vec_id"), exactDist.as("exact_dist"))
       .groupBy("query_id")
       .agg(TopKByScore(-col("exact_dist"), col("vec_id"), k).as("top"))

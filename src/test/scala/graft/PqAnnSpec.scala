@@ -91,6 +91,57 @@ class PqAnnSpec extends SparkSpecBase {
     assert(bad.head().isNullAt(0))
   }
 
+  test("PqAdcDistLut == materialized per-query LUT composed form bit-for-bit, codegen == interpreted") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.{PqAdcDistLut, PqEncode}
+    val cb = PqAnn.codebook
+    val emb = graft.sources.Tables.embeddings(spark, sf001).limit(200)
+    val pairs = emb.select(col("vec_id"), col("embedding"),
+        PqEncode(col("embedding"), cb).as("codes"))
+      .withColumn("q_emb", reverse(col("embedding")))
+    // composed reference: the r8 batch-serve form — per-query LUT
+    // arrays (lut[s][c] = left-assoc Σ_j (q−c)²) materialized as
+    // columns, then Σ_s element_at(lut_s, code_s+1) left-assoc. The
+    // fused expression must reproduce those bytes exactly: this is
+    // the arithmetic the q303/q309/q314 oracles spell out.
+    val lutCols = (0 until PqAnn.subspaces).map { sub =>
+      array((0 until PqAnn.nCentroids).map { c =>
+        (0 until PqAnn.subDim).map { j =>
+          val dd = element_at(col("q_emb"), sub * PqAnn.subDim + j + 1)
+            .cast("double") - lit(cb(sub)(c)(j))
+          dd * dd
+        }.reduceLeft(_ + _)
+      }: _*).as(s"lut$sub")
+    }
+    val withLuts = pairs.select(
+      col("vec_id") +: col("codes") +: col("q_emb") +: lutCols: _*)
+    val composed = (0 until PqAnn.subspaces).map { i =>
+      element_at(col(s"lut$i"), element_at(col("codes"), i + 1) + 1)
+    }.reduceLeft(_ + _)
+    val df = withLuts.select(col("vec_id"),
+      PqAdcDistLut(col("codes"), col("q_emb"), cb).as("fused"),
+      composed.as("composed"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"vec ${r.getLong(0)}: fused ${r.getDouble(1)} != composed ${r.getDouble(2)}"))
+    val interp = {
+      val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try df.collect().map(_.getDouble(1)).toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", prev)
+      }
+    }
+    assert(rows.map(_.getDouble(1)).toSeq == interp)
+    // guards: null query and out-of-range code -> NULL, never throw
+    val bad = spark.sql("SELECT 1").select(
+      PqAdcDistLut(array(lit(0), lit(1)), lit(null).cast("array<float>"), cb).as("n"))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("q114 PQ ADC top-k: codes in range, adc_dist consistent with the lut, deterministic") {
     val rows = SparkEntry.queries("q114_pq_adc_topk")(spark, sf001).collect()
     assert(rows.length == 10)
