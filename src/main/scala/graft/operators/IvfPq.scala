@@ -479,10 +479,12 @@ object IvfPq {
       s"(CAST(q.q_emb[${j + 1}] AS DOUBLE) - CAST(e.embedding[${j + 1}] AS DOUBLE)))"
   }.mkString("(", " + ", ")")
 
-  /** The q303 oracle's CTE chain, ending with `rr` (candidate exact
-    * distances per query) — shared verbatim by q303 and the serving
-    * recall eval (q324). */
-  private def batchServeCtesSql: String =
+  /** Index-side CTEs shared by the whole serving family: centroid
+    * set, corpus cell assignment, the query table, and the FULL
+    * per-query centroid ranking (`routed`, with c_rank). q303/q309/
+    * q314/q324 consume it via [[batchServeCtesSql]]; the nProbe
+    * planner (q327/q328) appends its eval CTEs after `routed`. */
+  private def indexCtesSql: String =
     s"""centroids AS (
        |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
        |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
@@ -502,9 +504,14 @@ object IvfPq {
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
        |        c.cell) AS c_rank
-       |  FROM queries q CROSS JOIN centroids c),
-       |probes AS (
-       |  SELECT query_id, q_emb, cell FROM routed WHERE c_rank <= $nProbe),
+       |  FROM queries q CROSS JOIN centroids c)""".stripMargin
+
+  /** Serve-side CTEs: probe gate (the predicate is a parameter so the
+    * planner-driven serve can choose nProbe from a scalar subquery),
+    * pruned coding, per-pair ADC, candidate gate, exact re-rank. */
+  private def serveCtesSql(probeCond: String): String =
+    s"""probes AS (
+       |  SELECT query_id, q_emb, cell FROM routed WHERE $probeCond),
        |coded AS (
        |  SELECT m.vec_id, m.cell,
        |    ${(0 until PqAnn.subspaces).map(s => s"${PqAnn.codeSql(s)} AS c$s").mkString(",\n    ")}
@@ -524,6 +531,13 @@ object IvfPq {
        |  FROM cand c
        |  JOIN embeddings e ON e.vec_id = c.vec_id
        |  JOIN queries q ON q.query_id = c.query_id)""".stripMargin
+
+  /** The q303 oracle's CTE chain, ending with `rr` (candidate exact
+    * distances per query) — shared verbatim by q303 and the serving
+    * recall eval (q324). */
+  private def batchServeCtesSql: String =
+    s"""$indexCtesSql,
+       |${serveCtesSql(s"c_rank <= $nProbe")}""".stripMargin
 
   val qIvfPqBatchServe: GraftQuery = {
     GraftQuery(
@@ -556,7 +570,8 @@ object IvfPq {
       queries: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame,
       codebook: Seq[Seq[Seq[Double]]] = PqAnn.codebook,
-      maxBroadcastQueries: Long = 100000L): org.apache.spark.sql.DataFrame = {
+      maxBroadcastQueries: Long = 100000L,
+      probes: Int = nProbe): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftshim.{CosineSimilarity, PqAdcDistLut, TopKByScore}
     // broadcast gating: one count over the (narrow) query relation
     // decides hint vs plain join — past the budget a forced broadcast
@@ -572,7 +587,7 @@ object IvfPq {
       .select(col("query_id"), col("cell"),
         CosineSimilarity(col("q_emb"), col("centroid")).as("c_sim"))
       .groupBy("query_id")
-      .agg(TopKByScore(col("c_sim"), col("cell"), nProbe).as("top"))
+      .agg(TopKByScore(col("c_sim"), col("cell"), probes).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("cell"))
     // 2. union of probed cells — the ONE bounded driver collect of the
@@ -802,8 +817,231 @@ object IvfPq {
       .orderBy("query_id")
   }
 
+  // ---- recall→nProbe planner (q327/q328) ----
+
+  /** nProbe values the planner tabulates. */
+  val plannerSweep: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
+
+  /** Target recall percentages the policy table answers for. */
+  val plannerTargets: Seq[Int] = Seq(50, 80, 90, 95, 99)
+
+  /** Planner eval CTEs, appended after [[indexCtesSql]]: exact top-k
+    * ground truth over the bounded query sample, each true neighbor's
+    * REACH RANK (the centroid rank of its assigned cell in the
+    * query's routing — the minimum nProbe that makes it a candidate),
+    * the per-nProbe hit and scanned-rows curves, and the policy
+    * selection by exact integer cross-multiplication. */
+  private def plannerCtesSql: String =
+    s"""exact_scored AS (
+       |  SELECT q.query_id, e.vec_id, $exactPairSql AS ed
+       |  FROM queries q CROSS JOIN embeddings e),
+       |exactk AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY ed, vec_id) AS r
+       |    FROM exact_scored) WHERE r <= $k),
+       |reach AS (
+       |  SELECT x.query_id, r.c_rank
+       |  FROM exactk x
+       |  JOIN cells m ON m.vec_id = x.vec_id
+       |  JOIN routed r ON r.query_id = x.query_id AND r.cell = m.cell),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM exactk),
+       |sweep AS (
+       |  SELECT CAST(p AS INTEGER) AS p
+       |  FROM (VALUES ${plannerSweep.map(p => s"($p)").mkString(", ")}) s(p)),
+       |curve_hits AS (
+       |  SELECT s.p,
+       |    CAST(SUM(CASE WHEN r.c_rank <= s.p THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM sweep s CROSS JOIN reach r GROUP BY s.p),
+       |census AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n FROM cells GROUP BY cell),
+       |routed_cost AS (
+       |  SELECT r.query_id, r.c_rank, cn.cell_n
+       |  FROM routed r JOIN census cn ON cn.cell = r.cell),
+       |curve_cost AS (
+       |  SELECT s.p,
+       |    CAST(SUM(CASE WHEN rc.c_rank <= s.p THEN rc.cell_n ELSE 0 END) AS BIGINT) AS cost_rows
+       |  FROM sweep s CROSS JOIN routed_cost rc GROUP BY s.p),
+       |targets AS (
+       |  SELECT CAST(t AS INTEGER) AS target
+       |  FROM (VALUES ${plannerTargets.map(t => s"($t)").mkString(", ")}) tt(t)),
+       |sel AS (
+       |  SELECT t.target, MIN(c.p) AS p_ok
+       |  FROM targets t JOIN curve_hits c
+       |    ON c.hits * 100 >= CAST(t.target AS BIGINT) * (SELECT total FROM tot)
+       |  GROUP BY t.target),
+       |policy AS (
+       |  SELECT t.target, COALESCE(s2.p_ok, ${plannerSweep.max}) AS n_probe,
+       |    s2.p_ok IS NOT NULL AS reached
+       |  FROM targets t LEFT JOIN sel s2 ON s2.target = t.target)""".stripMargin
+
+  /** RECALL→nPROBE PLANNER — the IVF twin of q178's LSH S-curve
+    * planner: instead of re-running the corpus to choose a probe
+    * width, the policy table answers "what nProbe buys target recall
+    * r, and what fraction of the corpus does it scan" from ONE
+    * bounded eval.
+    *
+    * Semantics: for each true top-k neighbor of each eval query, its
+    * REACH RANK is the centroid rank of its assigned cell in that
+    * query's routing — the minimum nProbe at which the IVF tier can
+    * surface it at all (the routing ceiling every PQ/re-rank stage
+    * inherits; this is the number nProbe actually controls). One pass
+    * computes recall at EVERY swept nProbe from the reach ranks — no
+    * per-nProbe re-search — and the scanned-rows curve comes from the
+    * cell census over the same routing. The policy row per target
+    * recall is the smallest swept nProbe whose measured recall
+    * reaches it (exact integer cross-multiplication; `reached=false`
+    * falls back to the sweep max).
+    *
+    * 100 TB: the eval pays sample × corpus ONCE (the q172/q324
+    * argument — recall estimation is brute-force by definition,
+    * bounded by the sample); curves and policy are arithmetic over
+    * |sweep| + |cells| rows. [[nProbeForRecall]] reads this table;
+    * q328 serves with its answer. */
+  val qNProbePlanner: GraftQuery = GraftQuery(
+    "q327_nprobe_planner",
+    s"""WITH $indexCtesSql,
+       |$plannerCtesSql
+       |SELECT CAST(p.target AS INTEGER) AS target_pct,
+       |  CAST(p.n_probe AS INTEGER) AS n_probe, p.reached,
+       |  h.hits, (SELECT total FROM tot) AS total,
+       |  CAST(h.hits * 1000000 // (SELECT total FROM tot) AS BIGINT) AS recall_ppm,
+       |  cc.cost_rows,
+       |  CAST(cc.cost_rows * 1000000 //
+       |    ((SELECT CAST(COUNT(*) AS BIGINT) FROM queries) *
+       |     (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)) AS BIGINT) AS scan_ppm
+       |FROM policy p
+       |JOIN curve_hits h ON h.p = p.n_probe
+       |JOIN curve_cost cc ON cc.p = p.n_probe
+       |ORDER BY target_pct""".stripMargin) { (s, d) =>
+    plannerPolicy(s, d)
+  }
+
+  /** The q327 body — also the source [[nProbeForRecall]] collects
+    * from. Every relation here is bounded: |Q| queries, |cells|
+    * centroids, |Q|·k reach rows, |sweep| curve rows. */
+  private[graft] def plannerPolicy(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftshim.{CosineSimilarity, TopKByScore}
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+      .select(col("cell").cast("long").as("cell"), col("centroid"))
+    val cells = IvfAnn.assign(emb, centroids).select("vec_id", "cell")
+    val queries = emb
+      .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // full per-query centroid ranking (|Q| × |cells| — bounded)
+    val routed = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cell"),
+        CosineSimilarity(col("q_emb"), col("centroid")).as("c_sim"))
+      .withColumn("c_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cell"))))
+      .select("query_id", "cell", "c_rank")
+    val exactDist = (0 until PqAnn.dims).map { j =>
+      val dd = element_at(col("q_emb"), j + 1).cast("double") -
+        element_at(col("embedding"), j + 1).cast("double")
+      dd * dd
+    }.reduceLeft(_ + _)
+    val exactK = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), exactDist.as("ed"))
+      .groupBy("query_id")
+      .agg(TopKByScore(-col("ed"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+    val reach = exactK.join(cells, "vec_id")
+      .join(routed, Seq("query_id", "cell"))
+      .select("query_id", "c_rank")
+    val tot = exactK.agg(count(lit(1)).as("total"))
+    val sweep = plannerSweep.toDF("p")
+    val curveHits = broadcast(sweep).crossJoin(reach)
+      .groupBy("p")
+      .agg(sum(when(col("c_rank") <= col("p"), 1L).otherwise(0L)).as("hits"))
+    val census = cells.groupBy("cell").agg(count(lit(1)).as("cell_n"))
+    val routedCost = routed.join(broadcast(census), "cell")
+      .select(col("c_rank"), col("cell_n"))
+    val curveCost = broadcast(sweep).crossJoin(routedCost)
+      .groupBy("p")
+      .agg(sum(when(col("c_rank") <= col("p"), col("cell_n"))
+        .otherwise(0L)).as("cost_rows"))
+    val targets = plannerTargets.toDF("target")
+    val sel = targets
+      .crossJoin(broadcast(curveHits.crossJoin(broadcast(tot))))
+      .where(col("hits") * 100 >= col("target").cast("long") * col("total"))
+      .groupBy("target").agg(min(col("p")).as("p_ok"))
+    val policy = targets.join(broadcast(sel), Seq("target"), "left")
+      .select(col("target"),
+        coalesce(col("p_ok"), lit(plannerSweep.max)).as("n_probe"),
+        col("p_ok").isNotNull.as("reached"))
+    val nq = queries.agg(count(lit(1)).as("n_q"))
+    val nc = emb.agg(count(lit(1)).as("n_corpus"))
+    policy
+      .join(broadcast(curveHits), col("n_probe") === col("p")).drop("p")
+      .join(broadcast(curveCost), col("n_probe") === col("p")).drop("p")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(nq))
+      .crossJoin(broadcast(nc))
+      .select(col("target").cast("int").as("target_pct"),
+        col("n_probe").cast("int").as("n_probe"),
+        col("reached"),
+        col("hits").cast("long").as("hits"),
+        col("total").cast("long").as("total"),
+        expr("hits * 1000000 div total").as("recall_ppm"),
+        col("cost_rows").cast("long").as("cost_rows"),
+        expr("cost_rows * 1000000 div (n_q * n_corpus)").as("scan_ppm"))
+      .orderBy("target_pct")
+  }
+
+  /** The planner's CONFIG FUNCTION: the nProbe the q327 policy table
+    * selects for `targetPct` (sweep max with a log-visible fallback
+    * when unreachable). One bounded collect of the ≤|targets|-row
+    * policy relation. */
+  def nProbeForRecall(s: org.apache.spark.sql.SparkSession, d: String,
+      targetPct: Int): Int = {
+    val rows = plannerPolicy(s, d)
+      .where(col("target_pct") === targetPct)
+      .select("n_probe").collect()
+    require(rows.nonEmpty,
+      s"target $targetPct% is not in the planner grid $plannerTargets")
+    rows.head.getInt(0)
+  }
+
+  /** Serving target recall the planner-driven serve (q328) asks for. */
+  val plannedTargetPct = 90
+
+  /** PLANNER-DRIVEN BATCH SERVE — q303's plan with nProbe chosen by
+    * [[nProbeForRecall]] (target ${plannedTargetPct}%) instead of a
+    * hardcoded constant: the full config loop a production tier runs
+    * (measure recall curve → pick probe width → serve). The oracle
+    * recomputes the SAME policy selection as a scalar subquery over
+    * the q327 CTEs and serves with it, so the hash match proves the
+    * planner and the serve COMPOSE — not merely that each is right
+    * alone. */
+  val qPlannedServe: GraftQuery = GraftQuery(
+    "q328_planned_batch_serve",
+    s"""WITH $indexCtesSql,
+       |$plannerCtesSql,
+       |choice AS (SELECT n_probe FROM policy WHERE target = $plannedTargetPct),
+       |${serveCtesSql("c_rank <= (SELECT n_probe FROM choice)")}
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, exact_dist
+       |FROM (
+       |  SELECT query_id, vec_id, exact_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY exact_dist, vec_id) AS rank
+       |  FROM rr) WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val p = nProbeForRecall(s, d, plannedTargetPct)
+    val emb = Tables.embeddings(s, d)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val path = codesSegment(s, d, "full", IvfAnn.assign(emb, centroids))
+    val queries = emb
+      .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    batchServe(s, Seq(path), centroids, queries, emb, probes = p)
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
       qIvfPqBatchServe, qIvfPqBatchServeSegmented, qIvfPqDeletePropagation,
-      qBatchServeRecall)
+      qBatchServeRecall, qNProbePlanner, qPlannedServe)
 }

@@ -136,4 +136,33 @@ class IvfAnnSpec extends SparkSpecBase {
     assert(preDelete.exists(_ % IvfPq.vecDeleteModulus == 0),
       "the pre-delete top-k should contain a tombstoned id at this SF")
   }
+
+  test("q327 planner: policy is monotone, consistent, and nProbeForRecall reads it") {
+    import graft.operators.IvfPq
+    val rows = SparkEntry.queries("q327_nprobe_planner")(spark, sf001)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == IvfPq.plannerTargets)
+    rows.foreach { r =>
+      assert(IvfPq.plannerSweep.contains(r.getInt(1)),
+        s"n_probe ${r.getInt(1)} not in the sweep")
+      // a reached target's recall must actually meet it (the exact
+      // integer gate restated): hits*100 >= target*total
+      if (r.getBoolean(2))
+        assert(r.getLong(3) * 100 >= r.getInt(0).toLong * r.getLong(4),
+          s"target ${r.getInt(0)}: reached=true but recall below target")
+    }
+    // higher targets never choose a smaller probe width, and cost
+    // grows with the probe width it buys
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getInt(1) <= b.getInt(1), "n_probe must be monotone in target")
+      assert(a.getLong(6) <= b.getLong(6), "cost_rows must be monotone")
+    }
+    // the config function returns exactly the policy row's choice
+    val p90 = rows.find(_.getInt(0) == IvfPq.plannedTargetPct).get.getInt(1)
+    assert(IvfPq.nProbeForRecall(spark, sf001, IvfPq.plannedTargetPct) == p90)
+    // and the planner-driven serve returns k ranked rows per query
+    val served = SparkEntry.queries("q328_planned_batch_serve")(spark, sf001)
+    val perQ = served.groupBy("query_id").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == IvfPq.k.toLong))
+  }
 }
