@@ -552,6 +552,52 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** q329: per-sampled-frame 4×4-block aHash, first [[fpFrames]]
+      * hashes packed at 16-bit stride — the arithmetic mirror of the
+      * analytic oracle CTEs (floor-average blocks, per-frame
+      * floor-mean, strictly-greater bits). Only sampled frames are
+      * decoded, exactly like [[decode]]. */
+    def decodeFingerprint(docId: Long, gif: Array[Byte]): VideoFpRow = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      try {
+        reader.setInput(iis, false, true)
+        val nf = reader.getNumImages(true)
+        var fp = 0L
+        var sampled = 0
+        var f = 0
+        while (f < nf) {
+          val img = reader.read(f)
+          val bw = img.getWidth / vidBlocks
+          val bh = img.getHeight / vidBlocks
+          val sums = new Array[Long](vidBlocks * vidBlocks)
+          var y = 0
+          while (y < bh * vidBlocks) {
+            var x = 0
+            while (x < bw * vidBlocks) {
+              sums((y / bh) * vidBlocks + (x / bw)) +=
+                (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val bavg = sums.map(_ / (bw.toLong * bh))
+          val mean = bavg.sum / (vidBlocks * vidBlocks)
+          var fh = 0L
+          var k = 0
+          while (k < vidBlocks * vidBlocks) {
+            if (bavg(k) > mean) fh |= 1L << k
+            k += 1
+          }
+          val si = f / frameStride
+          if (si < fpFrames) fp |= fh << (16 * si)
+          sampled += 1
+          f += frameStride
+        }
+        VideoFpRow(docId, nf, sampled, fp)
+      } finally iis.close()
+    }
+
     def close(): Unit = reader.dispose()
   }
 
@@ -1043,7 +1089,154 @@ object Multimodal {
       .orderBy("text_dup", "image_dup")
   }
 
+  // ------------------------------------------------------------------
+  // Video perceptual dedup (q329): per-sampled-frame aHash sequence
+  // ------------------------------------------------------------------
+
+  /** q329 row: the fixed-width video fingerprint — per sampled frame
+    * a 16-bit (4×4-block) aHash, the first four sampled frames' hashes
+    * packed little-endian into one BIGINT (bits 16·i .. 16·i+15 for
+    * sampled frame i). Stays under 2^48, so the sign bit never
+    * matters. */
+  case class VideoFpRow(doc_id: Long, n_frames: Int, n_sampled: Int,
+      video_fp: Long)
+
+  /** Per-frame blocks for the video aHash: frames here are 8–16 px, so
+    * the grid is 4×4 (q192's 8×8 needs ≥8 px per side per block). */
+  val vidBlocks = 4
+
+  /** How many sampled-frame hashes the fixed-width fingerprint packs. */
+  val fpFrames = 4
+
+  /** The re-encoded twin of [[synthGif]]: SAME frames (pixel-for-pixel
+    * after decode) through an INVERTED palette with complemented
+    * indices — a different byte stream, as container re-muxing or
+    * re-encoding produces. MultimodalSpec plants this against q329's
+    * fingerprint: byte-digest dedup (q33) sees two files; the
+    * perceptual fingerprint sees one video. */
+  def synthGifRemuxed(docId: Long): Array[Byte] = {
+    val (w, h, nf) = (vidWidth(docId), vidHeight(docId), vidFrames(docId))
+    val inv = (0 until 256).map(i => (255 - i).toByte).toArray
+    val palette = new java.awt.image.IndexColorModel(8, 256, inv, inv, inv)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, 255 - vidGray(docId, x, y, f))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Distributed fingerprint featurize: one [[GifDecoder]] per
+    * partition; payloads never shuffle — 8 fingerprint bytes plus two
+    * ints per clip leave the partition. */
+  def videoFingerprints(video: Dataset[VideoRow]): Dataset[VideoFpRow] = {
+    import video.sparkSession.implicits._
+    video.mapPartitions { rows =>
+      val dec = new GifDecoder
+      closeOnTaskEnd(() => dec.close())
+      rows.map(r => dec.decodeFingerprint(r.doc_id, r.gif))
+    }
+  }
+
+  /** VIDEO NEAR-DUP via a per-sampled-frame aHash SEQUENCE — the third
+    * leg of the perceptual family (q192 images, q193 audio): each
+    * sampled frame (every [[frameStride]]th, the q106 pattern — only
+    * sampled frames are ever decoded) gets a 4×4-block aHash, and the
+    * first [[fpFrames]] sampled hashes pack into ONE fixed-width
+    * BIGINT fingerprint; census by fingerprint. Survives what byte
+    * dedup misses: a re-muxed/re-encoded copy (different palette,
+    * different byte stream, same frames) lands on the same
+    * fingerprint — MultimodalSpec plants exactly that copy.
+    *
+    * Oracle: the full pipeline recomputed analytically from the
+    * fixture pixel formulas (sampled frames → 4×4 floor-average
+    * blocks → per-frame floor-mean → bits → packed fingerprint) — any
+    * codec, raster-order, or packing defect breaks the hash match.
+    *
+    * 100 TB: decode touches only sampled frames (the q106 point);
+    * the dedup exchange carries 8 bytes per clip; the census is one
+    * hash aggregate. Hamming-tolerant variants bucket on per-frame
+    * 16-bit slices — the q29 SimHash band machinery applies
+    * unchanged. */
+  val qVideoFingerprint: GraftQuery = GraftQuery(
+    "q329_video_fingerprint",
+    s"""WITH vdims AS (
+       |  SELECT doc_id,
+       |         8 + doc_id % 9 AS w,
+       |         8 + (doc_id * 3) % 7 AS h,
+       |         2 + doc_id % 7 AS nf
+       |  FROM documents),
+       |vpx AS (
+       |  SELECT d.doc_id, (d.w // $vidBlocks) AS bw, (d.h // $vidBlocks) AS bh,
+       |         fs.f, xs.x, ys.y
+       |  FROM vdims d
+       |  JOIN range(0, 8) AS fs(f) ON fs.f < d.nf AND fs.f % $frameStride = 0
+       |  JOIN range(0, 16) AS xs(x) ON xs.x < (d.w // $vidBlocks) * $vidBlocks
+       |  JOIN range(0, 12) AS ys(y) ON ys.y < (d.h // $vidBlocks) * $vidBlocks),
+       |vgray AS (
+       |  SELECT doc_id, bw, bh, f,
+       |    (y // bh) * $vidBlocks + (x // bw) AS k,
+       |    (x * 3 + y * 5 + f * 17 + doc_id * 7) % 256 AS g
+       |  FROM vpx),
+       |vblocks AS (
+       |  SELECT doc_id, f, k,
+       |    CAST(SUM(g) // (MAX(bw) * MAX(bh)) AS BIGINT) AS bavg
+       |  FROM vgray GROUP BY doc_id, f, k),
+       |vmean AS (
+       |  SELECT doc_id, f, CAST(SUM(bavg) // ${vidBlocks * vidBlocks} AS BIGINT) AS mean
+       |  FROM vblocks GROUP BY doc_id, f),
+       |vfh AS (
+       |  SELECT b.doc_id, b.f,
+       |    CAST(SUM(CASE WHEN b.bavg > m.mean
+       |      THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER) ELSE 0 END) AS BIGINT) AS fh
+       |  FROM vblocks b JOIN vmean m ON b.doc_id = m.doc_id AND b.f = m.f
+       |  GROUP BY b.doc_id, b.f),
+       |vfp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN (f // $frameStride) < $fpFrames
+       |      THEN fh << CAST(16 * (f // $frameStride) AS INTEGER)
+       |      ELSE 0 END) AS BIGINT) AS video_fp,
+       |    CAST(COUNT(*) AS INTEGER) AS n_sampled
+       |  FROM vfh GROUP BY doc_id)
+       |SELECT v.doc_id, CAST(d.nf AS INTEGER) AS n_frames, v.n_sampled,
+       |  v.video_fp,
+       |  CAST(COUNT(*) OVER (PARTITION BY v.video_fp) AS BIGINT) AS n_same
+       |FROM vfp v JOIN vdims d ON v.doc_id = d.doc_id
+       |ORDER BY v.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    videoFingerprints(videoTable(s, d)).toDF()
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("video_fp")))
+      .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+        col("video_fp"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
-      qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup)
+      qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
+      qVideoFingerprint)
 }

@@ -233,4 +233,34 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getLong(2) >= 0L, "fingerprint must stay in the low half")
     }
   }
+
+  test("q329: a re-muxed video copy shares the fingerprint byte-digest dedup misses") {
+    import spark.implicits._
+    val id = 123L
+    val orig = Multimodal.synthGif(id)
+    val remux = Multimodal.synthGifRemuxed(id)
+    // the byte streams differ (container re-encode) — q33's digest
+    // dedup keeps both copies
+    assert(!java.util.Arrays.equals(orig, remux),
+      "re-mux must produce a different byte stream")
+    val ds = Seq(
+      Multimodal.VideoRow(1L, orig),
+      Multimodal.VideoRow(2L, remux),
+      Multimodal.VideoRow(3L, Multimodal.synthGif(124L))).toDS()
+    val fps = Multimodal.videoFingerprints(ds).collect().sortBy(_.doc_id)
+    assert(fps.length == 3)
+    // same frames -> same perceptual fingerprint, frame count intact
+    assert(fps(0).video_fp == fps(1).video_fp,
+      "re-muxed copy must land on the original's fingerprint")
+    assert(fps(0).n_frames == fps(1).n_frames &&
+      fps(0).n_sampled == fps(1).n_sampled)
+    // different content separates
+    assert(fps(0).video_fp != fps(2).video_fp,
+      "distinct videos must not collide at this fixture")
+    // fingerprints pack 16-bit frame hashes: positive, bounded width
+    fps.foreach { r =>
+      assert(r.video_fp >= 0L &&
+        r.video_fp < (1L << (16 * math.min(r.n_sampled, Multimodal.fpFrames))))
+    }
+  }
 }
