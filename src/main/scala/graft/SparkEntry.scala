@@ -45,6 +45,7 @@ object SparkEntry {
       operators.LineDedup.all ++
       operators.StarComponents.all ++
       operators.HybridRetrieval.all ++
+      operators.CrossRerank.all ++
       operators.GopherRules.all ++
       operators.HardNegatives.all ++
       operators.CdcChunking.all ++

@@ -32,9 +32,11 @@ object HybridRetrieval {
   val topN = 10
   val rrfK = 60
 
-  val qHybridRrf: GraftQuery = GraftQuery(
-    "q134_hybrid_rrf",
-    s"""WITH ${TextAdvanced.bm25CtesSql},
+  /** CTE chain ending at `fused` (the unlimited RRF pool with both
+    * component ranks) — shared by q134 and the cross-encoder rerank
+    * (q330), which re-scores exactly this pool. */
+  private[operators] val rrfCtesSql: String =
+    s"""${TextAdvanced.bm25CtesSql},
        |bm25 AS (
        |  SELECT doc_id, ${TextAdvanced.bm25TotalScoreSql} AS lex
        |  FROM feat CROSS JOIN stats WHERE doc_id <> 0),
@@ -59,11 +61,12 @@ object HybridRetrieval {
        |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + l.rank_lex), CAST(0 AS DOUBLE)) +
        |    COALESCE(CAST(1 AS DOUBLE) / ($rrfK + v.rank_vec), CAST(0 AS DOUBLE)) AS rrf
        |  FROM (SELECT * FROM lexr WHERE rank_lex <= $poolK) l
-       |  FULL JOIN (SELECT * FROM vecr WHERE rank_vec <= $poolK) v USING (doc_id))
-       |SELECT doc_id, rank_lex, rank_vec, rrf
-       |FROM fused
-       |ORDER BY rrf DESC, doc_id
-       |LIMIT $topN""".stripMargin) { (s, d) =>
+       |  FULL JOIN (SELECT * FROM vecr WHERE rank_vec <= $poolK) v USING (doc_id))""".stripMargin
+
+  /** The unlimited fused pool (doc_id, rank_lex, rank_vec, rrf) —
+    * ≤ 2·poolK rows, the engine mirror of the `fused` CTE. */
+  private[operators] def rrfPool(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     def pool(scored: DataFrame, score: String, rankName: String): DataFrame =
       scored.groupBy()
         .agg(org.apache.spark.sql.graftshim.TopKByScore(
@@ -88,6 +91,16 @@ object HybridRetrieval {
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0)))
+  }
+
+  val qHybridRrf: GraftQuery = GraftQuery(
+    "q134_hybrid_rrf",
+    s"""WITH $rrfCtesSql
+       |SELECT doc_id, rank_lex, rank_vec, rrf
+       |FROM fused
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $topN""".stripMargin) { (s, d) =>
+    rrfPool(s, d)
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topN)
       .select("doc_id", "rank_lex", "rank_vec", "rrf")
