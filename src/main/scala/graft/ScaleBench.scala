@@ -1022,96 +1022,8 @@ object ScaleBench {
         (if (nQueries > 0 && nVecs > 0) mtCands.toDouble / nQueries / nVecs
          else -1.0))
 
-    // ---- on-disk IVF-PQ layout A/B (the q139 physics, measured) ----
-    // The SAME codes relation written two ways — flat parquet vs
-    // partitionBy(cell) — searched by the SAME ADC top-50 pipeline;
-    // the only difference is HOW the probed-cell gate executes: a
-    // broadcast semi join that scans every code row vs partition
-    // pruning that never lists the unprobed directories. This is the
-    // measurement behind q127's "the semi-join becomes partition
-    // pruning at scale" claim. ~500 cells at 1M vectors (stride
-    // nVecs/500), nProbe=4 → the pruned scan reads ~0.8% of the index.
-    {
-      import graft.operators.{IvfAnn, IvfPq, PqAnn}
-      val stride = math.max(1L, nVecs / 500).toInt
-      val centroids = IvfAnn.fixedCentroids(vecs, stride)
-      val codes = IvfAnn.assign(vecs, centroids)
-        .select(col("vec_id"),
-          org.apache.spark.sql.graftshim.PqEncode(col("embedding"), PqAnn.codebook)
-            .as("codes"),
-          col("cell"))
-        // one shuffle buys the layout: each writer task holds a few
-        // whole cells, so the partitioned tree gets one file per cell
-        // instead of (tasks x cells) shards
-        .repartition(col("cell"))
-      val flatPath = graft.operators.Formats.scratchDir("graft_ivfpq_bench_flat", sfDir)
-      val partPath = graft.operators.Formats.scratchDir("graft_ivfpq_bench_part", sfDir)
-      val (_, tWriteFlat) = time(
-        codes.write.mode("overwrite").parquet(flatPath))
-      val (_, tWritePart) = time(
-        codes.write.partitionBy("cell").mode("overwrite").parquet(partPath))
-      val probes = IvfPq.probeCells(centroids)
-      val schema = "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT"
-      val adcDist = (0 until PqAnn.subspaces).map { i =>
-        element_at(array(PqAnn.lut(i).map(lit): _*),
-          element_at(col("codes"), i + 1) + 1)
-      }.reduceLeft(_ + _)
-      def top50(df: DataFrame): Long =
-        df.withColumn("adc_dist", adcDist)
-          .orderBy(col("adc_dist"), col("vec_id")).limit(50)
-          .collect().length.toLong
-      import spark.implicits._
-      val probeDf = probes.toDF("cell")
-      def semiJoinSearch(): Long = top50(
-        spark.read.schema(schema).parquet(flatPath)
-          .join(broadcast(probeDf), Seq("cell"), "left_semi"))
-      def prunedSearch(): Long = top50(
-        IvfPq.probedScan(spark, partPath, probes)
-          .getOrElse(sys.error("no probed cell dir exists")))
-      // median of 5: the pruned side is sub-200 ms, so scheduling
-      // noise dominated a 3-sample median (observed speedups 1.4-2.9x
-      // across otherwise-identical runs)
-      def median5(f: () => Long): Double = {
-        f() // warm (page cache, codegen)
-        val ts = (1 to 5).map(_ => time(f())._2).sorted
-        ts(2)
-      }
-      val tSemi = median5(semiJoinSearch _)
-      val tPruned = median5(prunedSearch _)
-      out ++= Seq(
-        "m1_ivfpq_disk_cells" -> math.ceil(nVecs.toDouble / stride),
-        "m1_ivfpq_disk_write_flat_sec" -> tWriteFlat,
-        "m1_ivfpq_disk_write_part_sec" -> tWritePart,
-        "m1_ivfpq_disk_semijoin_sec" -> tSemi,
-        "m1_ivfpq_disk_pruned_sec" -> tPruned,
-        "m1_ivfpq_disk_prune_speedup" ->
-          (if (tPruned > 0) tSemi / tPruned else -1.0))
+    out ++= ivfServeProbe(spark, sfDir, target)
 
-      // ---- batch-query serving at the decade (q303's physics) ----
-      // 64 queries served by ONE distributed plan against the
-      // partitioned index (probe-union pruned scan, broadcast LUT ADC,
-      // distributed exact re-rank). The amortization claim measured:
-      // wall-clock vs |Q| independent single-query pruned searches.
-      {
-        val qStride2 = math.max(1L, nVecs / 64)
-        val queries = vecs
-          .where(pmod(col("vec_id"), lit(qStride2)) === 0)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        val nQ = queries.count()
-        def serve(): Long =
-          IvfPq.batchServe(spark, Seq(partPath), centroids, queries, vecs)
-            .count()
-        serve() // warm
-        val (_, tBatch) = time(serve())
-        out ++= Seq(
-          "m1_batch_serve_queries" -> nQ.toDouble,
-          "m1_batch_serve_sec" -> tBatch,
-          "m1_batch_serve_ms_per_query" ->
-            (if (nQ > 0) tBatch * 1000.0 / nQ else -1.0),
-          "m1_batch_serve_amortization_x" ->
-            (if (tBatch > 0 && nQ > 0) nQ * tPruned / tBatch else -1.0))
-      }
-    }
     vecs.unpersist()
 
     out ++= zorderProbe(spark, sfDir, 4000000, 256)
@@ -1295,6 +1207,379 @@ object ScaleBench {
     out.toSeq
   }
 
+  /** The on-disk layout A/B (10M synthetic code rows, nProbe-swept,
+    * spreads recorded) plus the q303 batch-serve measurements (fixed
+    * and trained codebooks, amortization + candidate-stage profile) —
+    * callable standalone: `runMain graft.ScaleBench serve <sfDir>
+    * <ignored> <targetVecs>`. */
+  private[graft] def ivfServeProbe(spark: SparkSession, sfDir: String,
+      target: Int): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // synthVecs explodes a ~2k-row base into 1M rows WITHOUT changing
+    // the partition count — left alone, every per-row stage downstream
+    // (PqEncode at 256 centroids, the re-rank corpus scan) runs on 1-2
+    // cores. Repartition once, before the cache.
+    val vecs = synthVecs(spark, sfDir, target).repartition(64).persist()
+    val nVecs = vecs.count()
+    out += "m1_serve_vecs_n" -> nVecs.toDouble
+
+    // ---- on-disk IVF-PQ layout A/B (the q139 physics, measured) ----
+    // The SAME codes relation written two ways — flat parquet vs
+    // partitionBy(cell) — searched by the SAME ADC top-50 pipeline;
+    // the only difference is HOW the probed-cell gate executes: a
+    // broadcast semi join that scans every code row vs partition
+    // pruning that never lists the unprobed directories. r7/r8 ran
+    // this at 1M code rows, where BOTH sides finish under 200 ms and
+    // the ratio swung 1.4–2.9× run to run — scheduling noise, not scan
+    // physics. It now runs at 10M SYNTHETIC code rows (the gate
+    // physics depend only on the codes relation's size and layout,
+    // never on how code values were produced — a 10M-vector PqEncode
+    // would measure nothing new), swept over nProbe with median-of-15
+    // timings and the min→max spread recorded per point. The headline
+    // m1_ivfpq_disk_* keys carry the nProbe=16 point (3.2% of
+    // directories probed).
+    {
+      import graft.operators.{IvfPq, PqAnn}
+      val abRows = 40000000L
+      val abCells = 500
+      val synthCodes = spark.range(abRows).select(
+        col("id").as("vec_id"),
+        array((0 until PqAnn.subspaces).map(sub =>
+          pmod(hash(col("id"), lit(sub)), lit(PqAnn.nCentroids)).cast("int")): _*)
+          .as("codes"),
+        pmod(hash(col("id"), lit(-1)), lit(abCells)).cast("long").as("cell"))
+        // one shuffle buys the layout: each writer task holds whole
+        // cells, so the partitioned tree gets one file per cell
+        .repartition(col("cell"))
+      val flatPath = graft.operators.Formats.scratchDir("graft_ivfpq_ab_flat", sfDir)
+      val partAbPath = graft.operators.Formats.scratchDir("graft_ivfpq_ab_part", sfDir)
+      val (_, tWriteFlat) = time(
+        synthCodes.write.mode("overwrite").parquet(flatPath))
+      val (_, tWritePart) = time(
+        synthCodes.write.partitionBy("cell").mode("overwrite").parquet(partAbPath))
+      val schema = "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT"
+      val adcDist = (0 until PqAnn.subspaces).map { i =>
+        element_at(array(PqAnn.lut(i).map(lit): _*),
+          element_at(col("codes"), i + 1) + 1)
+      }.reduceLeft(_ + _)
+      def top50(df: DataFrame): Long =
+        df.withColumn("adc_dist", adcDist)
+          .orderBy(col("adc_dist"), col("vec_id")).limit(50)
+          .collect().length.toLong
+      import spark.implicits._
+      // median of 7 with the spread recorded: the r8 lesson is that a
+      // point estimate without its spread is not a measurement
+      // median of 15 with TWO spreads: IQR (the steady-state noise) and
+      // min→max (which a single GC pause dominates — reported, not
+      // hidden, but the <20% stability gate reads the IQR). A System.gc
+      // before each point keeps collector debt from the 40M writes out
+      // of the samples.
+      def median15(f: () => Long): (Double, Double, Double) = {
+        System.gc()
+        f(); f() // warm twice (page cache, codegen, JIT)
+        val ts = (1 to 15).map(_ => time(f())._2).sorted
+        (ts(7), (ts(11) - ts(3)) / ts(7), (ts.last - ts.head) / ts(7))
+      }
+      out ++= Seq(
+        "m1_ivfpq_ab_rows" -> abRows.toDouble,
+        "m1_ivfpq_disk_cells" -> abCells.toDouble,
+        "m1_ivfpq_disk_write_flat_sec" -> tWriteFlat,
+        "m1_ivfpq_disk_write_part_sec" -> tWritePart)
+      Seq(4, 16, 64).foreach { p =>
+        val probeIds = (0 until p).map(_.toLong).toIndexedSeq
+        val probeDf = probeIds.toDF("cell")
+        def semiJoinSearch(): Long = top50(
+          spark.read.schema(schema).parquet(flatPath)
+            .join(broadcast(probeDf), Seq("cell"), "left_semi"))
+        def prunedSearch(): Long = top50(
+          IvfPq.probedScan(spark, partAbPath, probeIds)
+            .getOrElse(sys.error("no probed cell dir exists")))
+        val (tSemi, iqrSemi, spreadSemi) = median15(semiJoinSearch _)
+        val (tPruned, iqrPruned, spreadPruned) = median15(prunedSearch _)
+        out ++= Seq(
+          s"m1_ivfpq_disk_p${p}_semijoin_sec" -> tSemi,
+          s"m1_ivfpq_disk_p${p}_semijoin_iqr" -> iqrSemi,
+          s"m1_ivfpq_disk_p${p}_semijoin_spread" -> spreadSemi,
+          s"m1_ivfpq_disk_p${p}_pruned_sec" -> tPruned,
+          s"m1_ivfpq_disk_p${p}_pruned_iqr" -> iqrPruned,
+          s"m1_ivfpq_disk_p${p}_pruned_spread" -> spreadPruned,
+          s"m1_ivfpq_disk_p${p}_prune_speedup" ->
+            (if (tPruned > 0) tSemi / tPruned else -1.0))
+        if (p == 16) out ++= Seq(
+          "m1_ivfpq_disk_semijoin_sec" -> tSemi,
+          "m1_ivfpq_disk_pruned_sec" -> tPruned,
+          "m1_ivfpq_disk_prune_speedup" ->
+            (if (tPruned > 0) tSemi / tPruned else -1.0))
+      }
+    }
+
+    // ---- batch-query serving at the decade (q303's physics) ----
+    // 64 queries served by ONE distributed plan against the 1M-vector
+    // real-pipeline index (probe-union pruned scan, fused-ADC scoring
+    // against the broadcast (query_id, cell, q_emb) probe side,
+    // distributed exact re-rank). Three measurements:
+    //  1. amortization: batch wall-clock vs |Q| independent
+    //     single-query pruned ADC searches, plus the candidate-stage /
+    //     re-rank split that locates the amortization floor;
+    //  2. the FIXED oracle codebook serve (the q303 plan verbatim);
+    //  3. the TRAINED PQ8x256 codebook through the SAME plan, L2
+    //     end-to-end (L2 cells, L2 routing — routing an L2 index by
+    //     cosine measured 0.73–0.77 recall on this replica-noise
+    //     corpus), with recall@10 against exact brute force — the
+    //     (recall, ms/query) pair a retrieval tier actually ships.
+    {
+      import graft.operators.{IvfAnn, IvfPq, PqAnn}
+      val stride = math.max(1L, nVecs / 500).toInt
+      val centroids = IvfAnn.fixedCentroids(vecs, stride)
+      // encode AFTER the cell shuffle: repartitioning an exploded
+      // relation first means PqEncode runs on the full core count
+      val codes = IvfAnn.assign(vecs, centroids)
+        .repartition(col("cell"))
+        .select(col("vec_id"),
+          org.apache.spark.sql.graftshim.PqEncode(col("embedding"), PqAnn.codebook)
+            .as("codes"),
+          col("cell"))
+      val partPath = graft.operators.Formats.scratchDir("graft_ivfpq_bench_part", sfDir)
+      codes.write.partitionBy("cell").mode("overwrite").parquet(partPath)
+      // single-query pruned ADC search (the q139 shape) — the
+      // amortization DENOMINATOR; median of 5
+      val probes = IvfPq.probeCells(centroids)
+      val adcDist = (0 until PqAnn.subspaces).map { i =>
+        element_at(array(PqAnn.lut(i).map(lit): _*),
+          element_at(col("codes"), i + 1) + 1)
+      }.reduceLeft(_ + _)
+      def prunedSearch(): Long =
+        IvfPq.probedScan(spark, partPath, probes)
+          .getOrElse(sys.error("no probed cell dir exists"))
+          .withColumn("adc_dist", adcDist)
+          .orderBy(col("adc_dist"), col("vec_id")).limit(50)
+          .collect().length.toLong
+      def median5(f: () => Long): Double = {
+        f()
+        val ts = (1 to 5).map(_ => time(f())._2).sorted
+        ts(2)
+      }
+      val tPruned = median5(prunedSearch _)
+      out += "m1_batch_serve_single_pruned_sec" -> tPruned
+
+      val qStride2 = math.max(1L, nVecs / 64)
+      val queries = vecs
+        .where(pmod(col("vec_id"), lit(qStride2)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val nQ = queries.count()
+      // candidate stage alone (probe routing + pruned scan + ADC heaps)
+      // — the profile the round-8 verdict asked for: is the
+      // amortization floor in the per-pair work or in the re-rank?
+      def candStage(): Long =
+        IvfPq.serveCandidates(spark, Seq(partPath), centroids, queries,
+          PqAnn.codebook, 100000L, IvfPq.nProbe, IvfPq.adcCand, "cos",
+          Some(nQ))
+          ._1.count()
+      candStage() // warm
+      val (_, tCand) = time(candStage())
+      def serve(): Long =
+        IvfPq.batchServe(spark, Seq(partPath), centroids, queries, vecs,
+          queryCountHint = Some(nQ))
+          .count()
+      def median3(f: () => Long): Double = {
+        f() // warm
+        (1 to 3).map(_ => time(f())._2).sorted.apply(1)
+      }
+      val tBatch = median3(serve _)
+      out ++= Seq(
+        "m1_batch_serve_queries" -> nQ.toDouble,
+        "m1_batch_serve_cand_stage_sec" -> tCand,
+        "m1_batch_serve_sec" -> tBatch,
+        "m1_batch_serve_ms_per_query" ->
+          (if (nQ > 0) tBatch * 1000.0 / nQ else -1.0),
+        "m1_batch_serve_amortization_x" ->
+          (if (tBatch > 0 && nQ > 0) nQ * tPruned / tBatch else -1.0))
+      // amortization SCALES with the batch: the floor at 64 queries is
+      // per-stage scheduling latency (~10 small stages), not per-pair
+      // work — a 4x bigger batch pays the same stages
+      val queries256 = vecs
+        .where(pmod(col("vec_id"), lit(math.max(1L, nVecs / 256))) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val nQ256 = queries256.count()
+      def serve256(): Long =
+        IvfPq.batchServe(spark, Seq(partPath), centroids, queries256, vecs,
+          queryCountHint = Some(nQ256)).count()
+      val tBatch256 = median3(serve256 _)
+      out ++= Seq(
+        "m1_batch_serve_queries_b" -> nQ256.toDouble,
+        "m1_batch_serve_sec_b" -> tBatch256,
+        "m1_batch_serve_ms_per_query_b" ->
+          (if (nQ256 > 0) tBatch256 * 1000.0 / nQ256 else -1.0),
+        "m1_batch_serve_amortization_x_b" ->
+          (if (tBatch256 > 0 && nQ256 > 0) nQ256 * tPruned / tBatch256 else -1.0))
+
+      // trained-codebook production operating point through the SAME
+      // distributed serve plan: Lloyd PQ8x256 on a bounded sample, L2
+      // cells + L2 routing, recall@10 vs exact L2 top-10 (self
+      // included — the q303/q324 convention) at the q303 candidate
+      // budget and at 4x that budget (replica-noise ADC distortion
+      // needs a deeper exact re-rank pool; both points reported)
+      val (cbT, tTrainT) = time {
+        val sampleStride = math.max(1L, nVecs / 8192)
+        val samples = vecs.where(pmod(col("vec_id"), lit(sampleStride)) === 0)
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq).toIndexedSeq
+        PqAnn.trainCodebook(samples, numCentroids = 256)
+      }
+      val codesT = IvfAnn.assign(vecs, centroids, metric = "l2")
+        .repartition(col("cell"))
+        .select(col("vec_id"),
+          org.apache.spark.sql.graftshim.PqEncode(col("embedding"), cbT)
+            .as("codes"),
+          col("cell"))
+      val partTPath = graft.operators.Formats.scratchDir("graft_ivfpq_bench_part_trained", sfDir)
+      val (_, tEncT) = time(
+        codesT.write.partitionBy("cell").mode("overwrite").parquet(partTPath))
+      val exactDistE = (0 until PqAnn.dims).map { j =>
+        val dd = element_at(col("q_emb"), j + 1).cast("double") -
+          element_at(col("embedding"), j + 1).cast("double")
+        dd * dd
+      }.reduceLeft(_ + _)
+      val exact10 = vecs.crossJoin(broadcast(queries))
+        .groupBy("query_id")
+        .agg(org.apache.spark.sql.graftshim.TopKByScore(
+          -exactDistE, col("vec_id"), IvfPq.k).as("top"))
+        .select(col("query_id"), explode(col("top.id")).as("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallOf(served: DataFrame): Double = {
+        val got = served.select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        if (exact10.nonEmpty) exact10.intersect(got).size.toDouble / exact10.size
+        else -1.0
+      }
+      // ROUTING CEILING (the q327 reach-rank, computed driver-side on
+      // the bounded eval artifacts): the fraction of the exact top-10
+      // whose assigned L2 cell sits within each query's top-p routed
+      // cells — recall at nProbe=p can never exceed this, whatever
+      // the codebook or candidate depth. Diagnoses routing loss vs
+      // ADC loss on this replica corpus (a base vector's ~500 noisy
+      // replicas straddle cell boundaries).
+      val centArr = centroids.select(col("cell").cast("long"), col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val qArr = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      def l2d(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+        acc
+      }
+      // per query: cells ranked by L2 distance (ties -> lowest cell)
+      val cellRank: Map[Long, Map[Long, Int]] = qArr.map { case (qid, q) =>
+        qid -> centArr.map { case (c, ce) => (c, l2d(q, ce)) }
+          .sortBy { case (c, dd) => (dd, c) }
+          .zipWithIndex.map { case ((c, _), i) => c -> (i + 1) }.toMap
+      }.toMap
+      val exactIds = exact10.map(_._2)
+      val cellOf = spark.read.parquet(partTPath)
+        .where(col("vec_id").isin(exactIds.toSeq: _*))
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(4, 16, 32).foreach { p =>
+        val reached = exact10.count { case (qid, vid) =>
+          cellRank(qid)(cellOf(vid)) <= p
+        }
+        out += s"m1_route_ceiling_p${p}_recall10" ->
+          (if (exact10.nonEmpty) reached.toDouble / exact10.size else -1.0)
+      }
+      // (nProbe, candidate-depth) sweep: this corpus is ~500
+      // near-identical replicas per base vector — replicas of the
+      // true neighbors straddle cells (routing ceiling above) and ADC
+      // distortion cannot rank WITHIN a replica cloud, so recall
+      // needs BOTH a wide-enough probe and a deep-enough exact
+      // re-rank pool (the 100k-scale block measured the same
+      // candidate-depth physics: 400 cands → 0.86, 1000 → 0.95). The
+      // headline *_trained keys carry the widest/deepest point — the
+      // operating point a tier would ship on THIS corpus.
+      val opPoints = Seq(
+        (IvfPq.nProbe, IvfPq.adcCand),
+        (IvfPq.nProbe, 20 * IvfPq.adcCand),
+        (16, 20 * IvfPq.adcCand))
+      opPoints.foreach { case (p, ac) =>
+        def serveT(): DataFrame =
+          IvfPq.batchServe(spark, Seq(partTPath), centroids, queries, vecs,
+            codebook = cbT, probes = p, adcCands = ac, metric = "l2",
+            queryCountHint = Some(nQ))
+        val recallT = recallOf(serveT())
+        serveT().count() // warm the timed shape
+        val (_, tT) = time(serveT().count())
+        out ++= Seq(
+          s"m1_batch_serve_sec_trained_p${p}_c$ac" -> tT,
+          s"m1_batch_serve_ms_per_query_trained_p${p}_c$ac" ->
+            (if (nQ > 0) tT * 1000.0 / nQ else -1.0),
+          s"m1_batch_serve_recall10_trained_p${p}_c$ac" -> recallT)
+      }
+
+      // FULL production point: TRAIN the coarse quantizer too (the
+      // library's spark.ml KMeans path, fit on a 100k sample) — the
+      // stride-sample centroids above are the ORACLE-family quantizer,
+      // and on this replica corpus they fragment each base vector's
+      // ~500-replica cloud across cells (routing ceiling 0.71@p4 /
+      // 0.86@p32 measured above caps ANY codebook). A trained
+      // quantizer puts whole clouds in cells; this is how faiss builds
+      // IVF-PQ: both levels learned from one sample.
+      val (idxK, tKmeans) = time(
+        IvfAnn.build(vecs.where(pmod(col("vec_id"), lit(10L)) === 0), 500))
+      val centroidsK = IvfAnn.centroidDf(spark, idxK.model)
+      val codesK = IvfAnn.assign(vecs, centroidsK, metric = "l2")
+        .repartition(col("cell"))
+        .select(col("vec_id"),
+          org.apache.spark.sql.graftshim.PqEncode(col("embedding"), cbT)
+            .as("codes"),
+          col("cell"))
+      val partKPath = graft.operators.Formats.scratchDir("graft_ivfpq_bench_part_kmeans", sfDir)
+      codesK.write.partitionBy("cell").mode("overwrite").parquet(partKPath)
+      val centKArr = centroidsK.select(col("cell").cast("long"), col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cellRankK: Map[Long, Map[Long, Int]] = qArr.map { case (qid, q) =>
+        qid -> centKArr.map { case (c, ce) => (c, l2d(q, ce)) }
+          .sortBy { case (c, dd) => (dd, c) }
+          .zipWithIndex.map { case ((c, _), i) => c -> (i + 1) }.toMap
+      }.toMap
+      val cellOfK = spark.read.parquet(partKPath)
+        .where(col("vec_id").isin(exactIds.toSeq: _*))
+        .select(col("vec_id"), col("cell").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(4, 16, 32).foreach { p =>
+        val reached = exact10.count { case (qid, vid) =>
+          cellRankK(qid)(cellOfK(vid)) <= p
+        }
+        out += s"m1_route_ceiling_kmeans_p${p}_recall10" ->
+          (if (exact10.nonEmpty) reached.toDouble / exact10.size else -1.0)
+      }
+      Seq((4, 1000), (16, 1000), (32, 2000)).foreach { case (p, ac) =>
+        def serveK(): DataFrame =
+          IvfPq.batchServe(spark, Seq(partKPath), centroidsK, queries, vecs,
+            codebook = cbT, probes = p, adcCands = ac, metric = "l2",
+            queryCountHint = Some(nQ))
+        val recallK = recallOf(serveK())
+        serveK().count() // warm
+        val (_, tK) = time(serveK().count())
+        out ++= Seq(
+          s"m1_batch_serve_sec_kmeans_p${p}_c$ac" -> tK,
+          s"m1_batch_serve_ms_per_query_kmeans_p${p}_c$ac" ->
+            (if (nQ > 0) tK * 1000.0 / nQ else -1.0),
+          s"m1_batch_serve_recall10_kmeans_p${p}_c$ac" -> recallK)
+        // the headline *_trained keys carry the full trained stack's
+        // BEST-recall point — the operating point a tier ships here
+        if (p == 32) out ++= Seq(
+          "m1_batch_serve_sec_trained" -> tK,
+          "m1_batch_serve_ms_per_query_trained" ->
+            (if (nQ > 0) tK * 1000.0 / nQ else -1.0),
+          "m1_batch_serve_recall10_trained" -> recallK)
+      }
+      out += "m1_ivfpq_coarse_kmeans_fit_sec" -> tKmeans
+      out += "m1_ivfpq_codebook_train_sec" -> tTrainT
+      out += "m1_ivfpq_trained_encode_write_sec" -> tEncT
+    }
+    vecs.unpersist()
+    out.toSeq
+  }
+
   /** Sweep-line A/B (the q256 claim, measured): per-day peak
     * concurrency over n synthetic sessions via the textbook GLOBAL
     * running-sum window (one task sorts the whole boundary census)
@@ -1398,7 +1683,7 @@ object ScaleBench {
   /** Standalone entry for local iteration; Bench embeds run() output.
     * `zorder`/`rank` as the first arg runs only that probe (dev loop). */
   def main(args: Array[String]): Unit = {
-    val mode = args.headOption.filter(Set("zorder", "rank", "grouping", "sweep", "gram")).getOrElse("full")
+    val mode = args.headOption.filter(Set("zorder", "rank", "grouping", "sweep", "gram", "serve")).getOrElse("full")
     val rest = if (mode != "full") args.drop(1) else args
     val sfDir = if (rest.nonEmpty) rest(0) else "/root/testdata/sf0.1"
     val tDocs = if (rest.length > 1) rest(1).toInt else 100000
@@ -1411,6 +1696,7 @@ object ScaleBench {
       case "grouping" => groupingProbe(spark, sys.env.get("SPARK_GRAFT_GROUPING_N").map(_.toInt).getOrElse(8000000))
       case "sweep" => sweepProbe(spark, sys.env.get("SPARK_GRAFT_SWEEP_N").map(_.toInt).getOrElse(4000000))
       case "gram" => gramProbe(spark, sys.env.get("SPARK_GRAFT_GRAM_N").map(_.toInt).getOrElse(200000))
+      case "serve" => ivfServeProbe(spark, sfDir, tVecs)
       case _ => run(spark, sfDir, tDocs, tVecs)
     }
     println(metrics.map { case (k, v) => s""""$k":$v""" }

@@ -571,46 +571,13 @@ object IvfPq {
       corpus: org.apache.spark.sql.DataFrame,
       codebook: Seq[Seq[Seq[Double]]] = PqAnn.codebook,
       maxBroadcastQueries: Long = 100000L,
-      probes: Int = nProbe): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.graftshim.{CosineSimilarity, PqAdcDistLut, TopKByScore}
-    // broadcast gating: one count over the (narrow) query relation
-    // decides hint vs plain join — past the budget a forced broadcast
-    // would OOM the driver, and the shuffle fallback is the documented
-    // behavior, not just documentation
-    val nQ = queries.count()
-    val bc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      if (nQ <= maxBroadcastQueries) broadcast else identity
-    // 1. per-query probe cells (bounded heap — no |Q|×|cells| sort)
-    val routed = queries
-      .crossJoin(broadcast(
-        centroids.select(col("cell").cast("long").as("cell"), col("centroid"))))
-      .select(col("query_id"), col("cell"),
-        CosineSimilarity(col("q_emb"), col("centroid")).as("c_sim"))
-      .groupBy("query_id")
-      .agg(TopKByScore(col("c_sim"), col("cell"), probes).as("top"))
-      .select(col("query_id"), explode(col("top")).as("e"))
-      .select(col("query_id"), col("e.id").as("cell"))
-    // 2. union of probed cells — the ONE bounded driver collect of the
-    //    whole batch (≤ |cells| longs), turning the cell set into
-    //    genuine partition pruning for every query at once
-    val allCells = routed.select("cell").distinct()
-      .collect().map(_.getLong(0)).sorted.toIndexedSeq
-    val scans = paths.flatMap(p => probedScan(s, p, allCells))
-    require(scans.nonEmpty, s"no probed cell has data in any segment: $paths")
-    val codes = scans.reduce(_ union _)
-    // 3. ADC: the probe side is (query_id, cell, q_emb) — no LUT
-    //    arrays materialize anywhere; each scored pair runs one fused
-    //    codegen loop whose accumulation order IS the LUT
-    //    decomposition's (oracle parity, PqAnnSpec-pinned)
-    val probeSide = routed.join(queries, "query_id")
-      .select(col("query_id"), col("cell"), col("q_emb"))
-    val cand = codes.join(bc(probeSide), Seq("cell"))
-      .select(col("query_id"), col("vec_id"),
-        PqAdcDistLut(col("codes"), col("q_emb"), codebook).as("adc_dist"))
-      .groupBy("query_id")
-      .agg(TopKByScore(-col("adc_dist"), col("vec_id"), adcCand).as("top"))
-      .select(col("query_id"), explode(col("top")).as("e"))
-      .select(col("query_id"), col("e.id").as("vec_id"))
+      probes: Int = nProbe,
+      adcCands: Int = adcCand,
+      metric: String = "cos",
+      queryCountHint: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftshim.TopKByScore
+    val (cand, bc) = serveCandidates(s, paths, centroids, queries, codebook,
+      maxBroadcastQueries, probes, adcCands, metric, queryCountHint)
     // 4. exact re-rank, DISTRIBUTED: candidates equi-join the vectors
     //    table — one narrow corpus probe amortized over all queries,
     //    zero per-query collects
@@ -628,6 +595,91 @@ object IvfPq {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("vec_id"), (-col("col.score")).as("exact_dist"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Stages 1–3 of the batch serve (probe routing, pruned scan, ADC
+    * candidate heaps) — factored so ScaleBench can profile the
+    * candidate stage apart from the exact re-rank, and returned with
+    * the broadcast-gating wrapper the caller's joins reuse.
+    *
+    * `metric` is the ROUTING metric and must match the metric the
+    * index's cells were assigned with (IvfAnn.assign's rule: an L2
+    * index routed by cosine loses recall once vector norms vary —
+    * measured 0.73–0.77 at 100k in ScaleBench): "cos" is the q303
+    * oracle family; "l2" is the trained-codebook production path. */
+  private[graft] def serveCandidates(s: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], centroids: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      codebook: Seq[Seq[Seq[Double]]],
+      maxBroadcastQueries: Long, probes: Int, adcCands: Int,
+      metric: String,
+      queryCountHint: Option[Long] = None): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    import org.apache.spark.sql.graftshim.{CosineSimilarity, PqAdcDistLut, TopKByScore}
+    // broadcast gating: one count over the (narrow) query relation —
+    // skipped when the caller already knows the batch size — decides
+    // hint vs plain join: past the budget a forced broadcast would
+    // OOM the driver, and the shuffle fallback is the documented
+    // behavior, not just documentation
+    val nQ = queryCountHint.getOrElse(queries.count())
+    val useBroadcast = nQ <= maxBroadcastQueries
+    val bc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (useBroadcast) broadcast else identity
+    // routing score: higher = closer under the serving metric
+    val routeScore = metric match {
+      case "cos" => CosineSimilarity(col("q_emb"), col("centroid"))
+      case "l2" => -aggregate(zip_with(col("q_emb"), col("centroid"),
+        (x, y) => { val dd = x.cast("double") - y.cast("double"); dd * dd }),
+        lit(0.0), _ + _)
+      case m => sys.error(s"unknown routing metric $m")
+    }
+    // 1. per-query probe cells (bounded heap — no |Q|×|cells| sort)
+    val routed = queries
+      .crossJoin(broadcast(
+        centroids.select(col("cell").cast("long").as("cell"), col("centroid"))))
+      .select(col("query_id"), col("cell"), routeScore.as("c_sim"))
+      .groupBy("query_id")
+      .agg(TopKByScore(col("c_sim"), col("cell"), probes).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("cell"))
+    // 2. the ONE bounded driver collect of the whole batch. Under the
+    //    broadcast budget the (query_id, cell) probe PAIRS come back
+    //    (≤ nQ·probes long pairs — ~6 MB at the 100k budget): one
+    //    round-trip yields BOTH the partition-pruning cell union and
+    //    the probe side as a local relation, so the routing aggregate
+    //    is never recomputed inside the serve job and the separate
+    //    distinct-cells job disappears (measured ~0.4 s of pure stage
+    //    latency at 64 queries × 1M vectors). Past the budget the
+    //    collect shrinks to the distinct cell list (≤ |cells| longs)
+    //    and the probe side stays distributed.
+    val (allCells, probePairs) =
+      if (useBroadcast) {
+        val pairs = routed.collect().map(r => (r.getLong(0), r.getLong(1)))
+        (pairs.map(_._2).distinct.sorted.toIndexedSeq,
+          pairs.toSeq.toDF("query_id", "cell"))
+      } else {
+        (routed.select("cell").distinct()
+          .collect().map(_.getLong(0)).sorted.toIndexedSeq,
+          routed)
+      }
+    val scans = paths.flatMap(p => probedScan(s, p, allCells))
+    require(scans.nonEmpty, s"no probed cell has data in any segment: $paths")
+    val codes = scans.reduce(_ union _)
+    // 3. ADC: the probe side is (query_id, cell, q_emb) — no LUT
+    //    arrays materialize anywhere; each scored pair runs one fused
+    //    codegen loop whose accumulation order IS the LUT
+    //    decomposition's (oracle parity, PqAnnSpec-pinned)
+    val probeSide = bc(probePairs).join(queries, "query_id")
+      .select(col("query_id"), col("cell"), col("q_emb"))
+    val cand = codes.join(bc(probeSide), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        PqAdcDistLut(col("codes"), col("q_emb"), codebook).as("adc_dist"))
+      .groupBy("query_id")
+      .agg(TopKByScore(-col("adc_dist"), col("vec_id"), adcCands).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"))
+    (cand, bc)
   }
 
   /** Batch serving over the SEGMENTED index — q303's query table

@@ -436,6 +436,15 @@ class PlanAuditSpec extends SparkSpecBase {
     //    approx side is the production q303 plan.
     //  - q326: q137's 1-row effective-budget aggregate cross-joined
     //    onto the gate scan (the exact-gate sampling pattern).
+    //  - q327/q328: planner EVAL — exact ground truth over the bounded
+    //    query sample (q172/q324's argument), query × broadcast-
+    //    centroid routing (q55's cost), and 1-row total/count
+    //    aggregates stitched onto the |sweep|- and |targets|-row
+    //    policy grids (q167's single-row stitch); q328 additionally
+    //    serves through the q303 plan.
+    //  - q330: q134's two bounded-pool shapes (1-row BM25 stats, one
+    //    broadcast query vector × corpus) plus the query vector
+    //    cross-joined onto the ≤128-row pool for pairwise scoring.
     val intentionallyExhaustive =
       Set("q30_sim_topk", "q55_ivf_fixed_topk", "q63_tfidf_topterms",
         "q75_gap_fill", "q89_sliding_mau", "q93_int8_prefilter_topk",
@@ -459,7 +468,9 @@ class PlanAuditSpec extends SparkSpecBase {
         "q300_pca_second_component", "q303_ivfpq_batch_serve",
         "q304_deciles_scalable", "q306_hard_negatives_ivf",
         "q309_batch_serve_segmented", "q319_contrastive_triplets",
-        "q324_batch_serve_recall", "q326_dedup_aware_mix")
+        "q324_batch_serve_recall", "q326_dedup_aware_mix",
+        "q327_nprobe_planner", "q328_planned_batch_serve",
+        "q330_cross_encoder_rerank")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
