@@ -1234,7 +1234,7 @@ object ScaleBench {
     // physics. It now runs at 10M SYNTHETIC code rows (the gate
     // physics depend only on the codes relation's size and layout,
     // never on how code values were produced — a 10M-vector PqEncode
-    // would measure nothing new), swept over nProbe with median-of-15
+    // would measure nothing new), swept over nProbe with median-of-15/25
     // timings and the min→max spread recorded per point. The headline
     // m1_ivfpq_disk_* keys carry the nProbe=16 point (3.2% of
     // directories probed).
@@ -1274,11 +1274,12 @@ object ScaleBench {
       // hidden, but the <20% stability gate reads the IQR). A System.gc
       // before each point keeps collector debt from the 40M writes out
       // of the samples.
-      def median15(f: () => Long): (Double, Double, Double) = {
+      def medianN(n: Int)(f: () => Long): (Double, Double, Double) = {
         System.gc()
         f(); f() // warm twice (page cache, codegen, JIT)
-        val ts = (1 to 15).map(_ => time(f())._2).sorted
-        (ts(7), (ts(11) - ts(3)) / ts(7), (ts.last - ts.head) / ts(7))
+        val ts = (1 to n).map(_ => time(f())._2).sorted
+        (ts(n / 2), (ts(3 * n / 4) - ts(n / 4)) / ts(n / 2),
+          (ts.last - ts.head) / ts(n / 2))
       }
       out ++= Seq(
         "m1_ivfpq_ab_rows" -> abRows.toDouble,
@@ -1294,8 +1295,10 @@ object ScaleBench {
         def prunedSearch(): Long = top50(
           IvfPq.probedScan(spark, partAbPath, probeIds)
             .getOrElse(sys.error("no probed cell dir exists")))
-        val (tSemi, iqrSemi, spreadSemi) = median15(semiJoinSearch _)
-        val (tPruned, iqrPruned, spreadPruned) = median15(prunedSearch _)
+        val (tSemi, iqrSemi, spreadSemi) = medianN(15)(semiJoinSearch _)
+        // the pruned side is ~5x faster per sample, so scheduling noise
+        // is proportionally larger — buy it more samples
+        val (tPruned, iqrPruned, spreadPruned) = medianN(25)(prunedSearch _)
         out ++= Seq(
           s"m1_ivfpq_disk_p${p}_semijoin_sec" -> tSemi,
           s"m1_ivfpq_disk_p${p}_semijoin_iqr" -> iqrSemi,
