@@ -969,11 +969,16 @@ object IvfPq {
     plannerPolicy(s, d)
   }
 
-  /** The q327 body — also the source [[nProbeForRecall]] collects
-    * from. Every relation here is bounded: |Q| queries, |cells|
-    * centroids, |Q|·k reach rows, |sweep| curve rows. */
-  private[graft] def plannerPolicy(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  /** The shared planner eval: per-nProbe hit curve, scanned-rows
+    * curve, and the 1-row total/count aggregates — the bounded
+    * relations BOTH planner policies (q327 recall-target, q332
+    * scan-budget) select from. Every relation here is bounded: |Q|
+    * queries, |cells| centroids, |Q|·k reach rows, |sweep| curve
+    * rows. */
+  private def plannerCurves(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftshim.{CosineSimilarity, TopKByScore}
@@ -1016,6 +1021,17 @@ object IvfPq {
       .groupBy("p")
       .agg(sum(when(col("c_rank") <= col("p"), col("cell_n"))
         .otherwise(0L)).as("cost_rows"))
+    val nq = queries.agg(count(lit(1)).as("n_q"))
+    val nc = emb.agg(count(lit(1)).as("n_corpus"))
+    (curveHits, curveCost, tot, nq, nc)
+  }
+
+  /** The q327 body — also the source [[nProbeForRecall]] collects
+    * from. */
+  private[graft] def plannerPolicy(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val (curveHits, curveCost, tot, nq, nc) = plannerCurves(s, d)
     val targets = plannerTargets.toDF("target")
     val sel = targets
       .crossJoin(broadcast(curveHits.crossJoin(broadcast(tot))))
@@ -1025,8 +1041,6 @@ object IvfPq {
       .select(col("target"),
         coalesce(col("p_ok"), lit(plannerSweep.max)).as("n_probe"),
         col("p_ok").isNotNull.as("reached"))
-    val nq = queries.agg(count(lit(1)).as("n_q"))
-    val nc = emb.agg(count(lit(1)).as("n_corpus"))
     policy
       .join(broadcast(curveHits), col("n_probe") === col("p")).drop("p")
       .join(broadcast(curveCost), col("n_probe") === col("p")).drop("p")
@@ -1056,6 +1070,77 @@ object IvfPq {
     require(rows.nonEmpty,
       s"target $targetPct% is not in the planner grid $plannerTargets")
     rows.head.getInt(0)
+  }
+
+  /** Scan budgets (ppm of |Q|·|corpus| rows scanned) the q332 policy
+    * answers for: 5%, 20%, 50%. */
+  val plannerBudgets: Seq[Int] = Seq(50000, 200000, 500000)
+
+  /** SCAN-BUDGET PLANNER — the DUAL of q327: instead of "what nProbe
+    * buys recall r", answer "what recall does a scan budget B buy".
+    * Per budget (ppm of |Q|·|corpus| rows the probe tier may touch),
+    * the policy picks the LARGEST swept nProbe whose measured scan
+    * fraction fits (cost and recall are both monotone in nProbe, so
+    * the max feasible probe width maximizes recall); an infeasible
+    * budget falls back to the sweep minimum with `feasible=false`.
+    * Same one-pass eval as q327 — the two policies are different
+    * selections over the SAME measured curves. */
+  val qScanBudgetPlanner: GraftQuery = GraftQuery(
+    "q332_scan_budget_planner",
+    s"""WITH $indexCtesSql,
+       |$plannerCtesSql,
+       |curve_scan AS (
+       |  SELECT cc.p, cc.cost_rows,
+       |    CAST(cc.cost_rows * 1000000 //
+       |      ((SELECT CAST(COUNT(*) AS BIGINT) FROM queries) *
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)) AS BIGINT)
+       |      AS scan_ppm
+       |  FROM curve_cost cc),
+       |budgets AS (
+       |  SELECT CAST(b AS INTEGER) AS budget_ppm
+       |  FROM (VALUES ${plannerBudgets.map(b => s"($b)").mkString(", ")}) bb(b)),
+       |selb AS (
+       |  SELECT t.budget_ppm, MAX(c.p) AS p_ok
+       |  FROM budgets t
+       |  JOIN curve_scan c ON c.scan_ppm <= CAST(t.budget_ppm AS BIGINT)
+       |  GROUP BY t.budget_ppm),
+       |policyb AS (
+       |  SELECT t.budget_ppm, COALESCE(s2.p_ok, ${plannerSweep.min}) AS n_probe,
+       |    s2.p_ok IS NOT NULL AS feasible
+       |  FROM budgets t LEFT JOIN selb s2 ON s2.budget_ppm = t.budget_ppm)
+       |SELECT p.budget_ppm, CAST(p.n_probe AS INTEGER) AS n_probe, p.feasible,
+       |  h.hits,
+       |  CAST(h.hits * 1000000 // (SELECT total FROM tot) AS BIGINT) AS recall_ppm,
+       |  cs.cost_rows, cs.scan_ppm
+       |FROM policyb p
+       |JOIN curve_hits h ON h.p = p.n_probe
+       |JOIN curve_scan cs ON cs.p = p.n_probe
+       |ORDER BY budget_ppm""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (curveHits, curveCost, tot, nq, nc) = plannerCurves(s, d)
+    val curveScan = curveCost
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nc))
+      .select(col("p"), col("cost_rows"),
+        expr("cost_rows * 1000000 div (n_q * n_corpus)").as("scan_ppm"))
+    val budgets = plannerBudgets.toDF("budget_ppm")
+    val selb = budgets.crossJoin(broadcast(curveScan))
+      .where(col("scan_ppm") <= col("budget_ppm").cast("long"))
+      .groupBy("budget_ppm").agg(max(col("p")).as("p_ok"))
+    budgets.join(broadcast(selb), Seq("budget_ppm"), "left")
+      .select(col("budget_ppm"),
+        coalesce(col("p_ok"), lit(plannerSweep.min)).as("n_probe"),
+        col("p_ok").isNotNull.as("feasible"))
+      .join(broadcast(curveHits), col("n_probe") === col("p")).drop("p")
+      .join(broadcast(curveScan), col("n_probe") === col("p")).drop("p")
+      .crossJoin(broadcast(tot))
+      .select(col("budget_ppm").cast("int").as("budget_ppm"),
+        col("n_probe").cast("int").as("n_probe"),
+        col("feasible"),
+        col("hits").cast("long").as("hits"),
+        expr("hits * 1000000 div total").as("recall_ppm"),
+        col("cost_rows").cast("long").as("cost_rows"),
+        col("scan_ppm").cast("long").as("scan_ppm"))
+      .orderBy("budget_ppm")
   }
 
   /** Serving target recall the planner-driven serve (q328) asks for. */
@@ -1095,5 +1180,5 @@ object IvfPq {
   def all: Seq[GraftQuery] =
     Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
       qIvfPqBatchServe, qIvfPqBatchServeSegmented, qIvfPqDeletePropagation,
-      qBatchServeRecall, qNProbePlanner, qPlannedServe)
+      qBatchServeRecall, qNProbePlanner, qPlannedServe, qScanBudgetPlanner)
 }

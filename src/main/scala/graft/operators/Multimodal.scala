@@ -1181,9 +1181,11 @@ object Multimodal {
     * hash aggregate. Hamming-tolerant variants bucket on per-frame
     * 16-bit slices — the q29 SimHash band machinery applies
     * unchanged. */
-  val qVideoFingerprint: GraftQuery = GraftQuery(
-    "q329_video_fingerprint",
-    s"""WITH vdims AS (
+  /** The analytic fingerprint rebuild (sampled frames → 4×4 blocks →
+    * per-frame bits → packed BIGINT) as a CTE chain ending at `vfp` —
+    * shared by the q329 and q331 oracles. */
+  private val videoFpCtes: String =
+    s"""vdims AS (
        |  SELECT doc_id,
        |         8 + doc_id % 9 AS w,
        |         8 + (doc_id * 3) % 7 AS h,
@@ -1220,7 +1222,11 @@ object Multimodal {
        |      THEN fh << CAST(16 * (f // $frameStride) AS INTEGER)
        |      ELSE 0 END) AS BIGINT) AS video_fp,
        |    CAST(COUNT(*) AS INTEGER) AS n_sampled
-       |  FROM vfh GROUP BY doc_id)
+       |  FROM vfh GROUP BY doc_id)""".stripMargin
+
+  val qVideoFingerprint: GraftQuery = GraftQuery(
+    "q329_video_fingerprint",
+    s"""WITH $videoFpCtes
        |SELECT v.doc_id, CAST(d.nf AS INTEGER) AS n_frames, v.n_sampled,
        |  v.video_fp,
        |  CAST(COUNT(*) OVER (PARTITION BY v.video_fp) AS BIGINT) AS n_same
@@ -1235,8 +1241,70 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Hamming tolerance of the q331 near-miss matcher. Pigeonhole over
+    * the four 16-bit fingerprint bands: any pair within 3 differing
+    * bits leaves at least one band EQUAL, so banded candidate
+    * generation is lossless at this threshold. */
+  val videoHammingMax = 3
+
+  /** VIDEO NEAR-MISS PAIRS — the tolerant tier above q329's exact
+    * census (the q192→q194 progression, on video): pairs of clips
+    * whose fingerprints differ in 1–[[videoHammingMax]] bits (one
+    * slightly different frame region — a logo burn-in, a timestamp
+    * overlay — that exact fingerprint equality misses).
+    *
+    * Engine physics: band the packed fingerprint into its four 16-bit
+    * per-frame slices, equi-join on (band index, band value) — the
+    * q28/q29 banding shape, never all-pairs — then verify candidates
+    * exactly with `bit_count(fp_a XOR fp_b)`. The pigeonhole bound
+    * makes banding LOSSLESS at h ≤ 3 (≤3 flipped bits cannot touch
+    * all 4 bands), and the ORACLE states the semantics as the plain
+    * all-pairs join — the hash match therefore PROVES the banded
+    * candidate generation is complete, not just fast (the q28
+    * discipline).
+    *
+    * 100 TB: the exchange carries (band, 8-byte fingerprint) pairs;
+    * candidate count follows bucket occupancy, never N². Crowding
+    * note: short clips (n_sampled < 4) zero-pad their upper bands, so
+    * the (i ≥ n_sampled, 0) buckets group ALL short clips — bounded
+    * here (1/7 of docs are single-sample), and the production
+    * mitigation at corpus scale is the q27/q305 pattern: include a
+    * length bucket in the band key and band only informative slices,
+    * at the cost of re-deriving the pigeonhole bound per length
+    * class. */
+  val qVideoNearDup: GraftQuery = GraftQuery(
+    "q331_video_neardup_pairs",
+    s"""WITH $videoFpCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  a.video_fp AS fp_a, b.video_fp AS fp_b,
+       |  CAST(bit_count(xor(a.video_fp, b.video_fp)) AS INTEGER) AS hamming
+       |FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.video_fp, b.video_fp))
+       |  BETWEEN 1 AND $videoHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val fp = videoFingerprints(videoTable(s, d)).toDF()
+      .select("doc_id", "video_fp")
+    val bands = fp.select(col("doc_id"), col("video_fp"),
+      posexplode(array((0 until fpFrames).map(i =>
+        shiftright(col("video_fp"), 16 * i).bitwiseAND(lit(65535L))): _*)))
+      .select(col("doc_id"), col("video_fp"),
+        col("pos").as("band_idx"), col("col").as("band"))
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("video_fp").as("fp_a"), col("band_idx"), col("band"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("video_fp").as("fp_b"), col("band_idx"), col("band"))
+    a.join(b, Seq("band_idx", "band"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "fp_a", "fp_b")
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(fp_a ^ fp_b)").cast("int"))
+      .where(col("hamming") >= 1 && col("hamming") <= videoHammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
       qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
-      qVideoFingerprint)
+      qVideoFingerprint, qVideoNearDup)
 }

@@ -165,4 +165,23 @@ class IvfAnnSpec extends SparkSpecBase {
     val perQ = served.groupBy("query_id").count().collect()
     assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == IvfPq.k.toLong))
   }
+
+  test("q332 budget policy: feasibility honest, recall/probe monotone in budget") {
+    import graft.operators.IvfPq
+    val rows = SparkEntry.queries("q332_scan_budget_planner")(spark, sf001)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == IvfPq.plannerBudgets)
+    rows.foreach { r =>
+      assert(IvfPq.plannerSweep.contains(r.getInt(1)))
+      // a feasible choice actually fits its budget; an infeasible one
+      // reports the sweep minimum and says so
+      if (r.getBoolean(2)) assert(r.getLong(6) <= r.getInt(0).toLong,
+        s"budget ${r.getInt(0)}: scan_ppm ${r.getLong(6)} over budget")
+      else assert(r.getInt(1) == IvfPq.plannerSweep.min)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getInt(1) <= b.getInt(1), "n_probe monotone in budget")
+      assert(a.getLong(4) <= b.getLong(4), "recall monotone in budget")
+    }
+  }
 }

@@ -263,4 +263,25 @@ class MultimodalSpec extends SparkSpecBase {
         r.video_fp < (1L << (16 * math.min(r.n_sampled, Multimodal.fpFrames))))
     }
   }
+
+  test("q331: banded candidate generation finds EVERY pair within the hamming bound") {
+    // independent driver-side reference: brute-force all-pairs over
+    // the collected fingerprints (the oracle proves the same thing
+    // against DuckDB; this pins it against a second implementation)
+    val fps = Multimodal.videoFingerprints(
+      Multimodal.videoTable(spark, sf001)).collect()
+      .map(r => (r.doc_id, r.video_fp))
+    val want = (for {
+      (da, fa) <- fps; (db, fb) <- fps if da < db
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h >= 1 && h <= Multimodal.videoHammingMax
+    } yield (da, db, h)).toSet
+    val got = SparkEntry.queries("q331_video_neardup_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got == want,
+      s"banding missed ${(want -- got).size} / found ${(got -- want).size} extra")
+    assert(want.nonEmpty, "the fixture must contain near-miss pairs")
+    // exact duplicates (hamming 0) belong to q329's census, not here
+    assert(got.forall(_._3 >= 1))
+  }
 }
