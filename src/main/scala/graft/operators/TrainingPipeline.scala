@@ -110,6 +110,46 @@ object TrainingPipeline {
       .orderBy("doc_id")
   }
 
+  /** CLUSTER-SAFE SPLIT — the leakage-proof form of q110: split
+    * membership is hashed from the near-dup CLUSTER id (q77's
+    * component canonical; singletons hash their own doc_id), so a
+    * whole near-duplicate cluster lands on ONE side by construction.
+    * q110's per-document hash can put two 0.9-jaccard copies of the
+    * same text in train AND val — exactly the eval contamination q149
+    * measures after the fact; this split makes that measurement zero
+    * for the verified-pair tier, by derivation rather than audit (the
+    * Lee et al. dedup-before-split lesson). `moved` marks the docs
+    * whose split CHANGED versus q110 — the contamination q110 would
+    * have shipped.
+    *
+    * 100 TB: the component labels are the memoized q77 index (built
+    * once per corpus); the split itself is the same stateless md5
+    * gate as q110 — any derived table re-computes membership from
+    * cluster_id and can never disagree. */
+  val qClusterSafeSplit: GraftQuery = GraftQuery(
+    "q333_cluster_safe_split",
+    s"""WITH RECURSIVE ${Dedup.componentLblCteShared},
+       |assigned AS (
+       |  SELECT d.doc_id, d.lang,
+       |    COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id)
+       |SELECT doc_id, lang, cluster_id,
+       |  ${splitSqlCase("cluster_id")} AS split,
+       |  (${splitSqlCase("cluster_id")}) <> (${splitSqlCase("doc_id")}) AS moved
+       |FROM assigned
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val comp = Dedup.indexedComponents(s, d)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("cluster_id"),
+        splitColumn(col("cluster_id")).as("split"),
+        (splitColumn(col("cluster_id")) =!=
+          splitColumn(col("doc_id"))).as("moved"))
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-chunk sequence packing (budget 2048 tokens): within
     * each (lang, shard) stream, documents are concatenated in doc_id
     * order and chunked into fixed-budget sequences; each doc reports
@@ -931,5 +971,5 @@ object TrainingPipeline {
     Seq(qStratifiedMix, qTrainSplit, qPackSequences, qCorpusCard,
       qChunkDocuments, qFimExamples, qTokenBudgetMix, qDedupAwareMix, qEpochShuffle, qSplitLeakage,
       qCurriculumOrder, qSourceQuotaCap, qPackingAudit, qTemperatureMix,
-      qBucketedPacking)
+      qBucketedPacking, qClusterSafeSplit)
 }

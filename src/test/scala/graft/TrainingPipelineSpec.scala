@@ -249,4 +249,27 @@ class TrainingPipelineSpec extends SparkSpecBase {
       assert(r.getLong(4) === r.getLong(3) * 1000000L / r.getLong(2))
     }
   }
+
+  test("q333: every near-dup cluster lands in ONE split; moved flags are exact") {
+    val rows = SparkEntry.queries("q333_cluster_safe_split")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getBoolean(4)))
+    assert(rows.length > 0)
+    // the leakage-proof property itself: one split per cluster
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $c spans splits ${members.map(_._3).distinct.mkString(",")}")
+    }
+    // q110 baseline for comparison: moved ⟺ the per-doc split differs
+    val q110 = SparkEntry.queries("q110_train_split")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach { case (doc, _, split, moved) =>
+      assert(moved == (q110(doc) != split), s"doc $doc moved flag wrong")
+    }
+    // the fixture must contain rescued docs — a split that never moves
+    // anything proves nothing
+    assert(rows.count(_._4) > 0, "expected at least one rescued doc")
+    // and non-singleton clusters exist (the property has teeth)
+    assert(rows.groupBy(_._2).exists(_._2.length > 1))
+  }
 }
