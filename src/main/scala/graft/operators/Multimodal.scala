@@ -1282,8 +1282,14 @@ object Multimodal {
        |WHERE bit_count(xor(a.video_fp, b.video_fp))
        |  BETWEEN 1 AND $videoHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    // materialize the 16-byte/clip fingerprint relation ONCE: the
+    // band self-join otherwise re-runs the whole decode pipeline on
+    // each side (the broadcast build side cannot reuse the streamed
+    // side's exchange) — a production pipeline persists this relation
+    // anyway, it IS the video index
     val fp = videoFingerprints(videoTable(s, d)).toDF()
       .select("doc_id", "video_fp")
+      .localCheckpoint()
     val bands = fp.select(col("doc_id"), col("video_fp"),
       posexplode(array((0 until fpFrames).map(i =>
         shiftright(col("video_fp"), 16 * i).bitwiseAND(lit(65535L))): _*)))
