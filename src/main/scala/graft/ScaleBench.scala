@@ -1022,9 +1022,12 @@ object ScaleBench {
         (if (nQueries > 0 && nVecs > 0) mtCands.toDouble / nQueries / nVecs
          else -1.0))
 
-    out ++= ivfServeProbe(spark, sfDir, target)
-
+    // release THIS stage's cached vectors first: the serve probe
+    // rebuilds and caches its own copy of the same relation, and two
+    // resident 1M-vector caches would fight for memory in the middle
+    // of the timings the probe records
     vecs.unpersist()
+    out ++= ivfServeProbe(spark, sfDir, target)
 
     out ++= zorderProbe(spark, sfDir, 4000000, 256)
     out ++= rankProbe(spark, 8000000)
@@ -1207,7 +1210,7 @@ object ScaleBench {
     out.toSeq
   }
 
-  /** The on-disk layout A/B (10M synthetic code rows, nProbe-swept,
+  /** The on-disk layout A/B (40M synthetic code rows, nProbe-swept,
     * spreads recorded) plus the q303 batch-serve measurements (fixed
     * and trained codebooks, amortization + candidate-stage profile) —
     * callable standalone: `runMain graft.ScaleBench serve <sfDir>
@@ -1258,17 +1261,13 @@ object ScaleBench {
       val (_, tWritePart) = time(
         synthCodes.write.partitionBy("cell").mode("overwrite").parquet(partAbPath))
       val schema = "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT"
-      val adcDist = (0 until PqAnn.subspaces).map { i =>
-        element_at(array(PqAnn.lut(i).map(lit): _*),
-          element_at(col("codes"), i + 1) + 1)
-      }.reduceLeft(_ + _)
+      // the SAME scoring pipeline on both sides, by construction:
+      // one shared definition (IvfPq.fixedLutAdcDist), not a copy
       def top50(df: DataFrame): Long =
-        df.withColumn("adc_dist", adcDist)
+        df.withColumn("adc_dist", IvfPq.fixedLutAdcDist)
           .orderBy(col("adc_dist"), col("vec_id")).limit(50)
           .collect().length.toLong
       import spark.implicits._
-      // median of 7 with the spread recorded: the r8 lesson is that a
-      // point estimate without its spread is not a measurement
       // median of 15 with TWO spreads: IQR (the steady-state noise) and
       // min→max (which a single GC pause dominates — reported, not
       // hidden, but the <20% stability gate reads the IQR). A System.gc
@@ -1347,14 +1346,10 @@ object ScaleBench {
       // single-query pruned ADC search (the q139 shape) — the
       // amortization DENOMINATOR; median of 5
       val probes = IvfPq.probeCells(centroids)
-      val adcDist = (0 until PqAnn.subspaces).map { i =>
-        element_at(array(PqAnn.lut(i).map(lit): _*),
-          element_at(col("codes"), i + 1) + 1)
-      }.reduceLeft(_ + _)
       def prunedSearch(): Long =
         IvfPq.probedScan(spark, partPath, probes)
           .getOrElse(sys.error("no probed cell dir exists"))
-          .withColumn("adc_dist", adcDist)
+          .withColumn("adc_dist", IvfPq.fixedLutAdcDist)
           .orderBy(col("adc_dist"), col("vec_id")).limit(50)
           .collect().length.toLong
       def median5(f: () => Long): Double = {

@@ -214,12 +214,20 @@ object IvfPq {
     * probed-cell-pruned scans, unioned, ADC-scored, bounded
     * top-adcCand. Exposed for PlanAuditSpec: the physical property
     * q139/q140 exist to demonstrate lives in THIS plan. */
-  private[graft] def adcCandidates(s: org.apache.spark.sql.SparkSession,
-      paths: Seq[String], probes: Seq[Long]): org.apache.spark.sql.DataFrame = {
-    val adcDist = (0 until PqAnn.subspaces).map { i =>
+  /** The fixed-query LUT ADC distance over a `codes` column — ONE
+    * definition shared by the single-query candidate stage and
+    * ScaleBench's layout A/B (both sides of which must stay the SAME
+    * scoring pipeline by construction; duplicated copies drifting
+    * apart would silently void the A/B). */
+  private[graft] def fixedLutAdcDist: org.apache.spark.sql.Column =
+    (0 until PqAnn.subspaces).map { i =>
       element_at(array(PqAnn.lut(i).map(lit): _*),
         element_at(col("codes"), i + 1) + 1)
     }.reduceLeft(_ + _)
+
+  private[graft] def adcCandidates(s: org.apache.spark.sql.SparkSession,
+      paths: Seq[String], probes: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val adcDist = fixedLutAdcDist
     val scans = paths.flatMap(p => probedScan(s, p, probes))
     require(scans.nonEmpty, s"no probed cell has data in any segment: $paths")
     scans.reduce(_ union _)
@@ -617,12 +625,16 @@ object IvfPq {
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.graftshim.{CosineSimilarity, PqAdcDistLut, TopKByScore}
-    // broadcast gating: one count over the (narrow) query relation —
-    // skipped when the caller already knows the batch size — decides
-    // hint vs plain join: past the budget a forced broadcast would
-    // OOM the driver, and the shuffle fallback is the documented
-    // behavior, not just documentation
-    val nQ = queryCountHint.getOrElse(queries.count())
+    // broadcast gating: one BOUNDED count over the (narrow) query
+    // relation — skipped when the caller already knows the batch
+    // size — decides hint vs plain join: past the budget a forced
+    // broadcast would OOM the driver, and the shuffle fallback is the
+    // documented behavior, not just documentation. limit(budget+1)
+    // caps the gate's work at the budget regardless of corpus size
+    // (the gate needs "over or under", never the exact count).
+    val nQ = queryCountHint.getOrElse(
+      queries.limit(math.min(maxBroadcastQueries,
+        Int.MaxValue.toLong - 1).toInt + 1).count())
     val useBroadcast = nQ <= maxBroadcastQueries
     val bc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       if (useBroadcast) broadcast else identity
@@ -975,7 +987,24 @@ object IvfPq {
     * scan-budget) select from. Every relation here is bounded: |Q|
     * queries, |cells| centroids, |Q|·k reach rows, |sweep| curve
     * rows. */
+  /** Memo for the eval curves: the exact |Q|×|corpus| ground-truth
+    * pass is the most expensive relation in the planner family and is
+    * byte-identical for q327, q328's config lookup, and q332 — build
+    * it once per (session, corpus), localCheckpointed so reuse never
+    * recomputes (checkpoint RDDs are GC-reclaimed; nothing to
+    * release). */
+  private val plannerMemo = new graft.spark.SessionMemo[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]("ivfpq.plannerCurves")(_ => ())
+
   private def plannerCurves(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    plannerMemo.getOrElseUpdate(s, d)(buildPlannerCurves(s, d))
+
+  private def buildPlannerCurves(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
@@ -1023,7 +1052,8 @@ object IvfPq {
         .otherwise(0L)).as("cost_rows"))
     val nq = queries.agg(count(lit(1)).as("n_q"))
     val nc = emb.agg(count(lit(1)).as("n_corpus"))
-    (curveHits, curveCost, tot, nq, nc)
+    (curveHits.localCheckpoint(), curveCost.localCheckpoint(),
+      tot.localCheckpoint(), nq.localCheckpoint(), nc.localCheckpoint())
   }
 
   /** The q327 body — also the source [[nProbeForRecall]] collects

@@ -1105,8 +1105,13 @@ object Multimodal {
     * the grid is 4×4 (q192's 8×8 needs ≥8 px per side per block). */
   val vidBlocks = 4
 
-  /** How many sampled-frame hashes the fixed-width fingerprint packs. */
-  val fpFrames = 4
+  /** How many sampled-frame hashes the fixed-width fingerprint packs:
+    * THREE 16-bit slices = 48 bits, keeping the packed BIGINT strictly
+    * positive in both engines (a fourth slice would reach bit 63 and
+    * drag sign semantics into every shift/compare; a longer signature
+    * would move to two BIGINT halves, the q192 shape). Also the
+    * reachable maximum here: nf ≤ 8 at stride 3 samples ≤ 3 frames. */
+  val fpFrames = 3
 
   /** The re-encoded twin of [[synthGif]]: SAME frames (pixel-for-pixel
     * after decode) through an INVERTED palette with complemented
@@ -1241,44 +1246,53 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Hamming tolerance of the q331 near-miss matcher. Pigeonhole over
-    * the four 16-bit fingerprint bands: any pair within 3 differing
-    * bits leaves at least one band EQUAL, so banded candidate
-    * generation is lossless at this threshold. */
+  /** Hamming tolerance of the q331 near-miss matcher. The candidate
+    * join cuts the INFORMATIVE fingerprint prefix (n_sampled × 16
+    * bits) into FOUR equal-width sub-bands, so pigeonhole makes
+    * banding lossless at h ≤ 3 for every clip length: ≤3 flipped bits
+    * cannot touch all four sub-bands. */
   val videoHammingMax = 3
 
   /** VIDEO NEAR-MISS PAIRS — the tolerant tier above q329's exact
-    * census (the q192→q194 progression, on video): pairs of clips
-    * whose fingerprints differ in 1–[[videoHammingMax]] bits (one
-    * slightly different frame region — a logo burn-in, a timestamp
-    * overlay — that exact fingerprint equality misses).
+    * census (the q192→q194 progression, on video): pairs of
+    * SAME-SAMPLE-COUNT clips whose fingerprints differ in
+    * 1–[[videoHammingMax]] bits (one slightly different frame region —
+    * a logo burn-in, a timestamp overlay — that exact fingerprint
+    * equality misses). Equal n_sampled is part of the semantics, not
+    * an optimization: a zero-padded upper band encodes "no such
+    * frame", and counting hamming against padding would call a 1-frame
+    * clip a near-dup of an unrelated 2-frame clip.
     *
-    * Engine physics: band the packed fingerprint into its four 16-bit
-    * per-frame slices, equi-join on (band index, band value) — the
-    * q28/q29 banding shape, never all-pairs — then verify candidates
-    * exactly with `bit_count(fp_a XOR fp_b)`. The pigeonhole bound
-    * makes banding LOSSLESS at h ≤ 3 (≤3 flipped bits cannot touch
-    * all 4 bands), and the ORACLE states the semantics as the plain
-    * all-pairs join — the hash match therefore PROVES the banded
-    * candidate generation is complete, not just fast (the q28
-    * discipline).
+    * Engine physics: each clip's INFORMATIVE prefix (n_sampled·16
+    * bits) is cut into four equal-width (n_sampled·4-bit) sub-bands;
+    * candidates equi-join on (n_sampled, sub-band index, sub-band
+    * value) — the q28/q29 banding shape, never all-pairs — then verify
+    * exactly with `bit_count(fp_a XOR fp_b)`. Banding only informative
+    * bits matters: banding the fixed 16-bit frame slices would make
+    * every zero-padded upper slice a degenerate bucket joining ALL
+    * short clips pairwise — the N² the banding exists to avoid. The
+    * pigeonhole bound (≤3 flipped bits over 4 disjoint sub-bands
+    * covering every informative bit) makes the banding LOSSLESS, and
+    * the ORACLE states the semantics as the plain all-pairs join — the
+    * hash match therefore PROVES the banded candidate generation is
+    * complete, not just fast (the q28 discipline).
     *
-    * 100 TB: the exchange carries (band, 8-byte fingerprint) pairs;
-    * candidate count follows bucket occupancy, never N². Crowding
-    * note: short clips (n_sampled < 4) zero-pad their upper bands, so
-    * the (i ≥ n_sampled, 0) buckets group ALL short clips — bounded
-    * here (1/7 of docs are single-sample), and the production
-    * mitigation at corpus scale is the q27/q305 pattern: include a
-    * length bucket in the band key and band only informative slices,
-    * at the cost of re-deriving the pigeonhole bound per length
-    * class. */
+    * 100 TB: the exchange carries (sub-band, 8-byte fingerprint) rows;
+    * candidate count follows bucket occupancy. Honest caveat: a
+    * single-sample clip has a 16-bit fingerprint, so its 4-bit
+    * sub-band buckets hold ~N/16 of the single-sample population —
+    * low-entropy signatures bucket coarsely no matter the scheme; a
+    * production tier raises the per-frame hash width (8×8 blocks =
+    * 64-bit slices, two-BIGINT fingerprints) before raising corpus
+    * size. */
   val qVideoNearDup: GraftQuery = GraftQuery(
     "q331_video_neardup_pairs",
     s"""WITH $videoFpCtes
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sampled,
        |  a.video_fp AS fp_a, b.video_fp AS fp_b,
        |  CAST(bit_count(xor(a.video_fp, b.video_fp)) AS INTEGER) AS hamming
-       |FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+       |FROM vfp a JOIN vfp b
+       |  ON a.doc_id < b.doc_id AND a.n_sampled = b.n_sampled
        |WHERE bit_count(xor(a.video_fp, b.video_fp))
        |  BETWEEN 1 AND $videoHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
@@ -1288,20 +1302,24 @@ object Multimodal {
     // side's exchange) — a production pipeline persists this relation
     // anyway, it IS the video index
     val fp = videoFingerprints(videoTable(s, d)).toDF()
-      .select("doc_id", "video_fp")
+      .select("doc_id", "n_sampled", "video_fp")
       .localCheckpoint()
-    val bands = fp.select(col("doc_id"), col("video_fp"),
-      posexplode(array((0 until fpFrames).map(i =>
-        shiftright(col("video_fp"), 16 * i).bitwiseAND(lit(65535L))): _*)))
-      .select(col("doc_id"), col("video_fp"),
+    val bands = fp.select(col("doc_id"), col("n_sampled"), col("video_fp"),
+      posexplode(array((0 until 4).map(j => expr(
+        s"shiftright(video_fp, $j * n_sampled * 4) & " +
+          "(shiftleft(CAST(1 AS BIGINT), n_sampled * 4) - 1)")): _*)))
+      .select(col("doc_id"), col("n_sampled"), col("video_fp"),
         col("pos").as("band_idx"), col("col").as("band"))
-    val a = bands.select(col("doc_id").as("doc_a"),
+    val a = bands.select(col("doc_id").as("doc_a"), col("n_sampled"),
       col("video_fp").as("fp_a"), col("band_idx"), col("band"))
     val b = bands.select(col("doc_id").as("doc_b"),
-      col("video_fp").as("fp_b"), col("band_idx"), col("band"))
-    a.join(b, Seq("band_idx", "band"))
+      col("n_sampled").as("ns_b"),
+      col("video_fp").as("fp_b"),
+      col("band_idx").as("bi_b"), col("band").as("band_b"))
+    a.join(b, col("n_sampled") === col("ns_b") &&
+        col("band_idx") === col("bi_b") && col("band") === col("band_b"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "fp_a", "fp_b")
+      .select("doc_a", "doc_b", "n_sampled", "fp_a", "fp_b")
       .distinct()
       .withColumn("hamming",
         expr("bit_count(fp_a ^ fp_b)").cast("int"))

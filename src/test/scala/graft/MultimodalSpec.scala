@@ -270,14 +270,14 @@ class MultimodalSpec extends SparkSpecBase {
     // against DuckDB; this pins it against a second implementation)
     val fps = Multimodal.videoFingerprints(
       Multimodal.videoTable(spark, sf001)).collect()
-      .map(r => (r.doc_id, r.video_fp))
+      .map(r => (r.doc_id, r.n_sampled, r.video_fp))
     val want = (for {
-      (da, fa) <- fps; (db, fb) <- fps if da < db
+      (da, sa, fa) <- fps; (db, sb, fb) <- fps if da < db && sa == sb
       h = java.lang.Long.bitCount(fa ^ fb)
       if h >= 1 && h <= Multimodal.videoHammingMax
     } yield (da, db, h)).toSet
     val got = SparkEntry.queries("q331_video_neardup_pairs")(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(5))).toSet
     assert(got == want,
       s"banding missed ${(want -- got).size} / found ${(got -- want).size} extra")
     assert(want.nonEmpty, "the fixture must contain near-miss pairs")
