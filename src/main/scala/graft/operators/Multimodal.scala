@@ -1327,8 +1327,133 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** IMAGE NEAR-MISS PAIRS AT THE VALUE GRAIN — q331's tolerant tier
+    * for q192's aHash, with the scale lesson this fixture teaches
+    * baked in: perceptual hashes COLLIDE heavily (92 docs share one
+    * aHash at 500 docs here), so doc-grain near-miss pairs multiply
+    * every value match by n_a·n_b — quadratic in cluster size, by
+    * construction. The operator therefore works on DISTINCT
+    * fingerprint VALUES (a relation bounded by fingerprint entropy,
+    * never corpus size) carrying their census counts: banding,
+    * candidate join, and hamming verify all run at the value grain,
+    * and the doc-level expansion stays virtual (a curator reads
+    * "value A's 92 docs near-match value B's 7" — materializing the
+    * 644 doc pairs adds nothing).
+    *
+    * Banding: the 64-bit hash's eight 8-bit sub-bands (4 per packed
+    * half) — pigeonhole makes h ≤ 3 lossless with room to spare; the
+    * oracle is the plain all-pairs value join, so the hash match
+    * proves candidate completeness (the q28/q331 discipline). */
+  val qImageNearDup: GraftQuery = GraftQuery(
+    "q334_image_neardup_values",
+    s"""WITH $imageAHashCtes,
+       |vals AS (
+       |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM ah GROUP BY ahash_hi, ahash_lo)
+       |SELECT a.ahash_hi AS hi_a, a.ahash_lo AS lo_a,
+       |  b.ahash_hi AS hi_b, b.ahash_lo AS lo_b,
+       |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+       |       bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INTEGER) AS hamming,
+       |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+       |FROM vals a JOIN vals b
+       |  ON (a.ahash_hi < b.ahash_hi OR
+       |      (a.ahash_hi = b.ahash_hi AND a.ahash_lo < b.ahash_lo))
+       |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+       |      bit_count(xor(a.ahash_lo, b.ahash_lo))
+       |  BETWEEN 1 AND $videoHammingMax
+       |ORDER BY hi_a, lo_a, hi_b, lo_b""".stripMargin) { (s, d) =>
+    val vals = decodeAHashes(imageTable(s, d)).toDF()
+      .groupBy("ahash_hi", "ahash_lo").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // decode once; the value relation IS the index
+    val bandCols = (0 until 4).map(j =>
+      shiftright(col("ahash_lo"), 8 * j).bitwiseAND(lit(255L))) ++
+      (0 until 4).map(j =>
+        shiftright(col("ahash_hi"), 8 * j).bitwiseAND(lit(255L)))
+    val bands = vals.select(col("ahash_hi"), col("ahash_lo"), col("n_docs"),
+      posexplode(array(bandCols: _*)))
+      .select(col("ahash_hi"), col("ahash_lo"), col("n_docs"),
+        col("pos").as("band_idx"), col("col").as("band"))
+    val a = bands.select(col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
+      col("n_docs").as("n_docs_a"), col("band_idx"), col("band"))
+    val b = bands.select(col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
+      col("n_docs").as("n_docs_b"),
+      col("band_idx").as("bi_b"), col("band").as("band_b"))
+    a.join(b, col("band_idx") === col("bi_b") && col("band") === col("band_b"))
+      .where(col("hi_a") < col("hi_b") ||
+        (col("hi_a") === col("hi_b") && col("lo_a") < col("lo_b")))
+      .select("hi_a", "lo_a", "hi_b", "lo_b", "n_docs_a", "n_docs_b")
+      .distinct()
+      .withColumn("hamming",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("int"))
+      .where(col("hamming") >= 1 && col("hamming") <= videoHammingMax)
+      .select("hi_a", "lo_a", "hi_b", "lo_b", "hamming",
+        "n_docs_a", "n_docs_b")
+      .orderBy("hi_a", "lo_a", "hi_b", "lo_b")
+  }
+
+  /** AUDIO NEAR-MISS PAIRS AT THE VALUE GRAIN — the q334 pattern on
+    * q193's 32-bit energy fingerprint (this fixture's strongest case
+    * for the value grain: one fingerprint value covers 158 of 500
+    * clips, so doc-grain banding would materialize that cluster's
+    * 12k self-pairs before filtering). Four 8-bit sub-bands;
+    * pigeonhole-lossless at h ≤ 3; oracle = all-pairs value join. */
+  val qAudioNearDup: GraftQuery = GraftQuery(
+    "q335_audio_neardup_values",
+    """WITH dims AS (
+      |  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+      |w AS (SELECT doc_id, n, (n // 32) AS ww FROM dims),
+      |samp AS (
+      |  SELECT d.doc_id, (i.i // d.ww) AS k,
+      |    ABS(CAST((d.doc_id * 7 + i.i * 13) % 4096 - 2048 AS BIGINT)) AS a
+      |  FROM w d JOIN range(0, 161) AS i(i) ON i.i < d.ww * 32),
+      |en AS (
+      |  SELECT doc_id, k, CAST(SUM(a) AS BIGINT) AS e
+      |  FROM samp GROUP BY doc_id, k),
+      |m AS (
+      |  SELECT doc_id, CAST(SUM(e) // 32 AS BIGINT) AS mean
+      |  FROM en GROUP BY doc_id),
+      |fp AS (
+      |  SELECT e.doc_id,
+      |    CAST(SUM(CASE WHEN e.e > m.mean
+      |      THEN CAST(1 AS BIGINT) << CAST(e.k AS INTEGER) ELSE 0 END) AS BIGINT)
+      |      AS fingerprint
+      |  FROM en e JOIN m ON e.doc_id = m.doc_id
+      |  GROUP BY e.doc_id),
+      |vals AS (
+      |  SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM fp GROUP BY fingerprint)
+      |SELECT a.fingerprint AS fp_a, b.fingerprint AS fp_b,
+      |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER) AS hamming,
+      |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+      |FROM vals a JOIN vals b ON a.fingerprint < b.fingerprint
+      |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) BETWEEN 1 AND 3
+      |ORDER BY fp_a, fp_b""".stripMargin) { (s, d) =>
+    val vals = audioFingerprints(audioTable(s, d)).toDF()
+      .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val bands = vals.select(col("fingerprint"), col("n_docs"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("fingerprint"), 8 * j).bitwiseAND(lit(255L))): _*)))
+      .select(col("fingerprint"), col("n_docs"),
+        col("pos").as("band_idx"), col("col").as("band"))
+    val a = bands.select(col("fingerprint").as("fp_a"),
+      col("n_docs").as("n_docs_a"), col("band_idx"), col("band"))
+    val b = bands.select(col("fingerprint").as("fp_b"),
+      col("n_docs").as("n_docs_b"),
+      col("band_idx").as("bi_b"), col("band").as("band_b"))
+    a.join(b, col("band_idx") === col("bi_b") && col("band") === col("band_b"))
+      .where(col("fp_a") < col("fp_b"))
+      .select("fp_a", "fp_b", "n_docs_a", "n_docs_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("int"))
+      .where(col("hamming") >= 1 && col("hamming") <= videoHammingMax)
+      .select("fp_a", "fp_b", "hamming", "n_docs_a", "n_docs_b")
+      .orderBy("fp_a", "fp_b")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
       qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
-      qVideoFingerprint, qVideoNearDup)
+      qVideoFingerprint, qVideoNearDup, qImageNearDup, qAudioNearDup)
 }

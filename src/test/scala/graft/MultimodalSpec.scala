@@ -284,4 +284,37 @@ class MultimodalSpec extends SparkSpecBase {
     // exact duplicates (hamming 0) belong to q329's census, not here
     assert(got.forall(_._3 >= 1))
   }
+
+  test("q334/q335: value-grain banding is complete and the census re-sums to the corpus") {
+    // image tier
+    val imgVals = Multimodal.decodeAHashes(
+      Multimodal.imageTable(spark, sf001)).collect()
+      .groupBy(r => (r.ahash_hi, r.ahash_lo)).map { case (k, v) => (k, v.size) }
+    val wantImg = (for {
+      ((ha, la), na) <- imgVals; ((hb, lb), nb) <- imgVals
+      if ha < hb || (ha == hb && la < lb)
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h >= 1 && h <= Multimodal.videoHammingMax
+    } yield (ha, la, hb, lb, h, na.toLong, nb.toLong)).toSet
+    val gotImg = SparkEntry.queries("q334_image_neardup_values")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getLong(5), r.getLong(6))).toSet
+    assert(gotImg == wantImg && wantImg.nonEmpty)
+    // audio tier: completeness + the census accounts for every clip
+    val audVals = Multimodal.audioFingerprints(
+      Multimodal.audioTable(spark, sf001)).collect()
+      .groupBy(_.fingerprint).map { case (k, v) => (k, v.size) }
+    val wantAud = (for {
+      (fa, na) <- audVals; (fb, nb) <- audVals if fa < fb
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h >= 1 && h <= Multimodal.videoHammingMax
+    } yield (fa, fb, h, na.toLong, nb.toLong)).toSet
+    val gotAud = SparkEntry.queries("q335_audio_neardup_values")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotAud == wantAud && wantAud.nonEmpty)
+    // the value grain is the scale answer BECAUSE clusters are big:
+    // the fixture must actually contain a multi-doc fingerprint value
+    assert(audVals.values.max > 1 && imgVals.values.max > 1)
+  }
 }
