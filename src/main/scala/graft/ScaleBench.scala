@@ -1234,9 +1234,9 @@ object ScaleBench {
     // pruning that never lists the unprobed directories. r7/r8 ran
     // this at 1M code rows, where BOTH sides finish under 200 ms and
     // the ratio swung 1.4–2.9× run to run — scheduling noise, not scan
-    // physics. It now runs at 10M SYNTHETIC code rows (the gate
+    // physics. It now runs at 40M SYNTHETIC code rows (the gate
     // physics depend only on the codes relation's size and layout,
-    // never on how code values were produced — a 10M-vector PqEncode
+    // never on how code values were produced — a 40M-vector PqEncode
     // would measure nothing new), swept over nProbe with median-of-15/25
     // timings and the min→max spread recorded per point. The headline
     // m1_ivfpq_disk_* keys carry the nProbe=16 point (3.2% of

@@ -584,18 +584,23 @@ object IvfPq {
       metric: String = "cos",
       queryCountHint: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftshim.TopKByScore
-    val (cand, bc) = serveCandidates(s, paths, centroids, queries, codebook,
+    val (cand, nQ) = serveCandidates(s, paths, centroids, queries, codebook,
       maxBroadcastQueries, probes, adcCands, metric, queryCountHint)
+    val budget = broadcastBudgetBytes(maxBroadcastQueries, probes)
     // 4. exact re-rank, DISTRIBUTED: candidates equi-join the vectors
     //    table — one narrow corpus probe amortized over all queries,
-    //    zero per-query collects
+    //    zero per-query collects. Each broadcast is gated on ITS OWN
+    //    estimated size: the candidate relation is nQ·adcCands rows,
+    //    which a query-count-only gate cannot see (just under the
+    //    query budget with a deep candidate pool it is a multi-GB
+    //    forced driver build — the round-9 advice finding).
     val exactDist = (0 until PqAnn.dims).map { j =>
       val dd = element_at(col("q_emb"), j + 1).cast("double") -
         element_at(col("embedding"), j + 1).cast("double")
       dd * dd
     }.reduceLeft(_ + _)
-    corpus.join(bc(cand), "vec_id")
-      .join(bc(queries), "query_id")
+    corpus.join(sizeGate(nQ * adcCands, 16L, budget)(cand), "vec_id")
+      .join(sizeGate(nQ, 8L + 8L * PqAnn.dims, budget)(queries), "query_id")
       .select(col("query_id"), col("vec_id"), exactDist.as("exact_dist"))
       .groupBy("query_id")
       .agg(TopKByScore(-col("exact_dist"), col("vec_id"), k).as("top"))
@@ -605,10 +610,28 @@ object IvfPq {
       .orderBy("query_id", "rank")
   }
 
+  /** Driver-memory budget in BYTES for any single forced broadcast on
+    * the serve path, expressed from the documented 100k-query
+    * contract: the largest relation that contract ever accepted is
+    * the probe side — nQ·probes rows of (query_id, cell, q_emb).
+    * Every serve-path broadcast is gated on its own estimated size
+    * against this budget, so "no forced-broadcast driver OOM under
+    * the gate" holds for every relation shape, not just the default
+    * candidate depth. */
+  private def broadcastBudgetBytes(maxBroadcastQueries: Long, probes: Int): Long =
+    maxBroadcastQueries * probes * (24L + 8L * PqAnn.dims)
+
+  /** Per-relation broadcast gate: broadcast iff the relation's
+    * estimated size fits the budget; plain (shuffle) join otherwise. */
+  private def sizeGate(rows: Long, bytesPerRow: Long, budgetBytes: Long):
+      org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    if (rows * bytesPerRow <= budgetBytes) broadcast else identity
+
   /** Stages 1–3 of the batch serve (probe routing, pruned scan, ADC
     * candidate heaps) — factored so ScaleBench can profile the
-    * candidate stage apart from the exact re-rank, and returned with
-    * the broadcast-gating wrapper the caller's joins reuse.
+    * candidate stage apart from the exact re-rank. Returns the
+    * candidate relation plus the counted (or hinted) query count so
+    * the caller can size-gate its own joins.
     *
     * `metric` is the ROUTING metric and must match the metric the
     * index's cells were assigned with (IvfAnn.assign's rule: an L2
@@ -622,22 +645,21 @@ object IvfPq {
       maxBroadcastQueries: Long, probes: Int, adcCands: Int,
       metric: String,
       queryCountHint: Option[Long] = None): (org.apache.spark.sql.DataFrame,
-        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+        Long) = {
     import s.implicits._
     import org.apache.spark.sql.graftshim.{CosineSimilarity, PqAdcDistLut, TopKByScore}
     // broadcast gating: one BOUNDED count over the (narrow) query
     // relation — skipped when the caller already knows the batch
-    // size — decides hint vs plain join: past the budget a forced
-    // broadcast would OOM the driver, and the shuffle fallback is the
-    // documented behavior, not just documentation. limit(budget+1)
-    // caps the gate's work at the budget regardless of corpus size
-    // (the gate needs "over or under", never the exact count).
+    // size. Past the budget a forced broadcast would OOM the driver,
+    // and the shuffle fallback is the documented behavior, not just
+    // documentation. limit(budget+1) caps the gate's work at the
+    // budget regardless of corpus size (the gate needs "over or
+    // under", never the exact count — nQ saturates at budget+1).
     val nQ = queryCountHint.getOrElse(
       queries.limit(math.min(maxBroadcastQueries,
         Int.MaxValue.toLong - 1).toInt + 1).count())
     val useBroadcast = nQ <= maxBroadcastQueries
-    val bc: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      if (useBroadcast) broadcast else identity
+    val budget = broadcastBudgetBytes(maxBroadcastQueries, probes)
     // routing score: higher = closer under the serving metric
     val routeScore = metric match {
       case "cos" => CosineSimilarity(col("q_emb"), col("centroid"))
@@ -682,16 +704,19 @@ object IvfPq {
     //    arrays materialize anywhere; each scored pair runs one fused
     //    codegen loop whose accumulation order IS the LUT
     //    decomposition's (oracle parity, PqAnnSpec-pinned)
-    val probeSide = bc(probePairs).join(queries, "query_id")
+    val probeSide = sizeGate(nQ * probes, 16L, budget)(probePairs)
+      .join(queries, "query_id")
       .select(col("query_id"), col("cell"), col("q_emb"))
-    val cand = codes.join(bc(probeSide), Seq("cell"))
+    val cand = codes
+      .join(sizeGate(nQ * probes, 24L + 8L * PqAnn.dims, budget)(probeSide),
+        Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         PqAdcDistLut(col("codes"), col("q_emb"), codebook).as("adc_dist"))
       .groupBy("query_id")
       .agg(TopKByScore(-col("adc_dist"), col("vec_id"), adcCands).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("vec_id"))
-    (cand, bc)
+    (cand, nQ)
   }
 
   /** Batch serving over the SEGMENTED index — q303's query table

@@ -31,6 +31,17 @@ object KAnonymity {
 
   val k = 5
 
+  /** The three persisted ladder levels, memoized per (session, corpus)
+    * so repeated invocations in one session reuse the same cached
+    * blocks instead of leaving a new persisted trio behind each run;
+    * [[graft.spark.SessionMemo.evictAll]] releases them on session
+    * teardown. */
+  private val ladderIndex =
+    new graft.spark.SessionMemo[String, (DataFrame, DataFrame, DataFrame)](
+      "kanonymity.ladder")({ case (a, b, c) =>
+        a.unpersist(); b.unpersist(); c.unpersist(): Unit
+      })
+
   val qKAnonymity: GraftQuery = GraftQuery(
     "q315_k_anonymity",
     s"""WITH d AS (
@@ -72,27 +83,31 @@ object KAnonymity {
        |  level = 3 AS suppressed
        |FROM assigned
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr("n_chars div 100").as("b0"), expr("n_chars div 400").as("b1"))
-    val g0 = docs.groupBy("lang", "source", "b0").agg(count(lit(1)).as("n0"))
     // each ladder level feeds TWO consumers (its pass-through output
     // and the next level's residue) and the final union has four
     // branches — persist the levels so the docs scan and every census
     // join run ONCE, not once per branch (the "each level is one
-    // groupBy" scale note made physical)
-    val l0 = docs.join(broadcast(g0), Seq("lang", "source", "b0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rest1 = l0.where(col("n0") < k)
-    val g1 = rest1.groupBy("lang", "source", "b1").agg(count(lit(1)).as("n1"))
-    val l1 = rest1.select("doc_id", "lang", "source", "b1")
-      .join(broadcast(g1), Seq("lang", "source", "b1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rest2 = l1.where(col("n1") < k)
-    val g2 = rest2.groupBy("lang", "source").agg(count(lit(1)).as("n2"))
-    val l2 = rest2.select("doc_id", "lang", "source")
-      .join(broadcast(g2), Seq("lang", "source"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // groupBy" scale note made physical); memoized per session so
+    // re-invocations don't stack fresh cached blocks
+    val (l0, l1, l2) = ladderIndex.getOrElseUpdate(s, d) {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("b0"), expr("n_chars div 400").as("b1"))
+      val g0 = docs.groupBy("lang", "source", "b0").agg(count(lit(1)).as("n0"))
+      val p0 = docs.join(broadcast(g0), Seq("lang", "source", "b0"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rest1 = p0.where(col("n0") < k)
+      val g1 = rest1.groupBy("lang", "source", "b1").agg(count(lit(1)).as("n1"))
+      val p1 = rest1.select("doc_id", "lang", "source", "b1")
+        .join(broadcast(g1), Seq("lang", "source", "b1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rest2 = p1.where(col("n1") < k)
+      val g2 = rest2.groupBy("lang", "source").agg(count(lit(1)).as("n2"))
+      val p2 = rest2.select("doc_id", "lang", "source")
+        .join(broadcast(g2), Seq("lang", "source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (p0, p1, p2)
+    }
     def lvl(df: DataFrame, nCol: String, level: Int) =
       df.select(col("doc_id"), col("lang"), col("source"),
         lit(level).as("level"), col(nCol).as("group_n"))

@@ -1094,10 +1094,10 @@ object Multimodal {
   // ------------------------------------------------------------------
 
   /** q329 row: the fixed-width video fingerprint — per sampled frame
-    * a 16-bit (4×4-block) aHash, the first four sampled frames' hashes
-    * packed little-endian into one BIGINT (bits 16·i .. 16·i+15 for
-    * sampled frame i). Stays under 2^48, so the sign bit never
-    * matters. */
+    * a 16-bit (4×4-block) aHash, the first [[fpFrames]] (= 3) sampled
+    * frames' hashes packed little-endian into one BIGINT (bits
+    * 16·i .. 16·i+15 for sampled frame i). Stays under 2^48, so the
+    * sign bit never matters. */
   case class VideoFpRow(doc_id: Long, n_frames: Int, n_sampled: Int,
       video_fp: Long)
 
