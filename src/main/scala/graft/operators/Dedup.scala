@@ -461,7 +461,7 @@ object Dedup {
     * each token's 60-bit value with exact BIGINT nibble arithmetic
     * (16^14 > 2^53, so float math would corrupt it), then 60 ±1-vote
     * aggregates and a bit-combine — generated, not handwritten. */
-  private val simhashMd5Sql: String = {
+  private val simhashMd5Ctes: String = {
     val nibTerms = (0 until 15).map { i =>
       val mult = 1L << (4 * (14 - i)) // 16^(14-i), exact
       s"CAST(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1 AS BIGINT) * $mult"
@@ -472,14 +472,18 @@ object Dedup {
     val combine = (0 until 60)
       .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
        |  FROM documents),
        |hashed AS (SELECT doc_id, md5(tok) AS hx FROM toks),
        |vals AS (SELECT doc_id, $nibTerms AS hv FROM hashed),
-       |votes AS (SELECT doc_id, $votes FROM vals GROUP BY doc_id)
-       |SELECT doc_id, $combine AS simhash FROM votes ORDER BY doc_id""".stripMargin
+       |votes AS (SELECT doc_id, $votes FROM vals GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $combine AS simhash FROM votes)""".stripMargin
   }
+
+  private val simhashMd5Sql: String =
+    s"""WITH $simhashMd5Ctes
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
 
   /** SimHash fingerprints, oracle-checked end to end: the native
     * single-pass SimHashMd5 expression against DuckDB's from-scratch
@@ -493,6 +497,59 @@ object Dedup {
       org.apache.spark.sql.graftshim.SimHashMd5(
         TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
       .orderBy("doc_id")
+  }
+
+  /** Hamming tolerance of the q337 simhash near-miss tier: with the
+    * 60-bit hash cut into four disjoint 15-bit sub-bands, pigeonhole
+    * keeps banding lossless at h ≤ 3. */
+  val simhashHammingMax = 3
+
+  /** TEXT NEAR-MISS AT THE VALUE GRAIN — q334's census pattern
+    * applied to q29's simhash tier, because big text corpora have
+    * heavy simhash collisions exactly like the perceptual fixtures
+    * (here one 60-bit value covers tens of docs): pairs of DISTINCT
+    * simhash VALUES within hamming 1–[[simhashHammingMax]], each
+    * carrying its census count, through the ONE parameterized
+    * [[BandedHamming]] operator (shared with q331/q334/q335/q336).
+    * The near-miss tier is what the bit-vote hash is FOR — a
+    * one-token edit flips only the bits whose votes that token
+    * decided — and the value grain keeps the output bounded by hash
+    * entropy while collision clusters never cross-product.
+    *
+    * Banding: four disjoint 15-bit sub-bands of the 60-bit hash —
+    * pigeonhole-lossless at h ≤ 3. The ORACLE is the plain all-pairs
+    * value join over DuckDB's from-scratch bit-vote rebuild, so the
+    * hash match proves BOTH the banded candidate generation's
+    * completeness AND the underlying hash parity end to end.
+    *
+    * 100 TB: the value relation is one hash aggregate over the
+    * fingerprints the dedup pass already computes; the band exchange
+    * carries (band, 8-byte value, count) rows — entropy-bounded. */
+  val qSimhashNearDup: GraftQuery = GraftQuery(
+    "q337_simhash_neardup_values",
+    s"""WITH $simhashMd5Ctes,
+       |svals AS (
+       |  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM sh GROUP BY simhash)
+       |SELECT a.simhash AS fp_a, b.simhash AS fp_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+       |FROM svals a JOIN svals b ON a.simhash < b.simhash
+       |WHERE bit_count(xor(a.simhash, b.simhash))
+       |  BETWEEN 1 AND $simhashHammingMax
+       |ORDER BY fp_a, fp_b""".stripMargin) { (s, d) =>
+    val vals = Tables.documents(s, d).select(
+      org.apache.spark.sql.graftshim.SimHashMd5(
+        TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
+      .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // hash once; the value relation IS the index
+    BandedHamming.nearMissPairs(vals,
+      idCols = Seq("simhash"), fpCols = Seq("simhash"),
+      bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
+      carry = Seq("n_docs"), hMax = simhashHammingMax)
+      .select(col("simhash_a").as("fp_a"), col("simhash_b").as("fp_b"),
+        col("hamming"), col("n_docs_a"), col("n_docs_b"))
+      .orderBy("fp_a", "fp_b")
   }
 
   /** Connected components over an undirected edge list by iterative
@@ -1278,6 +1335,7 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
+    qSimhashNearDup,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
     qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain,
     qContainmentPairs, qContainmentSkew, qEffectiveSize, qDeletePropagation)

@@ -598,6 +598,60 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** q336: per-sampled-frame 8×8-block aHash — 64 bits per frame,
+      * shipped as two unsigned 32-bit halves (the q192 packing: bit
+      * 63 never reaches a sign bit) — the WIDE tier that removes
+      * q331's low-entropy caveat: a single-sample clip's sub-bands
+      * are 16 bits here, not 4, so bucket occupancy follows hash
+      * entropy for every clip length. Same sampled-frames-only decode
+      * as [[decodeFingerprint]]; frames are ≥8 px per side by the
+      * fixture bound, so the 8×8 grid always has ≥1 px blocks. */
+    def decodeFingerprintWide(docId: Long, gif: Array[Byte]): VideoFpWideRow = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      try {
+        reader.setInput(iis, false, true)
+        val nf = reader.getNumImages(true)
+        val his = new Array[Long](fpFrames)
+        val los = new Array[Long](fpFrames)
+        var sampled = 0
+        var f = 0
+        while (f < nf) {
+          val img = reader.read(f)
+          val bw = img.getWidth / vidBlocksWide
+          val bh = img.getHeight / vidBlocksWide
+          val sums = new Array[Long](vidBlocksWide * vidBlocksWide)
+          var y = 0
+          while (y < bh * vidBlocksWide) {
+            var x = 0
+            while (x < bw * vidBlocksWide) {
+              sums((y / bh) * vidBlocksWide + (x / bw)) +=
+                (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val bavg = sums.map(_ / (bw.toLong * bh))
+          val mean = bavg.sum / (vidBlocksWide * vidBlocksWide)
+          var hi = 0L
+          var lo = 0L
+          var k = 0
+          while (k < vidBlocksWide * vidBlocksWide) {
+            if (bavg(k) > mean) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          val si = f / frameStride
+          if (si < fpFrames) { his(si) = hi; los(si) = lo }
+          sampled += 1
+          f += frameStride
+        }
+        VideoFpWideRow(docId, nf, sampled,
+          his(0), los(0), his(1), los(1), his(2), los(2))
+      } finally iis.close()
+    }
+
     def close(): Unit = reader.dispose()
   }
 
@@ -1101,6 +1155,20 @@ object Multimodal {
   case class VideoFpRow(doc_id: Long, n_frames: Int, n_sampled: Int,
       video_fp: Long)
 
+  /** q336 row: the WIDE video fingerprint — per sampled frame a
+    * 64-bit (8×8-block) aHash shipped as two unsigned 32-bit halves
+    * (the q192 packing), up to [[fpFrames]] slices; absent slices are
+    * zero and masked out of banding by the informative-band filter. */
+  case class VideoFpWideRow(doc_id: Long, n_frames: Int, n_sampled: Int,
+      f0_hi: Long, f0_lo: Long, f1_hi: Long, f1_lo: Long,
+      f2_hi: Long, f2_lo: Long)
+
+  /** Per-frame blocks for the WIDE video aHash (q336): 8×8 — valid
+    * because the fixture's frames are ≥8 px per side, giving ≥1 px
+    * per block. 64 bits/frame is the production answer to q331's
+    * low-entropy caveat. */
+  val vidBlocksWide = 8
+
   /** Per-frame blocks for the video aHash: frames here are 8–16 px, so
     * the grid is 4×4 (q192's 8×8 needs ≥8 px per side per block). */
   val vidBlocks = 4
@@ -1278,13 +1346,14 @@ object Multimodal {
     * complete, not just fast (the q28 discipline).
     *
     * 100 TB: the exchange carries (sub-band, 8-byte fingerprint) rows;
-    * candidate count follows bucket occupancy. Honest caveat: a
-    * single-sample clip has a 16-bit fingerprint, so its 4-bit
-    * sub-band buckets hold ~N/16 of the single-sample population —
-    * low-entropy signatures bucket coarsely no matter the scheme; a
-    * production tier raises the per-frame hash width (8×8 blocks =
-    * 64-bit slices, two-BIGINT fingerprints) before raising corpus
-    * size. */
+    * candidate count follows bucket occupancy. Known limit of THIS
+    * width: a single-sample clip has a 16-bit fingerprint, so its
+    * 4-bit sub-band buckets hold ~N/16 of the single-sample
+    * population — low-entropy signatures bucket coarsely no matter
+    * the scheme. The WIDE tier (q336, 8×8 blocks = 64-bit slices)
+    * is the production answer: there a single-sample clip's
+    * sub-bands are 16 bits, and bucket occupancy follows hash
+    * entropy for every clip length. */
   val qVideoNearDup: GraftQuery = GraftQuery(
     "q331_video_neardup_pairs",
     s"""WITH $videoFpCtes
@@ -1304,26 +1373,15 @@ object Multimodal {
     val fp = videoFingerprints(videoTable(s, d)).toDF()
       .select("doc_id", "n_sampled", "video_fp")
       .localCheckpoint()
-    val bands = fp.select(col("doc_id"), col("n_sampled"), col("video_fp"),
-      posexplode(array((0 until 4).map(j => expr(
+    BandedHamming.nearMissPairs(fp,
+      idCols = Seq("doc_id"), fpCols = Seq("video_fp"),
+      bandExprs = (0 until 4).map(j => expr(
         s"shiftright(video_fp, $j * n_sampled * 4) & " +
-          "(shiftleft(CAST(1 AS BIGINT), n_sampled * 4) - 1)")): _*)))
-      .select(col("doc_id"), col("n_sampled"), col("video_fp"),
-        col("pos").as("band_idx"), col("col").as("band"))
-    val a = bands.select(col("doc_id").as("doc_a"), col("n_sampled"),
-      col("video_fp").as("fp_a"), col("band_idx"), col("band"))
-    val b = bands.select(col("doc_id").as("doc_b"),
-      col("n_sampled").as("ns_b"),
-      col("video_fp").as("fp_b"),
-      col("band_idx").as("bi_b"), col("band").as("band_b"))
-    a.join(b, col("n_sampled") === col("ns_b") &&
-        col("band_idx") === col("bi_b") && col("band") === col("band_b"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "n_sampled", "fp_a", "fp_b")
-      .distinct()
-      .withColumn("hamming",
-        expr("bit_count(fp_a ^ fp_b)").cast("int"))
-      .where(col("hamming") >= 1 && col("hamming") <= videoHammingMax)
+          "(shiftleft(CAST(1 AS BIGINT), n_sampled * 4) - 1)")),
+      eqKeys = Seq("n_sampled"), hMax = videoHammingMax)
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("n_sampled"), col("video_fp_a").as("fp_a"),
+        col("video_fp_b").as("fp_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1365,30 +1423,15 @@ object Multimodal {
     val vals = decodeAHashes(imageTable(s, d)).toDF()
       .groupBy("ahash_hi", "ahash_lo").agg(count(lit(1)).as("n_docs"))
       .localCheckpoint() // decode once; the value relation IS the index
-    val bandCols = (0 until 4).map(j =>
-      shiftright(col("ahash_lo"), 8 * j).bitwiseAND(lit(255L))) ++
-      (0 until 4).map(j =>
-        shiftright(col("ahash_hi"), 8 * j).bitwiseAND(lit(255L)))
-    val bands = vals.select(col("ahash_hi"), col("ahash_lo"), col("n_docs"),
-      posexplode(array(bandCols: _*)))
-      .select(col("ahash_hi"), col("ahash_lo"), col("n_docs"),
-        col("pos").as("band_idx"), col("col").as("band"))
-    val a = bands.select(col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"),
-      col("n_docs").as("n_docs_a"), col("band_idx"), col("band"))
-    val b = bands.select(col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"),
-      col("n_docs").as("n_docs_b"),
-      col("band_idx").as("bi_b"), col("band").as("band_b"))
-    a.join(b, col("band_idx") === col("bi_b") && col("band") === col("band_b"))
-      .where(col("hi_a") < col("hi_b") ||
-        (col("hi_a") === col("hi_b") && col("lo_a") < col("lo_b")))
-      .select("hi_a", "lo_a", "hi_b", "lo_b", "n_docs_a", "n_docs_b")
-      .distinct()
-      .withColumn("hamming",
-        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
-          .cast("int"))
-      .where(col("hamming") >= 1 && col("hamming") <= videoHammingMax)
-      .select("hi_a", "lo_a", "hi_b", "lo_b", "hamming",
-        "n_docs_a", "n_docs_b")
+    BandedHamming.nearMissPairs(vals,
+      idCols = Seq("ahash_hi", "ahash_lo"),
+      fpCols = Seq("ahash_hi", "ahash_lo"),
+      bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
+        BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
+      carry = Seq("n_docs"), hMax = videoHammingMax)
+      .select(col("ahash_hi_a").as("hi_a"), col("ahash_lo_a").as("lo_a"),
+        col("ahash_hi_b").as("hi_b"), col("ahash_lo_b").as("lo_b"),
+        col("hamming"), col("n_docs_a"), col("n_docs_b"))
       .orderBy("hi_a", "lo_a", "hi_b", "lo_b")
   }
 
@@ -1432,28 +1475,158 @@ object Multimodal {
     val vals = audioFingerprints(audioTable(s, d)).toDF()
       .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
       .localCheckpoint()
-    val bands = vals.select(col("fingerprint"), col("n_docs"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("fingerprint"), 8 * j).bitwiseAND(lit(255L))): _*)))
-      .select(col("fingerprint"), col("n_docs"),
-        col("pos").as("band_idx"), col("col").as("band"))
-    val a = bands.select(col("fingerprint").as("fp_a"),
-      col("n_docs").as("n_docs_a"), col("band_idx"), col("band"))
-    val b = bands.select(col("fingerprint").as("fp_b"),
-      col("n_docs").as("n_docs_b"),
-      col("band_idx").as("bi_b"), col("band").as("band_b"))
-    a.join(b, col("band_idx") === col("bi_b") && col("band") === col("band_b"))
-      .where(col("fp_a") < col("fp_b"))
-      .select("fp_a", "fp_b", "n_docs_a", "n_docs_b")
-      .distinct()
-      .withColumn("hamming", expr("bit_count(fp_a ^ fp_b)").cast("int"))
-      .where(col("hamming") >= 1 && col("hamming") <= videoHammingMax)
-      .select("fp_a", "fp_b", "hamming", "n_docs_a", "n_docs_b")
+    BandedHamming.nearMissPairs(vals,
+      idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
+      bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
+      carry = Seq("n_docs"), hMax = videoHammingMax)
+      .select(col("fingerprint_a").as("fp_a"), col("fingerprint_b").as("fp_b"),
+        col("hamming"), col("n_docs_a"), col("n_docs_b"))
       .orderBy("fp_a", "fp_b")
+  }
+
+  /** Distributed WIDE fingerprint featurize: one [[GifDecoder]] per
+    * partition; 48 fingerprint bytes plus two ints per clip leave the
+    * partition — payloads never shuffle. */
+  def videoFingerprintsWide(video: Dataset[VideoRow]): Dataset[VideoFpWideRow] = {
+    import video.sparkSession.implicits._
+    video.mapPartitions { rows =>
+      val dec = new GifDecoder
+      closeOnTaskEnd(() => dec.close())
+      rows.map(r => dec.decodeFingerprintWide(r.doc_id, r.gif))
+    }
+  }
+
+  /** The six wide-fingerprint words, lexicographic-identity order. */
+  private val wideFpCols =
+    Seq("f0_hi", "f0_lo", "f1_hi", "f1_lo", "f2_hi", "f2_lo")
+
+  /** The analytic WIDE fingerprint rebuild (sampled frames → 8×8
+    * blocks → per-frame 64-bit hash as two unsigned 32-bit halves →
+    * per-slot pivot) as a CTE chain ending at `wfp` — the q336
+    * oracle's front half. */
+  private val videoFpWideCtes: String =
+    s"""wdims AS (
+       |  SELECT doc_id,
+       |         8 + doc_id % 9 AS w,
+       |         8 + (doc_id * 3) % 7 AS h,
+       |         2 + doc_id % 7 AS nf
+       |  FROM documents),
+       |wpx AS (
+       |  SELECT d.doc_id, (d.w // $vidBlocksWide) AS bw,
+       |         (d.h // $vidBlocksWide) AS bh,
+       |         fs.f, xs.x, ys.y
+       |  FROM wdims d
+       |  JOIN range(0, 8) AS fs(f) ON fs.f < d.nf AND fs.f % $frameStride = 0
+       |  JOIN range(0, 16) AS xs(x)
+       |    ON xs.x < (d.w // $vidBlocksWide) * $vidBlocksWide
+       |  JOIN range(0, 8) AS ys(y)
+       |    ON ys.y < (d.h // $vidBlocksWide) * $vidBlocksWide),
+       |wgray AS (
+       |  SELECT doc_id, bw, bh, f,
+       |    (y // bh) * $vidBlocksWide + (x // bw) AS k,
+       |    (x * 3 + y * 5 + f * 17 + doc_id * 7) % 256 AS g
+       |  FROM wpx),
+       |wblocks AS (
+       |  SELECT doc_id, f, k,
+       |    CAST(SUM(g) // (MAX(bw) * MAX(bh)) AS BIGINT) AS bavg
+       |  FROM wgray GROUP BY doc_id, f, k),
+       |wmean AS (
+       |  SELECT doc_id, f,
+       |    CAST(SUM(bavg) // ${vidBlocksWide * vidBlocksWide} AS BIGINT) AS mean
+       |  FROM wblocks GROUP BY doc_id, f),
+       |wfh AS (
+       |  SELECT b.doc_id, b.f,
+       |    CAST(SUM(CASE WHEN b.k >= 32 AND b.bavg > m.mean
+       |      THEN CAST(1 AS BIGINT) << CAST(b.k - 32 AS INTEGER) ELSE 0 END) AS BIGINT) AS fh_hi,
+       |    CAST(SUM(CASE WHEN b.k < 32 AND b.bavg > m.mean
+       |      THEN CAST(1 AS BIGINT) << CAST(b.k AS INTEGER) ELSE 0 END) AS BIGINT) AS fh_lo
+       |  FROM wblocks b JOIN wmean m ON b.doc_id = m.doc_id AND b.f = m.f
+       |  GROUP BY b.doc_id, b.f),
+       |wfp AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS INTEGER) AS n_sampled,
+       |${wideFpCols.map { c =>
+        val slot = c.substring(1, 2).toInt
+        val half = if (c.endsWith("hi")) "fh_hi" else "fh_lo"
+        s"    CAST(MAX(CASE WHEN f // $frameStride = $slot THEN $half ELSE 0 END) AS BIGINT) AS $c"
+      }.mkString(",\n")}
+       |  FROM wfh GROUP BY doc_id)""".stripMargin
+
+  /** VIDEO NEAR-MISS AT THE WIDE WIDTH AND THE VALUE GRAIN — the
+    * q331-successor that retires its low-entropy caveat, composing
+    * both round-9 lessons through the ONE parameterized
+    * [[BandedHamming]] operator:
+    *
+    *   - WIDE per-frame hash: 8×8 blocks = 64 bits/frame (two
+    *     unsigned 32-bit halves, the q192 packing), so a one-sample
+    *     clip's informative prefix is 64 bits, not 16 — its four
+    *     16-bit sub-bands bucket by content, never ~N/16 of the
+    *     subpopulation;
+    *   - VALUE grain with census counts (the q334/q335 lesson):
+    *     perceptual hashes collide heavily, so pairs are emitted
+    *     between distinct fingerprint VALUES carrying n_docs — the
+    *     doc-level expansion stays virtual.
+    *
+    * Banding: per PRESENT frame slice, four 16-bit sub-bands (two per
+    * 32-bit half) — 4·n_sampled disjoint bands covering every
+    * informative bit, so pigeonhole keeps h ≤ 3 lossless for every
+    * clip length; padding slices of short clips are masked out by the
+    * informative-band filter (banding zeros would make every short
+    * clip a candidate of every other — the degenerate bucket q331's
+    * design note warns about). Equal n_sampled is part of the pair
+    * semantics, as in q331. The ORACLE states the semantics as the
+    * plain all-pairs value join over the analytically rebuilt wide
+    * fingerprints — the hash match proves the banded candidate
+    * generation is complete at the wide width (the q28 discipline).
+    *
+    * 100 TB: the exchange carries (band, 48-byte fingerprint) rows at
+    * the VALUE grain — bounded by fingerprint entropy, never corpus
+    * size; candidate count follows bucket occupancy at every clip
+    * length, which is the whole point of the width. */
+  val qVideoNearDupWide: GraftQuery = GraftQuery(
+    "q336_video_neardup_wide",
+    s"""WITH $videoFpWideCtes,
+       |wvals AS (
+       |  SELECT n_sampled, ${wideFpCols.mkString(", ")},
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM wfp GROUP BY n_sampled, ${wideFpCols.mkString(", ")})
+       |SELECT a.n_sampled,
+       |${wideFpCols.map(c => s"  a.$c AS ${c}_a").mkString(",\n")},
+       |${wideFpCols.map(c => s"  b.$c AS ${c}_b").mkString(",\n")},
+       |  CAST(${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")} AS INTEGER) AS hamming,
+       |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+       |FROM wvals a JOIN wvals b
+       |  ON a.n_sampled = b.n_sampled AND (${wideFpCols.indices.map { i =>
+          (wideFpCols.take(i).map(c => s"a.$c = b.$c") :+
+            s"a.${wideFpCols(i)} < b.${wideFpCols(i)}").mkString(" AND ")
+        }.mkString("(", ") OR (", ")")})
+       |WHERE ${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")}
+       |  BETWEEN 1 AND $videoHammingMax
+       |ORDER BY a.n_sampled, ${wideFpCols.map(c => s"${c}_a").mkString(", ")},
+       |  ${wideFpCols.map(c => s"${c}_b").mkString(", ")}""".stripMargin) { (s, d) =>
+    val vals = videoFingerprintsWide(videoTable(s, d)).toDF()
+      .groupBy(("n_sampled" +: wideFpCols).map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // decode once; the value relation IS the index
+    BandedHamming.nearMissPairs(vals,
+      idCols = wideFpCols, fpCols = wideFpCols,
+      bandExprs = (0 until fpFrames).flatMap(i =>
+        BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
+          BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
+      eqKeys = Seq("n_sampled"), carry = Seq("n_docs"),
+      informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
+      hMax = videoHammingMax)
+      .select((col("n_sampled") +:
+        (wideFpCols.map(c => col(s"${c}_a")) ++
+          wideFpCols.map(c => col(s"${c}_b")) ++
+          Seq(col("hamming"), col("n_docs_a"), col("n_docs_b")))): _*)
+      .orderBy(("n_sampled" +: (wideFpCols.map(c => s"${c}_a") ++
+        wideFpCols.map(c => s"${c}_b"))).map(col): _*)
   }
 
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
       qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
-      qVideoFingerprint, qVideoNearDup, qImageNearDup, qAudioNearDup)
+      qVideoFingerprint, qVideoNearDup, qImageNearDup, qAudioNearDup,
+      qVideoNearDupWide)
 }

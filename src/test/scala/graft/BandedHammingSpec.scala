@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.BandedHamming
+import org.apache.spark.sql.functions._
+
+/** Pins the ONE parameterized banded-hamming operator behind the
+  * q331/q334/q335/q336/q337 near-miss tiers: pigeonhole losslessness
+  * under ADVERSARIAL flip placement (all flips inside a single
+  * sub-band — the worst case for banding), exact hMin/hMax
+  * boundaries, multi-word fingerprints, and the informative-band
+  * masking contract for variable-width fingerprints. */
+class BandedHammingSpec extends SparkSpecBase {
+
+  private def brute(vals: Seq[Long], hMax: Int): Set[(Long, Long, Int)] =
+    (for {
+      a <- vals; b <- vals if a < b
+      h = java.lang.Long.bitCount(a ^ b)
+      if h >= 1 && h <= hMax
+    } yield (a, b, h)).toSet
+
+  private def run64(vals: Seq[Long], hMax: Int): Set[(Long, Long, Int)] = {
+    import spark.implicits._
+    val df = vals.toDF("fp")
+    BandedHamming.nearMissPairs(df,
+      idCols = Seq("fp"), fpCols = Seq("fp"),
+      bandExprs = BandedHamming.fixedBands(col("fp"), 4, 16),
+      hMax = hMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("pigeonhole at the WIDE width: adversarial flips inside one 16-bit band are lossless at h <= 3") {
+    // the worst case for banding is every flipped bit inside ONE
+    // sub-band: the other three bands must still collide. Build, for
+    // each h in 1..3 and each of the four bands, a planted pair whose
+    // h flips all land in that band.
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.fill(6)(rnd.nextLong())
+    val planted = scala.collection.mutable.ArrayBuffer[Long]()
+    planted ++= bases
+    for (base <- bases.take(3); band <- 0 until 4; h <- 1 to 3) {
+      val positions = rnd.shuffle((0 until 16).toList).take(h)
+        .map(p => band * 16 + p)
+      planted += positions.foldLeft(base)((v, p) => v ^ (1L << p))
+    }
+    // spread case: h flips across h DIFFERENT bands
+    for (base <- bases.drop(3); h <- 1 to 3) {
+      val positions = rnd.shuffle((0 until 4).toList).take(h)
+        .map(band => band * 16 + rnd.nextInt(16))
+      planted += positions.foldLeft(base)((v, p) => v ^ (1L << p))
+    }
+    val vals = planted.distinct.toSeq
+    val got = run64(vals, hMax = 3)
+    val want = brute(vals, hMax = 3)
+    assert(got == want,
+      s"missed ${(want -- got).size} pairs / ${(got -- want).size} extra")
+    assert(want.size >= 30, "the planted fixture must be non-trivial")
+  }
+
+  test("hMin/hMax boundaries are exact: h = hMax kept, h = hMax + 1 dropped, h = 0 never emitted") {
+    val base = 0x0123456789abcdefL
+    val at3 = base ^ 7L            // 3 flips, all in band 0
+    val at4 = base ^ 15L           // 4 flips, all in band 0
+    val got = run64(Seq(base, at3, at4), hMax = 3)
+    assert(got.contains((math.min(base, at3), math.max(base, at3), 3)))
+    assert(!got.exists(p => Set(p._1, p._2) == Set(base, at4)))
+    // at3 vs at4 differ in 1 bit — included; and no self-pairs at h=0
+    assert(got.contains((math.min(at3, at4), math.max(at3, at4), 1)))
+    assert(got.forall(p => p._3 >= 1 && p._3 <= 3))
+  }
+
+  test("multi-word fingerprints: hamming sums across words, lex order over idCols emits each pair once") {
+    import spark.implicits._
+    // (hi, lo) pairs; flips split across the two words
+    val a = (0x5555L, 0xaaaaL)
+    val b = (0x5554L, 0xaaabL) // 1 flip in hi + 1 in lo = hamming 2
+    val c = (0x5555L, 0xaaaaL ^ 0xfL) // 4 flips in lo — over the bound
+    val df = Seq(a, b, c).toDF("hi", "lo")
+    val got = BandedHamming.nearMissPairs(df,
+      idCols = Seq("hi", "lo"), fpCols = Seq("hi", "lo"),
+      bandExprs = BandedHamming.fixedBands(col("hi"), 2, 16) ++
+        BandedHamming.fixedBands(col("lo"), 2, 16),
+      hMax = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getLong(3)),
+        r.getInt(4)))
+    assert(got.length == 1)
+    val (pa, pb, h) = got.head
+    assert(Set(pa, pb) == Set(a, b) && h == 2)
+    // lex order: the _a side is strictly smaller under (hi, lo)
+    assert(pa._1 < pb._1 || (pa._1 == pb._1 && pa._2 < pb._2))
+  }
+
+  test("variable-width fingerprints: eqKeys partition the space and informativeBand masks padding losslessly") {
+    import spark.implicits._
+    // the q336 shape in miniature: (n, w0, w1) where n = 1 rows carry
+    // w1 = 0 padding. Banding: two 16-bit bands per word, band_idx
+    // 0..1 from w0, 2..3 from w1; informative iff band_idx < 2n.
+    val rows = Seq(
+      (1, 0x00001111L, 0L), // A
+      (1, 0x00001110L, 0L), // B: hamming 1 from A — must be found
+      (1, 0x7fff1111L, 0L), // C: far from A in w0, padding w1 equal
+      (2, 0x00001111L, 0x22220000L), // D: same w0 as A but n differs
+      (2, 0x00001111L, 0x22220001L)  // E: hamming 1 from D at n = 2
+    ).toDF("n", "w0", "w1")
+    val got = BandedHamming.nearMissPairs(rows,
+      idCols = Seq("w0", "w1"), fpCols = Seq("w0", "w1"),
+      bandExprs = BandedHamming.fixedBands(col("w0"), 2, 16) ++
+        BandedHamming.fixedBands(col("w1"), 2, 16),
+      eqKeys = Seq("n"),
+      informativeBand = Some(col("band_idx") < col("n") * 2),
+      hMax = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSet
+    // found: A-B (padding bands masked, yet the w0 bands carry them)
+    // and D-E; NOT A-D/A-E (different n — never compared even though
+    // w0 matches), NOT A-C (verified hamming 15 in w0 — and their
+    // shared all-zero w1 PADDING bands are masked, so the only
+    // candidate route is the genuinely matching w0 band)
+    assert(got == Set(
+      (1, 0x00001110L, 0x00001111L, 0L, 0L, 1),
+      (2, 0x00001111L, 0x00001111L, 0x22220000L, 0x22220001L, 1)))
+  }
+
+  test("operator refuses a band count that cannot be lossless") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("fp")
+    intercept[IllegalArgumentException] {
+      BandedHamming.nearMissPairs(df, Seq("fp"), Seq("fp"),
+        BandedHamming.fixedBands(col("fp"), 3, 16), hMax = 3)
+    }
+  }
+}

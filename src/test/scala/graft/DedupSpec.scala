@@ -515,4 +515,26 @@ class DedupSpec extends SparkSpecBase {
     val (nInter, nA, _) = verified((1L, 2L))
     assert(nInter == nA, "the short side must be 100% contained")
   }
+
+  test("q337: simhash value-grain banding is complete vs an in-JVM brute force") {
+    // second implementation next to the DuckDB oracle: collect the
+    // q29 fingerprints, census, brute-force all value pairs
+    val vals = SparkEntry.queries("q29_dedup_simhash")(spark, sf001)
+      .collect().map(_.getLong(1))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }.toSeq
+    val want = (for {
+      (fa, na) <- vals; (fb, nb) <- vals if fa < fb
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h >= 1 && h <= Dedup.simhashHammingMax
+    } yield (fa, fb, h, na, nb)).toSet
+    val got = SparkEntry.queries("q337_simhash_neardup_values")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want,
+      s"banding missed ${(want -- got).size} / ${(got -- want).size} extra")
+    assert(want.nonEmpty, "the fixture must contain simhash near-miss pairs")
+    // the value grain matters here for the same reason as q335: the
+    // corpus has multi-doc simhash values (exact-dup text clusters)
+    assert(vals.map(_._2).max > 1)
+  }
 }

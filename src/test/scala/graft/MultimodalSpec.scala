@@ -317,4 +317,41 @@ class MultimodalSpec extends SparkSpecBase {
     // the fixture must actually contain a multi-doc fingerprint value
     assert(audVals.values.max > 1 && imgVals.values.max > 1)
   }
+
+  test("q336: WIDE banded candidates are complete, and the width fixes the one-sample entropy caveat") {
+    // brute-force reference over the collected WIDE fingerprints
+    val fps = Multimodal.videoFingerprintsWide(
+      Multimodal.videoTable(spark, sf001)).collect()
+    val vals = fps.groupBy(r => (r.n_sampled,
+      List(r.f0_hi, r.f0_lo, r.f1_hi, r.f1_lo, r.f2_hi, r.f2_lo)))
+      .map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSeq
+    // lexicographic over the 6 words
+    def lexLt(a: List[Long], b: List[Long]): Boolean =
+      a.zip(b).find(t => t._1 != t._2).exists(t => t._1 < t._2)
+    val wantPairs = (for {
+      (na, fa, ca) <- vals; (nb, fb, cb) <- vals
+      if na == nb && lexLt(fa, fb)
+      h = fa.zip(fb).map(t => java.lang.Long.bitCount(t._1 ^ t._2)).sum
+      if h >= 1 && h <= Multimodal.videoHammingMax
+    } yield (na, fa, fb, h, ca, cb)).toSet
+    val got = SparkEntry.queries("q336_video_neardup_wide")(spark, sf001)
+      .collect().map(r => (r.getInt(0),
+        (1 to 6).map(r.getLong(_)).toList, (7 to 12).map(r.getLong(_)).toList,
+        r.getInt(13), r.getLong(14), r.getLong(15))).toSet
+    assert(got == wantPairs,
+      s"wide banding missed ${(wantPairs -- got).size} / " +
+        s"${(got -- wantPairs).size} extra")
+    assert(wantPairs.nonEmpty, "the fixture must contain wide near-miss pairs")
+    // the caveat the width retires: at 16 bits/frame a one-sample
+    // clip had 4-bit sub-bands (≤16 distinct buckets); here every
+    // sub-band is 16 bits wide for EVERY clip length
+    val oneSample = fps.filter(_.n_sampled == 1)
+    assert(oneSample.nonEmpty)
+    val oneSampleBuckets = oneSample
+      .flatMap(r => Seq(r.f0_lo & 0xffff, r.f0_lo >> 16,
+        r.f0_hi & 0xffff, r.f0_hi >> 16).zipWithIndex.map(_.swap))
+      .distinct.length
+    assert(oneSampleBuckets > 16,
+      "one-sample clips must spread over more buckets than the narrow width allowed")
+  }
 }
