@@ -57,6 +57,7 @@ object SparkEntry {
       operators.ZOrder.all ++
       operators.ModelQueries.all ++
       operators.PgRender.all ++
+      operators.Serving.all ++
       operators.PhraseSearch.all ++
       operators.Apss.all ++
       operators.PrioritySample.all ++

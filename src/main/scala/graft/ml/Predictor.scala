@@ -34,14 +34,15 @@ object Predictor {
   case class FitResult(model: org.apache.spark.ml.PipelineModel, rmse: Double,
       nTrain: Long, nTest: Long)
 
-  def fit(data: DataFrame, numTrees: Int = 200): FitResult = {
+  def fit(data: DataFrame, numTrees: Int = 200,
+      features: Array[String] = featureCols): FitResult = {
     // persist the split once: fit, evaluate, and both counts otherwise
     // each re-run the source scan AND the split sampling
     val Array(train, test) = data.randomSplit(Array(0.8, 0.2), seed = 42)
       .map(_.persist())
     try {
       val assembler = new VectorAssembler()
-        .setInputCols(featureCols).setOutputCol("features")
+        .setInputCols(features).setOutputCol("features")
       val rf = new RandomForestRegressor()
         .setNumTrees(numTrees).setSeed(42)
         .setLabelCol("label").setFeaturesCol("features")
