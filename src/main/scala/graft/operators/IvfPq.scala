@@ -493,6 +493,12 @@ object IvfPq {
     * q314/q324 consume it via [[batchServeCtesSql]]; the nProbe
     * planner (q327/q328) appends its eval CTEs after `routed`. */
   private def indexCtesSql: String =
+    indexCtesSqlWith(s"vec_id % $batchQueryMod = 0")
+
+  /** [[indexCtesSql]] with the eval-query predicate as a parameter —
+    * the sampled planner (q340) swaps the stride-eval set for a hash
+    * sample of the full query log. */
+  private def indexCtesSqlWith(queriesWhere: String): String =
     s"""centroids AS (
        |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
        |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
@@ -506,7 +512,7 @@ object IvfPq {
        |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
        |queries AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
-       |  WHERE vec_id % $batchQueryMod = 0),
+       |  WHERE $queriesWhere),
        |routed AS (
        |  SELECT q.query_id, q.q_emb, c.cell,
        |    row_number() OVER (PARTITION BY q.query_id
@@ -1027,10 +1033,17 @@ object IvfPq {
       d: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    plannerMemo.getOrElseUpdate(s, d)(buildPlannerCurves(s, d))
+    plannerMemo.getOrElseUpdate(s, d)(buildPlannerCurves(s, d,
+      evalQueries(Tables.embeddings(s, d))))
+
+  /** The stride eval-query set behind q303/q327/q332. */
+  private def evalQueries(emb: org.apache.spark.sql.DataFrame) =
+    emb.where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
   private def buildPlannerCurves(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame,
+      d: String, queries: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import s.implicits._
@@ -1040,9 +1053,6 @@ object IvfPq {
     val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
       .select(col("cell").cast("long").as("cell"), col("centroid"))
     val cells = IvfAnn.assign(emb, centroids).select("vec_id", "cell")
-    val queries = emb
-      .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // full per-query centroid ranking (|Q| × |cells| — bounded)
     val routed = queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("cell"),
@@ -1084,9 +1094,56 @@ object IvfPq {
   /** The q327 body — also the source [[nProbeForRecall]] collects
     * from. */
   private[graft] def plannerPolicy(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    policyFrom(s, plannerCurves(s, d))
+
+  /** First-hex-digit md5 gate of the q340 hash sample: digits below
+    * '4' keep 4/16 = 25% of the query log (the q110 split-gate
+    * mechanic — lowercase-hex comparison is numeric comparison). */
+  val plannerSampleGate: String = "4"
+
+  private def sampledQueryLog(emb: org.apache.spark.sql.DataFrame) =
+    emb.where(
+      substring(md5(col("vec_id").cast("string")), 1, 1) < plannerSampleGate)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  private def plannerCurvesSampled(s: org.apache.spark.sql.SparkSession,
+      d: String) =
+    plannerMemo.getOrElseUpdate(s, d + "#sampled")(buildPlannerCurves(s, d,
+      sampledQueryLog(Tables.embeddings(s, d))))
+
+  private[graft] def plannerPolicySampled(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    policyFrom(s, plannerCurvesSampled(s, d))
+
+  /** Uncached recall curve over an arbitrary query set — the spec
+    * hook that bounds the sampled estimate against the full-log exact
+    * curve. Returns (p, hits, total, recall_ppm) per swept nProbe. */
+  private[graft] def recallCurveFor(s: org.apache.spark.sql.SparkSession,
+      d: String, queries: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val (curveHits, _, tot, _, _) = buildPlannerCurves(s, d, queries)
+    curveHits.crossJoin(broadcast(tot))
+      .select(col("p"), col("hits"), col("total"),
+        expr("hits * 1000000 div total").as("recall_ppm"))
+      .orderBy("p")
+  }
+
+  /** The full query log as an eval set (every embedding) — exact but
+    * |log|×|corpus|; what the sampled mode exists to avoid. */
+  private[graft] def fullQueryLog(emb: org.apache.spark.sql.DataFrame) =
+    emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  private[graft] def sampledQueries(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sampledQueryLog(Tables.embeddings(s, d))
+
+  private def policyFrom(s: org.apache.spark.sql.SparkSession,
+      curves: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val (curveHits, curveCost, tot, nq, nc) = plannerCurves(s, d)
+    val (curveHits, curveCost, tot, nq, nc) = curves
     val targets = plannerTargets.toDF("target")
     val sel = targets
       .crossJoin(broadcast(curveHits.crossJoin(broadcast(tot))))
@@ -1198,6 +1255,43 @@ object IvfPq {
       .orderBy("budget_ppm")
   }
 
+  /** SAMPLED PLANNER EVAL — the production form of q327's ground
+    * truth. The exact eval is |Q|×|corpus| by definition (recall needs
+    * true neighbors); q327 bounds it with a small STRIDE eval set,
+    * which is right for a fixed eval budget but wrong at production
+    * query-log scale, where the log itself is data-sized. The sampled
+    * mode hash-samples the log (first md5 hex digit below
+    * [[plannerSampleGate]] keeps 4/16 — the q110 split-gate mechanic:
+    * stateless, reproducible,
+    * no coordination) and runs the SAME one-pass reach-rank eval over
+    * the sample; the policy table has the same schema and semantics,
+    * and IvfAnnSpec bounds the sampled recall curve against the
+    * full-log exact curve on the testdata.
+    *
+    * 100 TB: the eval cost drops from |log|×|corpus| to
+    * |sample|×|corpus| with the sample rate a single gate constant;
+    * the estimate's error shrinks as 1/√(k·|sample|) — the spec
+    * measures it rather than assumes it. */
+  val qNProbePlannerSampled: GraftQuery = GraftQuery(
+    "q340_nprobe_planner_sampled",
+    s"""WITH ${indexCtesSqlWith(
+        s"substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '$plannerSampleGate'")},
+       |$plannerCtesSql
+       |SELECT CAST(p.target AS INTEGER) AS target_pct,
+       |  CAST(p.n_probe AS INTEGER) AS n_probe, p.reached,
+       |  h.hits, (SELECT total FROM tot) AS total,
+       |  CAST(h.hits * 1000000 // (SELECT total FROM tot) AS BIGINT) AS recall_ppm,
+       |  cc.cost_rows,
+       |  CAST(cc.cost_rows * 1000000 //
+       |    ((SELECT CAST(COUNT(*) AS BIGINT) FROM queries) *
+       |     (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)) AS BIGINT) AS scan_ppm
+       |FROM policy p
+       |JOIN curve_hits h ON h.p = p.n_probe
+       |JOIN curve_cost cc ON cc.p = p.n_probe
+       |ORDER BY target_pct""".stripMargin) { (s, d) =>
+    plannerPolicySampled(s, d)
+  }
+
   /** Serving target recall the planner-driven serve (q328) asks for. */
   val plannedTargetPct = 90
 
@@ -1235,5 +1329,6 @@ object IvfPq {
   def all: Seq[GraftQuery] =
     Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
       qIvfPqBatchServe, qIvfPqBatchServeSegmented, qIvfPqDeletePropagation,
-      qBatchServeRecall, qNProbePlanner, qPlannedServe, qScanBudgetPlanner)
+      qBatchServeRecall, qNProbePlanner, qPlannedServe, qScanBudgetPlanner,
+      qNProbePlannerSampled)
 }

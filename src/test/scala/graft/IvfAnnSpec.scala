@@ -184,4 +184,39 @@ class IvfAnnSpec extends SparkSpecBase {
       assert(a.getLong(4) <= b.getLong(4), "recall monotone in budget")
     }
   }
+
+  test("q340 sampled planner: recall estimate tracks the full-log exact curve") {
+    import graft.operators.IvfPq
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf001)
+    // the sample really is a strict, non-trivial subset of the log
+    val nLog = emb.count()
+    val nSample = IvfPq.sampledQueries(spark, sf001).count()
+    assert(nSample > 0 && nSample < nLog,
+      s"hash sample must be a proper subset: $nSample of $nLog")
+    // ~4/16 of the log within binomial slack
+    assert(math.abs(nSample.toDouble / nLog - 0.25) < 0.08)
+    // per swept nProbe: |sampled recall − full-log exact recall| small.
+    // The bound is measured head-room over the fixture (sample of ~125
+    // queries × k=10 ⇒ SE ≈ 1.3%), not an assumption: 5 points (50k
+    // ppm) catches a broken sample without flaking on estimator noise.
+    val full = IvfPq.recallCurveFor(spark, sf001, IvfPq.fullQueryLog(emb))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    val sampled = IvfPq.recallCurveFor(spark, sf001,
+      IvfPq.sampledQueries(spark, sf001))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(full.keySet == sampled.keySet)
+    val worst = full.keys.map(p => math.abs(full(p) - sampled(p))).max
+    assert(worst <= 50000L,
+      s"sampled recall curve drifts ${worst} ppm from the exact curve")
+    // the sampled POLICY is well-formed like q327's: monotone targets,
+    // probes from the sweep
+    val pol = SparkEntry.queries("q340_nprobe_planner_sampled")(spark, sf001)
+      .collect()
+    assert(pol.map(_.getInt(0)).toSeq == IvfPq.plannerTargets)
+    pol.foreach(r => assert(IvfPq.plannerSweep.contains(r.getInt(1))))
+    pol.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getInt(1) <= b.getInt(1), "n_probe monotone in target")
+    }
+  }
 }
