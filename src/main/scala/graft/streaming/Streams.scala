@@ -595,6 +595,62 @@ object Streams {
     streamBatchServe(s, d)
   }
 
+  /** STREAMING PLANNER-DRIVEN SERVE — q328's composition run as the
+    * continuous retrieval service: the nProbe policy is read ONCE
+    * from the q327 planner at service start (the config loop a
+    * production tier runs — measure the recall curve, pick the probe
+    * width, THEN open the query stream), and every arriving query
+    * micro-batch is served through the q303 plan at the planned
+    * width. The oracle is q328's SQL verbatim (policy as scalar
+    * subquery composed with the serve CTEs), so the hash match proves
+    * per-trigger serving composes with the planner — the q145/q147
+    * maintenance discipline applied to the serving tier, closing the
+    * loop the round-9 verdict asked for (planner → batch serve →
+    * streaming serve, one answer).
+    *
+    * 100 TB/day: the planner eval runs once per policy refresh (or on
+    * the q340 hash sample at query-log scale); per trigger the work
+    * is O(batch queries × planned probed cells). */
+  def streamPlannedServe(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.{IvfAnn, IvfPq}
+    val p = IvfPq.nProbeForRecall(spark, sfDir, IvfPq.plannedTargetPct)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val fullPath = IvfPq.codesSegment(spark, sfDir, "full",
+      IvfAnn.assign(emb, centroids))
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_planned_serve", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readEmbeddingsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("vec_id"), lit(IvfPq.batchQueryMod)) === 0)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            val queries = batch.toDF()
+              .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+            IvfPq.batchServe(spark, Seq(fullPath), centroids, queries, emb,
+              probes = p)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.parquet(outDir)
+      .select("query_id", "rank", "vec_id", "exact_dist")
+      .orderBy("query_id", "rank")
+  }
+
+  val qStreamPlannedServe: GraftQuery = GraftQuery(
+    "q341_stream_planned_serve",
+    graft.operators.IvfPq.qPlannedServe.oracle.get) { (s, d) =>
+    streamPlannedServe(s, d)
+  }
+
   /** STREAMING HARD-NEGATIVE MINING: q199's per-anchor argmax
     * maintained as candidate vectors ARRIVE. Argmax under the
     * (cos desc, id asc) total order is a MONOID — the fold of
@@ -1964,6 +2020,7 @@ object Streams {
       qStreamTransitions, qStreamKmv, qStreamMvMaintain,
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
-      qStreamCdcCensus, qStreamBatchServe, qStreamHardNegatives,
+      qStreamCdcCensus, qStreamBatchServe, qStreamPlannedServe,
+      qStreamHardNegatives,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps)
 }

@@ -329,6 +329,22 @@ class StreamsSpec extends SparkSpecBase {
     assert(multi === batch, "streamed ingest must equal batch append")
   }
 
+  test("q341: multi-trigger planner-driven serve equals q328's batch answer") {
+    // 3 staged files + maxFilesPerTrigger=1 → the query log arrives
+    // across several micro-batches, each served at the SAME planned
+    // nProbe (policy read once at service start)
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_planned").toString
+    graft.sources.Tables.embeddings(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamPlannedServe(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q328_planned_batch_serve")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "per-trigger planned serving must equal the batch planned serve")
+  }
+
   test("q147 replay: re-delivered micro-batch is idempotent (at-least-once recovery)") {
     // drain the single-staging ingest, then simulate the recovery path:
     // foreachBatch re-delivers the last checkpointed batch
