@@ -1384,32 +1384,18 @@ object ScaleBench {
         (1 to 3).map(_ => time(f())._2).sorted.apply(1)
       }
       val tBatch = median3(serve _)
+      // NOTE: the 64-query amortization RATIO is retired (it swung
+      // 2.1-2.9x run to run — per-stage scheduling latency dominates a
+      // batch this small); the stable amortization claim is the
+      // 257-query point, emitted as m1_batch_serve_*_b257 near the END
+      // of the scale line so the driver's 2000-char stdout tail always
+      // carries it (README/SCALE cite those keys).
       out ++= Seq(
         "m1_batch_serve_queries" -> nQ.toDouble,
         "m1_batch_serve_cand_stage_sec" -> tCand,
         "m1_batch_serve_sec" -> tBatch,
         "m1_batch_serve_ms_per_query" ->
-          (if (nQ > 0) tBatch * 1000.0 / nQ else -1.0),
-        "m1_batch_serve_amortization_x" ->
-          (if (tBatch > 0 && nQ > 0) nQ * tPruned / tBatch else -1.0))
-      // amortization SCALES with the batch: the floor at 64 queries is
-      // per-stage scheduling latency (~10 small stages), not per-pair
-      // work — a 4x bigger batch pays the same stages
-      val queries256 = vecs
-        .where(pmod(col("vec_id"), lit(math.max(1L, nVecs / 256))) === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val nQ256 = queries256.count()
-      def serve256(): Long =
-        IvfPq.batchServe(spark, Seq(partPath), centroids, queries256, vecs,
-          queryCountHint = Some(nQ256)).count()
-      val tBatch256 = median3(serve256 _)
-      out ++= Seq(
-        "m1_batch_serve_queries_b" -> nQ256.toDouble,
-        "m1_batch_serve_sec_b" -> tBatch256,
-        "m1_batch_serve_ms_per_query_b" ->
-          (if (nQ256 > 0) tBatch256 * 1000.0 / nQ256 else -1.0),
-        "m1_batch_serve_amortization_x_b" ->
-          (if (tBatch256 > 0 && nQ256 > 0) nQ256 * tPruned / tBatch256 else -1.0))
+          (if (nQ > 0) tBatch * 1000.0 / nQ else -1.0))
 
       // trained-codebook production operating point through the SAME
       // distributed serve plan: Lloyd PQ8x256 on a bounded sample, L2
@@ -1573,6 +1559,63 @@ object ScaleBench {
       out += "m1_ivfpq_coarse_kmeans_fit_sec" -> tKmeans
       out += "m1_ivfpq_codebook_train_sec" -> tTrainT
       out += "m1_ivfpq_trained_encode_write_sec" -> tEncT
+
+      // 257-QUERY AMORTIZATION (the stable batch point; the 64-query
+      // ratio is retired as scheduler-noise-dominated). Emitted HERE —
+      // near the end of the scale line — so the recorded BENCH tail
+      // always carries the keys README/SCALE cite.
+      val queries257 = vecs
+        .where(pmod(col("vec_id"), lit(math.max(1L, nVecs / 256))) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val nQ257 = queries257.count()
+      def serve257(): Long =
+        IvfPq.batchServe(spark, Seq(partPath), centroids, queries257, vecs,
+          queryCountHint = Some(nQ257)).count()
+      val tBatch257 = median3(serve257 _)
+      out ++= Seq(
+        "m1_batch_serve_queries_b257" -> nQ257.toDouble,
+        "m1_batch_serve_sec_b257" -> tBatch257,
+        "m1_batch_serve_ms_per_query_b257" ->
+          (if (nQ257 > 0) tBatch257 * 1000.0 / nQ257 else -1.0),
+        "m1_batch_serve_amortization_x_b257" ->
+          (if (tBatch257 > 0 && nQ257 > 0) nQ257 * tPruned / tBatch257
+           else -1.0))
+
+      // COMPACTION READ-AMPLIFICATION A/B (the q342 policy's physics,
+      // measured at 1M code rows): the SAME codes served from 8 delta
+      // segments (8 pruned scans + union per search — the accumulated-
+      // deltas state a size-tiered policy exists to bound) vs from the
+      // folded single generation (q146's copy-codes rewrite, timed as
+      // m1_compact_fold_sec). Same probes, same ADC, same answer —
+      // only the layout differs.
+      {
+        val nSegs = 8
+        val codesAll = spark.read.parquet(partPath)
+          .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+        val segPaths = (0 until nSegs).map { j =>
+          val p = graft.operators.Formats.scratchDir(
+            s"graft_compact_seg$j", sfDir)
+          codesAll.where(pmod(col("vec_id"), lit(nSegs)) === j)
+            .write.partitionBy("cell").mode("overwrite").parquet(p)
+          p
+        }
+        val foldPath = graft.operators.Formats.scratchDir(
+          "graft_compact_folded", sfDir)
+        val (_, tFold) = time(
+          segPaths.map(p => IvfPq.readSegment(spark, p)).reduce(_ union _)
+            .write.partitionBy("cell").mode("overwrite").parquet(foldPath))
+        def searchOver(paths: Seq[String])(): Long =
+          IvfPq.adcCandidates(spark, paths, probes).collect().length.toLong
+        val tMulti = median5(searchOver(segPaths))
+        val tFolded = median5(searchOver(Seq(foldPath)))
+        out ++= Seq(
+          "m1_compact_segments_n" -> nSegs.toDouble,
+          "m1_compact_fold_sec" -> tFold,
+          "m1_compact_multiseg_search_sec" -> tMulti,
+          "m1_compact_folded_search_sec" -> tFolded,
+          "m1_compact_read_amp_x" ->
+            (if (tFolded > 0) tMulti / tFolded else -1.0))
+      }
     }
     vecs.unpersist()
     out.toSeq

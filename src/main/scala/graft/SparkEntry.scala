@@ -58,6 +58,7 @@ object SparkEntry {
       operators.ModelQueries.all ++
       operators.PgRender.all ++
       operators.Serving.all ++
+      operators.Compaction.all ++
       operators.PhraseSearch.all ++
       operators.Apss.all ++
       operators.PrioritySample.all ++
