@@ -525,6 +525,22 @@ object Dedup {
     * 100 TB: the value relation is one hash aggregate over the
     * fingerprints the dedup pass already computes; the band exchange
     * carries (band, 8-byte value, count) rows — entropy-bounded. */
+  /** The q337 value census + banded near-miss pairs, factored for the
+    * q343 clustering composer. */
+  private def simhashValueCensus(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.documents(s, d).select(
+      org.apache.spark.sql.graftshim.SimHashMd5(
+        TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
+      .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // hash once; the value relation IS the index
+
+  private def simhashValuePairs(vals: DataFrame): DataFrame =
+    BandedHamming.nearMissPairs(vals,
+      idCols = Seq("simhash"), fpCols = Seq("simhash"),
+      bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
+      carry = Seq("n_docs"), hMax = simhashHammingMax)
+
   val qSimhashNearDup: GraftQuery = GraftQuery(
     "q337_simhash_neardup_values",
     s"""WITH $simhashMd5Ctes,
@@ -538,18 +554,89 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash))
        |  BETWEEN 1 AND $simhashHammingMax
        |ORDER BY fp_a, fp_b""".stripMargin) { (s, d) =>
-    val vals = Tables.documents(s, d).select(
-      org.apache.spark.sql.graftshim.SimHashMd5(
-        TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
-      .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint() // hash once; the value relation IS the index
-    BandedHamming.nearMissPairs(vals,
-      idCols = Seq("simhash"), fpCols = Seq("simhash"),
-      bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
-      carry = Seq("n_docs"), hMax = simhashHammingMax)
+    simhashValuePairs(simhashValueCensus(s, d))
       .select(col("simhash_a").as("fp_a"), col("simhash_b").as("fp_b"),
         col("hamming"), col("n_docs_a"), col("n_docs_b"))
       .orderBy("fp_a", "fp_b")
+  }
+
+  /** Value-node component labels for q343, built once per (session,
+    * corpus); the persisted label relation is released on eviction. */
+  private val simhashClusterIndex =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "dedup.simhashValueCC")(_.unpersist(): Unit)
+
+  /** NEAR-MISS CLUSTERS AT THE VALUE GRAIN — the q77 composition on
+    * q337's output: near-miss is transitive in effect (A≈B and B≈C
+    * put all three variants of one document family in play even when
+    * hamming(A,C) > the pair bound), so curation acts on CLUSTERS.
+    * Nodes are distinct simhash VALUES, edges the q337 banded pairs,
+    * labels from the same iterative min-label propagation as q77 —
+    * but over a value graph bounded by hash entropy, never corpus
+    * size. Each value carries its census, so the output reads as the
+    * DOC MASS per perceptual cluster (n_values variants, cluster_docs
+    * total documents) — the number a dedup pass actually budgets
+    * against. Singleton values (no near-miss edge) are their own
+    * clusters, so the census re-sums to the corpus.
+    *
+    * Oracle: DuckDB recursive-CTE transitive closure over the
+    * all-pairs value edges (the q77 discipline) — the hash match
+    * proves banded pairs + distributed label propagation compose to
+    * the same partition as brute-force reachability.
+    *
+    * 100 TB: the CC loop runs over |near-miss values| nodes — the
+    * tiny tail of the value census — while the doc mass rides along
+    * as an integer sum; no doc-grain row ever enters the loop. */
+  val qSimhashNearDupClusters: GraftQuery = GraftQuery(
+    "q343_simhash_neardup_clusters",
+    s"""WITH RECURSIVE $simhashMd5Ctes,
+       |svals AS (
+       |  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM sh GROUP BY simhash),
+       |vpairs AS (
+       |  SELECT a.simhash AS fp_a, b.simhash AS fp_b
+       |  FROM svals a JOIN svals b ON a.simhash < b.simhash
+       |  WHERE bit_count(xor(a.simhash, b.simhash))
+       |    BETWEEN 1 AND $simhashHammingMax),
+       |vedges AS (
+       |  SELECT fp_a AS a, fp_b AS b FROM vpairs
+       |  UNION ALL SELECT fp_b, fp_a FROM vpairs),
+       |vreach(n, m) AS (
+       |  SELECT a, b FROM vedges
+       |  UNION
+       |  SELECT r.n, e.b FROM vreach r JOIN vedges e ON r.m = e.a),
+       |vlbl AS (
+       |  SELECT n AS simhash, least(n, MIN(m)) AS cluster_id
+       |  FROM vreach GROUP BY n),
+       |full_lbl AS (
+       |  SELECT v.simhash, COALESCE(l.cluster_id, v.simhash) AS cluster_id,
+       |    v.n_docs
+       |  FROM svals v LEFT JOIN vlbl l ON l.simhash = v.simhash)
+       |SELECT simhash, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS n_values,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_docs
+       |FROM full_lbl
+       |ORDER BY simhash""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vals = simhashValueCensus(s, d)
+    // the pair relation is checkpointed so the CC loop's lineage roots
+    // HERE: the loop's generation-release (Checkpoints.release) frees
+    // every LogicalRDD leaf under the label lineage, and without the
+    // barrier that includes the census checkpoint the final join
+    // still needs (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND otherwise)
+    val labels = simhashClusterIndex.getOrElseUpdate(s, d)(
+      connectedComponents(simhashValuePairs(vals)
+        .select(col("simhash_a").as("doc_a"), col("simhash_b").as("doc_b"))
+        .localCheckpoint()))
+    val w = Window.partitionBy("cluster_id")
+    vals.join(labels.withColumnRenamed("node", "simhash"), Seq("simhash"), "left")
+      .select(col("simhash"),
+        coalesce(col("label"), col("simhash")).as("cluster_id"),
+        col("n_docs"))
+      .withColumn("n_values", count(lit(1)).over(w).cast("int"))
+      .withColumn("cluster_docs", sum(col("n_docs")).over(w).cast("long"))
+      .select("simhash", "cluster_id", "n_values", "cluster_docs")
+      .orderBy("simhash")
   }
 
   /** Connected components over an undirected edge list by iterative
@@ -1335,7 +1422,7 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
-    qSimhashNearDup,
+    qSimhashNearDup, qSimhashNearDupClusters,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
     qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain,
     qContainmentPairs, qContainmentSkew, qEffectiveSize, qDeletePropagation)

@@ -537,4 +537,40 @@ class DedupSpec extends SparkSpecBase {
     // corpus has multi-doc simhash values (exact-dup text clusters)
     assert(vals.map(_._2).max > 1)
   }
+
+  test("q343: value-grain clusters equal a driver-side union-find; doc mass conserves") {
+    val pairs = SparkEntry.queries("q337_simhash_neardup_values")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val census = SparkEntry.queries("q29_dedup_simhash")(spark, sf001)
+      .collect().map(_.getLong(1))
+      .groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    // independent union-find over the pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantLabel = census.keys.map(v => v -> find(v)).toMap
+    // min-label canonicalization: the cluster id is the min member
+    val canon = wantLabel.groupBy(_._2).flatMap { case (_, m) =>
+      val minV = m.keys.min; m.keys.map(_ -> minV)
+    }
+    val got = SparkEntry.queries("q343_simhash_neardup_clusters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3)))
+    assert(got.map(g => g._1 -> g._2).toMap == canon,
+      "distributed labels must equal brute-force reachability")
+    // doc mass conserves: per-value census rides into cluster_docs,
+    // and summing one row per cluster re-totals the corpus
+    val docsN = census.values.sum
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.groupBy(_._2).map(_._2.head._4).sum == docsN)
+    // a genuine multi-value cluster exists (near-miss is transitive
+    // in effect — that is what the cluster tier is FOR)
+    assert(got.exists(_._3 > 1))
+  }
 }
