@@ -592,7 +592,9 @@ object IvfPq {
     import org.apache.spark.sql.graftshim.TopKByScore
     val (cand, nQ) = serveCandidates(s, paths, centroids, queries, codebook,
       maxBroadcastQueries, probes, adcCands, metric, queryCountHint)
-    val budget = broadcastBudgetBytes(maxBroadcastQueries, probes)
+    val budget =
+      if (nQ > maxBroadcastQueries) -1L // capped count — never broadcast
+      else broadcastBudgetBytes(maxBroadcastQueries, probes)
     // 4. exact re-rank, DISTRIBUTED: candidates equi-join the vectors
     //    table — one narrow corpus probe amortized over all queries,
     //    zero per-query collects. Each broadcast is gated on ITS OWN
@@ -628,7 +630,12 @@ object IvfPq {
     maxBroadcastQueries * probes * (24L + 8L * PqAnn.dims)
 
   /** Per-relation broadcast gate: broadcast iff the relation's
-    * estimated size fits the budget; plain (shuffle) join otherwise. */
+    * estimated size fits the budget; plain (shuffle) join otherwise.
+    * `rows` MUST be an exact (or over-) estimate: the caller's query
+    * count saturates at budget+1 when the gating count was capped, so
+    * every gate is additionally disabled outright past the query
+    * budget (see the `overBudget` guards) — a capped count must never
+    * masquerade as a small relation. */
   private def sizeGate(rows: Long, bytesPerRow: Long, budgetBytes: Long):
       org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
     if (rows * bytesPerRow <= budgetBytes) broadcast else identity
@@ -665,7 +672,9 @@ object IvfPq {
       queries.limit(math.min(maxBroadcastQueries,
         Int.MaxValue.toLong - 1).toInt + 1).count())
     val useBroadcast = nQ <= maxBroadcastQueries
-    val budget = broadcastBudgetBytes(maxBroadcastQueries, probes)
+    val budget =
+      if (useBroadcast) broadcastBudgetBytes(maxBroadcastQueries, probes)
+      else -1L // capped count — never broadcast below
     // routing score: higher = closer under the serving metric
     val routeScore = metric match {
       case "cos" => CosineSimilarity(col("q_emb"), col("centroid"))

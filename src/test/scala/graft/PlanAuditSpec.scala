@@ -444,6 +444,10 @@ class PlanAuditSpec extends SparkSpecBase {
     //    serves through the q303 plan.
     //  - q332: q327's planner CTEs selected by scan budget — the same
     //    bounded eval/stitch cross joins.
+    //  - q340: q327's planner eval over the HASH-SAMPLED query log —
+    //    the same bounded exact-ground-truth/routing/stitch cross
+    //    joins, at |sample|×|corpus| instead of |log|×|corpus| (which
+    //    is the point of the sampled mode).
     //  - q330: q134's two bounded-pool shapes (1-row BM25 stats, one
     //    broadcast query vector × corpus) plus the query vector
     //    cross-joined onto the ≤128-row pool for pairwise scoring.
@@ -472,7 +476,8 @@ class PlanAuditSpec extends SparkSpecBase {
         "q309_batch_serve_segmented", "q319_contrastive_triplets",
         "q324_batch_serve_recall", "q326_dedup_aware_mix",
         "q327_nprobe_planner", "q328_planned_batch_serve",
-        "q330_cross_encoder_rerank", "q332_scan_budget_planner")
+        "q330_cross_encoder_rerank", "q332_scan_budget_planner",
+        "q340_nprobe_planner_sampled")
     SparkEntry.catalog.filter(_.oracle.nonEmpty)
       .filterNot(q => intentionallyExhaustive(q.name)).foreach { q =>
         val p = SparkEntry.queries(q.name)(spark, sf001)
