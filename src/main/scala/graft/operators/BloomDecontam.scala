@@ -131,8 +131,15 @@ object BloomDecontam {
        |SELECT doc_id, 1 AS hop FROM hop1
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // the seed relation is benchmark-overlap-sized and referenced FIVE
+    // times below (two broadcast joins, an anti join, the union) —
+    // materialize it once: without the barrier every reference embeds
+    // the 512 KiB bloom-sketch literal in its subtree, the rendered
+    // plan hits 10.5 MB (maxPlanStringLength truncation WARN), and
+    // each stage's task binary re-ships the sketch
     val seeds = contaminatedDocs(s, d)
       .select(col("train_doc").as("doc_id")).distinct()
+      .localCheckpoint()
     val ver = Dedup.withJaccardToks(
       Dedup.candidatePairsFromBands(Dedup.indexedBands(s, d)),
       Dedup.indexedShingleSets(s, d))
