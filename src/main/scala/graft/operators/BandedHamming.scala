@@ -124,6 +124,11 @@ object BandedHamming {
     * extension is masked off, so bit 63 is safe. */
   def fixedBands(c: Column, n: Int, width: Int): Seq[Column] = {
     require(n * width <= 64, s"$n bands of $width bits exceed one BIGINT")
+    // width = 64 would make the mask (1L << 64) - 1 == 0 (JVM shifts
+    // are mod 64): every row lands in one constant bucket and the
+    // candidate join degenerates to the all-pairs product — and a
+    // single full-word band could never be lossless anyway
+    require(width < 64, "a full-word band cannot mask (and cannot be lossless)")
     (0 until n).map(j =>
       shiftright(c, j * width).bitwiseAND(lit((1L << width) - 1)))
   }

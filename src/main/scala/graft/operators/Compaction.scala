@@ -54,12 +54,13 @@ object Compaction {
        |WHEN $v < 16 THEN 3 WHEN $v < 32 THEN 4 WHEN $v < 64 THEN 5
        |ELSE 6 END""".stripMargin.replace('\n', ' ')
 
-  /** Exact-integer ⌊log₄ n⌋ size tier (thresholds 4^k, n ≥ 1). */
+  /** Exact-integer ⌊log₄ n⌋ size tier (thresholds 4^k, n ≥ 1) — the
+    * generated CASE covers every BIGINT count (4^31 = 2^62 > any row
+    * count), so a huge segment can never saturate into a small
+    * segment's tier and get folded with peers ~4^k× smaller. */
   private def tierCase(v: String): String =
-    s"""CASE WHEN $v < 4 THEN 0 WHEN $v < 16 THEN 1 WHEN $v < 64 THEN 2
-       |WHEN $v < 256 THEN 3 WHEN $v < 1024 THEN 4 WHEN $v < 4096 THEN 5
-       |WHEN $v < 16384 THEN 6 WHEN $v < 65536 THEN 7 ELSE 8 END"""
-      .stripMargin.replace('\n', ' ')
+    (1 to 31).map(k => s"WHEN $v < ${1L << (2 * k)} THEN ${k - 1}")
+      .mkString("CASE ", " ", " ELSE 31 END")
 
   /** The fixture's segment id for a delta row. */
   private[operators] def segIdExpr: Column =

@@ -525,6 +525,25 @@ object Dedup {
     * 100 TB: the value relation is one hash aggregate over the
     * fingerprints the dedup pass already computes; the band exchange
     * carries (band, 8-byte value, count) rows — entropy-bounded. */
+  /** The ONE oracle statement of the q337/q343 value-pair semantics
+    * (appended after [[simhashMd5Ctes]]): the simhash value census,
+    * then ALL-PAIRS near-miss value pairs at hamming
+    * 1..[[simhashHammingMax]], each side carrying its census count —
+    * q337 selects it directly; q343 closes it transitively. One
+    * string, so the pair definition cannot silently diverge between
+    * the two oracles. */
+  private def simhashValuePairsCtes: String =
+    s"""svals AS (
+       |  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM sh GROUP BY simhash),
+       |vpairs AS (
+       |  SELECT a.simhash AS fp_a, b.simhash AS fp_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+       |  FROM svals a JOIN svals b ON a.simhash < b.simhash
+       |  WHERE bit_count(xor(a.simhash, b.simhash))
+       |    BETWEEN 1 AND $simhashHammingMax)""".stripMargin
+
   /** The q337 value census + banded near-miss pairs, factored for the
     * q343 clustering composer. */
   private def simhashValueCensus(s: org.apache.spark.sql.SparkSession,
@@ -544,15 +563,9 @@ object Dedup {
   val qSimhashNearDup: GraftQuery = GraftQuery(
     "q337_simhash_neardup_values",
     s"""WITH $simhashMd5Ctes,
-       |svals AS (
-       |  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
-       |  FROM sh GROUP BY simhash)
-       |SELECT a.simhash AS fp_a, b.simhash AS fp_b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
-       |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
-       |FROM svals a JOIN svals b ON a.simhash < b.simhash
-       |WHERE bit_count(xor(a.simhash, b.simhash))
-       |  BETWEEN 1 AND $simhashHammingMax
+       |$simhashValuePairsCtes
+       |SELECT fp_a, fp_b, hamming, n_docs_a, n_docs_b
+       |FROM vpairs
        |ORDER BY fp_a, fp_b""".stripMargin) { (s, d) =>
     simhashValuePairs(simhashValueCensus(s, d))
       .select(col("simhash_a").as("fp_a"), col("simhash_b").as("fp_b"),
@@ -590,14 +603,7 @@ object Dedup {
   val qSimhashNearDupClusters: GraftQuery = GraftQuery(
     "q343_simhash_neardup_clusters",
     s"""WITH RECURSIVE $simhashMd5Ctes,
-       |svals AS (
-       |  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
-       |  FROM sh GROUP BY simhash),
-       |vpairs AS (
-       |  SELECT a.simhash AS fp_a, b.simhash AS fp_b
-       |  FROM svals a JOIN svals b ON a.simhash < b.simhash
-       |  WHERE bit_count(xor(a.simhash, b.simhash))
-       |    BETWEEN 1 AND $simhashHammingMax),
+       |$simhashValuePairsCtes,
        |vedges AS (
        |  SELECT fp_a AS a, fp_b AS b FROM vpairs
        |  UNION ALL SELECT fp_b, fp_a FROM vpairs),

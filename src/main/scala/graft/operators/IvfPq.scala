@@ -1058,6 +1058,19 @@ object IvfPq {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftshim.{CosineSimilarity, TopKByScore}
+    // the eval is |Q|×|corpus| brute force BY DEFINITION and both of
+    // its cross joins broadcast the query sample (a driver-side
+    // build). That is the design for a BOUNDED eval set — the stride
+    // eval, the q340 hash sample — so a data-sized query relation is
+    // REFUSED loudly here instead of OOMing the driver mid-build:
+    // lower the sample gate or eval in batches. One bounded count per
+    // (session, corpus, variant) — the curves are memoized.
+    val evalBudget = 100000L
+    val nEval = queries.limit(evalBudget.toInt + 1).count()
+    require(nEval <= evalBudget,
+      s"planner eval sample holds > $evalBudget queries; the exact " +
+        "ground-truth pass broadcasts the sample — lower the hash-sample " +
+        "gate (plannerSampleGate) or evaluate in batches")
     val emb = Tables.embeddings(s, d)
     val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
       .select(col("cell").cast("long").as("cell"), col("centroid"))

@@ -27,7 +27,7 @@ object PlanSizeProbe {
     sizes.sortBy(-_._2).takeWhile(_._2 >= minBytes).foreach { case (n, s) =>
       println(f"PLANSIZE $s%9d  $n")
     }
-    println(s"PLANSIZE_DONE max=${sizes.map(_._2).max}")
+    println(s"PLANSIZE_DONE max=${sizes.map(_._2).maxOption.getOrElse(0)}")
     spark.stop()
   }
 }
