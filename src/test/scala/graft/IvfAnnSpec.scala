@@ -185,6 +185,43 @@ class IvfAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("serve-path broadcast gates are per-relation: over-budget never broadcasts, deep pools fall back selectively") {
+    import graft.operators.IvfPq
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val path = IvfPq.codesSegment(spark, sf001, "full",
+      IvfAnn.assign(emb, centroids))
+    val queries = emb.where(pmod(col("vec_id"), lit(97L)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // the gates control FORCED broadcast hints (Spark's own
+    // stats-based auto-broadcast is size-aware by definition and may
+    // legitimately fire on this tiny fixture) — so count the hints in
+    // the optimized logical plan, not BroadcastExchange nodes
+    def forcedBroadcasts(maxQ: Long, adcCands: Int): Int = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+      IvfPq.batchServe(spark, Seq(path), centroids, queries, emb,
+        maxBroadcastQueries = maxQ, adcCands = adcCands)
+        .queryExecution.optimizedPlan.collect {
+          case j: Join => Seq(j.hint.leftHint, j.hint.rightHint)
+            .flatten.count(_.strategy.contains(BROADCAST))
+        }.sum
+    }
+    val base = forcedBroadcasts(100000L, 50)
+    assert(base >= 3, s"default serve must force its bounded broadcasts, got $base")
+    // under the query budget with a DEEP candidate pool, exactly the
+    // candidate relation's gate flips to shuffle — per-relation
+    // gating, not all-or-nothing
+    assert(forcedBroadcasts(100000L, 40000000) == base - 1,
+      "a deep candidate pool must drop exactly the candidate broadcast")
+    // past the query budget the capped count must disable every
+    // query-scaled broadcast (a capped count must never masquerade as
+    // a small relation); the one survivor is the |cells|-bounded
+    // centroid routing broadcast, which never scales with queries
+    assert(forcedBroadcasts(2L, 50) <= 1,
+      "over-budget serve must not force query-scaled broadcasts")
+  }
+
   test("q340 sampled planner: recall estimate tracks the full-log exact curve") {
     import graft.operators.IvfPq
     import graft.sources.Tables
