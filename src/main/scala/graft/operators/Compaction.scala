@@ -63,7 +63,7 @@ object Compaction {
       .mkString("CASE ", " ", " ELSE 31 END")
 
   /** The fixture's segment id for a delta row. */
-  private[operators] def segIdExpr: Column =
+  private[graft] def segIdExpr: Column =
     expr(segCase("(pmod(vec_id div 5, 64) + 1)"))
 
   /** Build (or reuse) the seven size-varied delta segments; returns
@@ -79,6 +79,22 @@ object Compaction {
         IvfAnn.assign(delta.where(col("__seg") === j)
           .select("vec_id", "embedding"), cents))
     }
+  }
+
+  /** The tier/fold decision over a (seg_id, n_rows) census — factored
+    * so the batch policy (q342) and its streaming maintenance (q344)
+    * share one arithmetic. */
+  private[graft] def policyFromCensus(census: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    census
+      .withColumn("tier", expr(tierCase("n_rows")).cast("int"))
+      .withColumn("n_in_tier",
+        count(lit(1)).over(Window.partitionBy("tier")))
+      .select(col("seg_id").cast("int").as("seg_id"), col("n_rows"),
+        col("tier"), col("n_in_tier"),
+        (col("n_in_tier") >= minThreshold).as("fold"))
+      .orderBy("seg_id")
   }
 
   val qCompactionPolicy: GraftQuery = GraftQuery(
@@ -99,7 +115,6 @@ object Compaction {
        |  COUNT(*) OVER (PARTITION BY tier) >= $minThreshold AS fold
        |FROM tiered
        |ORDER BY seg_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val paths = sizedSegments(s, d)
     // census over the REAL persisted segments: one narrow codes scan
     // per segment (bounded: nSegs segments), map-side-combined counts
@@ -107,14 +122,7 @@ object Compaction {
       IvfPq.readSegment(s, p).select(lit(j).as("seg_id"))
     }.reduce(_ union _)
       .groupBy("seg_id").agg(count(lit(1)).as("n_rows"))
-    census
-      .withColumn("tier", expr(tierCase("n_rows")).cast("int"))
-      .withColumn("n_in_tier",
-        count(lit(1)).over(Window.partitionBy("tier")))
-      .select(col("seg_id").cast("int").as("seg_id"), col("n_rows"),
-        col("tier"), col("n_in_tier"),
-        (col("n_in_tier") >= minThreshold).as("fold"))
-      .orderBy("seg_id")
+    policyFromCensus(census)
   }
 
   def all: Seq[GraftQuery] = Seq(qCompactionPolicy)

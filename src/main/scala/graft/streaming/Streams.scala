@@ -651,6 +651,57 @@ object Streams {
     streamPlannedServe(s, d)
   }
 
+  /** STREAMING COMPACTION-POLICY MAINTENANCE — q342's decision kept
+    * warm as delta rows ARRIVE: the segment-size census is a MONOID
+    * (counts add), so each micro-batch appends one bounded partial
+    * census row per segment it touched (batchId-keyed overwrite — the
+    * q147 replay-idempotent shape), and the policy re-evaluates from
+    * the summed census after any trigger. This is how a long-running
+    * ingest tier decides when to fold WITHOUT rescanning segments:
+    * per trigger the work is one tiny aggregate over the arriving
+    * batch; the durable state is ≤ nSegs rows per trigger. The
+    * drained policy is the q342 batch answer — the oracle is q342's
+    * SQL VERBATIM, so the hash match proves the monoid maintenance
+    * and the batch census make the same decision under any arrival
+    * slicing.
+    *
+    * 100 TB: the census partials never touch segment bytes — the
+    * arriving rows are classified by the same segment rule that
+    * routed them to disk, and the policy reads |segments| rows. */
+  def streamCompactionPolicy(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.Compaction
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_compact_census", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readEmbeddingsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("vec_id"), lit(5)) === 4)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            batch.toDF()
+              .withColumn("seg_id", Compaction.segIdExpr)
+              .groupBy("seg_id").agg(count(lit(1)).as("n_partial"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val census = spark.read.parquet(outDir)
+      .groupBy("seg_id").agg(sum("n_partial").as("n_rows"))
+    Compaction.policyFromCensus(census)
+  }
+
+  val qStreamCompactionPolicy: GraftQuery = GraftQuery(
+    "q344_stream_compaction_policy",
+    graft.operators.Compaction.qCompactionPolicy.oracle.get) { (s, d) =>
+    streamCompactionPolicy(s, d)
+  }
+
   /** STREAMING HARD-NEGATIVE MINING: q199's per-anchor argmax
     * maintained as candidate vectors ARRIVE. Argmax under the
     * (cos desc, id asc) total order is a MONOID — the fold of
@@ -2021,6 +2072,6 @@ object Streams {
       qStreamStreamLeftJoin, qStreamFunnel, qStreamOlsTrend,
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
       qStreamCdcCensus, qStreamBatchServe, qStreamPlannedServe,
-      qStreamHardNegatives,
+      qStreamCompactionPolicy, qStreamHardNegatives,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps)
 }

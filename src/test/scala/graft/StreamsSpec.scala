@@ -345,6 +345,23 @@ class StreamsSpec extends SparkSpecBase {
       "per-trigger planned serving must equal the batch planned serve")
   }
 
+  test("q344: multi-trigger census partials drain to q342's batch decision") {
+    // 3 staged files + maxFilesPerTrigger=1 → the delta population
+    // arrives across several triggers, each appending one bounded
+    // partial census; the summed census must make the SAME fold/keep
+    // decision as the batch policy over the persisted segments
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_compact").toString
+    graft.sources.Tables.embeddings(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamCompactionPolicy(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q342_compaction_policy")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "streamed census maintenance must reach the batch compaction decision")
+  }
+
   test("q147 replay: re-delivered micro-batch is idempotent (at-least-once recovery)") {
     // drain the single-staging ingest, then simulate the recovery path:
     // foreachBatch re-delivers the last checkpointed batch
