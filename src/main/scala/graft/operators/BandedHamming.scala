@@ -66,6 +66,15 @@ object BandedHamming {
     * @param informativeBand optional filter over (row columns,
     *                   `band_idx`) masking padding bands out of the
     *                   candidate join
+    * @param rowsB      optional SECOND relation (same schema contract)
+    *                   for the CROSS-CORPUS form — e.g. an arriving
+    *                   batch's values (`rows`, the `_a` side) probed
+    *                   against a persisted corpus value index (the
+    *                   `_b` side), the q94 incremental-dedup shape.
+    *                   Pairs are (a, b) with no lexicographic dedup
+    *                   (the sides are distinct universes), and callers
+    *                   typically pass hMin = 0: an exact value match
+    *                   against the index is the strongest signal
     * @return one row per near-miss pair: eqKeys once, then `_a`/`_b`
     *         suffixed idCols ∪ fpCols ∪ carry, then `hamming` (INT);
     *         unordered — callers sort for their oracle
@@ -79,19 +88,22 @@ object BandedHamming {
       carry: Seq[String] = Nil,
       informativeBand: Option[Column] = None,
       hMin: Int = 1,
-      hMax: Int = 3): DataFrame = {
+      hMax: Int = 3,
+      rowsB: Option[DataFrame] = None): DataFrame = {
     require(bandExprs.size > hMax,
       s"${bandExprs.size} bands cannot be lossless at hamming $hMax " +
         "(pigeonhole needs at least hMax+1 disjoint bands)")
     val keep = (idCols ++ fpCols ++ carry).distinct
-    val exploded = rows.select(
-      (eqKeys ++ keep).map(col) :+ posexplode(array(bandExprs: _*)): _*)
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band")
-    val bands = informativeBand.map(exploded.where).getOrElse(exploded)
-    val aSide = keep.foldLeft(bands)(
+    def exploded(r: DataFrame): DataFrame = {
+      val e = r.select(
+        (eqKeys ++ keep).map(col) :+ posexplode(array(bandExprs: _*)): _*)
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band")
+      informativeBand.map(e.where).getOrElse(e)
+    }
+    val aSide = keep.foldLeft(exploded(rows))(
       (df, c) => df.withColumnRenamed(c, s"${c}_a"))
-    val bSide = (keep ++ eqKeys).foldLeft(bands)(
+    val bSide = (keep ++ eqKeys).foldLeft(exploded(rowsB.getOrElse(rows)))(
       (df, c) => df.withColumnRenamed(c, s"${c}_b"))
       .withColumnRenamed("band_idx", "band_idx_b")
       .withColumnRenamed("band", "band_b")
@@ -99,7 +111,9 @@ object BandedHamming {
       col("band_idx") === col("band_idx_b"),
       col("band") === col("band_b")) ++
       eqKeys.map(k => col(k) === col(s"${k}_b"))).reduce(_ && _)
-    // strict lexicographic order over idCols: every pair once
+    // self-join form: strict lexicographic order over idCols emits
+    // every pair once; cross-corpus form: the sides are distinct
+    // universes, every (a, b) pair stands
     val lexLt = idCols.indices.map { i =>
       idCols.take(i)
         .map(c => col(s"${c}_a") === col(s"${c}_b"))
@@ -110,8 +124,8 @@ object BandedHamming {
       .reduce(_ + _).cast("int")
     val pairCols = eqKeys.map(col) ++
       keep.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b")))
-    aSide.join(bSide, joinCond)
-      .where(lexLt)
+    val joined = aSide.join(bSide, joinCond)
+    (if (rowsB.isEmpty) joined.where(lexLt) else joined)
       .select(pairCols: _*)
       .distinct()
       .withColumn("hamming", hamming)

@@ -573,6 +573,68 @@ object Dedup {
       .orderBy("fp_a", "fp_b")
   }
 
+  /** Per-split simhash value census (the q337 census restricted to a
+    * document predicate) — the batch/corpus halves of q345. */
+  private def simhashValueCensusWhere(s: org.apache.spark.sql.SparkSession,
+      d: String, cond: Column): DataFrame =
+    Tables.documents(s, d).where(cond).select(
+      org.apache.spark.sql.graftshim.SimHashMd5(
+        TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
+      .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
+
+  /** The CORPUS simhash value index, persisted once per (session,
+    * corpus) — what a production tier keeps next to the corpus so
+    * arriving batches never re-hash it (the q94 posture). */
+  private val simhashCorpusIndex =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "dedup.simhashCorpusVals")(_.unpersist(): Unit)
+
+  /** INCREMENTAL SIMHASH NEAR-MISS — the q94 batch-vs-corpus shape on
+    * the value grain: an arriving batch's distinct simhash values are
+    * probed against the PERSISTED corpus value index through the same
+    * [[BandedHamming]] banding (its cross-corpus form: batch `_a`
+    * side, corpus `_b` side, no lexicographic dedup — the sides are
+    * distinct universes). hMin = 0: an exact value hit against the
+    * index is the strongest admission signal, and the tolerant tier
+    * (1–3 flipped bits) catches the re-worded copies exact hashing
+    * misses. The cost is O(batch values × bucket occupancy) — the
+    * corpus is never re-paired against itself, which is the entire
+    * point of incremental dedup. Oracle: the plain all-pairs
+    * batch×corpus value join, so the hash match proves the banded
+    * cross-corpus candidates are complete. */
+  val qSimhashNearDupBatch: GraftQuery = GraftQuery(
+    "q345_simhash_neardup_batch",
+    s"""WITH $simhashMd5Ctes,
+       |bvals AS (
+       |  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM sh WHERE doc_id % 5 = 4 GROUP BY simhash),
+       |cvals AS (
+       |  SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM sh WHERE doc_id % 5 <> 4 GROUP BY simhash)
+       |SELECT b.simhash AS fp_batch, c.simhash AS fp_corpus,
+       |  CAST(bit_count(xor(b.simhash, c.simhash)) AS INTEGER) AS hamming,
+       |  b.n_docs AS n_docs_batch, c.n_docs AS n_docs_corpus
+       |FROM bvals b JOIN cvals c
+       |  ON bit_count(xor(b.simhash, c.simhash)) <= $simhashHammingMax
+       |ORDER BY fp_batch, fp_corpus""".stripMargin) { (s, d) =>
+    val corpusVals = simhashCorpusIndex.getOrElseUpdate(s, d)(
+      simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+        .persist())
+    val batchVals =
+      simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+        .localCheckpoint()
+    BandedHamming.nearMissPairs(batchVals,
+      idCols = Seq("simhash"), fpCols = Seq("simhash"),
+      bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
+      carry = Seq("n_docs"),
+      hMin = 0, hMax = simhashHammingMax, rowsB = Some(corpusVals))
+      .select(col("simhash_a").as("fp_batch"),
+        col("simhash_b").as("fp_corpus"), col("hamming"),
+        col("n_docs_a").as("n_docs_batch"),
+        col("n_docs_b").as("n_docs_corpus"))
+      .orderBy("fp_batch", "fp_corpus")
+  }
+
   /** Value-node component labels for q343, built once per (session,
     * corpus); the persisted label relation is released on eviction. */
   private val simhashClusterIndex =
@@ -1428,7 +1490,7 @@ object Dedup {
 
   def all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupMinhashBuckets, qDedupMinhashPairs, qDedupSimhash,
-    qSimhashNearDup, qSimhashNearDupClusters,
+    qSimhashNearDup, qSimhashNearDupClusters, qSimhashNearDupBatch,
     qDedupComponents, qDedupMinhash8x4, qDedupBatchVsCorpus, qSourceOverlap,
     qClusterRepresentatives, qEditDistPairs, qLshPlanner, qDupExplain,
     qContainmentPairs, qContainmentSkew, qEffectiveSize, qDeletePropagation)

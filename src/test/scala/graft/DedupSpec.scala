@@ -538,6 +538,29 @@ class DedupSpec extends SparkSpecBase {
     assert(vals.map(_._2).max > 1)
   }
 
+  test("q345: cross-corpus banded candidates are complete, include exact hits, and never pair the corpus with itself") {
+    val hashes = SparkEntry.queries("q29_dedup_simhash")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def census(p: Long => Boolean) = hashes.filter(t => p(t._1))
+      .groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val bv = census(_ % 5 == 4)
+    val cv = census(_ % 5 != 4)
+    val want = (for {
+      (fb, nb) <- bv; (fc, nc) <- cv
+      h = java.lang.Long.bitCount(fb ^ fc)
+      if h <= Dedup.simhashHammingMax
+    } yield (fb, fc, h, nb, nc)).toSet
+    val got = SparkEntry.queries("q345_simhash_neardup_batch")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == want,
+      s"cross banding missed ${(want -- got).size} / ${(got -- want).size} extra")
+    // hMin = 0 admits exact index hits — the fixture's exact-dup text
+    // clusters must straddle the split for the tier to mean anything
+    assert(got.exists(_._3 == 0), "exact value hits must surface")
+    assert(got.exists(_._3 > 0), "tolerant hits must surface")
+  }
+
   test("q343: value-grain clusters equal a driver-side union-find; doc mass conserves") {
     val pairs = SparkEntry.queries("q337_simhash_neardup_values")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
