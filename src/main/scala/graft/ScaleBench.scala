@@ -1616,6 +1616,60 @@ object ScaleBench {
           "m1_compact_read_amp_x" ->
             (if (tFolded > 0) tMulti / tFolded else -1.0))
       }
+
+      // VALUE-GRAIN vs DOC-GRAIN near-miss A/B (the q334/q337 census
+      // claim, measured): 100k docs over 2k distinct fingerprints (50
+      // docs/value — collision-heavy by construction, every 10th value
+      // a planted 1-bit near-miss of its predecessor). The SAME banded
+      // operator runs at both grains; the doc grain multiplies every
+      // value match by n_a·n_b inside the candidate join (here 20M
+      // candidate rows before dedup), while the value grain's join is
+      // bounded by hash entropy. The doc-grain pair count must equal
+      // Σ n_a·n_b over the value pairs — the grains carry identical
+      // information; only the cost differs.
+      {
+        import graft.operators.BandedHamming
+        val nDocsVg = 100000L
+        val k = pmod(col("id"), lit(2000L))
+        val kBase = when(pmod(k, lit(10L)) === 1L, k - 1).otherwise(k)
+        val fp = when(pmod(k, lit(10L)) === 1L,
+          expr(s"xxhash64(cast((pmod(id, 2000) - 1) as bigint)) ^ " +
+            "shiftleft(cast(1 as bigint), cast(pmod(pmod(id, 2000), 60) as int))"))
+          .otherwise(xxhash64(kBase))
+        val docsVg = spark.range(nDocsVg)
+          .select(col("id").as("doc_id"), fp.as("fp"))
+          .localCheckpoint()
+        val valsVg = docsVg.groupBy("fp")
+          .agg(count(lit(1)).as("n_docs")).localCheckpoint()
+        val nValsVg = valsVg.count()
+        val bandsVg = BandedHamming.fixedBands(col("fp"), 4, 16)
+        def valueGrain(): Long = BandedHamming.nearMissPairs(valsVg,
+          idCols = Seq("fp"), fpCols = Seq("fp"), bandExprs = bandsVg,
+          carry = Seq("n_docs")).count()
+        def docGrain(): Long = BandedHamming.nearMissPairs(docsVg,
+          idCols = Seq("doc_id"), fpCols = Seq("fp"),
+          bandExprs = bandsVg).count()
+        val nValuePairs = valueGrain() // warm + count
+        val (_, tValue) = time(valueGrain())
+        val nDocPairs = docGrain()
+        val (_, tDoc) = time(docGrain())
+        val docEquiv = BandedHamming.nearMissPairs(valsVg,
+          idCols = Seq("fp"), fpCols = Seq("fp"), bandExprs = bandsVg,
+          carry = Seq("n_docs"))
+          .agg(sum(col("n_docs_a") * col("n_docs_b")))
+          .head().getLong(0)
+        require(nDocPairs == docEquiv,
+          s"grains must carry identical information: doc-grain $nDocPairs " +
+            s"vs value-grain doc-equivalent $docEquiv")
+        out ++= Seq(
+          "m1_valuegrain_docs_n" -> nDocsVg.toDouble,
+          "m1_valuegrain_values_n" -> nValsVg.toDouble,
+          "m1_valuegrain_value_pairs" -> nValuePairs.toDouble,
+          "m1_valuegrain_doc_equiv_pairs" -> docEquiv.toDouble,
+          "m1_valuegrain_sec" -> tValue,
+          "m1_docgrain_sec" -> tDoc,
+          "m1_valuegrain_speedup_x" -> (if (tValue > 0) tDoc / tValue else -1.0))
+      }
     }
     vecs.unpersist()
     out.toSeq
