@@ -1624,9 +1624,93 @@ object Multimodal {
         wideFpCols.map(c => s"${c}_b"))).map(col): _*)
   }
 
+  /** Value-node component labels for q346, built once per (session,
+    * corpus); the persisted label relation is released on eviction. */
+  private val imageClusterIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.imageValueCC")(_.unpersist(): Unit)
+
+  /** IMAGE NEAR-MISS CLUSTERS AT THE VALUE GRAIN — q343's composition
+    * on q334's output, closing the perceptual progression for images
+    * (census q192 → tolerant pairs q334 → transitive clusters): a
+    * re-encoded copy of a re-encoded copy drifts 1 bit per hop, so
+    * curation budgets against the CLUSTER, not the pair. Nodes are
+    * distinct aHash VALUES; because the hash is two 32-bit words and
+    * packing them into one BIGINT would overflow DuckDB's signed
+    * arithmetic, each value's NODE KEY is the census-stable
+    * MIN(doc_id) over its documents — unique per value, oracle-
+    * expressible, and it makes cluster ids directly actionable (the
+    * id IS a representative document). Edges are the q334 banded
+    * pairs; labels from the shared min-label propagation; census
+    * counts ride along so the output reads as doc mass per cluster
+    * and re-sums to the corpus.
+    *
+    * Oracle: recursive-CTE transitive closure over the all-pairs
+    * value edges (the q77/q343 discipline). 100 TB: the CC loop runs
+    * over near-miss VALUES only; the min-doc node key is one exact
+    * aggregate the census pass already pays for. */
+  val qImageNearDupClusters: GraftQuery = GraftQuery(
+    "q346_image_neardup_clusters",
+    s"""WITH RECURSIVE $imageAHashCtes,
+       |ivals AS (
+       |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    MIN(doc_id) AS vid
+       |  FROM ah GROUP BY ahash_hi, ahash_lo),
+       |ipairs AS (
+       |  SELECT a.vid AS vid_a, b.vid AS vid_b
+       |  FROM ivals a JOIN ivals b
+       |    ON (a.ahash_hi < b.ahash_hi OR
+       |        (a.ahash_hi = b.ahash_hi AND a.ahash_lo < b.ahash_lo))
+       |  WHERE CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) AS INTEGER) +
+       |        CAST(bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INTEGER)
+       |    BETWEEN 1 AND $videoHammingMax),
+       |iedges AS (
+       |  SELECT vid_a AS a, vid_b AS b FROM ipairs
+       |  UNION ALL SELECT vid_b, vid_a FROM ipairs),
+       |ireach(n, m) AS (
+       |  SELECT a, b FROM iedges
+       |  UNION
+       |  SELECT r.n, e.b FROM ireach r JOIN iedges e ON r.m = e.a),
+       |ilbl AS (
+       |  SELECT n AS vid, least(n, MIN(m)) AS cluster_id
+       |  FROM ireach GROUP BY n),
+       |ifull AS (
+       |  SELECT v.vid, v.ahash_hi, v.ahash_lo,
+       |    COALESCE(l.cluster_id, v.vid) AS cluster_id, v.n_docs
+       |  FROM ivals v LEFT JOIN ilbl l ON l.vid = v.vid)
+       |SELECT vid, ahash_hi, ahash_lo, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS n_values,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_docs
+       |FROM ifull
+       |ORDER BY vid""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vals = decodeAHashes(imageTable(s, d)).toDF()
+      .groupBy("ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("vid"))
+      .localCheckpoint() // decode once; the value relation IS the index
+    val pairs = BandedHamming.nearMissPairs(vals,
+      idCols = Seq("ahash_hi", "ahash_lo"),
+      fpCols = Seq("ahash_hi", "ahash_lo"),
+      bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
+        BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
+      carry = Seq("vid"), hMax = videoHammingMax)
+      .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
+    val labels = imageClusterIndex.getOrElseUpdate(s, d)(
+      Dedup.connectedComponents(pairs.localCheckpoint()))
+    val w = Window.partitionBy("cluster_id")
+    vals.join(labels.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+      .select(col("vid"), col("ahash_hi"), col("ahash_lo"),
+        coalesce(col("label"), col("vid")).as("cluster_id"), col("n_docs"))
+      .withColumn("n_values", count(lit(1)).over(w).cast("int"))
+      .withColumn("cluster_docs", sum(col("n_docs")).over(w).cast("long"))
+      .select("vid", "ahash_hi", "ahash_lo", "cluster_id",
+        "n_values", "cluster_docs")
+      .orderBy("vid")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
       qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
       qVideoFingerprint, qVideoNearDup, qImageNearDup, qAudioNearDup,
-      qVideoNearDupWide)
+      qVideoNearDupWide, qImageNearDupClusters)
 }

@@ -318,6 +318,40 @@ class MultimodalSpec extends SparkSpecBase {
     assert(audVals.values.max > 1 && imgVals.values.max > 1)
   }
 
+  test("q346: image value clusters equal a driver-side union-find; doc mass conserves") {
+    val rows = Multimodal.decodeAHashes(
+      Multimodal.imageTable(spark, sf001)).collect()
+    val vals = rows.groupBy(r => (r.ahash_hi, r.ahash_lo))
+      .map { case (k, v) => (v.map(_.doc_id).min, k, v.size.toLong) }.toSeq
+    val pairs = for {
+      (va, (ha, la), _) <- vals; (vb, (hb, lb), _) <- vals
+      if ha < hb || (ha == hb && la < lb)
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h >= 1 && h <= Multimodal.videoHammingMax
+    } yield (va, vb)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = vals.map(v => v._1 -> find(v._1)).toMap
+    val canon = roots.groupBy(_._2).flatMap { case (_, m) =>
+      val minV = m.keys.min; m.keys.map(_ -> minV)
+    }
+    val got = SparkEntry.queries("q346_image_neardup_clusters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getInt(4),
+        r.getLong(5)))
+    assert(got.map(g => g._1 -> g._2).toMap == canon,
+      "distributed labels must equal brute-force reachability")
+    assert(got.groupBy(_._2).map(_._2.head._4).sum == rows.length.toLong,
+      "cluster doc mass must re-sum to the corpus")
+    assert(got.exists(_._3 > 1), "a multi-value image cluster must exist")
+  }
+
   test("q336: WIDE banded candidates are complete, and the width fixes the one-sample entropy caveat") {
     // brute-force reference over the collected WIDE fingerprints
     val fps = Multimodal.videoFingerprintsWide(
