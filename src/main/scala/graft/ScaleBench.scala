@@ -1027,10 +1027,17 @@ object ScaleBench {
     // resident 1M-vector caches would fight for memory in the middle
     // of the timings the probe records
     vecs.unpersist()
-    out ++= ivfServeProbe(spark, sfDir, target)
-
     out ++= zorderProbe(spark, sfDir, 4000000, 256)
     out ++= rankProbe(spark, 8000000)
+
+    // the serve probe goes LAST: the driver records only the final
+    // 2000 chars of stdout, so the probe order decides which keys the
+    // recorded artifact carries — and the citable serving claims
+    // (m1_batch_serve_*_trained, *_b257, m1_compact_*,
+    // m1_valuegrain_*) are the keys README/SCALE name. With zorder/
+    // rank emitted first, everything from the trained headline keys
+    // onward fits the tail.
+    out ++= ivfServeProbe(spark, sfDir, target)
 
     out.toSeq
   }
