@@ -33,23 +33,78 @@ import org.apache.spark.sql.functions._
   * zero-padded slice would make every short row a candidate of every
   * other — the degenerate bucket the filter exists to avoid.
   *
+  * == The band-bucket occupancy guard ==
+  *
+  * Banding's cost model assumes sub-band values are well spread: the
+  * candidate count per (eqKeys, band index, band value) bucket is
+  * occupancy² (self form) or occ_a·occ_b (cross form). A LOW-ENTROPY
+  * sub-band breaks that silently — e.g. 8-bit bands over a
+  * near-saturated 32-bit fingerprint space at billions of distinct
+  * values hold ~|values|/256 rows per bucket, quadratic inside
+  * buckets with no visible symptom at test scale. MinHash defends its
+  * buckets by salt-splitting oversize ones (`Dedup.scala`,
+  * q27/q28); pigeonhole FORBIDS splitting a hamming band (two rows
+  * whose only untouched band is salted apart would never meet), so
+  * this operator defends differently:
+  *
+  *   1. before the candidate join, a census over the already-built
+  *      exploded relation measures the maximum bucket occupancy (one
+  *      cheap aggregate — the relation is entropy-bounded at the
+  *      value grain);
+  *   2. within `maxBucketRows`, the plain single-band scheme runs;
+  *   3. past it, the operator escalates to the TWO-BAND CONJUNCTION
+  *      scheme: candidates equi-join on unordered PAIRS of sub-bands
+  *      (C(b,2) composite keys). At hamming h, at most h bands are
+  *      touched, so b−h ≥ 2 untouched bands always contain one
+  *      untouched pair — lossless at hMax ≤ bands − 2, while bucket
+  *      selectivity is squared (two band values must match, so a
+  *      low-entropy band only degrades buckets it shares with
+  *      another low-entropy band);
+  *   4. if conjunction cannot keep losslessness (fewer than hMax+2
+  *      bands — globally, or informative per row) or its census
+  *      STILL exceeds the threshold, the operator refuses loudly
+  *      (the q340 `require` discipline) instead of going quadratic.
+  *
   * 100 TB: the exchange carries (band index, band value, fingerprint)
-  * rows — bytes per row, rows = |input|·|bands|; candidate count
-  * follows bucket occupancy, i.e. hash entropy, never |input|².
+  * rows — bytes per row, rows = |input|·|bands| (·C(b,2)/b under
+  * conjunction); candidate count follows bucket occupancy, i.e. hash
+  * entropy, never |input|², and the guard turns the one silent
+  * failure mode into either a lossless re-plan or a loud refusal.
   * Completeness is proven by the callers' ORACLES, which state the
   * semantics as the plain all-pairs join — the hash match certifies
   * the banded candidate generation found every pair (the q28
   * discipline), and BandedHammingSpec pins the pigeonhole bound with
-  * adversarial planted flips concentrated in single bands.
+  * adversarial planted flips concentrated in single bands, plus the
+  * conjunction escalation against brute force on an adversarially
+  * low-entropy fixture.
   */
 object BandedHamming {
 
+  /** Which candidate-generation scheme an invocation selected —
+    * surfaced through `nearMissPairs`'s `onScheme` hook so specs (and
+    * a production pipeline's metrics) can observe guard decisions. */
+  sealed trait Scheme
+  case object SingleBand extends Scheme
+  case object TwoBandConjunction extends Scheme
+
   /** Near-miss pairs over `rows`.
+    *
+    * ROW CONTRACT (asserted by one aggregate per input relation):
+    * `idCols` must uniquely identify rows — candidate dedup is a
+    * `distinct()` over idCols ∪ fpCols ∪ carry and the self form
+    * drops same-idCols pairs via strict lexicographic order, so a
+    * duplicate idCols row would silently never pair; `carry` must be
+    * functionally dependent on `idCols` — a free carry column would
+    * silently duplicate pairs through the same `distinct()`. Both
+    * hold by construction for every production caller (the value
+    * relations are `groupBy(idCols)` censuses), and the operator
+    * fails loudly if a new caller breaks them. idCols, fpCols and
+    * carry must be non-null.
     *
     * @param rows       fingerprint relation (one row per doc or per
     *                   distinct value; caller pre-materializes if its
     *                   lineage is expensive — the self-join reads it
-    *                   twice)
+    *                   twice and the guard census once more)
     * @param idCols     columns identifying a row; pairs are emitted
     *                   once with sides ordered lexicographically by
     *                   these columns (`_a` side strictly less)
@@ -58,7 +113,8 @@ object BandedHamming {
     * @param bandExprs  disjoint bit-slice expressions over `rows`'s
     *                   columns, together covering every informative
     *                   fingerprint bit; ≥ hMax+1 informative bands per
-    *                   row make the banding lossless
+    *                   row make single-band banding lossless, ≥ hMax+2
+    *                   keep the conjunction escalation available
     * @param eqKeys     extra equality constraints (e.g. the sampled
     *                   frame count for variable-width fingerprints)
     * @param carry      extra columns carried through per side (e.g.
@@ -75,6 +131,16 @@ object BandedHamming {
     *                   (the sides are distinct universes), and callers
     *                   typically pass hMin = 0: an exact value match
     *                   against the index is the strongest signal
+    * @param maxBucketRows occupancy-guard threshold: the largest
+    *                   (eqKeys, band index, band value) bucket the
+    *                   single-band scheme is allowed before
+    *                   escalating to two-band conjunction (and the
+    *                   largest conjunction bucket before refusing).
+    *                   Default 8192 keeps per-bucket verify work
+    *                   under ~67M `bit_count` rows — past that the
+    *                   banding is no longer doing its job
+    * @param onScheme   observability hook invoked once with the
+    *                   selected [[Scheme]]
     * @return one row per near-miss pair: eqKeys once, then `_a`/`_b`
     *         suffixed idCols ∪ fpCols ∪ carry, then `hamming` (INT);
     *         unordered — callers sort for their oracle
@@ -89,18 +155,100 @@ object BandedHamming {
       informativeBand: Option[Column] = None,
       hMin: Int = 1,
       hMax: Int = 3,
-      rowsB: Option[DataFrame] = None): DataFrame = {
+      rowsB: Option[DataFrame] = None,
+      maxBucketRows: Long = 8192L,
+      onScheme: Scheme => Unit = _ => ()): DataFrame = {
     require(bandExprs.size > hMax,
       s"${bandExprs.size} bands cannot be lossless at hamming $hMax " +
         "(pigeonhole needs at least hMax+1 disjoint bands)")
     val keep = (idCols ++ fpCols ++ carry).distinct
-    def exploded(r: DataFrame): DataFrame = {
+    assertRowContract(rows, idCols, carry, "rows")
+    rowsB.foreach(assertRowContract(_, idCols, carry, "rowsB"))
+
+    // --- the two candidate schemes, as exploded relations -----------
+    def explodedSingle(r: DataFrame): DataFrame = {
       val e = r.select(
         (eqKeys ++ keep).map(col) :+ posexplode(array(bandExprs: _*)): _*)
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band")
       informativeBand.map(e.where).getOrElse(e)
     }
+    val combos =
+      for { i <- bandExprs.indices; j <- i + 1 until bandExprs.size }
+        yield (i, j)
+    def explodedConj(r: DataFrame): DataFrame = {
+      val arr = array(combos.map { case (i, j) =>
+        struct(lit(i).as("bi"), lit(j).as("bj"),
+          bandExprs(i).as("v1"), bandExprs(j).as("v2"))
+      }: _*)
+      val e = r.select(
+        (eqKeys ++ keep).map(col) :+ posexplode(arr): _*)
+        .withColumnRenamed("pos", "combo_idx")
+      // a combo is informative iff BOTH constituent bands are: apply
+      // the caller's (row columns, band_idx) filter at each index
+      val masked = informativeBand match {
+        case None => e
+        case Some(f) =>
+          e.withColumn("band_idx", col("col.bi")).where(f)
+            .withColumn("band_idx", col("col.bj")).where(f)
+            .drop("band_idx")
+      }
+      masked
+        .withColumn("band", struct(col("col.v1"), col("col.v2")))
+        .drop("col")
+        .withColumnRenamed("combo_idx", "band_idx")
+    }
+
+    // --- occupancy guard: census, escalate, or refuse ---------------
+    val bucketKeys = eqKeys ++ Seq("band_idx", "band")
+    def maxOcc(explode: DataFrame => DataFrame): Long = {
+      val both = rowsB match {
+        case Some(b) => explode(rows).unionByName(explode(b))
+        case None    => explode(rows)
+      }
+      val r = both.groupBy(bucketKeys.map(col): _*).count()
+        .agg(max("count")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val exploded: DataFrame => DataFrame =
+      if (maxOcc(explodedSingle) <= maxBucketRows) {
+        onScheme(SingleBand)
+        explodedSingle
+      } else {
+        require(bandExprs.size >= hMax + 2,
+          s"band-bucket occupancy exceeds $maxBucketRows rows and " +
+            s"${bandExprs.size} bands cannot escalate to two-band " +
+            s"conjunction at hamming $hMax (needs hMax+2 = ${hMax + 2}); " +
+            "refusing the silent quadratic — reband with more/wider-" +
+            "entropy sub-bands or raise maxBucketRows deliberately")
+        // conjunction needs ≥ hMax+2 INFORMATIVE bands on every row,
+        // not just globally: check the per-row informative minimum
+        val minInformative = {
+          val both = rowsB match {
+            case Some(b) => explodedSingle(rows)
+              .unionByName(explodedSingle(b))
+            case None => explodedSingle(rows)
+          }
+          both.groupBy(idCols.map(col): _*).count()
+            .agg(min("count")).head.getLong(0)
+        }
+        require(minInformative >= hMax + 2,
+          s"band-bucket occupancy exceeds $maxBucketRows rows but some " +
+            s"row has only $minInformative informative bands — two-band " +
+            s"conjunction would be LOSSY below hMax+2 = ${hMax + 2}; " +
+            "refusing the silent quadratic")
+        val occ = maxOcc(explodedConj)
+        require(occ <= maxBucketRows,
+          s"two-band conjunction bucket occupancy $occ still exceeds " +
+            s"$maxBucketRows rows — the fingerprint space is saturated " +
+            "beyond what banding can index; refusing the silent " +
+            "quadratic (re-fingerprint at a wider width, or raise " +
+            "maxBucketRows deliberately)")
+        onScheme(TwoBandConjunction)
+        explodedConj
+      }
+
+    // --- candidate join + exact verify (scheme-independent) ---------
     val aSide = keep.foldLeft(exploded(rows))(
       (df, c) => df.withColumnRenamed(c, s"${c}_a"))
     val bSide = (keep ++ eqKeys).foldLeft(exploded(rowsB.getOrElse(rows)))(
@@ -130,6 +278,30 @@ object BandedHamming {
       .distinct()
       .withColumn("hamming", hamming)
       .where(col("hamming") >= hMin && col("hamming") <= hMax)
+  }
+
+  /** One aggregate asserting the row contract (see `nearMissPairs`):
+    * idCols unique — which also makes carry functionally dependent on
+    * idCols (each id has exactly one row, hence one carry tuple), so
+    * the one check closes both silent failure modes: a duplicate
+    * idCols row would never pair (strict lex `<` drops same-id
+    * pairs), and its divergent carry would duplicate pairs through
+    * the candidate `distinct()`. Struct form so NULL fields count as
+    * distinct values rather than being skipped by multi-column
+    * COUNT(DISTINCT). */
+  private def assertRowContract(
+      r: DataFrame, idCols: Seq[String], carry: Seq[String],
+      side: String): Unit = {
+    val idS = struct(idCols.map(col): _*)
+    val row = r.agg(
+      count(lit(1)).as("n"), countDistinct(idS).as("n_id")).head
+    val (n, nId) = (row.getLong(0), row.getLong(1))
+    require(nId == n,
+      s"$side violates the BandedHamming row contract: idCols " +
+        s"${idCols.mkString("(", ",", ")")} identify $nId of $n rows — " +
+        "a duplicate idCols row would silently never pair, and its " +
+        s"carry ${carry.mkString("(", ",", ")")} would silently " +
+        "duplicate pairs")
   }
 
   /** The standard fixed-width band slices: `n` contiguous `width`-bit

@@ -130,4 +130,133 @@ class BandedHammingSpec extends SparkSpecBase {
         BandedHamming.fixedBands(col("fp"), 3, 16), hMax = 3)
     }
   }
+
+  // ---- the band-bucket occupancy guard ------------------------------
+
+  /** Adversarially LOW-ENTROPY fixture: 8 bands × 8 bits where band 0
+    * (the low byte) is CONSTANT across every value — its single bucket
+    * holds the whole relation, the silent-quadratic shape the guard
+    * exists for. Planted near pairs put flips in single bands
+    * (including the saturated one) so losslessness is non-trivial. */
+  private def lowEntropyVals(n: Int): Seq[Long] = {
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.fill(n)((rnd.nextLong() & ~0xffL) | 0xaaL)
+    val planted = scala.collection.mutable.ArrayBuffer[Long]()
+    planted ++= bases
+    for (base <- bases.take(6); band <- 0 until 8; h <- 1 to 3) {
+      val positions = rnd.shuffle((0 until 8).toList).take(h)
+        .map(p => band * 8 + p)
+      planted += positions.foldLeft(base)((v, p) => v ^ (1L << p))
+    }
+    planted.distinct.toSeq
+  }
+
+  private def run8x8(vals: Seq[Long], maxBucketRows: Long,
+      onScheme: BandedHamming.Scheme => Unit): Set[(Long, Long, Int)] = {
+    import spark.implicits._
+    BandedHamming.nearMissPairs(vals.toDF("fp"),
+      idCols = Seq("fp"), fpCols = Seq("fp"),
+      bandExprs = BandedHamming.fixedBands(col("fp"), 8, 8),
+      hMax = 3, maxBucketRows = maxBucketRows, onScheme = onScheme)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("occupancy guard escalates a saturated band to two-band conjunction, losslessly") {
+    val vals = lowEntropyVals(24)
+    val want = brute(vals, hMax = 3)
+    assert(want.size >= 40, "the planted fixture must be non-trivial")
+    var schemes = List.empty[BandedHamming.Scheme]
+    // default threshold: band 0's bucket (~everything) stays under
+    // 8192, so the plain single-band scheme runs — and is lossless
+    val single = run8x8(vals, 8192L, s => schemes ::= s)
+    assert(schemes == List(BandedHamming.SingleBand))
+    assert(single == want)
+    // tight threshold: band 0's bucket (~150 rows) trips the census;
+    // the conjunction buckets (pairs of band values, ≤ ~40 rows) fit —
+    // the operator must escalate and STILL find every pair
+    schemes = Nil
+    val conj = run8x8(vals, 64L, s => schemes ::= s)
+    assert(schemes == List(BandedHamming.TwoBandConjunction),
+      s"expected conjunction escalation, got $schemes")
+    assert(conj == want,
+      s"conjunction missed ${(want -- conj).size} pairs / " +
+        s"${(conj -- want).size} extra")
+  }
+
+  test("occupancy guard refuses loudly when too few bands for conjunction") {
+    import spark.implicits._
+    // 4 bands at hMax 3: single-band pigeonhole holds, but conjunction
+    // needs hMax+2 = 5 — a tripped census must refuse, never go lossy
+    val vals = lowEntropyVals(24).toDF("fp")
+    val e = intercept[IllegalArgumentException] {
+      BandedHamming.nearMissPairs(vals, Seq("fp"), Seq("fp"),
+        BandedHamming.fixedBands(col("fp"), 4, 16),
+        hMax = 3, maxBucketRows = 8L)
+    }
+    assert(e.getMessage.contains("cannot escalate"))
+  }
+
+  test("occupancy guard refuses loudly when conjunction buckets are still saturated") {
+    import spark.implicits._
+    // bands 0 AND 1 both constant: the (0,1) conjunction bucket holds
+    // the whole relation too — banding cannot index this space
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(24)((rnd.nextLong() & ~0xffffL) | 0xaaaaL)
+      .distinct.toDF("fp")
+    val e = intercept[IllegalArgumentException] {
+      BandedHamming.nearMissPairs(vals, Seq("fp"), Seq("fp"),
+        BandedHamming.fixedBands(col("fp"), 8, 8),
+        hMax = 3, maxBucketRows = 8L)
+    }
+    assert(e.getMessage.contains("still exceeds"))
+  }
+
+  test("occupancy guard refuses escalation when a row has too few informative bands") {
+    import spark.implicits._
+    // one row's informative prefix is only 4 bands (= hMax+1): single
+    // is lossless for it, conjunction would be LOSSY — refuse
+    val rnd = new scala.util.Random(13)
+    val rows = (Seq.fill(15)(((rnd.nextLong() & ~0xffL) | 0xaaL, 8)) :+
+      (0xaaL, 4)).toDF("fp", "k")
+    val e = intercept[IllegalArgumentException] {
+      BandedHamming.nearMissPairs(rows, Seq("fp"), Seq("fp"),
+        BandedHamming.fixedBands(col("fp"), 8, 8),
+        informativeBand = Some(col("band_idx") < col("k")),
+        hMax = 3, maxBucketRows = 4L)
+    }
+    assert(e.getMessage.contains("LOSSY"))
+  }
+
+  test("cross-corpus form stays complete under conjunction escalation") {
+    import spark.implicits._
+    val all = lowEntropyVals(24)
+    val (batch, corpus) = all.splitAt(8)
+    val want = (for {
+      a <- batch; b <- corpus
+      h = java.lang.Long.bitCount(a ^ b)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(want.nonEmpty)
+    var schemes = List.empty[BandedHamming.Scheme]
+    val got = BandedHamming.nearMissPairs(batch.toDF("fp"),
+      idCols = Seq("fp"), fpCols = Seq("fp"),
+      bandExprs = BandedHamming.fixedBands(col("fp"), 8, 8),
+      hMin = 0, hMax = 3, rowsB = Some(corpus.toDF("fp")),
+      maxBucketRows = 64L, onScheme = s => schemes ::= s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(schemes == List(BandedHamming.TwoBandConjunction))
+    assert(got == want,
+      s"missed ${(want -- got).size} pairs / ${(got -- want).size} extra")
+  }
+
+  test("row contract: duplicate idCols rows are refused loudly") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("fp", "n_docs")
+    val e = intercept[IllegalArgumentException] {
+      BandedHamming.nearMissPairs(dup, Seq("fp"), Seq("fp"),
+        BandedHamming.fixedBands(col("fp"), 4, 16),
+        carry = Seq("n_docs"), hMax = 3)
+    }
+    assert(e.getMessage.contains("row contract"))
+  }
 }
