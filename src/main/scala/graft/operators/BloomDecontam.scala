@@ -92,6 +92,16 @@ object BloomDecontam {
     * substrate); the seed relation is benchmark-overlap-sized —
     * broadcast onto the pair relation, never the reverse. Nothing in
     * this query scales with corpus × corpus. */
+  /** q168's contaminated-seed relation, one checkpointed copy per
+    * (session, corpus) — it embeds the 512 KiB bloom literal, so the
+    * barrier keeps the literal out of five downstream subtrees;
+    * eviction releases the checkpoint blocks (plain unpersist is a
+    * no-op on checkpointed frames). */
+  private val seedsIndex =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "bloomdecontam.seedDocs")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
   val qContaminationExpansion: GraftQuery = GraftQuery(
     "q209_contamination_expansion",
     s"""WITH bench AS (
@@ -137,9 +147,13 @@ object BloomDecontam {
     // the 512 KiB bloom-sketch literal in its subtree, the rendered
     // plan hits 10.5 MB (maxPlanStringLength truncation WARN), and
     // each stage's task binary re-ships the sketch
-    val seeds = contaminatedDocs(s, d)
-      .select(col("train_doc").as("doc_id")).distinct()
-      .localCheckpoint()
+    // memoized per (session, corpus) with the checkpoint blocks
+    // released on eviction — repeated invocations must not accumulate
+    // unreleasable localCheckpoint storage
+    val seeds = seedsIndex.getOrElseUpdate(s, d)(
+      contaminatedDocs(s, d)
+        .select(col("train_doc").as("doc_id")).distinct()
+        .localCheckpoint())
     val ver = Dedup.withJaccardToks(
       Dedup.candidatePairsFromBands(Dedup.indexedBands(s, d)),
       Dedup.indexedShingleSets(s, d))

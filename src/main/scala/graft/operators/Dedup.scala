@@ -544,15 +544,29 @@ object Dedup {
        |  WHERE bit_count(xor(a.simhash, b.simhash))
        |    BETWEEN 1 AND $simhashHammingMax)""".stripMargin
 
+  /** The q337/q343 simhash value census, hashed once per (session,
+    * corpus) — the value relation IS the index, and it is
+    * localCheckpoint-backed (a plan barrier with no CacheManager
+    * plan-identity entry), so eviction must go through
+    * [[org.apache.spark.sql.graftshim.Checkpoints.release]]: plain
+    * unpersist on a checkpointed frame is a silent no-op and repeated
+    * invocations in one session would otherwise accumulate
+    * unreleasable checkpoint blocks. */
+  private val simhashValsIndex =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "dedup.simhashValueCensus")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
   /** The q337 value census + banded near-miss pairs, factored for the
     * q343 clustering composer. */
   private def simhashValueCensus(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    Tables.documents(s, d).select(
-      org.apache.spark.sql.graftshim.SimHashMd5(
-        TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
-      .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint() // hash once; the value relation IS the index
+    simhashValsIndex.getOrElseUpdate(s, d)(
+      Tables.documents(s, d).select(
+        org.apache.spark.sql.graftshim.SimHashMd5(
+          TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
+        .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint())
 
   private def simhashValuePairs(vals: DataFrame): DataFrame =
     BandedHamming.nearMissPairs(vals,
@@ -589,6 +603,14 @@ object Dedup {
     new graft.spark.SessionMemo[String, DataFrame](
       "dedup.simhashCorpusVals")(_.unpersist(): Unit)
 
+  /** The arriving batch's checkpointed value census (see q345's
+    * builder note); released through Checkpoints (unpersist is a
+    * no-op on checkpointed frames). */
+  private val simhashBatchIndex =
+    new graft.spark.SessionMemo[String, DataFrame](
+      "dedup.simhashBatchVals")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
   /** INCREMENTAL SIMHASH NEAR-MISS — the q94 batch-vs-corpus shape on
     * the value grain: an arriving batch's distinct simhash values are
     * probed against the PERSISTED corpus value index through the same
@@ -620,9 +642,13 @@ object Dedup {
     val corpusVals = simhashCorpusIndex.getOrElseUpdate(s, d)(
       simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
         .persist())
-    val batchVals =
+    // the fixture's "arriving batch" is deterministic per corpus, so
+    // its checkpointed census memoizes like the corpus index (a
+    // production caller keys by batch id and evicts per batch);
+    // checkpoint blocks are released on eviction, not leaked
+    val batchVals = simhashBatchIndex.getOrElseUpdate(s, d)(
       simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
-        .localCheckpoint()
+        .localCheckpoint())
     BandedHamming.nearMissPairs(batchVals,
       idCols = Seq("simhash"), fpCols = Seq("simhash"),
       bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
@@ -692,10 +718,17 @@ object Dedup {
     // every LogicalRDD leaf under the label lineage, and without the
     // barrier that includes the census checkpoint the final join
     // still needs (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND otherwise)
-    val labels = simhashClusterIndex.getOrElseUpdate(s, d)(
-      connectedComponents(simhashValuePairs(vals)
+    val labels = simhashClusterIndex.getOrElseUpdate(s, d) {
+      val edges = simhashValuePairs(vals)
         .select(col("simhash_a").as("doc_a"), col("simhash_b").as("doc_b"))
-        .localCheckpoint()))
+        .localCheckpoint()
+      val l = connectedComponents(edges)
+      // the boundary barrier has served its purpose once the labels
+      // are persisted and materialized (inside connectedComponents) —
+      // release its blocks instead of leaking them per invocation
+      org.apache.spark.sql.graftshim.Checkpoints.release(edges)
+      l
+    }
     val w = Window.partitionBy("cluster_id")
     vals.join(labels.withColumnRenamed("node", "simhash"), Seq("simhash"), "left")
       .select(col("simhash"),
