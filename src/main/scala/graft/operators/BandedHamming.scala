@@ -90,14 +90,16 @@ object BandedHamming {
   /** Near-miss pairs over `rows`.
     *
     * ROW CONTRACT (asserted by one aggregate per input relation):
-    * `idCols` must uniquely identify rows — candidate dedup is a
-    * `distinct()` over idCols ∪ fpCols ∪ carry and the self form
-    * drops same-idCols pairs via strict lexicographic order, so a
-    * duplicate idCols row would silently never pair; `carry` must be
-    * functionally dependent on `idCols` — a free carry column would
-    * silently duplicate pairs through the same `distinct()`. Both
-    * hold by construction for every production caller (the value
-    * relations are `groupBy(idCols)` censuses), and the operator
+    * `eqKeys ∪ idCols` must uniquely identify rows — candidate dedup
+    * is a `distinct()` over eqKeys ∪ idCols ∪ fpCols ∪ carry and the
+    * self form drops same-idCols pairs via strict lexicographic
+    * order within an eqKeys class, so a duplicate row would silently
+    * never pair; `carry` must be functionally dependent on that
+    * identity — a free carry column would silently duplicate pairs
+    * through the same `distinct()` (uniqueness subsumes this: one
+    * row per identity means one carry tuple). Both hold by
+    * construction for every production caller (the value relations
+    * are `groupBy(eqKeys ∪ idCols)` censuses), and the operator
     * fails loudly if a new caller breaks them. idCols, fpCols and
     * carry must be non-null.
     *
@@ -162,8 +164,8 @@ object BandedHamming {
       s"${bandExprs.size} bands cannot be lossless at hamming $hMax " +
         "(pigeonhole needs at least hMax+1 disjoint bands)")
     val keep = (idCols ++ fpCols ++ carry).distinct
-    assertRowContract(rows, idCols, carry, "rows")
-    rowsB.foreach(assertRowContract(_, idCols, carry, "rowsB"))
+    assertRowContract(rows, eqKeys, idCols, carry, "rows")
+    rowsB.foreach(assertRowContract(_, eqKeys, idCols, carry, "rowsB"))
 
     // --- the two candidate schemes, as exploded relations -----------
     def explodedSingle(r: DataFrame): DataFrame = {
@@ -229,7 +231,7 @@ object BandedHamming {
               .unionByName(explodedSingle(b))
             case None => explodedSingle(rows)
           }
-          both.groupBy(idCols.map(col): _*).count()
+          both.groupBy((eqKeys ++ idCols).distinct.map(col): _*).count()
             .agg(min("count")).head.getLong(0)
         }
         require(minInformative >= hMax + 2,
@@ -281,25 +283,26 @@ object BandedHamming {
   }
 
   /** One aggregate asserting the row contract (see `nearMissPairs`):
-    * idCols unique — which also makes carry functionally dependent on
-    * idCols (each id has exactly one row, hence one carry tuple), so
-    * the one check closes both silent failure modes: a duplicate
-    * idCols row would never pair (strict lex `<` drops same-id
-    * pairs), and its divergent carry would duplicate pairs through
-    * the candidate `distinct()`. Struct form so NULL fields count as
-    * distinct values rather than being skipped by multi-column
-    * COUNT(DISTINCT). */
+    * eqKeys ∪ idCols unique — which also makes carry functionally
+    * dependent on the identity (each identity has exactly one row,
+    * hence one carry tuple), so the one check closes both silent
+    * failure modes: a duplicate row would never pair (strict lex `<`
+    * drops same-id pairs within its eqKeys class), and its divergent
+    * carry would duplicate pairs through the candidate `distinct()`.
+    * Struct form so NULL fields count as distinct values rather than
+    * being skipped by multi-column COUNT(DISTINCT). */
   private def assertRowContract(
-      r: DataFrame, idCols: Seq[String], carry: Seq[String],
-      side: String): Unit = {
-    val idS = struct(idCols.map(col): _*)
+      r: DataFrame, eqKeys: Seq[String], idCols: Seq[String],
+      carry: Seq[String], side: String): Unit = {
+    val identity = (eqKeys ++ idCols).distinct
+    val idS = struct(identity.map(col): _*)
     val row = r.agg(
       count(lit(1)).as("n"), countDistinct(idS).as("n_id")).head
     val (n, nId) = (row.getLong(0), row.getLong(1))
     require(nId == n,
-      s"$side violates the BandedHamming row contract: idCols " +
-        s"${idCols.mkString("(", ",", ")")} identify $nId of $n rows — " +
-        "a duplicate idCols row would silently never pair, and its " +
+      s"$side violates the BandedHamming row contract: eqKeys ∪ idCols " +
+        s"${identity.mkString("(", ",", ")")} identify $nId of $n rows — " +
+        "a duplicate row would silently never pair, and its " +
         s"carry ${carry.mkString("(", ",", ")")} would silently " +
         "duplicate pairs")
   }

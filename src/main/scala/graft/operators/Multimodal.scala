@@ -1481,9 +1481,11 @@ object Multimodal {
     * clips, so doc-grain banding would materialize that cluster's
     * 12k self-pairs before filtering). Four 8-bit sub-bands;
     * pigeonhole-lossless at h ≤ 3; oracle = all-pairs value join. */
-  val qAudioNearDup: GraftQuery = GraftQuery(
-    "q335_audio_neardup_values",
-    """WITH dims AS (
+  /** The analytic audio fingerprint rebuild (q193's per-window energy
+    * bit-vector) as a CTE chain ending at `fp` — the front half of the
+    * q335/q347 oracles. */
+  private val audioFpCtes: String =
+    """dims AS (
       |  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
       |w AS (SELECT doc_id, n, (n // 32) AS ww FROM dims),
       |samp AS (
@@ -1502,23 +1504,113 @@ object Multimodal {
       |      THEN CAST(1 AS BIGINT) << CAST(e.k AS INTEGER) ELSE 0 END) AS BIGINT)
       |      AS fingerprint
       |  FROM en e JOIN m ON e.doc_id = m.doc_id
-      |  GROUP BY e.doc_id),
-      |vals AS (
-      |  SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs
-      |  FROM fp GROUP BY fingerprint)
-      |SELECT a.fingerprint AS fp_a, b.fingerprint AS fp_b,
-      |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER) AS hamming,
-      |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
-      |FROM vals a JOIN vals b ON a.fingerprint < b.fingerprint
-      |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) BETWEEN 1 AND 3
-      |ORDER BY fp_a, fp_b""".stripMargin) { (s, d) =>
+      |  GROUP BY e.doc_id)""".stripMargin
+
+  /** The ONE oracle statement of the q335/q347 value-pair semantics:
+    * the fingerprint value census, then ALL-PAIRS near-miss value
+    * pairs at hamming 1..3 — q335 selects it directly; q347 closes it
+    * transitively. One string, so the pair definition cannot silently
+    * diverge between the two oracles (the q337/q343 discipline). */
+  private val audioValuePairsCtes: String =
+    s"""avals AS (
+       |  SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM fp GROUP BY fingerprint),
+       |apairs AS (
+       |  SELECT a.fingerprint AS fp_a, b.fingerprint AS fp_b,
+       |    CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INTEGER)
+       |      AS hamming,
+       |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+       |  FROM avals a JOIN avals b ON a.fingerprint < b.fingerprint
+       |  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
+       |    BETWEEN 1 AND $videoHammingMax)""".stripMargin
+
+  /** The q335/q347 banded value pairs, factored for the clustering
+    * composer. */
+  private def audioValuePairs(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     BandedHamming.nearMissPairs(audioValueCensus(s, d),
       idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
       bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
       carry = Seq("n_docs"), hMax = videoHammingMax)
+
+  val qAudioNearDup: GraftQuery = GraftQuery(
+    "q335_audio_neardup_values",
+    s"""WITH $audioFpCtes,
+       |$audioValuePairsCtes
+       |SELECT fp_a, fp_b, hamming, n_docs_a, n_docs_b
+       |FROM apairs
+       |ORDER BY fp_a, fp_b""".stripMargin) { (s, d) =>
+    audioValuePairs(s, d)
       .select(col("fingerprint_a").as("fp_a"), col("fingerprint_b").as("fp_b"),
         col("hamming"), col("n_docs_a"), col("n_docs_b"))
       .orderBy("fp_a", "fp_b")
+  }
+
+  /** Value-node component labels for q347, built once per (session,
+    * corpus); the persisted label relation is released on eviction. */
+  private val audioClusterIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.audioValueCC")(_.unpersist(): Unit)
+
+  /** AUDIO NEAR-MISS CLUSTERS AT THE VALUE GRAIN — the q343
+    * composition on q335's output, completing the audio progression
+    * (census q193 → tolerant pairs q335 → transitive clusters): a
+    * re-encoded copy of a re-encoded copy drifts a bit per hop, so
+    * curation budgets against the CLUSTER, not the pair. Nodes are
+    * distinct 32-bit fingerprint VALUES (one BIGINT — directly
+    * oracle-expressible, no MIN-key indirection needed); edges the
+    * q335 banded pairs; labels from the shared min-label propagation;
+    * census counts ride along so the output reads as doc mass per
+    * cluster and re-sums to the corpus.
+    *
+    * Oracle: recursive-CTE transitive closure over the all-pairs
+    * value edges (the q77/q343 discipline). 100 TB: the CC loop runs
+    * over near-miss VALUES only — bounded by fingerprint entropy,
+    * here further capped by the 32-bit space itself. */
+  val qAudioNearDupClusters: GraftQuery = GraftQuery(
+    "q347_audio_neardup_clusters",
+    s"""WITH RECURSIVE $audioFpCtes,
+       |$audioValuePairsCtes,
+       |aedges AS (
+       |  SELECT fp_a AS a, fp_b AS b FROM apairs
+       |  UNION ALL SELECT fp_b, fp_a FROM apairs),
+       |areach(n, m) AS (
+       |  SELECT a, b FROM aedges
+       |  UNION
+       |  SELECT r.n, e.b FROM areach r JOIN aedges e ON r.m = e.a),
+       |albl AS (
+       |  SELECT n AS fingerprint, least(n, MIN(m)) AS cluster_id
+       |  FROM areach GROUP BY n),
+       |afull AS (
+       |  SELECT v.fingerprint,
+       |    COALESCE(l.cluster_id, v.fingerprint) AS cluster_id, v.n_docs
+       |  FROM avals v LEFT JOIN albl l ON l.fingerprint = v.fingerprint)
+       |SELECT fingerprint, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS n_values,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_docs
+       |FROM afull
+       |ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vals = audioValueCensus(s, d)
+    val labels = audioClusterIndex.getOrElseUpdate(s, d) {
+      val edges = audioValuePairs(s, d)
+        .select(col("fingerprint_a").as("doc_a"),
+          col("fingerprint_b").as("doc_b"))
+        .localCheckpoint()
+      val l = Dedup.connectedComponents(edges)
+      org.apache.spark.sql.graftshim.Checkpoints.release(edges)
+      l
+    }
+    val w = Window.partitionBy("cluster_id")
+    vals.join(labels.withColumnRenamed("node", "fingerprint"),
+        Seq("fingerprint"), "left")
+      .select(col("fingerprint"),
+        coalesce(col("label"), col("fingerprint")).as("cluster_id"),
+        col("n_docs"))
+      .withColumn("n_values", count(lit(1)).over(w).cast("int"))
+      .withColumn("cluster_docs", sum(col("n_docs")).over(w).cast("long"))
+      .select("fingerprint", "cluster_id", "n_values", "cluster_docs")
+      .orderBy("fingerprint")
   }
 
   /** Distributed WIDE fingerprint featurize: one [[GifDecoder]] per
@@ -1638,26 +1730,42 @@ object Multimodal {
     * the VALUE grain — bounded by fingerprint entropy, never corpus
     * size; candidate count follows bucket occupancy at every clip
     * length, which is the whole point of the width. */
-  val qVideoNearDupWide: GraftQuery = GraftQuery(
-    "q336_video_neardup_wide",
-    s"""WITH $videoFpWideCtes,
-       |wvals AS (
+  /** The ONE oracle statement of the q336/q348 value-pair semantics:
+    * the wide-fingerprint value census (with the MIN(doc_id) node
+    * key), then ALL-PAIRS near-miss value pairs at hamming 1..3 under
+    * equal n_sampled — q336 selects it directly; q348 closes it
+    * transitively. One string, so the pair definition cannot silently
+    * diverge between the two oracles (the q337/q343 discipline). */
+  private val videoWideValuePairsCtes: String =
+    s"""wvals AS (
        |  SELECT n_sampled, ${wideFpCols.mkString(", ")},
-       |    CAST(COUNT(*) AS BIGINT) AS n_docs
-       |  FROM wfp GROUP BY n_sampled, ${wideFpCols.mkString(", ")})
-       |SELECT a.n_sampled,
-       |${wideFpCols.map(c => s"  a.$c AS ${c}_a").mkString(",\n")},
-       |${wideFpCols.map(c => s"  b.$c AS ${c}_b").mkString(",\n")},
-       |  CAST(${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")} AS INTEGER) AS hamming,
-       |  a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
-       |FROM wvals a JOIN wvals b
-       |  ON a.n_sampled = b.n_sampled AND (${wideFpCols.indices.map { i =>
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS vid
+       |  FROM wfp GROUP BY n_sampled, ${wideFpCols.mkString(", ")}),
+       |wpairs AS (
+       |  SELECT a.n_sampled,
+       |${wideFpCols.map(c => s"    a.$c AS ${c}_a").mkString(",\n")},
+       |${wideFpCols.map(c => s"    b.$c AS ${c}_b").mkString(",\n")},
+       |    CAST(${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")} AS INTEGER) AS hamming,
+       |    a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+       |    a.vid AS vid_a, b.vid AS vid_b
+       |  FROM wvals a JOIN wvals b
+       |    ON a.n_sampled = b.n_sampled AND (${wideFpCols.indices.map { i =>
           (wideFpCols.take(i).map(c => s"a.$c = b.$c") :+
             s"a.${wideFpCols(i)} < b.${wideFpCols(i)}").mkString(" AND ")
         }.mkString("(", ") OR (", ")")})
-       |WHERE ${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")}
-       |  BETWEEN 1 AND $videoHammingMax
-       |ORDER BY a.n_sampled, ${wideFpCols.map(c => s"${c}_a").mkString(", ")},
+       |  WHERE ${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")}
+       |    BETWEEN 1 AND $videoHammingMax)""".stripMargin
+
+  val qVideoNearDupWide: GraftQuery = GraftQuery(
+    "q336_video_neardup_wide",
+    s"""WITH $videoFpWideCtes,
+       |$videoWideValuePairsCtes
+       |SELECT n_sampled,
+       |  ${wideFpCols.map(c => s"${c}_a").mkString(", ")},
+       |  ${wideFpCols.map(c => s"${c}_b").mkString(", ")},
+       |  hamming, n_docs_a, n_docs_b
+       |FROM wpairs
+       |ORDER BY n_sampled, ${wideFpCols.map(c => s"${c}_a").mkString(", ")},
        |  ${wideFpCols.map(c => s"${c}_b").mkString(", ")}""".stripMargin) { (s, d) =>
     BandedHamming.nearMissPairs(videoWideValueCensus(s, d),
       idCols = wideFpCols, fpCols = wideFpCols,
@@ -1673,6 +1781,80 @@ object Multimodal {
           Seq(col("hamming"), col("n_docs_a"), col("n_docs_b")))): _*)
       .orderBy(("n_sampled" +: (wideFpCols.map(c => s"${c}_a") ++
         wideFpCols.map(c => s"${c}_b"))).map(col): _*)
+  }
+
+  /** Value-node component labels for q348, built once per (session,
+    * corpus); the persisted label relation is released on eviction. */
+  private val videoWideClusterIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.videoWideValueCC")(_.unpersist(): Unit)
+
+  /** WIDE-VIDEO NEAR-MISS CLUSTERS AT THE VALUE GRAIN — the q343
+    * composition on q336's output, completing the video progression
+    * (census q329 → tolerant pairs q331/q336 → transitive clusters).
+    * Nodes are distinct (n_sampled, 6-word fingerprint) VALUES;
+    * because six hash words cannot pack into one oracle-expressible
+    * BIGINT, each value's node key is the census-stable MIN(doc_id)
+    * — the q346 technique, unique per value and directly actionable
+    * (the id IS a representative clip). Edges are the q336 banded
+    * pairs (equal n_sampled is part of the pair semantics, so
+    * clusters never straddle clip widths); labels from the shared
+    * min-label propagation; census counts ride along so the output
+    * reads as doc mass per cluster and re-sums to the corpus.
+    *
+    * Oracle: recursive-CTE transitive closure over the all-pairs
+    * value edges (the q77/q343 discipline). 100 TB: the CC loop runs
+    * over near-miss VALUES only; the min-doc node key is one exact
+    * aggregate the census pass already pays for. */
+  val qVideoNearDupWideClusters: GraftQuery = GraftQuery(
+    "q348_video_neardup_wide_clusters",
+    s"""WITH RECURSIVE $videoFpWideCtes,
+       |$videoWideValuePairsCtes,
+       |wedges AS (
+       |  SELECT vid_a AS a, vid_b AS b FROM wpairs
+       |  UNION ALL SELECT vid_b, vid_a FROM wpairs),
+       |wreach(n, m) AS (
+       |  SELECT a, b FROM wedges
+       |  UNION
+       |  SELECT r.n, e.b FROM wreach r JOIN wedges e ON r.m = e.a),
+       |wlbl AS (
+       |  SELECT n AS vid, least(n, MIN(m)) AS cluster_id
+       |  FROM wreach GROUP BY n),
+       |wfull AS (
+       |  SELECT v.vid, v.n_sampled,
+       |    COALESCE(l.cluster_id, v.vid) AS cluster_id, v.n_docs
+       |  FROM wvals v LEFT JOIN wlbl l ON l.vid = v.vid)
+       |SELECT vid, n_sampled, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS n_values,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_docs
+       |FROM wfull
+       |ORDER BY vid""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val vals = videoWideValueCensus(s, d)
+    val labels = videoWideClusterIndex.getOrElseUpdate(s, d) {
+      val edges = BandedHamming.nearMissPairs(vals,
+        idCols = wideFpCols, fpCols = wideFpCols,
+        bandExprs = (0 until fpFrames).flatMap(i =>
+          BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
+            BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
+        eqKeys = Seq("n_sampled"), carry = Seq("vid"),
+        informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
+        hMax = videoHammingMax)
+        .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
+        .localCheckpoint()
+      val l = Dedup.connectedComponents(edges)
+      org.apache.spark.sql.graftshim.Checkpoints.release(edges)
+      l
+    }
+    val w = Window.partitionBy("cluster_id")
+    vals.join(labels.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+      .select(col("vid"), col("n_sampled"),
+        coalesce(col("label"), col("vid")).as("cluster_id"),
+        col("n_docs"))
+      .withColumn("n_values", count(lit(1)).over(w).cast("int"))
+      .withColumn("cluster_docs", sum(col("n_docs")).over(w).cast("long"))
+      .select("vid", "n_sampled", "cluster_id", "n_values", "cluster_docs")
+      .orderBy("vid")
   }
 
   /** Value-node component labels for q346, built once per (session,
@@ -1766,5 +1948,6 @@ object Multimodal {
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
       qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
       qVideoFingerprint, qVideoNearDup, qImageNearDup, qAudioNearDup,
-      qVideoNearDupWide, qImageNearDupClusters)
+      qVideoNearDupWide, qImageNearDupClusters, qAudioNearDupClusters,
+      qVideoNearDupWideClusters)
 }
