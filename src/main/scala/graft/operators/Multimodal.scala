@@ -1944,10 +1944,95 @@ object Multimodal {
       .orderBy("vid")
   }
 
+  /** Per-split image aHash value census (the q334 census restricted
+    * to a document predicate) — the batch/corpus halves of q349. The
+    * predicate prunes doc_ids BEFORE synthesis/decode, so the batch
+    * side never decodes corpus payloads. */
+  private def imageValueCensusWhere(s: SparkSession, d: String,
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val images = Tables.documents(s, d).where(cond)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => ImageRow(id, synthPng(id))))
+    decodeAHashes(images).toDF()
+      .groupBy("ahash_hi", "ahash_lo").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The CORPUS image aHash value index, persisted once per (session,
+    * corpus) — what a production tier keeps next to the corpus so
+    * arriving batches never re-decode it (the q94/q345 posture). */
+  private val imageCorpusIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.imageCorpusVals")(_.unpersist(): Unit)
+
+  /** The arriving batch's checkpointed census (deterministic per
+    * corpus in this fixture — a production caller keys by batch id);
+    * checkpoint blocks released on eviction. */
+  private val imageBatchIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.imageBatchVals")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
+  /** INCREMENTAL IMAGE NEAR-MISS — q345's batch-vs-corpus posture on
+    * the image tier: an arriving batch's distinct aHash values are
+    * probed against the PERSISTED corpus value index through the same
+    * [[BandedHamming]] cross-corpus banding (batch `_a` side, corpus
+    * `_b` side, no lexicographic dedup — distinct universes).
+    * hMin = 0: an exact value hit against the index is the strongest
+    * admission signal, and the tolerant tier (1–3 flipped bits)
+    * catches the re-encoded copies exact hashing misses. The cost is
+    * O(batch values × bucket occupancy) — the corpus is never
+    * re-decoded and never re-paired against itself, which is the
+    * entire point of incremental dedup. Oracle: the plain all-pairs
+    * batch×corpus value join, so the hash match proves the banded
+    * cross-corpus candidates are complete. */
+  val qImageNearDupBatch: GraftQuery = GraftQuery(
+    "q349_image_neardup_batch",
+    s"""WITH $imageAHashCtes,
+       |bvals AS (
+       |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM ah WHERE doc_id % 5 = 4 GROUP BY ahash_hi, ahash_lo),
+       |cvals AS (
+       |  SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM ah WHERE doc_id % 5 <> 4 GROUP BY ahash_hi, ahash_lo)
+       |SELECT b.ahash_hi AS hi_batch, b.ahash_lo AS lo_batch,
+       |  c.ahash_hi AS hi_corpus, c.ahash_lo AS lo_corpus,
+       |  CAST(CAST(bit_count(xor(b.ahash_hi, c.ahash_hi)) AS INTEGER) +
+       |       CAST(bit_count(xor(b.ahash_lo, c.ahash_lo)) AS INTEGER)
+       |    AS INTEGER) AS hamming,
+       |  b.n_docs AS n_docs_batch, c.n_docs AS n_docs_corpus
+       |FROM bvals b JOIN cvals c
+       |  ON CAST(bit_count(xor(b.ahash_hi, c.ahash_hi)) AS INTEGER) +
+       |     CAST(bit_count(xor(b.ahash_lo, c.ahash_lo)) AS INTEGER)
+       |     <= $videoHammingMax
+       |ORDER BY hi_batch, lo_batch, hi_corpus, lo_corpus""".stripMargin) {
+    (s, d) =>
+    val corpusVals = imageCorpusIndex.getOrElseUpdate(s, d)(
+      imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+        .persist())
+    val batchVals = imageBatchIndex.getOrElseUpdate(s, d)(
+      imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+        .localCheckpoint())
+    BandedHamming.nearMissPairs(batchVals,
+      idCols = Seq("ahash_hi", "ahash_lo"),
+      fpCols = Seq("ahash_hi", "ahash_lo"),
+      bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
+        BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
+      carry = Seq("n_docs"),
+      hMin = 0, hMax = videoHammingMax, rowsB = Some(corpusVals))
+      .select(col("ahash_hi_a").as("hi_batch"),
+        col("ahash_lo_a").as("lo_batch"),
+        col("ahash_hi_b").as("hi_corpus"),
+        col("ahash_lo_b").as("lo_corpus"), col("hamming"),
+        col("n_docs_a").as("n_docs_batch"),
+        col("n_docs_b").as("n_docs_corpus"))
+      .orderBy("hi_batch", "lo_batch", "hi_corpus", "lo_corpus")
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,
       qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
       qVideoFingerprint, qVideoNearDup, qImageNearDup, qAudioNearDup,
       qVideoNearDupWide, qImageNearDupClusters, qAudioNearDupClusters,
-      qVideoNearDupWideClusters)
+      qVideoNearDupWideClusters, qImageNearDupBatch)
 }
