@@ -587,6 +587,16 @@ object Dedup {
       .orderBy("fp_a", "fp_b")
   }
 
+  /** Oracle SQL for the corpus half of the q345 split — also the
+    * oracle of the STREAMING census maintenance (q350), which must
+    * drain to this exact relation under any arrival slicing. */
+  private[graft] def simhashCorpusCensusSql: String =
+    s"""WITH $simhashMd5Ctes
+       |SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM sh WHERE doc_id % 5 <> 4
+       |GROUP BY simhash
+       |ORDER BY simhash""".stripMargin
+
   /** Per-split simhash value census (the q337 census restricted to a
     * document predicate) — the batch/corpus halves of q345. */
   private def simhashValueCensusWhere(s: org.apache.spark.sql.SparkSession,
@@ -642,10 +652,18 @@ object Dedup {
     val corpusVals = simhashCorpusIndex.getOrElseUpdate(s, d)(
       simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
         .persist())
-    // the fixture's "arriving batch" is deterministic per corpus, so
-    // its checkpointed census memoizes like the corpus index (a
-    // production caller keys by batch id and evicts per batch);
-    // checkpoint blocks are released on eviction, not leaked
+    simhashBatchProbe(s, d, corpusVals)
+  }
+
+  /** The q345 probe against a caller-supplied corpus value index —
+    * factored so the STREAMING-maintained census (q351) serves the
+    * same probe plan as the batch-built index, with q345's oracle
+    * proving both. The batch census memoizes per corpus (the
+    * fixture's "arriving batch" is deterministic per corpus — a
+    * production caller keys by batch id and evicts per batch);
+    * checkpoint blocks are released on eviction, not leaked. */
+  private[graft] def simhashBatchProbe(s: org.apache.spark.sql.SparkSession,
+      d: String, corpusVals: DataFrame): DataFrame = {
     val batchVals = simhashBatchIndex.getOrElseUpdate(s, d)(
       simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
         .localCheckpoint())

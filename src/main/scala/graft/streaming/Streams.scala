@@ -702,6 +702,69 @@ object Streams {
     streamCompactionPolicy(s, d)
   }
 
+  /** STREAMING MAINTENANCE OF THE INCREMENTAL-DEDUP PROBE TARGET —
+    * the q344 monoid discipline applied to q345's corpus simhash
+    * value census: counts per value ADD, so each arriving corpus
+    * micro-batch hashes only ITS OWN documents and overwrites one
+    * batchId-keyed partial census (replay-idempotent — a retried
+    * trigger rewrites, never double-counts); the serve re-sums the
+    * partials. The corpus is never re-hashed: per trigger the work is
+    * one hash pass + one tiny aggregate over the batch, and the
+    * durable state is ≤ |batch values| rows per trigger, bounded by
+    * fingerprint entropy. The drained census is the q345 corpus index
+    * VERBATIM (the q147 pattern) — the oracle is the same census SQL,
+    * so the hash match proves the monoid maintenance converges to the
+    * batch-built index under any arrival slicing. */
+  def streamSimhashCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_simhash_census", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("doc_id"), lit(5)) =!= 4)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            batch.toDF()
+              .select(org.apache.spark.sql.graftshim.SimHashMd5(
+                graft.functions.TextFunctions.distinctTokens(
+                  lower(col("text")))).as("simhash"))
+              .groupBy("simhash").agg(count(lit(1)).as("n_partial"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.schema("simhash BIGINT, n_partial BIGINT").parquet(outDir)
+      .groupBy("simhash").agg(sum("n_partial").as("n_docs"))
+  }
+
+  val qStreamSimhashCensus: GraftQuery = GraftQuery(
+    "q350_stream_simhash_census",
+    graft.operators.Dedup.simhashCorpusCensusSql) { (s, d) =>
+    streamSimhashCensus(s, d).orderBy("simhash")
+  }
+
+  /** INCREMENTAL DEDUP AGAINST THE STREAM-MAINTAINED INDEX — q345's
+    * banded cross-corpus probe run against the census q350 keeps warm
+    * under arrival, instead of the batch-built corpus index: the
+    * arriving batch's values probe the drained partials through the
+    * SAME probe plan (graft.operators.Dedup.simhashBatchProbe), and
+    * the oracle is q345's VERBATIM — the hash match proves the
+    * maintained index and the batch index are interchangeable probe
+    * targets. This is the full production posture: the corpus census
+    * accretes as a stream, and admission control probes it without
+    * ever re-hashing or re-pairing the corpus. */
+  val qStreamSimhashProbe: GraftQuery = GraftQuery(
+    "q351_stream_simhash_probe",
+    graft.operators.Dedup.qSimhashNearDupBatch.oracle.get) { (s, d) =>
+    graft.operators.Dedup.simhashBatchProbe(s, d, streamSimhashCensus(s, d))
+  }
+
   /** STREAMING HARD-NEGATIVE MINING: q199's per-anchor argmax
     * maintained as candidate vectors ARRIVE. Argmax under the
     * (cos desc, id asc) total order is a MONOID — the fold of
@@ -2073,5 +2136,6 @@ object Streams {
       qStreamConcurrency, qStreamPsi, qStreamCdcApply, qStreamMerkle,
       qStreamCdcCensus, qStreamBatchServe, qStreamPlannedServe,
       qStreamCompactionPolicy, qStreamHardNegatives,
-      qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps)
+      qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps,
+      qStreamSimhashCensus, qStreamSimhashProbe)
 }

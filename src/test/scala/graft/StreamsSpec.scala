@@ -362,6 +362,39 @@ class StreamsSpec extends SparkSpecBase {
       "streamed census maintenance must reach the batch compaction decision")
   }
 
+  test("q350/q351: multi-trigger simhash census drains to the batch corpus index and serves the q345 probe") {
+    import org.apache.spark.sql.functions._
+    // 3 staged files + maxFilesPerTrigger=1 → the corpus arrives
+    // across several triggers, each overwriting one batchId-keyed
+    // partial census; the re-summed census must equal the batch-built
+    // corpus index value for value
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_simhash").toString
+    graft.sources.Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamSimhashCensus(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+    val streamedRows = streamed.orderBy("simhash")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.sources.Tables.documents(spark, sf001)
+      .where(pmod(col("doc_id"), lit(5)) =!= 4)
+      .select(org.apache.spark.sql.graftshim.SimHashMd5(
+        graft.functions.TextFunctions.distinctTokens(
+          lower(col("text")))).as("simhash"))
+      .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
+      .orderBy("simhash").collect().map(_.toSeq).toSeq
+    assert(streamedRows === batch,
+      "drained census must equal the batch corpus index")
+    // and the maintained index is an interchangeable probe target:
+    // q345's probe against it equals q345 against the batch index
+    val probed = graft.operators.Dedup
+      .simhashBatchProbe(spark, sf001, streamed)
+      .collect().map(_.toSeq).toSeq
+    val q345 = SparkEntry.queries("q345_simhash_neardup_batch")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(probed === q345,
+      "probe against the maintained index must equal the batch probe")
+  }
+
   test("q147 replay: re-delivered micro-batch is idempotent (at-least-once recovery)") {
     // drain the single-staging ingest, then simulate the recovery path:
     // foreachBatch re-delivers the last checkpointed batch
