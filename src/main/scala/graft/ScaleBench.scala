@@ -1029,6 +1029,7 @@ object ScaleBench {
     vecs.unpersist()
     out ++= zorderProbe(spark, sfDir, 4000000, 256)
     out ++= rankProbe(spark, 8000000)
+    out ++= refreshProbe(spark, sfDir, target)
 
     // the serve probe goes LAST: the driver records only the final
     // 2000 chars of stdout, so the probe order decides which keys the
@@ -1222,6 +1223,108 @@ object ScaleBench {
     * and trained codebooks, amortization + candidate-stage profile) —
     * callable standalone: `runMain graft.ScaleBench serve <sfDir>
     * <ignored> <targetVecs>`. */
+  /** CENTROID REFRESH A/B (q352's physics, measured at a PLANTED
+    * drift): the corpus is the base population plus a 25% arrival
+    * wave forming a tight cosine cluster far from the base
+    * distribution (all-positive shift → the all-ones direction — a
+    * new modality the stale quantizer has no centroid for). The STALE
+    * quantizer (stride sample of the base only) crams the whole
+    * arrival cloud into its few nearest cells, so an arrival query
+    * still FINDS its neighbors (the mega-cells rank first) but scans
+    * the entire cloud; the REFRESHED quantizer (same stride over
+    * base ∪ arrivals — exactly q352's re-fit sample) splits the cloud
+    * over ~64 cells and the probed row count collapses at held
+    * recall. Recorded: q352's drift census (reassignment rate + the
+    * refresh decision), recall@3 for arrival queries at the fixed
+    * operating nProbe, probed rows per query under both quantizers,
+    * and their ratio (m1_refresh_scan_x) — the number that says what
+    * NOT refreshing costs per query. */
+  private[graft] def refreshProbe(spark: SparkSession, sfDir: String,
+      target: Int): Seq[(String, Double)] = {
+    import graft.operators.{IvfAnn, Similarity}
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val idOffset = 2000000000L
+    val base = synthVecs(spark, sfDir, target)
+    val arrivals = base.where(pmod(col("vec_id"), lit(4)) === 0)
+      .select((col("vec_id") + idOffset).as("vec_id"),
+        transform(col("embedding"),
+          x => (abs(x.cast("double")) + 2.0).cast("float")).as("embedding"))
+    val corpus = base.unionByName(arrivals).repartition(64).persist()
+    val nCorpus = corpus.count()
+    val nBase = base.count()
+    val nArr = nCorpus - nBase
+    out ++= Seq("m1_refresh_corpus_n" -> nCorpus.toDouble,
+      "m1_refresh_arrivals_n" -> nArr.toDouble)
+    // stale = stride sample of the base only (~256 cells); refit =
+    // the SAME stride over the current corpus (q352's rule) — the
+    // arrival range contributes its own ~64 sampled centroids
+    val stride = math.max(1L, nBase / 256)
+    val stale = base.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val refit = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // q352's drift census + decision, at scale
+    val (policy, tPolicy) = time(
+      IvfAnn.centroidRefreshPolicy(corpus, stale, refit).collect())
+    val totRows = policy.map(_.getLong(1)).sum
+    val totMoved = policy.map(_.getLong(2)).sum
+    out ++= Seq(
+      "m1_refresh_policy_sec" -> tPolicy,
+      "m1_refresh_reassign_rate" ->
+        (if (totRows > 0) totMoved.toDouble / totRows else -1.0),
+      "m1_refresh_decision" ->
+        (if (policy.nonEmpty && policy.head.getBoolean(3)) 1.0 else 0.0))
+    // recall + scan cost for ARRIVAL queries at the operating nProbe,
+    // stale vs refreshed
+    val qStride = math.max(1L, nArr / 64) * 4
+    val queryFilter = col("vec_id") >= idOffset &&
+      pmod(col("vec_id") - idOffset, lit(qStride)) === 0
+    val exact = Similarity.bruteForceTopK(corpus, queryFilter, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQ = exact.map(_._1).size
+    def variant(tag: String, cents: DataFrame): Unit = {
+      val assigned = IvfAnn.assign(corpus, cents).persist()
+      assigned.count()
+      def searched(): Set[(Long, Long)] =
+        IvfAnn.search(assigned, cents, queryFilter, k = 3,
+          nProbe = IvfAnn.opNProbe)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = searched() // warm + recall
+      val (_, tSearch) = time(searched())
+      // probed rows per query: the routed top-nProbe cells' census
+      val census = assigned.groupBy("cell").agg(count(lit(1)).as("n_rows"))
+      val queries = assigned.where(queryFilter)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("c_sim").desc, col("cell"))
+      val probedRows = queries.crossJoin(broadcast(cents))
+        .withColumn("c_sim", Similarity.cosine(col("q_emb"), col("centroid")))
+        .withColumn("c_rank", row_number().over(wRank))
+        .where(col("c_rank") <= IvfAnn.opNProbe)
+        .join(census, "cell")
+        .agg(sum("n_rows")).head.getLong(0)
+      assigned.unpersist()
+      out ++= Seq(
+        s"m1_refresh_recall3_$tag" ->
+          (if (exact.nonEmpty) exact.intersect(got).size.toDouble / exact.size
+           else -1.0),
+        s"m1_refresh_search_sec_$tag" -> tSearch,
+        s"m1_refresh_probed_rows_per_q_$tag" ->
+          (if (nQ > 0) probedRows.toDouble / nQ else -1.0))
+    }
+    variant("stale", stale)
+    variant("refreshed", refit)
+    val probedStale = out.find(_._1 == "m1_refresh_probed_rows_per_q_stale").map(_._2)
+    val probedRef = out.find(_._1 == "m1_refresh_probed_rows_per_q_refreshed").map(_._2)
+    out += "m1_refresh_scan_x" -> (for {
+      s <- probedStale; r <- probedRef if r > 0
+    } yield s / r).getOrElse(-1.0)
+    corpus.unpersist()
+    out.toSeq
+  }
+
   private[graft] def ivfServeProbe(spark: SparkSession, sfDir: String,
       target: Int): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

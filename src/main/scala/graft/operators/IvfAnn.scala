@@ -286,5 +286,110 @@ object IvfAnn {
       .orderBy("query_id")
   }
 
-  def all: Seq[GraftQuery] = Seq(qIvfTopK, qIvfFixedTopK, qIvfRecall)
+  /** Refresh when at least 1/[[refreshDenom]] of the corpus would
+    * reassign under the re-fit candidate quantizer. */
+  val refreshDenom = 5
+
+  /** The drift census + decision over a corpus and two centroid sets
+    * — factored so the oracle-paired query (q352) and the spec's
+    * planted-drift fixtures share one arithmetic. One corpus scan:
+    * both assignments are fused scan-stage expressions against the
+    * two bounded centroid literals (the assignKeeping discipline);
+    * the census is |cells| rows; the decision is an exact integer
+    * comparison windowed over the census (no floating thresholds —
+    * the q342 rule). */
+  private[graft] def centroidRefreshPolicy(emb: DataFrame,
+      persisted: DataFrame, refit: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def collectCents(c: DataFrame) =
+      c.select(col("cell").cast("long"), col("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val pc = collectCents(persisted)
+    val rc = collectCents(refit)
+    val assigned = emb.select(col("vec_id"),
+      org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), pc, "cos")
+        .as("cell_old"),
+      org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), rc, "cos")
+        .as("cell_new"))
+    val w = Window.partitionBy()
+    assigned
+      .groupBy("cell_old")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cell_old") =!= col("cell_new"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(col("cell_old").as("cell"), col("n_rows"), col("n_moved"),
+        (sum(col("n_moved")).over(w) * refreshDenom >=
+          sum(col("n_rows")).over(w)).as("refresh"))
+      .orderBy("cell")
+  }
+
+  /** CENTROID REFRESH POLICY — the q342 compaction-policy discipline
+    * applied to the trained coarse quantizer: q140/q147 accrete delta
+    * segments against the PERSISTED centroids, and this operator
+    * decides WHEN to retrain, from per-cell assignment drift. The
+    * drift statistic is exact and oracle-expressible: assign the
+    * CURRENT corpus under (a) the persisted centroids (the base
+    * stride-50 sample) and (b) the RE-FIT candidate sample (the
+    * persisted sample plus an equal-stride sample of the arrival
+    * population — ids ≡ 49 (mod 50), all of which are q140 delta
+    * ids); a vector has DRIFTED when the re-fit
+    * sample captures a nearer centroid than the one serving it. The
+    * census (per persisted cell: rows, moved) is |cells| rows, and
+    * the decision is one exact integer comparison: REFRESH when
+    * ≥ 1/[[refreshDenom]] of the corpus would reassign — stale cells
+    * past that rate mean the quantizer no longer reflects the data
+    * and recall at fixed nProbe decays (ScaleBench measures that
+    * decay and the refresh's recovery at a planted drift,
+    * m1_refresh_* keys).
+    *
+    * 100 TB: one corpus scan with two fused assignment expressions —
+    * no N × C join, no shuffle beyond the |cells|-row census; the
+    * re-fit SAMPLE is the stride discipline the index already uses,
+    * so the policy costs one assignment pass, not a k-means. Oracle:
+    * both assignments, the census, and the decision rebuilt in SQL —
+    * the hash match proves the drift arithmetic end to end. */
+  val qCentroidRefreshPolicy: GraftQuery = GraftQuery(
+    "q352_centroid_refresh_policy",
+    s"""WITH pc AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % $fixedStride = 0),
+       |rc AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % $fixedStride = 0
+       |     OR vec_id % $fixedStride = ${fixedStride - 1}),
+       |old_assign AS (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql.format("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN pc c),
+       |oldc AS (SELECT vec_id, cell AS cell_old FROM old_assign WHERE rn = 1),
+       |new_assign AS (
+       |  SELECT e.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql.format("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN rc c),
+       |newc AS (SELECT vec_id, cell AS cell_new FROM new_assign WHERE rn = 1),
+       |moved AS (
+       |  SELECT o.cell_old,
+       |    CASE WHEN o.cell_old <> n.cell_new THEN 1 ELSE 0 END AS m
+       |  FROM oldc o JOIN newc n ON o.vec_id = n.vec_id),
+       |census AS (
+       |  SELECT cell_old AS cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(m) AS BIGINT) AS n_moved
+       |  FROM moved GROUP BY cell_old)
+       |SELECT cell, n_rows, n_moved,
+       |  SUM(n_moved) OVER () * $refreshDenom >= SUM(n_rows) OVER () AS refresh
+       |FROM census
+       |ORDER BY cell""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val persisted = fixedCentroids(emb, fixedStride)
+    val refit = emb.where(
+      pmod(col("vec_id"), lit(fixedStride)) === 0 ||
+        pmod(col("vec_id"), lit(fixedStride)) === fixedStride - 1)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    centroidRefreshPolicy(emb, persisted, refit)
+  }
+
+  def all: Seq[GraftQuery] =
+    Seq(qIvfTopK, qIvfFixedTopK, qIvfRecall, qCentroidRefreshPolicy)
 }

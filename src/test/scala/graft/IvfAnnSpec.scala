@@ -256,4 +256,58 @@ class IvfAnnSpec extends SparkSpecBase {
       assert(a.getInt(1) <= b.getInt(1), "n_probe monotone in target")
     }
   }
+
+  test("q352: the refresh decision flips exactly with a planted drift") {
+    import spark.implicits._
+    // axis-pure unit vectors make assignment cosines exactly 0 or 1,
+    // so ties resolve by the documented lowest-cell rule and the
+    // census is fully deterministic
+    def v(axis: Int): Array[Float] = {
+      val a = Array.fill(4)(0f); a(axis) = 1f; a
+    }
+    val base = (0L until 40L).map(i => (i, v((i % 2).toInt)))
+    val arrivals = (100L until 120L).map(i => (i, v(2)))  // a NEW mode
+    val corpus = (base ++ arrivals).toDF("vec_id", "embedding")
+    def cents(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("cell", "centroid")
+    val persisted = cents(Seq(0L -> v(0), 1L -> v(1)))
+    // control: the re-fit sample found no new mode (one more base
+    // vector duplicating an existing centroid) — nothing reassigns,
+    // the policy must say KEEP
+    val control = graft.operators.IvfAnn.centroidRefreshPolicy(
+      corpus, persisted, cents(Seq(0L -> v(0), 1L -> v(1), 2L -> v(0))))
+      .collect()
+    assert(control.forall(_.getLong(2) == 0L), "control must not move")
+    assert(control.forall(!_.getBoolean(3)), "control must decide KEEP")
+    // planted drift: the re-fit sample captures the arrival mode —
+    // every arrival reassigns (20 of 60 ≥ 1/5), the policy must say
+    // REFRESH, and the moved mass sits in the cell that was serving
+    // the arrivals
+    val drift = graft.operators.IvfAnn.centroidRefreshPolicy(
+      corpus, persisted, cents(Seq(0L -> v(0), 1L -> v(1), 100L -> v(2))))
+      .collect()
+    assert(drift.forall(_.getBoolean(3)), "drift must decide REFRESH")
+    val cell0 = drift.find(_.getLong(0) == 0L).get
+    assert(cell0.getLong(1) == 40L && cell0.getLong(2) == 20L,
+      "the arrival mass must be the moved mass of its stale cell")
+    val cell1 = drift.find(_.getLong(0) == 1L).get
+    assert(cell1.getLong(2) == 0L, "the untouched cell must not move")
+  }
+
+  test("refresh probe smoke: planted drift trips the decision and the refresh pays in probed rows") {
+    // small-target run of the bench A/B so a probe regression fails
+    // here, not silently inside a 10-minute bench stage
+    val kvs = graft.ScaleBench.refreshProbe(spark, sf001, 20000).toMap
+    assert(kvs("m1_refresh_decision") == 1.0,
+      "the planted arrival wave must trip the refresh decision")
+    assert(kvs("m1_refresh_reassign_rate") >= 0.2)
+    Seq("stale", "refreshed").foreach { t =>
+      val r = kvs(s"m1_refresh_recall3_$t")
+      assert(r >= 0.0 && r <= 1.0, s"recall3_$t out of range: $r")
+      assert(kvs(s"m1_refresh_probed_rows_per_q_$t") > 0.0)
+    }
+    assert(kvs("m1_refresh_scan_x") > 1.0,
+      "the stale quantizer must scan more rows per arrival query " +
+        s"than the refreshed one (got ${kvs("m1_refresh_scan_x")}x)")
+  }
 }
