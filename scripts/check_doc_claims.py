@@ -148,16 +148,26 @@ def main():
                 rx = re.compile("^" + re.escape(p).replace(r"\*", ".*") + "$")
                 cited.update(k for k in recorded if rx.match(k))
             if not cited:
-                # the cited key family isn't in the recorded artifact at
-                # all — a truncated stdout-tail fallback can't check this
-                # block (BENCH_FULL.json, written by every bench run,
-                # always can); skip rather than fail on missing evidence
-                skipped += len(extract_claims(line))
+                # the cited key family isn't in the recorded artifact.
+                # Against the full artifact (BENCH_FULL.json, written by
+                # every successful full bench run) that means the docs
+                # cite keys the bench no longer emits — a FAILURE; a
+                # truncated stdout-tail fallback genuinely can't check
+                # the block, so there it's only a skip.
+                n = len(extract_claims(line))
+                if n and source.endswith("BENCH_FULL.json"):
+                    failures.append(
+                        "%s:%d cites %s but the full artifact records no "
+                        "such key (%d unchecked claims)"
+                        % (os.path.relpath(path, ROOT), i,
+                           "/".join(pats), n))
+                else:
+                    skipped += n
                 continue
             for unit, lo, hi, text in extract_claims(line):
                 checked += 1
-                cands = {k: v for k, v in cited.items()} if False else \
-                    {k: recorded[k] for k in cited if unit_class(k) == unit}
+                cands = {k: recorded[k] for k in cited
+                         if unit_class(k) == unit}
                 ok = False
                 for k, v in cands.items():
                     if lo != hi:

@@ -121,9 +121,13 @@ object Bench {
     // only the last 2000 chars of stdout, so which stdout keys survive
     // depends on probe emission order — the file is the durable,
     // truncation-free artifact that README/SCALE numeric claims cite
-    // (and that scripts/check_doc_claims.py gates against)
+    // (and that scripts/check_doc_claims.py gates against). ONLY a
+    // full, successful run may write it: a headline-only smoke
+    // (SPARK_GRAFT_SCALE=0) or a failed scale stage must not replace
+    // the citable artifact with an empty/failed key map.
+    val scaleOk = withScale && !scaleKvs.exists(_._1 == "scale_failed")
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/BENCH_FULL.json")
-    try {
+    if (scaleOk) try {
       val full =
         s"""{"catalog":${jsonObj(catalogKvs)},"scale":${jsonObj(scaleKvs)},"headline":$headlineLine}"""
       val p = java.nio.file.Paths.get(benchOut)
@@ -133,7 +137,8 @@ object Bench {
       System.err.println(s"[bench] full key map written to $benchOut")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
-    }
+    } else System.err.println(
+      s"[bench] $benchOut NOT written (scale stage skipped or failed)")
     // the driver-parsed headline line stays LAST on stdout
     println(headlineLine)
     spark.stop()

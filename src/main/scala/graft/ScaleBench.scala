@@ -1224,10 +1224,13 @@ object ScaleBench {
     * callable standalone: `runMain graft.ScaleBench serve <sfDir>
     * <ignored> <targetVecs>`. */
   /** CENTROID REFRESH A/B (q352's physics, measured at a PLANTED
-    * drift): the corpus is the base population plus a 25% arrival
-    * wave forming a tight cosine cluster far from the base
-    * distribution (all-positive shift → the all-ones direction — a
-    * new modality the stale quantizer has no centroid for). The STALE
+    * drift): the corpus is the base population plus an arrival wave a
+    * THIRD the base size (a quarter of the corpus — comfortably above
+    * the 1/5 refresh threshold, so the decision does not sit at exact
+    * integer equality where one unmoved arrival would flip it)
+    * forming a tight cosine cluster far from the base distribution
+    * (all-positive shift → the all-ones direction — a new modality
+    * the stale quantizer has no centroid for). The STALE
     * quantizer (stride sample of the base only) crams the whole
     * arrival cloud into its few nearest cells, so an arrival query
     * still FINDS its neighbors (the mega-cells rank first) but scans
@@ -1245,7 +1248,7 @@ object ScaleBench {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val idOffset = 2000000000L
     val base = synthVecs(spark, sfDir, target)
-    val arrivals = base.where(pmod(col("vec_id"), lit(4)) === 0)
+    val arrivals = base.where(pmod(col("vec_id"), lit(3)) === 0)
       .select((col("vec_id") + idOffset).as("vec_id"),
         transform(col("embedding"),
           x => (abs(x.cast("double")) + 2.0).cast("float")).as("embedding"))
@@ -1256,13 +1259,19 @@ object ScaleBench {
     out ++= Seq("m1_refresh_corpus_n" -> nCorpus.toDouble,
       "m1_refresh_arrivals_n" -> nArr.toDouble)
     // stale = stride sample of the base only (~256 cells); refit =
-    // the SAME stride over the current corpus (q352's rule) — the
-    // arrival range contributes its own ~64 sampled centroids
+    // the stale sample PLUS an equal-rate stride sample of the
+    // arrival population taken in the arrivals' OWN id space (q352's
+    // rule). Sampling the offset ids directly would make arrival
+    // membership depend on (idOffset mod stride) vs the wave's
+    // residue class — a number-theory accident that can leave the
+    // refit with ZERO arrival centroids (it did, at target 20000)
     val stride = math.max(1L, nBase / 256)
     val stale = base.where(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    val refit = corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val refit = stale.unionByName(
+      arrivals.where(
+        pmod(col("vec_id") - idOffset, lit(3L * stride)) === 0)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid")))
     // q352's drift census + decision, at scale
     val (policy, tPolicy) = time(
       IvfAnn.centroidRefreshPolicy(corpus, stale, refit).collect())

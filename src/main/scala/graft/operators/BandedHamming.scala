@@ -224,16 +224,16 @@ object BandedHamming {
             "refusing the silent quadratic — reband with more/wider-" +
             "entropy sub-bands or raise maxBucketRows deliberately")
         // conjunction needs ≥ hMax+2 INFORMATIVE bands on every row,
-        // not just globally: check the per-row informative minimum
-        val minInformative = {
-          val both = rowsB match {
-            case Some(b) => explodedSingle(rows)
-              .unionByName(explodedSingle(b))
-            case None => explodedSingle(rows)
-          }
-          both.groupBy((eqKeys ++ idCols).distinct.map(col): _*).count()
+        // not just globally: check the per-row informative minimum —
+        // PER SIDE in the cross form (a value present in both
+        // universes must not have its two sides' band counts merged
+        // and added, which would mask a lossy row)
+        def minInf(r: DataFrame): Long =
+          explodedSingle(r)
+            .groupBy((eqKeys ++ idCols).distinct.map(col): _*).count()
             .agg(min("count")).head.getLong(0)
-        }
+        val minInformative =
+          (minInf(rows) +: rowsB.map(minInf).toSeq).min
         require(minInformative >= hMax + 2,
           s"band-bucket occupancy exceeds $maxBucketRows rows but some " +
             s"row has only $minInformative informative bands — two-band " +

@@ -1756,6 +1756,23 @@ object Multimodal {
        |  WHERE ${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")}
        |    BETWEEN 1 AND $videoHammingMax)""".stripMargin
 
+  /** The q336/q348 banded value pairs — ONE banding configuration
+    * (slices, width eqKey, informative mask, tolerance) shared by the
+    * pair query and the clustering composer, so the band layout
+    * cannot silently diverge between them (the audioValuePairs
+    * discipline). `carry` differs per caller (q336 carries the
+    * census, q348 the MIN-doc node key). */
+  private def videoWideValuePairs(s: SparkSession, d: String,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame =
+    BandedHamming.nearMissPairs(videoWideValueCensus(s, d),
+      idCols = wideFpCols, fpCols = wideFpCols,
+      bandExprs = (0 until fpFrames).flatMap(i =>
+        BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
+          BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
+      eqKeys = Seq("n_sampled"), carry = carry,
+      informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
+      hMax = videoHammingMax)
+
   val qVideoNearDupWide: GraftQuery = GraftQuery(
     "q336_video_neardup_wide",
     s"""WITH $videoFpWideCtes,
@@ -1767,14 +1784,7 @@ object Multimodal {
        |FROM wpairs
        |ORDER BY n_sampled, ${wideFpCols.map(c => s"${c}_a").mkString(", ")},
        |  ${wideFpCols.map(c => s"${c}_b").mkString(", ")}""".stripMargin) { (s, d) =>
-    BandedHamming.nearMissPairs(videoWideValueCensus(s, d),
-      idCols = wideFpCols, fpCols = wideFpCols,
-      bandExprs = (0 until fpFrames).flatMap(i =>
-        BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
-          BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
-      eqKeys = Seq("n_sampled"), carry = Seq("n_docs"),
-      informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
-      hMax = videoHammingMax)
+    videoWideValuePairs(s, d, carry = Seq("n_docs"))
       .select((col("n_sampled") +:
         (wideFpCols.map(c => col(s"${c}_a")) ++
           wideFpCols.map(c => col(s"${c}_b")) ++
@@ -1832,14 +1842,7 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val vals = videoWideValueCensus(s, d)
     val labels = videoWideClusterIndex.getOrElseUpdate(s, d) {
-      val edges = BandedHamming.nearMissPairs(vals,
-        idCols = wideFpCols, fpCols = wideFpCols,
-        bandExprs = (0 until fpFrames).flatMap(i =>
-          BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
-            BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
-        eqKeys = Seq("n_sampled"), carry = Seq("vid"),
-        informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
-        hMax = videoHammingMax)
+      val edges = videoWideValuePairs(s, d, carry = Seq("vid"))
         .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
         .localCheckpoint()
       val l = Dedup.connectedComponents(edges)
@@ -1918,15 +1921,18 @@ object Multimodal {
        |ORDER BY vid""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val vals = imageValueCensus(s, d)
-    val pairs = BandedHamming.nearMissPairs(vals,
-      idCols = Seq("ahash_hi", "ahash_lo"),
-      fpCols = Seq("ahash_hi", "ahash_lo"),
-      bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
-        BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
-      carry = Seq("vid"), hMax = videoHammingMax)
-      .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
+    // pair construction lives INSIDE the memo thunk: nearMissPairs is
+    // eager (row-contract + occupancy-guard jobs), so a memo hit must
+    // not rebuild and discard it
     val labels = imageClusterIndex.getOrElseUpdate(s, d) {
-      val edges = pairs.localCheckpoint()
+      val edges = BandedHamming.nearMissPairs(vals,
+        idCols = Seq("ahash_hi", "ahash_lo"),
+        fpCols = Seq("ahash_hi", "ahash_lo"),
+        bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
+          BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
+        carry = Seq("vid"), hMax = videoHammingMax)
+        .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
+        .localCheckpoint()
       val l = Dedup.connectedComponents(edges)
       // the loop-boundary barrier is disposable once the labels are
       // persisted and materialized — release instead of leaking

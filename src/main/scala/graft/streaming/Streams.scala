@@ -715,9 +715,27 @@ object Streams {
     * VERBATIM (the q147 pattern) — the oracle is the same census SQL,
     * so the hash match proves the monoid maintenance converges to the
     * batch-built index under any arrival slicing. */
+  /** The drained simhash census, materialized once per (session,
+    * corpus, staging dir): q350 and q351 share ONE stream drain, and
+    * the checkpoint barrier decouples the returned relation from the
+    * scratch directory — a later re-drain wipes and rewrites those
+    * files, which would otherwise invalidate a previously returned
+    * lazy census's file listing. Released on eviction. */
+  private val simhashCensusIndex =
+    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+      "streams.simhashCensus")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
   def streamSimhashCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    simhashCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+      drainSimhashCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .localCheckpoint())
+
+  private def drainSimhashCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     val outDir = graft.operators.Formats.scratchDir(
       "graft_stream_simhash_census", srcDir.getOrElse(sfDir))
     graft.operators.Formats.wipe(outDir)

@@ -298,6 +298,7 @@ class IvfAnnSpec extends SparkSpecBase {
     // small-target run of the bench A/B so a probe regression fails
     // here, not silently inside a 10-minute bench stage
     val kvs = graft.ScaleBench.refreshProbe(spark, sf001, 20000).toMap
+    kvs.toSeq.sortBy(_._1).foreach(kv => info(s"${kv._1} = ${kv._2}"))
     assert(kvs("m1_refresh_decision") == 1.0,
       "the planted arrival wave must trip the refresh decision")
     assert(kvs("m1_refresh_reassign_rate") >= 0.2)
