@@ -1546,6 +1546,78 @@ object Multimodal {
       .orderBy("fp_a", "fp_b")
   }
 
+  /** Per-split audio fingerprint value census (the q335 census
+    * restricted to a document predicate) — the batch/corpus halves of
+    * q353. Ids pruned BEFORE synthesis/decode. */
+  private def audioValueCensusWhere(s: SparkSession, d: String,
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val audio = Tables.documents(s, d).where(cond)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => AudioRow(id, synthWav(id))))
+    audioFingerprints(audio).toDF()
+      .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The CORPUS audio value index, persisted once per (session,
+    * corpus) — the q345/q349 posture on the audio tier. */
+  private val audioCorpusIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.audioCorpusVals")(_.unpersist(): Unit)
+
+  /** The arriving batch's checkpointed audio census (deterministic
+    * per corpus in this fixture — a production caller keys by batch
+    * id); checkpoint blocks released on eviction. */
+  private val audioBatchIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.audioBatchVals")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
+  /** INCREMENTAL AUDIO NEAR-MISS — the q345/q349 batch-vs-corpus
+    * posture on the audio tier: an arriving batch's distinct 32-bit
+    * energy fingerprints probe the PERSISTED corpus value index
+    * through the cross-corpus banding at hamming 0–3 (exact index
+    * hits plus the tolerant tier). This is the tier where incremental
+    * matters most at the value grain — one fingerprint value covers
+    * 158 of 500 clips in the fixture, so the probe's cost follows
+    * bucket occupancy over an entropy-bounded index, never corpus
+    * size, and the corpus is never re-decoded or re-paired. Oracle:
+    * the plain all-pairs batch×corpus value join. */
+  val qAudioNearDupBatch: GraftQuery = GraftQuery(
+    "q353_audio_neardup_batch",
+    s"""WITH $audioFpCtes,
+       |bavals AS (
+       |  SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM fp WHERE doc_id % 5 = 4 GROUP BY fingerprint),
+       |cavals AS (
+       |  SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM fp WHERE doc_id % 5 <> 4 GROUP BY fingerprint)
+       |SELECT b.fingerprint AS fp_batch, c.fingerprint AS fp_corpus,
+       |  CAST(bit_count(xor(b.fingerprint, c.fingerprint)) AS INTEGER)
+       |    AS hamming,
+       |  b.n_docs AS n_docs_batch, c.n_docs AS n_docs_corpus
+       |FROM bavals b JOIN cavals c
+       |  ON bit_count(xor(b.fingerprint, c.fingerprint))
+       |     <= $videoHammingMax
+       |ORDER BY fp_batch, fp_corpus""".stripMargin) { (s, d) =>
+    val corpusVals = audioCorpusIndex.getOrElseUpdate(s, d)(
+      audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+        .persist())
+    val batchVals = audioBatchIndex.getOrElseUpdate(s, d)(
+      audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+        .localCheckpoint())
+    BandedHamming.nearMissPairs(batchVals,
+      idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
+      bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
+      carry = Seq("n_docs"),
+      hMin = 0, hMax = videoHammingMax, rowsB = Some(corpusVals))
+      .select(col("fingerprint_a").as("fp_batch"),
+        col("fingerprint_b").as("fp_corpus"), col("hamming"),
+        col("n_docs_a").as("n_docs_batch"),
+        col("n_docs_b").as("n_docs_corpus"))
+      .orderBy("fp_batch", "fp_corpus")
+  }
+
   /** Value-node component labels for q347, built once per (session,
     * corpus); the persisted label relation is released on eviction. */
   private val audioClusterIndex =
@@ -1756,22 +1828,28 @@ object Multimodal {
        |  WHERE ${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")}
        |    BETWEEN 1 AND $videoHammingMax)""".stripMargin
 
-  /** The q336/q348 banded value pairs — ONE banding configuration
-    * (slices, width eqKey, informative mask, tolerance) shared by the
-    * pair query and the clustering composer, so the band layout
+  /** The ONE wide-video banding configuration (slices, width eqKey,
+    * informative mask, tolerance) shared by q336's pairs, q348's
+    * cluster edges, and q354's cross-corpus probe, so the band layout
     * cannot silently diverge between them (the audioValuePairs
-    * discipline). `carry` differs per caller (q336 carries the
-    * census, q348 the MIN-doc node key). */
-  private def videoWideValuePairs(s: SparkSession, d: String,
-      carry: Seq[String]): org.apache.spark.sql.DataFrame =
-    BandedHamming.nearMissPairs(videoWideValueCensus(s, d),
+    * discipline). `carry` differs per caller; the cross form passes
+    * `rowsB` (the corpus index) and `hMin = 0`. */
+  private def videoWideNearMiss(rows: org.apache.spark.sql.DataFrame,
+      carry: Seq[String], hMin: Int = 1,
+      rowsB: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    BandedHamming.nearMissPairs(rows,
       idCols = wideFpCols, fpCols = wideFpCols,
       bandExprs = (0 until fpFrames).flatMap(i =>
         BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
           BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
       eqKeys = Seq("n_sampled"), carry = carry,
       informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
-      hMax = videoHammingMax)
+      hMin = hMin, hMax = videoHammingMax, rowsB = rowsB)
+
+  private def videoWideValuePairs(s: SparkSession, d: String,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame =
+    videoWideNearMiss(videoWideValueCensus(s, d), carry)
 
   val qVideoNearDupWide: GraftQuery = GraftQuery(
     "q336_video_neardup_wide",
@@ -1858,6 +1936,87 @@ object Multimodal {
       .withColumn("cluster_docs", sum(col("n_docs")).over(w).cast("long"))
       .select("vid", "n_sampled", "cluster_id", "n_values", "cluster_docs")
       .orderBy("vid")
+  }
+
+  /** Per-split wide-video value census — the batch/corpus halves of
+    * q354. Ids pruned BEFORE synthesis/decode. */
+  private def videoWideValueCensusWhere(s: SparkSession, d: String,
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val video = Tables.documents(s, d).where(cond)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => VideoRow(id, synthGif(id))))
+    videoFingerprintsWide(video).toDF()
+      .groupBy(("n_sampled" +: wideFpCols).map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The CORPUS wide-video value index, persisted once per (session,
+    * corpus). */
+  private val videoWideCorpusIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.videoWideCorpusVals")(_.unpersist(): Unit)
+
+  /** The arriving batch's checkpointed wide-video census; checkpoint
+    * blocks released on eviction. */
+  private val videoWideBatchIndex =
+    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
+      "multimodal.videoWideBatchVals")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
+  /** INCREMENTAL WIDE-VIDEO NEAR-MISS — the q345/q349/q353 posture on
+    * the wide-video tier, completing the incremental matrix across
+    * all four perceptual families. This is also the only caller that
+    * composes the CROSS-CORPUS form with VARIABLE-WIDTH fingerprints:
+    * equal n_sampled rides as the eqKey on both universes and the
+    * informative-band mask keeps short clips' padding bands out of
+    * the probe on BOTH sides (and the occupancy guard's per-row
+    * informative minimum is checked per side — a value present in
+    * both universes must not mask a lossy escalation). hMin = 0:
+    * exact index hits plus the 1–3-bit tolerant tier. The corpus is
+    * never re-decoded or re-paired; the probe costs O(batch values ×
+    * bucket occupancy). Oracle: the plain all-pairs batch×corpus
+    * value join over the analytically rebuilt wide fingerprints. */
+  val qVideoNearDupWideBatch: GraftQuery = GraftQuery(
+    "q354_video_neardup_wide_batch",
+    s"""WITH $videoFpWideCtes,
+       |bwv AS (
+       |  SELECT n_sampled, ${wideFpCols.mkString(", ")},
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM wfp WHERE doc_id % 5 = 4
+       |  GROUP BY n_sampled, ${wideFpCols.mkString(", ")}),
+       |cwv AS (
+       |  SELECT n_sampled, ${wideFpCols.mkString(", ")},
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM wfp WHERE doc_id % 5 <> 4
+       |  GROUP BY n_sampled, ${wideFpCols.mkString(", ")})
+       |SELECT b.n_sampled,
+       |${wideFpCols.map(c => s"  b.$c AS ${c}_batch").mkString(",\n")},
+       |${wideFpCols.map(c => s"  c.$c AS ${c}_corpus").mkString(",\n")},
+       |  CAST(${wideFpCols.map(c => s"CAST(bit_count(xor(b.$c, c.$c)) AS INTEGER)").mkString(" + ")} AS INTEGER) AS hamming,
+       |  b.n_docs AS n_docs_batch, c.n_docs AS n_docs_corpus
+       |FROM bwv b JOIN cwv c
+       |  ON b.n_sampled = c.n_sampled
+       | AND ${wideFpCols.map(c => s"CAST(bit_count(xor(b.$c, c.$c)) AS INTEGER)").mkString(" + ")}
+       |     <= $videoHammingMax
+       |ORDER BY b.n_sampled, ${wideFpCols.map(c => s"${c}_batch").mkString(", ")},
+       |  ${wideFpCols.map(c => s"${c}_corpus").mkString(", ")}""".stripMargin) {
+    (s, d) =>
+    val corpusVals = videoWideCorpusIndex.getOrElseUpdate(s, d)(
+      videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+        .persist())
+    val batchVals = videoWideBatchIndex.getOrElseUpdate(s, d)(
+      videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+        .localCheckpoint())
+    videoWideNearMiss(batchVals, carry = Seq("n_docs"),
+      hMin = 0, rowsB = Some(corpusVals))
+      .select((col("n_sampled") +:
+        (wideFpCols.map(c => col(s"${c}_a").as(s"${c}_batch")) ++
+          wideFpCols.map(c => col(s"${c}_b").as(s"${c}_corpus")) ++
+          Seq(col("hamming"), col("n_docs_a").as("n_docs_batch"),
+            col("n_docs_b").as("n_docs_corpus")))): _*)
+      .orderBy(("n_sampled" +: (wideFpCols.map(c => s"${c}_batch") ++
+        wideFpCols.map(c => s"${c}_corpus"))).map(col): _*)
   }
 
   /** Value-node component labels for q346, built once per (session,
@@ -2040,5 +2199,6 @@ object Multimodal {
       qVideoDecode, qImageAHash, qAudioFingerprint, qCrossModalDedup,
       qVideoFingerprint, qVideoNearDup, qImageNearDup, qAudioNearDup,
       qVideoNearDupWide, qImageNearDupClusters, qAudioNearDupClusters,
-      qVideoNearDupWideClusters, qImageNearDupBatch)
+      qVideoNearDupWideClusters, qImageNearDupBatch, qAudioNearDupBatch,
+      qVideoNearDupWideBatch)
 }
