@@ -359,6 +359,20 @@ object Multimodal {
     }
   }
 
+  /** [[decodeAHashes]] through the executor-global decoder pool — the
+    * streaming form (q355): decoder constructions stay bounded by
+    * peak task concurrency for the session lifetime, not by trigger
+    * count (the q177 discipline). */
+  def decodeAHashesPooled(images: Dataset[ImageRow]): Dataset[AHashRow] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      val dec = PngDecoderPool.borrow()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => PngDecoderPool.ret(dec)))
+      rows.map(r => dec.decodeAHash(r.doc_id, r.png))
+    }
+  }
+
   /** Executor-global decoder pool for STREAMING featurize: a micro-
     * batch pipeline runs the same mapPartitions stage every trigger,
     * and per-task construction would re-pay decoder init (codec
@@ -2175,6 +2189,16 @@ object Multimodal {
     val corpusVals = imageCorpusIndex.getOrElseUpdate(s, d)(
       imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
         .persist())
+    imageBatchProbe(s, d, corpusVals)
+  }
+
+  /** The q349 probe against a caller-supplied corpus value index —
+    * factored so the STREAMING-maintained census (q356) serves the
+    * same probe plan as the batch-built index, with q349's oracle
+    * proving both (the simhashBatchProbe discipline). */
+  private[graft] def imageBatchProbe(s: SparkSession, d: String,
+      corpusVals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val batchVals = imageBatchIndex.getOrElseUpdate(s, d)(
       imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
         .localCheckpoint())
@@ -2193,6 +2217,16 @@ object Multimodal {
         col("n_docs_b").as("n_docs_corpus"))
       .orderBy("hi_batch", "lo_batch", "hi_corpus", "lo_corpus")
   }
+
+  /** Oracle SQL for the corpus half of the q349 split — also the
+    * oracle of the STREAMING census maintenance (q355), which must
+    * drain to this exact relation under any arrival slicing. */
+  private[graft] def imageCorpusCensusSql: String =
+    s"""WITH $imageAHashCtes
+       |SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM ah WHERE doc_id % 5 <> 4
+       |GROUP BY ahash_hi, ahash_lo
+       |ORDER BY ahash_hi, ahash_lo""".stripMargin
 
   def all: Seq[GraftQuery] =
     Seq(qBinaryMeta, qMediaFeatures, qImageDecode, qImageResize, qAudioDecode,

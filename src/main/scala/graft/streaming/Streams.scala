@@ -783,6 +783,82 @@ object Streams {
     graft.operators.Dedup.simhashBatchProbe(s, d, streamSimhashCensus(s, d))
   }
 
+  /** The drained image census, materialized once per (session,
+    * corpus, staging dir) — the q350 discipline on the image tier
+    * (see [[simhashCensusIndex]] for the barrier rationale). */
+  private val imageCensusIndex =
+    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+      "streams.imageCensus")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
+  /** STREAMING MAINTENANCE OF THE IMAGE CORPUS INDEX — q350's monoid
+    * discipline on the REAL-CODEC tier: each arriving corpus
+    * micro-batch synthesizes and decodes only ITS OWN PNG payloads
+    * (executor-global decoder pool — constructions bounded by peak
+    * task concurrency, not trigger count; payloads are born and
+    * consumed inside the partition, no image bytes cross an exchange
+    * or land in the sink) and overwrites one batchId-keyed partial
+    * aHash census. The drained sum is the q349 corpus index VERBATIM
+    * — the multimodal corpus is never re-decoded, which at 100 TB is
+    * the difference between a census refresh and a full decode pass
+    * over the archive. */
+  def streamImageCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    imageCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+      drainImageCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .localCheckpoint())
+
+  private def drainImageCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.operators.Multimodal
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_image_census", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("doc_id"), lit(5)) =!= 4)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            import batch.sparkSession.implicits._
+            val images = batch.select(col("doc_id")).as[Long]
+              .mapPartitions(ids =>
+                ids.map(id => Multimodal.ImageRow(id, Multimodal.synthPng(id))))
+            Multimodal.decodeAHashesPooled(images).toDF()
+              .groupBy("ahash_hi", "ahash_lo")
+              .agg(count(lit(1)).as("n_partial"))
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read
+      .schema("ahash_hi BIGINT, ahash_lo BIGINT, n_partial BIGINT")
+      .parquet(outDir)
+      .groupBy("ahash_hi", "ahash_lo").agg(sum("n_partial").as("n_docs"))
+  }
+
+  val qStreamImageCensus: GraftQuery = GraftQuery(
+    "q355_stream_image_census",
+    graft.operators.Multimodal.imageCorpusCensusSql) { (s, d) =>
+    streamImageCensus(s, d).orderBy("ahash_hi", "ahash_lo")
+  }
+
+  /** INCREMENTAL IMAGE DEDUP AGAINST THE STREAM-MAINTAINED INDEX —
+    * q349's banded cross-corpus probe run against the census q355
+    * keeps warm (the q351 composition on the real-codec tier), oracle
+    * = q349's VERBATIM: the maintained and batch-built image indexes
+    * are interchangeable probe targets. */
+  val qStreamImageProbe: GraftQuery = GraftQuery(
+    "q356_stream_image_probe",
+    graft.operators.Multimodal.qImageNearDupBatch.oracle.get) { (s, d) =>
+    graft.operators.Multimodal.imageBatchProbe(s, d, streamImageCensus(s, d))
+  }
+
   /** STREAMING HARD-NEGATIVE MINING: q199's per-anchor argmax
     * maintained as candidate vectors ARRIVE. Argmax under the
     * (cos desc, id asc) total order is a MONOID — the fold of
@@ -2155,5 +2231,6 @@ object Streams {
       qStreamCdcCensus, qStreamBatchServe, qStreamPlannedServe,
       qStreamCompactionPolicy, qStreamHardNegatives,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps,
-      qStreamSimhashCensus, qStreamSimhashProbe)
+      qStreamSimhashCensus, qStreamSimhashProbe,
+      qStreamImageCensus, qStreamImageProbe)
 }

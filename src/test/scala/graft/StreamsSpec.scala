@@ -395,6 +395,38 @@ class StreamsSpec extends SparkSpecBase {
       "probe against the maintained index must equal the batch probe")
   }
 
+  test("q355/q356: multi-trigger image census drains to the batch corpus index and serves the q349 probe") {
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_imgcensus").toString
+    graft.sources.Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamImageCensus(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+    val streamedRows = streamed.orderBy("ahash_hi", "ahash_lo")
+      .collect().map(_.toSeq).toSeq
+    val batchImages = {
+      import spark.implicits._
+      graft.sources.Tables.documents(spark, sf001)
+        .where(pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id =>
+          graft.operators.Multimodal.ImageRow(
+            id, graft.operators.Multimodal.synthPng(id))))
+    }
+    val batch = graft.operators.Multimodal.decodeAHashes(batchImages).toDF()
+      .groupBy("ahash_hi", "ahash_lo").agg(count(lit(1)).as("n_docs"))
+      .orderBy("ahash_hi", "ahash_lo").collect().map(_.toSeq).toSeq
+    assert(streamedRows === batch,
+      "drained image census must equal the batch corpus index")
+    val probed = graft.operators.Multimodal
+      .imageBatchProbe(spark, sf001, streamed)
+      .collect().map(_.toSeq).toSeq
+    val q349 = SparkEntry.queries("q349_image_neardup_batch")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(probed === q349,
+      "probe against the maintained image index must equal the batch probe")
+  }
+
   test("q147 replay: re-delivered micro-batch is idempotent (at-least-once recovery)") {
     // drain the single-staging ingest, then simulate the recovery path:
     // foreachBatch re-delivers the last checkpointed batch
