@@ -290,38 +290,61 @@ object IvfAnn {
     * reassign under the re-fit candidate quantizer. */
   val refreshDenom = 5
 
-  /** The drift census + decision over a corpus and two centroid sets
-    * — factored so the oracle-paired query (q352) and the spec's
-    * planted-drift fixtures share one arithmetic. One corpus scan:
-    * both assignments are fused scan-stage expressions against the
-    * two bounded centroid literals (the assignKeeping discipline);
-    * the census is |cells| rows; the decision is an exact integer
-    * comparison windowed over the census (no floating thresholds —
-    * the q342 rule). */
-  private[graft] def centroidRefreshPolicy(emb: DataFrame,
-      persisted: DataFrame, refit: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def collectCents(c: DataFrame) =
-      c.select(col("cell").cast("long"), col("centroid"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    val pc = collectCents(persisted)
-    val rc = collectCents(refit)
-    val assigned = emb.select(col("vec_id"),
+  /** The bounded centroid-literal collect (the assignKeeping
+    * discipline) — shared by the batch policy and its streaming
+    * monitor. */
+  private[graft] def collectCents(c: DataFrame): Seq[(Long, Array[Float])] =
+    c.select(col("cell").cast("long"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** The per-cell drift census over a row set: both assignments are
+    * fused scan-stage expressions against the two bounded centroid
+    * literals — one scan, no N×C join. The census is a MONOID
+    * (per-cell row/moved counts ADD), which is what lets q357
+    * maintain it per micro-batch and drain to q352's decision. */
+  private[graft] def driftCensusPartial(emb: DataFrame,
+      pc: Seq[(Long, Array[Float])],
+      rc: Seq[(Long, Array[Float])]): DataFrame =
+    emb.select(
       org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), pc, "cos")
         .as("cell_old"),
       org.apache.spark.sql.graftshim.NearestCentroid(col("embedding"), rc, "cos")
         .as("cell_new"))
-    val w = Window.partitionBy()
-    assigned
       .groupBy("cell_old")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("cell_old") =!= col("cell_new"), 1L).otherwise(0L))
           .as("n_moved"))
+
+  /** The refresh decision over a summed (cell_old, n_rows, n_moved)
+    * census: an exact integer comparison windowed over the
+    * |cells|-row census (no floating thresholds — the q342 rule). */
+  private[graft] def refreshDecision(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    census
       .select(col("cell_old").as("cell"), col("n_rows"), col("n_moved"),
         (sum(col("n_moved")).over(w) * refreshDenom >=
           sum(col("n_rows")).over(w)).as("refresh"))
       .orderBy("cell")
   }
+
+  /** The drift census + decision over a corpus and two centroid sets
+    * — factored so the oracle-paired query (q352), its streaming
+    * maintenance (q357), and the spec's planted-drift fixtures share
+    * one arithmetic. */
+  private[graft] def centroidRefreshPolicy(emb: DataFrame,
+      persisted: DataFrame, refit: DataFrame): DataFrame =
+    refreshDecision(
+      driftCensusPartial(emb, collectCents(persisted), collectCents(refit)))
+
+  /** The q352 re-fit candidate sample: the persisted stride sample
+    * plus an equal-stride sample of the arrival population (ids ≡
+    * stride−1 (mod stride) are all q140 delta ids). */
+  private[graft] def refitSample(emb: DataFrame): DataFrame =
+    emb.where(
+      pmod(col("vec_id"), lit(fixedStride)) === 0 ||
+        pmod(col("vec_id"), lit(fixedStride)) === fixedStride - 1)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
 
   /** CENTROID REFRESH POLICY — the q342 compaction-policy discipline
     * applied to the trained coarse quantizer: q140/q147 accrete delta
@@ -382,12 +405,8 @@ object IvfAnn {
        |FROM census
        |ORDER BY cell""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val persisted = fixedCentroids(emb, fixedStride)
-    val refit = emb.where(
-      pmod(col("vec_id"), lit(fixedStride)) === 0 ||
-        pmod(col("vec_id"), lit(fixedStride)) === fixedStride - 1)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    centroidRefreshPolicy(emb, persisted, refit)
+    centroidRefreshPolicy(emb, fixedCentroids(emb, fixedStride),
+      refitSample(emb))
   }
 
   def all: Seq[GraftQuery] =

@@ -859,6 +859,59 @@ object Streams {
     graft.operators.Multimodal.imageBatchProbe(s, d, streamImageCensus(s, d))
   }
 
+  /** STREAMING DRIFT MONITOR — q352's refresh decision maintained ON
+    * the ingest stream (the q344 discipline on the quantizer
+    * lifecycle): the persisted and re-fit centroid sets are FIXED
+    * index artifacts during a monitoring window, so the per-cell
+    * drift census is a monoid — each arriving micro-batch double-
+    * assigns only ITS OWN vectors (two fused scan-stage expressions
+    * against the two bounded centroid literals; nothing broadcast,
+    * nothing joined) and overwrites one batchId-keyed partial census;
+    * the drained sum feeds the same exact-integer decision. This is
+    * the production posture for WHEN-to-retrain: drift is measured as
+    * data arrives, and the decision re-evaluates from |cells| rows of
+    * summed statistics without ever rescanning the corpus. Oracle:
+    * q352's VERBATIM — the hash match proves the streamed census and
+    * the batch census make the same decision under any arrival
+    * slicing. */
+  def streamRefreshPolicy(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.IvfAnn
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_refresh_census", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val pc = IvfAnn.collectCents(
+      IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride))
+    val rc = IvfAnn.collectCents(IvfAnn.refitSample(emb))
+    withStreamShufflePartitions(spark) {
+      val stream = readEmbeddingsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            IvfAnn.driftCensusPartial(batch.toDF(), pc, rc)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val census = spark.read
+      .schema("cell_old BIGINT, n_rows BIGINT, n_moved BIGINT")
+      .parquet(outDir)
+      .groupBy("cell_old")
+      .agg(sum("n_rows").as("n_rows"), sum("n_moved").as("n_moved"))
+    IvfAnn.refreshDecision(census)
+  }
+
+  val qStreamRefreshPolicy: GraftQuery = GraftQuery(
+    "q357_stream_refresh_policy",
+    graft.operators.IvfAnn.qCentroidRefreshPolicy.oracle.get) { (s, d) =>
+    streamRefreshPolicy(s, d)
+  }
+
   /** STREAMING HARD-NEGATIVE MINING: q199's per-anchor argmax
     * maintained as candidate vectors ARRIVE. Argmax under the
     * (cos desc, id asc) total order is a MONOID — the fold of
@@ -2232,5 +2285,5 @@ object Streams {
       qStreamCompactionPolicy, qStreamHardNegatives,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps,
       qStreamSimhashCensus, qStreamSimhashProbe,
-      qStreamImageCensus, qStreamImageProbe)
+      qStreamImageCensus, qStreamImageProbe, qStreamRefreshPolicy)
 }

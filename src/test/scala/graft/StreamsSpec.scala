@@ -427,6 +427,19 @@ class StreamsSpec extends SparkSpecBase {
       "probe against the maintained image index must equal the batch probe")
   }
 
+  test("q357: multi-trigger drift census drains to q352's batch refresh decision") {
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_refresh").toString
+    graft.sources.Tables.embeddings(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamRefreshPolicy(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q352_centroid_refresh_policy")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch,
+      "streamed drift maintenance must reach the batch refresh decision")
+  }
+
   test("q147 replay: re-delivered micro-batch is idempotent (at-least-once recovery)") {
     // drain the single-staging ingest, then simulate the recovery path:
     // foreachBatch re-delivers the last checkpointed batch
