@@ -1617,6 +1617,15 @@ object Multimodal {
     val corpusVals = audioCorpusIndex.getOrElseUpdate(s, d)(
       audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
         .persist())
+    audioBatchProbe(s, d, corpusVals)
+  }
+
+  /** The q353 probe against a caller-supplied corpus value index —
+    * factored so the STREAMING-maintained census (q359) serves the
+    * same probe plan with q353's oracle proving both. */
+  private[graft] def audioBatchProbe(s: SparkSession, d: String,
+      corpusVals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val batchVals = audioBatchIndex.getOrElseUpdate(s, d)(
       audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
         .localCheckpoint())
@@ -1630,6 +1639,27 @@ object Multimodal {
         col("n_docs_a").as("n_docs_batch"),
         col("n_docs_b").as("n_docs_corpus"))
       .orderBy("fp_batch", "fp_corpus")
+  }
+
+  /** Oracle SQL for the corpus half of the q353 split — also the
+    * oracle of the streaming census maintenance (q358). */
+  private[graft] def audioCorpusCensusSql: String =
+    s"""WITH $audioFpCtes
+       |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM fp WHERE doc_id % 5 <> 4
+       |GROUP BY fingerprint
+       |ORDER BY fingerprint""".stripMargin
+
+  /** doc_id relation → audio fingerprints (synthesize + decode inside
+    * the partition) — the featurize half of the audio census, shared
+    * by the batch splits and the streaming maintainer. */
+  private[graft] def audioFingerprintsFromDocs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    audioFingerprints(
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id => AudioRow(id, synthWav(id)))))
+      .toDF()
   }
 
   /** Value-node component labels for q347, built once per (session,
@@ -2019,6 +2049,15 @@ object Multimodal {
     val corpusVals = videoWideCorpusIndex.getOrElseUpdate(s, d)(
       videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
         .persist())
+    videoWideBatchProbe(s, d, corpusVals)
+  }
+
+  /** The q354 probe against a caller-supplied corpus value index —
+    * factored so the STREAMING-maintained census (q361) serves the
+    * same probe plan with q354's oracle proving both. */
+  private[graft] def videoWideBatchProbe(s: SparkSession, d: String,
+      corpusVals: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val batchVals = videoWideBatchIndex.getOrElseUpdate(s, d)(
       videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
         .localCheckpoint())
@@ -2032,6 +2071,34 @@ object Multimodal {
       .orderBy(("n_sampled" +: (wideFpCols.map(c => s"${c}_batch") ++
         wideFpCols.map(c => s"${c}_corpus"))).map(col): _*)
   }
+
+  /** Oracle SQL for the corpus half of the q354 split — also the
+    * oracle of the streaming census maintenance (q360). */
+  private[graft] def videoWideCorpusCensusSql: String =
+    s"""WITH $videoFpWideCtes
+       |SELECT n_sampled, ${wideFpCols.mkString(", ")},
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM wfp WHERE doc_id % 5 <> 4
+       |GROUP BY n_sampled, ${wideFpCols.mkString(", ")}
+       |ORDER BY n_sampled, ${wideFpCols.mkString(", ")}""".stripMargin
+
+  /** doc_id relation → wide video fingerprints (synthesize + decode
+    * inside the partition) — the featurize half of the wide-video
+    * census, shared by the batch splits and the streaming
+    * maintainer. */
+  private[graft] def videoWideFromDocs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    videoFingerprintsWide(
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id => VideoRow(id, synthGif(id)))))
+      .toDF()
+  }
+
+  /** Wide-video census group key — the streaming maintainer's
+    * contract with [[videoWideCorpusCensusSql]]. */
+  private[graft] def videoWideCensusCols: Seq[String] =
+    "n_sampled" +: wideFpCols
 
   /** Value-node component labels for q346, built once per (session,
     * corpus); the persisted label relation is released on eviction. */
@@ -2216,6 +2283,17 @@ object Multimodal {
         col("n_docs_a").as("n_docs_batch"),
         col("n_docs_b").as("n_docs_corpus"))
       .orderBy("hi_batch", "lo_batch", "hi_corpus", "lo_corpus")
+  }
+
+  /** doc_id relation → aHash rows through the pooled decoder (the
+    * streaming featurize half of the image census). */
+  private[graft] def imageAHashesFromDocs(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    decodeAHashesPooled(
+      docs.select(col("doc_id")).as[Long]
+        .mapPartitions(ids => ids.map(id => ImageRow(id, synthPng(id)))))
+      .toDF()
   }
 
   /** Oracle SQL for the corpus half of the q349 split — also the

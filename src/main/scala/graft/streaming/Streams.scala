@@ -733,11 +733,26 @@ object Streams {
       drainSimhashCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
         .localCheckpoint())
 
-  private def drainSimhashCensus(spark: SparkSession, sfDir: String,
-      srcDir: Option[String],
-      maxFilesPerTrigger: Option[Int]): DataFrame = {
+  /** THE parameterized streaming value-census maintainer behind every
+    * corpus-index tier (simhash q350, image q355, audio q358, wide
+    * video q360): corpus documents arrive as micro-batches;
+    * `featurize` turns each batch's documents into fingerprint rows
+    * (synthesis + decode stay inside the partition — payloads never
+    * cross an exchange or land in the sink); the per-batch census
+    * partial OVERWRITES a batchId-keyed sink (replay-idempotent — a
+    * retried trigger rewrites, never double-counts); the serve
+    * re-sums. Counts add — every value census is a monoid — so the
+    * drained relation is the batch-built corpus index VERBATIM under
+    * any arrival slicing, proven per tier by the corpus-census oracle.
+    * `partialSchema` pins the read-back types so each tier's output
+    * schema matches its oracle exactly. */
+  private def drainValueCensus(spark: SparkSession, scratch: String,
+      sfDir: String, srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int], groupCols: Seq[String],
+      partialSchema: String,
+      featurize: DataFrame => DataFrame): DataFrame = {
     val outDir = graft.operators.Formats.scratchDir(
-      "graft_stream_simhash_census", srcDir.getOrElse(sfDir))
+      scratch, srcDir.getOrElse(sfDir))
     graft.operators.Formats.wipe(outDir)
     withStreamShufflePartitions(spark) {
       val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
@@ -745,11 +760,9 @@ object Streams {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (!batch.isEmpty) {
-            batch.toDF()
-              .select(org.apache.spark.sql.graftshim.SimHashMd5(
-                graft.functions.TextFunctions.distinctTokens(
-                  lower(col("text")))).as("simhash"))
-              .groupBy("simhash").agg(count(lit(1)).as("n_partial"))
+            featurize(batch.toDF())
+              .groupBy(groupCols.map(col): _*)
+              .agg(count(lit(1)).as("n_partial"))
               .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
           }
           ()
@@ -757,9 +770,19 @@ object Streams {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.schema("simhash BIGINT, n_partial BIGINT").parquet(outDir)
-      .groupBy("simhash").agg(sum("n_partial").as("n_docs"))
+    spark.read.schema(partialSchema).parquet(outDir)
+      .groupBy(groupCols.map(col): _*).agg(sum("n_partial").as("n_docs"))
   }
+
+  private def drainSimhashCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int]): DataFrame =
+    drainValueCensus(spark, "graft_stream_simhash_census", sfDir, srcDir,
+      maxFilesPerTrigger, Seq("simhash"),
+      "simhash BIGINT, n_partial BIGINT",
+      b => b.select(org.apache.spark.sql.graftshim.SimHashMd5(
+        graft.functions.TextFunctions.distinctTokens(
+          lower(col("text")))).as("simhash")))
 
   val qStreamSimhashCensus: GraftQuery = GraftQuery(
     "q350_stream_simhash_census",
@@ -811,36 +834,11 @@ object Streams {
 
   private def drainImageCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String],
-      maxFilesPerTrigger: Option[Int]): DataFrame = {
-    import graft.operators.Multimodal
-    val outDir = graft.operators.Formats.scratchDir(
-      "graft_stream_image_census", srcDir.getOrElse(sfDir))
-    graft.operators.Formats.wipe(outDir)
-    withStreamShufflePartitions(spark) {
-      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
-        .where(pmod(col("doc_id"), lit(5)) =!= 4)
-      val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-          if (!batch.isEmpty) {
-            import batch.sparkSession.implicits._
-            val images = batch.select(col("doc_id")).as[Long]
-              .mapPartitions(ids =>
-                ids.map(id => Multimodal.ImageRow(id, Multimodal.synthPng(id))))
-            Multimodal.decodeAHashesPooled(images).toDF()
-              .groupBy("ahash_hi", "ahash_lo")
-              .agg(count(lit(1)).as("n_partial"))
-              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
-          }
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    spark.read
-      .schema("ahash_hi BIGINT, ahash_lo BIGINT, n_partial BIGINT")
-      .parquet(outDir)
-      .groupBy("ahash_hi", "ahash_lo").agg(sum("n_partial").as("n_docs"))
-  }
+      maxFilesPerTrigger: Option[Int]): DataFrame =
+    drainValueCensus(spark, "graft_stream_image_census", sfDir, srcDir,
+      maxFilesPerTrigger, Seq("ahash_hi", "ahash_lo"),
+      "ahash_hi BIGINT, ahash_lo BIGINT, n_partial BIGINT",
+      graft.operators.Multimodal.imageAHashesFromDocs)
 
   val qStreamImageCensus: GraftQuery = GraftQuery(
     "q355_stream_image_census",
@@ -857,6 +855,79 @@ object Streams {
     "q356_stream_image_probe",
     graft.operators.Multimodal.qImageNearDupBatch.oracle.get) { (s, d) =>
     graft.operators.Multimodal.imageBatchProbe(s, d, streamImageCensus(s, d))
+  }
+
+  /** The drained audio census (see [[simhashCensusIndex]]). */
+  private val audioCensusIndex =
+    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+      "streams.audioCensus")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
+  /** Streaming maintenance of the q353 audio corpus index — the
+    * shared [[drainValueCensus]] maintainer with the audio featurize
+    * (WAV synthesis + real-codec decode per partition, one decoder
+    * per task disposed on completion). */
+  def streamAudioCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    audioCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+      drainValueCensus(spark, "graft_stream_audio_census", sfDir, srcDir,
+        maxFilesPerTrigger, Seq("fingerprint"),
+        "fingerprint BIGINT, n_partial BIGINT",
+        graft.operators.Multimodal.audioFingerprintsFromDocs)
+        .localCheckpoint())
+
+  val qStreamAudioCensus: GraftQuery = GraftQuery(
+    "q358_stream_audio_census",
+    graft.operators.Multimodal.audioCorpusCensusSql) { (s, d) =>
+    streamAudioCensus(s, d).orderBy("fingerprint")
+  }
+
+  /** q353's probe against the stream-maintained audio index (oracle
+    * verbatim — maintained and batch-built indexes interchangeable). */
+  val qStreamAudioProbe: GraftQuery = GraftQuery(
+    "q359_stream_audio_probe",
+    graft.operators.Multimodal.qAudioNearDupBatch.oracle.get) { (s, d) =>
+    graft.operators.Multimodal.audioBatchProbe(s, d, streamAudioCensus(s, d))
+  }
+
+  /** The drained wide-video census (see [[simhashCensusIndex]]). */
+  private val videoWideCensusIndex =
+    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+      "streams.videoWideCensus")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
+  /** Streaming maintenance of the q354 wide-video corpus index; the
+    * census key carries the clip width (n_sampled pinned INTEGER so
+    * the drained schema matches the oracle's). */
+  def streamVideoWideCensus(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    videoWideCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+      drainValueCensus(spark, "graft_stream_videow_census", sfDir, srcDir,
+        maxFilesPerTrigger,
+        graft.operators.Multimodal.videoWideCensusCols,
+        graft.operators.Multimodal.videoWideCensusCols.map {
+          case "n_sampled" => "n_sampled INT"
+          case c => s"$c BIGINT"
+        }.mkString(", ") + ", n_partial BIGINT",
+        graft.operators.Multimodal.videoWideFromDocs)
+        .localCheckpoint())
+
+  val qStreamVideoWideCensus: GraftQuery = GraftQuery(
+    "q360_stream_videow_census",
+    graft.operators.Multimodal.videoWideCorpusCensusSql) { (s, d) =>
+    streamVideoWideCensus(s, d)
+      .orderBy(graft.operators.Multimodal.videoWideCensusCols.map(col): _*)
+  }
+
+  /** q354's probe against the stream-maintained wide-video index
+    * (oracle verbatim). */
+  val qStreamVideoWideProbe: GraftQuery = GraftQuery(
+    "q361_stream_videow_probe",
+    graft.operators.Multimodal.qVideoNearDupWideBatch.oracle.get) { (s, d) =>
+    graft.operators.Multimodal.videoWideBatchProbe(
+      s, d, streamVideoWideCensus(s, d))
   }
 
   /** STREAMING DRIFT MONITOR — q352's refresh decision maintained ON
@@ -2285,5 +2356,7 @@ object Streams {
       qStreamCompactionPolicy, qStreamHardNegatives,
       qStreamSessionKpis, qStreamPca, qStreamRfm, qStreamZoneMaps,
       qStreamSimhashCensus, qStreamSimhashProbe,
-      qStreamImageCensus, qStreamImageProbe, qStreamRefreshPolicy)
+      qStreamImageCensus, qStreamImageProbe, qStreamRefreshPolicy,
+      qStreamAudioCensus, qStreamAudioProbe,
+      qStreamVideoWideCensus, qStreamVideoWideProbe)
 }

@@ -427,6 +427,41 @@ class StreamsSpec extends SparkSpecBase {
       "probe against the maintained image index must equal the batch probe")
   }
 
+  test("q358-q361: multi-trigger audio and wide-video censuses drain to their batch indexes and serve the batch probes") {
+    import org.apache.spark.sql.functions._
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_avcensus").toString
+    graft.sources.Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val corpusDocs = graft.sources.Tables.documents(spark, sf001)
+      .where(pmod(col("doc_id"), lit(5)) =!= 4)
+    // audio
+    val audioStreamed = graft.streaming.Streams.streamAudioCensus(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+    val audioBatch = graft.operators.Multimodal
+      .audioFingerprintsFromDocs(corpusDocs)
+      .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
+    assert(audioStreamed.orderBy("fingerprint").collect().map(_.toSeq).toSeq ===
+      audioBatch.orderBy("fingerprint").collect().map(_.toSeq).toSeq)
+    assert(graft.operators.Multimodal
+      .audioBatchProbe(spark, sf001, audioStreamed)
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("q353_audio_neardup_batch")(spark, sf001)
+        .collect().map(_.toSeq).toSeq)
+    // wide video
+    val cols = graft.operators.Multimodal.videoWideCensusCols
+    val videoStreamed = graft.streaming.Streams.streamVideoWideCensus(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+    val videoBatch = graft.operators.Multimodal.videoWideFromDocs(corpusDocs)
+      .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n_docs"))
+    assert(videoStreamed.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq ===
+      videoBatch.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq)
+    assert(graft.operators.Multimodal
+      .videoWideBatchProbe(spark, sf001, videoStreamed)
+      .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("q354_video_neardup_wide_batch")(spark, sf001)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("q357: multi-trigger drift census drains to q352's batch refresh decision") {
     val src = java.nio.file.Files.createTempDirectory("graft_mb_refresh").toString
     graft.sources.Tables.embeddings(spark, sf001).repartition(3)
