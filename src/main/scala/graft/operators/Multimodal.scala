@@ -366,9 +366,7 @@ object Multimodal {
   def decodeAHashesPooled(images: Dataset[ImageRow]): Dataset[AHashRow] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
-      val dec = PngDecoderPool.borrow()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => PngDecoderPool.ret(dec)))
+      val dec = borrowForTask(PngDecoderPool.borrow(), PngDecoderPool.ret)
       rows.map(r => dec.decodeAHash(r.doc_id, r.png))
     }
   }
@@ -391,6 +389,33 @@ object Multimodal {
     def ret(d: PngDecoder): Unit = pool.offer(d)
   }
 
+  /** Executor-global WAV decoder pool (same convention). */
+  object WavDecoderPool {
+    private val pool = new java.util.concurrent.ConcurrentLinkedQueue[WavDecoder]()
+    def borrow(): WavDecoder = Option(pool.poll()).getOrElse(new WavDecoder)
+    def ret(d: WavDecoder): Unit = pool.offer(d)
+  }
+
+  /** Executor-global GIF decoder pool (same convention). */
+  object GifDecoderPool {
+    private val pool = new java.util.concurrent.ConcurrentLinkedQueue[GifDecoder]()
+    def borrow(): GifDecoder = Option(pool.poll()).getOrElse(new GifDecoder)
+    def ret(d: GifDecoder): Unit = pool.offer(d)
+  }
+
+  /** Borrow a pooled resource and return it on task COMPLETION — the
+    * ONE place the pool discipline (borrow, completion listener,
+    * return) lives: a hand-rolled copy that forgets the listener
+    * would silently leak pool entries. Null TaskContext (driver-local
+    * eval in tests) leaves the entry out of the pool — bounded by
+    * test count, reclaimed by GC. */
+  private def borrowForTask[D](borrow: => D, ret: D => Unit): D = {
+    val d = borrow
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => ret(d)))
+    d
+  }
+
   /** [[decodeImages]] with pooled decoders — the streaming form. The
     * borrowed decoder is returned on task COMPLETION (not iterator
     * exhaustion: limit/take may abandon the iterator early); without a
@@ -399,9 +424,7 @@ object Multimodal {
   def decodeImagesPooled(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
     import images.sparkSession.implicits._
     images.mapPartitions { rows =>
-      val dec = PngDecoderPool.borrow()
-      Option(org.apache.spark.TaskContext.get())
-        .foreach(_.addTaskCompletionListener[Unit](_ => PngDecoderPool.ret(dec)))
+      val dec = borrowForTask(PngDecoderPool.borrow(), PngDecoderPool.ret)
       rows.map(r => dec.decode(r.doc_id, r.png))
     }
   }
@@ -1538,14 +1561,24 @@ object Multimodal {
        |  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
        |    BETWEEN 1 AND $videoHammingMax)""".stripMargin
 
+  /** The ONE audio banding configuration (slices, tolerance) shared
+    * by q335/q347's pairs and the q353/q359 cross-corpus probes, so
+    * the band layout cannot silently diverge between them (the
+    * videoWideNearMiss discipline). */
+  private def audioNearMiss(rows: org.apache.spark.sql.DataFrame,
+      carry: Seq[String], hMin: Int = 1,
+      rowsB: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    BandedHamming.nearMissPairs(rows,
+      idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
+      bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
+      carry = carry, hMin = hMin, hMax = videoHammingMax, rowsB = rowsB)
+
   /** The q335/q347 banded value pairs, factored for the clustering
     * composer. */
   private def audioValuePairs(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    BandedHamming.nearMissPairs(audioValueCensus(s, d),
-      idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
-      bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
-      carry = Seq("n_docs"), hMax = videoHammingMax)
+    audioNearMiss(audioValueCensus(s, d), carry = Seq("n_docs"))
 
   val qAudioNearDup: GraftQuery = GraftQuery(
     "q335_audio_neardup_values",
@@ -1562,16 +1595,12 @@ object Multimodal {
 
   /** Per-split audio fingerprint value census (the q335 census
     * restricted to a document predicate) — the batch/corpus halves of
-    * q353. Ids pruned BEFORE synthesis/decode. */
+    * q353, delegating to the ONE featurize the streaming maintainer
+    * also uses (ids pruned BEFORE synthesis/decode). */
   private def audioValueCensusWhere(s: SparkSession, d: String,
-      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val audio = Tables.documents(s, d).where(cond)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => AudioRow(id, synthWav(id))))
-    audioFingerprints(audio).toDF()
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    audioFingerprintsFromDocs(Tables.documents(s, d).where(cond))
       .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
-  }
 
   /** The CORPUS audio value index, persisted once per (session,
     * corpus) — the q345/q349 posture on the audio tier. */
@@ -1629,11 +1658,8 @@ object Multimodal {
     val batchVals = audioBatchIndex.getOrElseUpdate(s, d)(
       audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
         .localCheckpoint())
-    BandedHamming.nearMissPairs(batchVals,
-      idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
-      bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
-      carry = Seq("n_docs"),
-      hMin = 0, hMax = videoHammingMax, rowsB = Some(corpusVals))
+    audioNearMiss(batchVals, carry = Seq("n_docs"),
+      hMin = 0, rowsB = Some(corpusVals))
       .select(col("fingerprint_a").as("fp_batch"),
         col("fingerprint_b").as("fp_corpus"), col("hamming"),
         col("n_docs_a").as("n_docs_batch"),
@@ -1651,14 +1677,18 @@ object Multimodal {
        |ORDER BY fingerprint""".stripMargin
 
   /** doc_id relation → audio fingerprints (synthesize + decode inside
-    * the partition) — the featurize half of the audio census, shared
-    * by the batch splits and the streaming maintainer. */
+    * the partition, POOLED decoder — constructions bounded by task
+    * concurrency, not trigger count) — the featurize half of the
+    * audio census, shared by the batch splits and the streaming
+    * maintainer. */
   private[graft] def audioFingerprintsFromDocs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
-    audioFingerprints(
-      docs.select(col("doc_id")).as[Long]
-        .mapPartitions(ids => ids.map(id => AudioRow(id, synthWav(id)))))
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val dec = borrowForTask(WavDecoderPool.borrow(), WavDecoderPool.ret)
+        ids.map(id => dec.decodeFingerprint(id, synthWav(id)))
+      }
       .toDF()
   }
 
@@ -1983,17 +2013,13 @@ object Multimodal {
   }
 
   /** Per-split wide-video value census — the batch/corpus halves of
-    * q354. Ids pruned BEFORE synthesis/decode. */
+    * q354, delegating to the ONE featurize the streaming maintainer
+    * also uses (ids pruned BEFORE synthesis/decode). */
   private def videoWideValueCensusWhere(s: SparkSession, d: String,
-      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val video = Tables.documents(s, d).where(cond)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => VideoRow(id, synthGif(id))))
-    videoFingerprintsWide(video).toDF()
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    videoWideFromDocs(Tables.documents(s, d).where(cond))
       .groupBy(("n_sampled" +: wideFpCols).map(col): _*)
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   /** The CORPUS wide-video value index, persisted once per (session,
     * corpus). */
@@ -2083,15 +2109,17 @@ object Multimodal {
        |ORDER BY n_sampled, ${wideFpCols.mkString(", ")}""".stripMargin
 
   /** doc_id relation → wide video fingerprints (synthesize + decode
-    * inside the partition) — the featurize half of the wide-video
-    * census, shared by the batch splits and the streaming
-    * maintainer. */
+    * inside the partition, POOLED decoder) — the featurize half of
+    * the wide-video census, shared by the batch splits and the
+    * streaming maintainer. */
   private[graft] def videoWideFromDocs(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
-    videoFingerprintsWide(
-      docs.select(col("doc_id")).as[Long]
-        .mapPartitions(ids => ids.map(id => VideoRow(id, synthGif(id)))))
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val dec = borrowForTask(GifDecoderPool.borrow(), GifDecoderPool.ret)
+        ids.map(id => dec.decodeFingerprintWide(id, synthGif(id)))
+      }
       .toDF()
   }
 
@@ -2195,14 +2223,9 @@ object Multimodal {
     * predicate prunes doc_ids BEFORE synthesis/decode, so the batch
     * side never decodes corpus payloads. */
   private def imageValueCensusWhere(s: SparkSession, d: String,
-      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val images = Tables.documents(s, d).where(cond)
-      .select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => ImageRow(id, synthPng(id))))
-    decodeAHashes(images).toDF()
+      cond: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    imageAHashesFromDocs(Tables.documents(s, d).where(cond))
       .groupBy("ahash_hi", "ahash_lo").agg(count(lit(1)).as("n_docs"))
-  }
 
   /** The CORPUS image aHash value index, persisted once per (session,
     * corpus) — what a production tier keeps next to the corpus so

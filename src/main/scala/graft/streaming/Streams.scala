@@ -668,9 +668,25 @@ object Streams {
     * 100 TB: the census partials never touch segment bytes — the
     * arriving rows are classified by the same segment rule that
     * routed them to disk, and the policy reads |segments| rows. */
+  /** The drained compaction decision, materialized once per (session,
+    * corpus, staging dir) — same barrier rationale as
+    * [[refreshPolicyIndex]] (this maintainer predates the discipline;
+    * round 11 retrofits it). */
+  private val compactionPolicyIndex =
+    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+      "streams.compactionPolicy")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
   def streamCompactionPolicy(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    compactionPolicyIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+      drainCompactionPolicy(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .localCheckpoint())
+
+  private def drainCompactionPolicy(spark: SparkSession, sfDir: String,
+      srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     import graft.operators.Compaction
     val outDir = graft.operators.Formats.scratchDir(
       "graft_stream_compact_census", srcDir.getOrElse(sfDir))
@@ -945,9 +961,27 @@ object Streams {
     * q352's VERBATIM — the hash match proves the streamed census and
     * the batch census make the same decision under any arrival
     * slicing. */
+  /** The drained refresh decision, materialized once per (session,
+    * corpus, staging dir) — the census-maintainer barrier discipline:
+    * a re-drain wipes the scratch partials, which would invalidate a
+    * previously returned lazy decision's file listing, and plan-audit
+    * re-invocations must not re-pay the stream drain. Released on
+    * eviction. */
+  private val refreshPolicyIndex =
+    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+      "streams.refreshPolicy")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
   def streamRefreshPolicy(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    refreshPolicyIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+      drainRefreshPolicy(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .localCheckpoint())
+
+  private def drainRefreshPolicy(spark: SparkSession, sfDir: String,
+      srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     import graft.operators.IvfAnn
     val outDir = graft.operators.Formats.scratchDir(
       "graft_stream_refresh_census", srcDir.getOrElse(sfDir))
