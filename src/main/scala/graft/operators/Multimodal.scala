@@ -382,26 +382,24 @@ object Multimodal {
     * multiple micro-batches through [[decodeImagesPooled]] and asserts
     * the init counter stays put after the first batch. Decoders live
     * until JVM exit (the executor-singleton convention; a bounded pool
-    * of heavyweight models would add an eviction cap here). */
-  object PngDecoderPool {
-    private val pool = new java.util.concurrent.ConcurrentLinkedQueue[PngDecoder]()
-    def borrow(): PngDecoder = Option(pool.poll()).getOrElse(new PngDecoder)
-    def ret(d: PngDecoder): Unit = pool.offer(d)
+    * of heavyweight models would add an eviction cap here).
+    *
+    * [[DecoderPool]] is the ONE pool shape behind every decoder
+    * family — borrow/offer in one place, so a future pool-discipline
+    * change (size cap, eviction-time disposal) lands once. Task
+    * closures reference the pools through the module (static access
+    * at executor runtime), so instances never serialize; the
+    * transient lazy queue is belt-and-braces. */
+  final class DecoderPool[D](mk: () => D) extends Serializable {
+    @transient private lazy val pool =
+      new java.util.concurrent.ConcurrentLinkedQueue[D]()
+    def borrow(): D = Option(pool.poll()).getOrElse(mk())
+    def ret(d: D): Unit = pool.offer(d)
   }
 
-  /** Executor-global WAV decoder pool (same convention). */
-  object WavDecoderPool {
-    private val pool = new java.util.concurrent.ConcurrentLinkedQueue[WavDecoder]()
-    def borrow(): WavDecoder = Option(pool.poll()).getOrElse(new WavDecoder)
-    def ret(d: WavDecoder): Unit = pool.offer(d)
-  }
-
-  /** Executor-global GIF decoder pool (same convention). */
-  object GifDecoderPool {
-    private val pool = new java.util.concurrent.ConcurrentLinkedQueue[GifDecoder]()
-    def borrow(): GifDecoder = Option(pool.poll()).getOrElse(new GifDecoder)
-    def ret(d: GifDecoder): Unit = pool.offer(d)
-  }
+  val PngDecoderPool = new DecoderPool(() => new PngDecoder)
+  val WavDecoderPool = new DecoderPool(() => new WavDecoder)
+  val GifDecoderPool = new DecoderPool(() => new GifDecoder)
 
   /** Borrow a pooled resource and return it on task COMPLETION — the
     * ONE place the pool discipline (borrow, completion listener,
