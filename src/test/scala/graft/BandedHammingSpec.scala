@@ -259,4 +259,103 @@ class BandedHammingSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("row contract"))
   }
+
+  // ---- persisted guard statistics ------------------------------------
+
+  /** The 8×8-band scheme every guard fixture uses, as a [[BandScheme]]
+    * so the stats tests exercise the production entry points. */
+  private def scheme8x8 = BandedHamming.BandScheme(
+    idCols = Seq("fp"), fpCols = Seq("fp"),
+    bandExprs = BandedHamming.fixedBands(col("fp"), 8, 8), hMax = 3)
+
+  test("persisted stats reproduce fresh-census decisions and results on the adversarial fixtures") {
+    import spark.implicits._
+    val vals = lowEntropyVals(24)
+    val df = vals.toDF("fp")
+    val stats = scheme8x8.stats(df)
+    // the stats ARE the decision inputs: both thresholds of the
+    // escalation fixture must select the same scheme and the same
+    // pair set as the fresh censuses
+    for (threshold <- Seq(8192L, 64L)) {
+      var freshSchemes = List.empty[BandedHamming.Scheme]
+      var preSchemes = List.empty[BandedHamming.Scheme]
+      val fresh = run8x8(vals, threshold, s => freshSchemes ::= s)
+      val pre = BandedHamming.nearMissPairs(df,
+        idCols = Seq("fp"), fpCols = Seq("fp"),
+        bandExprs = BandedHamming.fixedBands(col("fp"), 8, 8),
+        hMax = 3, maxBucketRows = threshold, onScheme = s => preSchemes ::= s,
+        rowsStats = Some(stats))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(preSchemes == freshSchemes,
+        s"threshold $threshold: fresh chose $freshSchemes, stats chose $preSchemes")
+      assert(pre == fresh)
+    }
+    // the still-saturated refusal fires identically from persisted
+    // stats (bands 0 and 1 constant — conjunction cannot help)
+    val rnd = new scala.util.Random(11)
+    val sat = Seq.fill(24)((rnd.nextLong() & ~0xffffL) | 0xaaaaL)
+      .distinct.toDF("fp")
+    val satStats = scheme8x8.stats(sat)
+    val e = intercept[IllegalArgumentException] {
+      scheme8x8.pairs(sat, rowsStats = Some(satStats), maxBucketRows = 8L)
+    }
+    assert(e.getMessage.contains("still exceeds"))
+  }
+
+  test("cross-corpus probe with a persisted corpus-side census schedules no corpus aggregates") {
+    import spark.implicits._
+    val all = lowEntropyVals(24)
+    val (batchVals, corpusVals) = all.splitAt(8)
+    val corpus = corpusVals.toDF("fp").localCheckpoint()
+    val batch = batchVals.toDF("fp").localCheckpoint()
+    // index-build time: corpus stats computed once, persisted with it
+    val corpusStats = scheme8x8.stats(corpus)
+    val batchStats = scheme8x8.stats(batch)
+    // probe time: with BOTH sides' stats supplied, construction is
+    // fully lazy — zero Spark jobs until the pair relation is acted on
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val probe =
+      try {
+        val p = scheme8x8.pairs(batch, hMin = 0, rowsB = Some(corpus),
+          rowsStats = Some(batchStats), rowsBStats = Some(corpusStats))
+        Thread.sleep(1000)
+        p
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0,
+      s"probe construction with persisted stats ran ${jobs.get()} jobs")
+    // and the probe answer equals the fresh-census cross-corpus run
+    val want = (for {
+      a <- batchVals; b <- corpusVals
+      h = java.lang.Long.bitCount(a ^ b)
+      if h <= 3
+    } yield (a, b, h)).toSet
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("empty batch side against a saturating corpus returns the empty pair set, not an NPE") {
+    import spark.implicits._
+    val corpus = lowEntropyVals(24).toDF("fp")
+    val batch = Seq.empty[Long].toDF("fp")
+    // threshold 64 trips the corpus census → escalation consults the
+    // per-row informative minimum of the EMPTY batch side (MIN over
+    // zero groups — the round-11 NPE shape); vacuously lossless, so
+    // conjunction runs and finds nothing
+    var schemes = List.empty[BandedHamming.Scheme]
+    val got = BandedHamming.nearMissPairs(batch,
+      idCols = Seq("fp"), fpCols = Seq("fp"),
+      bandExprs = BandedHamming.fixedBands(col("fp"), 8, 8),
+      hMin = 0, hMax = 3, rowsB = Some(corpus),
+      maxBucketRows = 64L, onScheme = s => schemes ::= s)
+    assert(schemes == List(BandedHamming.TwoBandConjunction))
+    assert(got.count() == 0L)
+  }
 }
