@@ -134,6 +134,13 @@ object BandedHamming {
       maxOccConj: Long,
       minInformative: Long)
 
+  /** A value index persisted TOGETHER WITH the guard statistics it was
+    * built with — what an incremental-dedup tier keeps next to the
+    * corpus so probes never re-aggregate it. The relation is expected
+    * to be a materialization barrier (persist/localCheckpoint); the
+    * stats were computed over exactly those rows. */
+  final case class StatedIndex(rows: DataFrame, stats: GuardStats)
+
   /** One near-miss FAMILY's banding layout (the per-call inputs —
     * carry, hMin, the cross side, precomputed stats — stay on
     * [[BandScheme.pairs]]). Each production tier declares its layout
@@ -152,6 +159,18 @@ object BandedHamming {
       * once at index-build time and persisted with the index. */
     def stats(rows: DataFrame): GuardStats =
       guardStats(rows, idCols, fpCols, bandExprs, eqKeys, informativeBand)
+
+    /** Bundle an already-materialized value relation with its guard
+      * statistics — the index-build step of every incremental tier. */
+    def indexed(rows: DataFrame): StatedIndex = StatedIndex(rows, stats(rows))
+
+    /** [[pairs]] between two [[StatedIndex]]es (or one, self form) —
+      * every guard input comes from build-time stats, so construction
+      * schedules no Spark jobs. */
+    def pairsIndexed(rows: StatedIndex, carry: Seq[String] = Nil,
+        hMin: Int = 1, rowsB: Option[StatedIndex] = None): DataFrame =
+      pairs(rows.rows, carry, hMin, rowsB.map(_.rows),
+        rowsStats = Some(rows.stats), rowsBStats = rowsB.map(_.stats))
 
     /** [[nearMissPairs]] under this layout. */
     def pairs(rows: DataFrame, carry: Seq[String] = Nil, hMin: Int = 1,

@@ -544,35 +544,43 @@ object Dedup {
        |  WHERE bit_count(xor(a.simhash, b.simhash))
        |    BETWEEN 1 AND $simhashHammingMax)""".stripMargin
 
+  /** The ONE simhash banding layout (four disjoint 15-bit sub-bands of
+    * the 60-bit hash) shared by q337's pairs, q343's cluster edges,
+    * the q345/q351 probes, and every index build's guard statistics —
+    * the band geometry cannot silently diverge between them. */
+  private[graft] val simhashScheme = BandedHamming.BandScheme(
+    idCols = Seq("simhash"), fpCols = Seq("simhash"),
+    bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
+    hMax = simhashHammingMax)
+
   /** The q337/q343 simhash value census, hashed once per (session,
-    * corpus) — the value relation IS the index, and it is
-    * localCheckpoint-backed (a plan barrier with no CacheManager
-    * plan-identity entry), so eviction must go through
-    * [[org.apache.spark.sql.graftshim.Checkpoints.release]]: plain
-    * unpersist on a checkpointed frame is a silent no-op and repeated
-    * invocations in one session would otherwise accumulate
+    * corpus) — the value relation IS the index (bundled with its
+    * build-time guard statistics so re-invocations schedule no guard
+    * aggregates), and it is localCheckpoint-backed (a plan barrier
+    * with no CacheManager plan-identity entry), so eviction must go
+    * through [[org.apache.spark.sql.graftshim.Checkpoints.release]]:
+    * plain unpersist on a checkpointed frame is a silent no-op and
+    * repeated invocations in one session would otherwise accumulate
     * unreleasable checkpoint blocks. */
   private val simhashValsIndex =
-    new graft.spark.SessionMemo[String, DataFrame](
-      "dedup.simhashValueCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "dedup.simhashValueCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** The q337 value census + banded near-miss pairs, factored for the
     * q343 clustering composer. */
   private def simhashValueCensus(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
+      d: String): BandedHamming.StatedIndex =
     simhashValsIndex.getOrElseUpdate(s, d)(
-      Tables.documents(s, d).select(
-        org.apache.spark.sql.graftshim.SimHashMd5(
-          TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
-        .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint())
+      simhashScheme.indexed(
+        Tables.documents(s, d).select(
+          org.apache.spark.sql.graftshim.SimHashMd5(
+            TextFunctions.distinctTokens(lower(col("text")))).as("simhash"))
+          .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
+          .localCheckpoint()))
 
-  private def simhashValuePairs(vals: DataFrame): DataFrame =
-    BandedHamming.nearMissPairs(vals,
-      idCols = Seq("simhash"), fpCols = Seq("simhash"),
-      bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
-      carry = Seq("n_docs"), hMax = simhashHammingMax)
+  private def simhashValuePairs(vals: BandedHamming.StatedIndex): DataFrame =
+    simhashScheme.pairsIndexed(vals, carry = Seq("n_docs"))
 
   val qSimhashNearDup: GraftQuery = GraftQuery(
     "q337_simhash_neardup_values",
@@ -607,19 +615,21 @@ object Dedup {
       .groupBy("simhash").agg(count(lit(1)).as("n_docs"))
 
   /** The CORPUS simhash value index, persisted once per (session,
-    * corpus) — what a production tier keeps next to the corpus so
-    * arriving batches never re-hash it (the q94 posture). */
+    * corpus) with its build-time guard statistics — what a production
+    * tier keeps next to the corpus so arriving batches never re-hash
+    * OR re-aggregate it (the q94 posture). */
   private val simhashCorpusIndex =
-    new graft.spark.SessionMemo[String, DataFrame](
-      "dedup.simhashCorpusVals")(_.unpersist(): Unit)
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "dedup.simhashCorpusVals")(_.rows.unpersist(): Unit)
 
   /** The arriving batch's checkpointed value census (see q345's
-    * builder note); released through Checkpoints (unpersist is a
-    * no-op on checkpointed frames). */
+    * builder note) with ITS build-time stats too — so a repeated probe
+    * schedules no guard aggregates on either side; released through
+    * Checkpoints (unpersist is a no-op on checkpointed frames). */
   private val simhashBatchIndex =
-    new graft.spark.SessionMemo[String, DataFrame](
-      "dedup.simhashBatchVals")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "dedup.simhashBatchVals")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** INCREMENTAL SIMHASH NEAR-MISS — the q94 batch-vs-corpus shape on
     * the value grain: an arriving batch's distinct simhash values are
@@ -650,8 +660,9 @@ object Dedup {
        |  ON bit_count(xor(b.simhash, c.simhash)) <= $simhashHammingMax
        |ORDER BY fp_batch, fp_corpus""".stripMargin) { (s, d) =>
     val corpusVals = simhashCorpusIndex.getOrElseUpdate(s, d)(
-      simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
-        .persist())
+      simhashScheme.indexed(
+        simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+          .persist()))
     simhashBatchProbe(s, d, corpusVals)
   }
 
@@ -663,15 +674,13 @@ object Dedup {
     * production caller keys by batch id and evicts per batch);
     * checkpoint blocks are released on eviction, not leaked. */
   private[graft] def simhashBatchProbe(s: org.apache.spark.sql.SparkSession,
-      d: String, corpusVals: DataFrame): DataFrame = {
+      d: String, corpusVals: BandedHamming.StatedIndex): DataFrame = {
     val batchVals = simhashBatchIndex.getOrElseUpdate(s, d)(
-      simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
-        .localCheckpoint())
-    BandedHamming.nearMissPairs(batchVals,
-      idCols = Seq("simhash"), fpCols = Seq("simhash"),
-      bandExprs = BandedHamming.fixedBands(col("simhash"), 4, 15),
-      carry = Seq("n_docs"),
-      hMin = 0, hMax = simhashHammingMax, rowsB = Some(corpusVals))
+      simhashScheme.indexed(
+        simhashValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+          .localCheckpoint()))
+    simhashScheme.pairsIndexed(batchVals, carry = Seq("n_docs"),
+      hMin = 0, rowsB = Some(corpusVals))
       .select(col("simhash_a").as("fp_batch"),
         col("simhash_b").as("fp_corpus"), col("hamming"),
         col("n_docs_a").as("n_docs_batch"),
@@ -748,7 +757,8 @@ object Dedup {
       l
     }
     val w = Window.partitionBy("cluster_id")
-    vals.join(labels.withColumnRenamed("node", "simhash"), Seq("simhash"), "left")
+    vals.rows
+      .join(labels.withColumnRenamed("node", "simhash"), Seq("simhash"), "left")
       .select(col("simhash"),
         coalesce(col("label"), col("simhash")).as("cluster_id"),
         col("n_docs"))

@@ -1389,12 +1389,23 @@ object Multimodal {
     * is the production answer: there a single-sample clip's
     * sub-bands are 16 bits, and bucket occupancy follows hash
     * entropy for every clip length. */
+  /** The q331 doc-grain banding layout: four variable-width sub-bands
+    * of the packed per-clip fingerprint (slice width follows the
+    * sampled-frame count, which rides as the eqKey). */
+  private val videoDocScheme = BandedHamming.BandScheme(
+    idCols = Seq("doc_id"), fpCols = Seq("video_fp"),
+    bandExprs = (0 until 4).map(j => expr(
+      s"shiftright(video_fp, $j * n_sampled * 4) & " +
+        "(shiftleft(CAST(1 AS BIGINT), n_sampled * 4) - 1)")),
+    eqKeys = Seq("n_sampled"), hMax = videoHammingMax)
+
   /** The q331 doc-grain video fingerprint index, decoded once per
-    * (session, corpus); checkpoint blocks released on eviction. */
+    * (session, corpus) with its build-time guard statistics;
+    * checkpoint blocks released on eviction. */
   private val videoFpIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.videoFpIndex")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.videoFpIndex")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   val qVideoNearDup: GraftQuery = GraftQuery(
     "q331_video_neardup_pairs",
@@ -1413,15 +1424,11 @@ object Multimodal {
     // cannot reuse the streamed side's exchange) — a production
     // pipeline persists this relation anyway, it IS the video index
     val fp = videoFpIndex.getOrElseUpdate(s, d)(
-      videoFingerprints(videoTable(s, d)).toDF()
-        .select("doc_id", "n_sampled", "video_fp")
-        .localCheckpoint())
-    BandedHamming.nearMissPairs(fp,
-      idCols = Seq("doc_id"), fpCols = Seq("video_fp"),
-      bandExprs = (0 until 4).map(j => expr(
-        s"shiftright(video_fp, $j * n_sampled * 4) & " +
-          "(shiftleft(CAST(1 AS BIGINT), n_sampled * 4) - 1)")),
-      eqKeys = Seq("n_sampled"), hMax = videoHammingMax)
+      videoDocScheme.indexed(
+        videoFingerprints(videoTable(s, d)).toDF()
+          .select("doc_id", "n_sampled", "video_fp")
+          .localCheckpoint()))
+    videoDocScheme.pairsIndexed(fp)
       .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
         col("n_sampled"), col("video_fp_a").as("fp_a"),
         col("video_fp_b").as("fp_b"), col("hamming"))
@@ -1453,17 +1460,29 @@ object Multimodal {
     * (plain unpersist is a no-op on checkpointed frames — repeated
     * invocations would otherwise leak blocks per call). */
   private val imageValsIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.imageValueCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.imageValueCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
+
+  /** The ONE image-aHash banding layout (eight 8-bit sub-bands, four
+    * per packed 32-bit half) shared by q334's pairs, q346's cluster
+    * edges, the q349/q356 probes, and every index build's guard
+    * statistics. */
+  private[graft] val imageScheme = BandedHamming.BandScheme(
+    idCols = Seq("ahash_hi", "ahash_lo"),
+    fpCols = Seq("ahash_hi", "ahash_lo"),
+    bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
+      BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
+    hMax = videoHammingMax)
 
   private def imageValueCensus(
-      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+      s: SparkSession, d: String): BandedHamming.StatedIndex =
     imageValsIndex.getOrElseUpdate(s, d)(
-      decodeAHashes(imageTable(s, d)).toDF()
-        .groupBy("ahash_hi", "ahash_lo")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("vid"))
-        .localCheckpoint())
+      imageScheme.indexed(
+        decodeAHashes(imageTable(s, d)).toDF()
+          .groupBy("ahash_hi", "ahash_lo")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("vid"))
+          .localCheckpoint()))
 
   val qImageNearDup: GraftQuery = GraftQuery(
     "q334_image_neardup_values",
@@ -1483,12 +1502,7 @@ object Multimodal {
        |      bit_count(xor(a.ahash_lo, b.ahash_lo))
        |  BETWEEN 1 AND $videoHammingMax
        |ORDER BY hi_a, lo_a, hi_b, lo_b""".stripMargin) { (s, d) =>
-    BandedHamming.nearMissPairs(imageValueCensus(s, d),
-      idCols = Seq("ahash_hi", "ahash_lo"),
-      fpCols = Seq("ahash_hi", "ahash_lo"),
-      bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
-        BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
-      carry = Seq("n_docs"), hMax = videoHammingMax)
+    imageScheme.pairsIndexed(imageValueCensus(s, d), carry = Seq("n_docs"))
       .select(col("ahash_hi_a").as("hi_a"), col("ahash_lo_a").as("lo_a"),
         col("ahash_hi_b").as("hi_b"), col("ahash_lo_b").as("lo_b"),
         col("hamming"), col("n_docs_a"), col("n_docs_b"))
@@ -1499,16 +1513,17 @@ object Multimodal {
     * once per (session, corpus); checkpoint blocks released on
     * eviction (see [[imageValsIndex]]). */
   private val audioValsIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.audioValueCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.audioValueCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   private def audioValueCensus(
-      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+      s: SparkSession, d: String): BandedHamming.StatedIndex =
     audioValsIndex.getOrElseUpdate(s, d)(
-      audioFingerprints(audioTable(s, d)).toDF()
-        .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint())
+      audioScheme.indexed(
+        audioFingerprints(audioTable(s, d)).toDF()
+          .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
+          .localCheckpoint()))
 
   /** AUDIO NEAR-MISS PAIRS AT THE VALUE GRAIN — the q334 pattern on
     * q193's 32-bit energy fingerprint (this fixture's strongest case
@@ -1559,24 +1574,20 @@ object Multimodal {
        |  WHERE bit_count(xor(a.fingerprint, b.fingerprint))
        |    BETWEEN 1 AND $videoHammingMax)""".stripMargin
 
-  /** The ONE audio banding configuration (slices, tolerance) shared
-    * by q335/q347's pairs and the q353/q359 cross-corpus probes, so
-    * the band layout cannot silently diverge between them (the
-    * videoWideNearMiss discipline). */
-  private def audioNearMiss(rows: org.apache.spark.sql.DataFrame,
-      carry: Seq[String], hMin: Int = 1,
-      rowsB: Option[org.apache.spark.sql.DataFrame] = None)
-      : org.apache.spark.sql.DataFrame =
-    BandedHamming.nearMissPairs(rows,
-      idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
-      bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
-      carry = carry, hMin = hMin, hMax = videoHammingMax, rowsB = rowsB)
+  /** The ONE audio banding layout (four 8-bit sub-bands of the 32-bit
+    * energy fingerprint) shared by q335/q347's pairs, the q353/q359
+    * cross-corpus probes, and every index build's guard statistics, so
+    * the band layout cannot silently diverge between them. */
+  private[graft] val audioScheme = BandedHamming.BandScheme(
+    idCols = Seq("fingerprint"), fpCols = Seq("fingerprint"),
+    bandExprs = BandedHamming.fixedBands(col("fingerprint"), 4, 8),
+    hMax = videoHammingMax)
 
   /** The q335/q347 banded value pairs, factored for the clustering
     * composer. */
   private def audioValuePairs(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    audioNearMiss(audioValueCensus(s, d), carry = Seq("n_docs"))
+    audioScheme.pairsIndexed(audioValueCensus(s, d), carry = Seq("n_docs"))
 
   val qAudioNearDup: GraftQuery = GraftQuery(
     "q335_audio_neardup_values",
@@ -1603,16 +1614,17 @@ object Multimodal {
   /** The CORPUS audio value index, persisted once per (session,
     * corpus) — the q345/q349 posture on the audio tier. */
   private val audioCorpusIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.audioCorpusVals")(_.unpersist(): Unit)
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.audioCorpusVals")(_.rows.unpersist(): Unit)
 
   /** The arriving batch's checkpointed audio census (deterministic
     * per corpus in this fixture — a production caller keys by batch
-    * id); checkpoint blocks released on eviction. */
+    * id) with its build-time stats; checkpoint blocks released on
+    * eviction. */
   private val audioBatchIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.audioBatchVals")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.audioBatchVals")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** INCREMENTAL AUDIO NEAR-MISS — the q345/q349 batch-vs-corpus
     * posture on the audio tier: an arriving batch's distinct 32-bit
@@ -1642,8 +1654,9 @@ object Multimodal {
        |     <= $videoHammingMax
        |ORDER BY fp_batch, fp_corpus""".stripMargin) { (s, d) =>
     val corpusVals = audioCorpusIndex.getOrElseUpdate(s, d)(
-      audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
-        .persist())
+      audioScheme.indexed(
+        audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+          .persist()))
     audioBatchProbe(s, d, corpusVals)
   }
 
@@ -1651,12 +1664,13 @@ object Multimodal {
     * factored so the STREAMING-maintained census (q359) serves the
     * same probe plan with q353's oracle proving both. */
   private[graft] def audioBatchProbe(s: SparkSession, d: String,
-      corpusVals: org.apache.spark.sql.DataFrame)
+      corpusVals: BandedHamming.StatedIndex)
       : org.apache.spark.sql.DataFrame = {
     val batchVals = audioBatchIndex.getOrElseUpdate(s, d)(
-      audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
-        .localCheckpoint())
-    audioNearMiss(batchVals, carry = Seq("n_docs"),
+      audioScheme.indexed(
+        audioValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+          .localCheckpoint()))
+    audioScheme.pairsIndexed(batchVals, carry = Seq("n_docs"),
       hMin = 0, rowsB = Some(corpusVals))
       .select(col("fingerprint_a").as("fp_batch"),
         col("fingerprint_b").as("fp_corpus"), col("hamming"),
@@ -1746,7 +1760,8 @@ object Multimodal {
       l
     }
     val w = Window.partitionBy("cluster_id")
-    vals.join(labels.withColumnRenamed("node", "fingerprint"),
+    vals.rows
+      .join(labels.withColumnRenamed("node", "fingerprint"),
         Seq("fingerprint"), "left")
       .select(col("fingerprint"),
         coalesce(col("label"), col("fingerprint")).as("cluster_id"),
@@ -1831,17 +1846,18 @@ object Multimodal {
     * cannot pack into one oracle-expressible BIGINT). Checkpoint
     * blocks released on eviction (see [[imageValsIndex]]). */
   private val videoWideValsIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.videoWideValueCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.videoWideValueCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   private def videoWideValueCensus(
-      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+      s: SparkSession, d: String): BandedHamming.StatedIndex =
     videoWideValsIndex.getOrElseUpdate(s, d)(
-      videoFingerprintsWide(videoTable(s, d)).toDF()
-        .groupBy(("n_sampled" +: wideFpCols).map(col): _*)
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("vid"))
-        .localCheckpoint())
+      videoWideScheme.indexed(
+        videoFingerprintsWide(videoTable(s, d)).toDF()
+          .groupBy(("n_sampled" +: wideFpCols).map(col): _*)
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("vid"))
+          .localCheckpoint()))
 
   /** VIDEO NEAR-MISS AT THE WIDE WIDTH AND THE VALUE GRAIN — the
     * q331-successor that retires its low-entropy caveat, composing
@@ -1900,28 +1916,24 @@ object Multimodal {
        |  WHERE ${wideFpCols.map(c => s"CAST(bit_count(xor(a.$c, b.$c)) AS INTEGER)").mkString(" + ")}
        |    BETWEEN 1 AND $videoHammingMax)""".stripMargin
 
-  /** The ONE wide-video banding configuration (slices, width eqKey,
+  /** The ONE wide-video banding layout (slices, width eqKey,
     * informative mask, tolerance) shared by q336's pairs, q348's
-    * cluster edges, and q354's cross-corpus probe, so the band layout
-    * cannot silently diverge between them (the audioValuePairs
-    * discipline). `carry` differs per caller; the cross form passes
+    * cluster edges, q354's cross-corpus probe, and every index build's
+    * guard statistics, so the band layout cannot silently diverge
+    * between them. `carry` differs per caller; the cross form passes
     * `rowsB` (the corpus index) and `hMin = 0`. */
-  private def videoWideNearMiss(rows: org.apache.spark.sql.DataFrame,
-      carry: Seq[String], hMin: Int = 1,
-      rowsB: Option[org.apache.spark.sql.DataFrame] = None)
-      : org.apache.spark.sql.DataFrame =
-    BandedHamming.nearMissPairs(rows,
-      idCols = wideFpCols, fpCols = wideFpCols,
-      bandExprs = (0 until fpFrames).flatMap(i =>
-        BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
-          BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
-      eqKeys = Seq("n_sampled"), carry = carry,
-      informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
-      hMin = hMin, hMax = videoHammingMax, rowsB = rowsB)
+  private[graft] val videoWideScheme = BandedHamming.BandScheme(
+    idCols = wideFpCols, fpCols = wideFpCols,
+    bandExprs = (0 until fpFrames).flatMap(i =>
+      BandedHamming.fixedBands(col(s"f${i}_lo"), 2, 16) ++
+        BandedHamming.fixedBands(col(s"f${i}_hi"), 2, 16)),
+    eqKeys = Seq("n_sampled"),
+    informativeBand = Some(col("band_idx") < col("n_sampled") * 4),
+    hMax = videoHammingMax)
 
   private def videoWideValuePairs(s: SparkSession, d: String,
       carry: Seq[String]): org.apache.spark.sql.DataFrame =
-    videoWideNearMiss(videoWideValueCensus(s, d), carry)
+    videoWideScheme.pairsIndexed(videoWideValueCensus(s, d), carry)
 
   val qVideoNearDupWide: GraftQuery = GraftQuery(
     "q336_video_neardup_wide",
@@ -2000,7 +2012,8 @@ object Multimodal {
       l
     }
     val w = Window.partitionBy("cluster_id")
-    vals.join(labels.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+    vals.rows
+      .join(labels.withColumnRenamed("node", "vid"), Seq("vid"), "left")
       .select(col("vid"), col("n_sampled"),
         coalesce(col("label"), col("vid")).as("cluster_id"),
         col("n_docs"))
@@ -2022,15 +2035,15 @@ object Multimodal {
   /** The CORPUS wide-video value index, persisted once per (session,
     * corpus). */
   private val videoWideCorpusIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.videoWideCorpusVals")(_.unpersist(): Unit)
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.videoWideCorpusVals")(_.rows.unpersist(): Unit)
 
-  /** The arriving batch's checkpointed wide-video census; checkpoint
-    * blocks released on eviction. */
+  /** The arriving batch's checkpointed wide-video census with its
+    * build-time stats; checkpoint blocks released on eviction. */
   private val videoWideBatchIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.videoWideBatchVals")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.videoWideBatchVals")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** INCREMENTAL WIDE-VIDEO NEAR-MISS — the q345/q349/q353 posture on
     * the wide-video tier, completing the incremental matrix across
@@ -2071,8 +2084,9 @@ object Multimodal {
        |  ${wideFpCols.map(c => s"${c}_corpus").mkString(", ")}""".stripMargin) {
     (s, d) =>
     val corpusVals = videoWideCorpusIndex.getOrElseUpdate(s, d)(
-      videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
-        .persist())
+      videoWideScheme.indexed(
+        videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+          .persist()))
     videoWideBatchProbe(s, d, corpusVals)
   }
 
@@ -2080,12 +2094,13 @@ object Multimodal {
     * factored so the STREAMING-maintained census (q361) serves the
     * same probe plan with q354's oracle proving both. */
   private[graft] def videoWideBatchProbe(s: SparkSession, d: String,
-      corpusVals: org.apache.spark.sql.DataFrame)
+      corpusVals: BandedHamming.StatedIndex)
       : org.apache.spark.sql.DataFrame = {
     val batchVals = videoWideBatchIndex.getOrElseUpdate(s, d)(
-      videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
-        .localCheckpoint())
-    videoWideNearMiss(batchVals, carry = Seq("n_docs"),
+      videoWideScheme.indexed(
+        videoWideValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+          .localCheckpoint()))
+    videoWideScheme.pairsIndexed(batchVals, carry = Seq("n_docs"),
       hMin = 0, rowsB = Some(corpusVals))
       .select((col("n_sampled") +:
         (wideFpCols.map(c => col(s"${c}_a").as(s"${c}_batch")) ++
@@ -2187,16 +2202,8 @@ object Multimodal {
        |ORDER BY vid""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val vals = imageValueCensus(s, d)
-    // pair construction lives INSIDE the memo thunk: nearMissPairs is
-    // eager (row-contract + occupancy-guard jobs), so a memo hit must
-    // not rebuild and discard it
     val labels = imageClusterIndex.getOrElseUpdate(s, d) {
-      val edges = BandedHamming.nearMissPairs(vals,
-        idCols = Seq("ahash_hi", "ahash_lo"),
-        fpCols = Seq("ahash_hi", "ahash_lo"),
-        bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
-          BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
-        carry = Seq("vid"), hMax = videoHammingMax)
+      val edges = imageScheme.pairsIndexed(vals, carry = Seq("vid"))
         .select(col("vid_a").as("doc_a"), col("vid_b").as("doc_b"))
         .localCheckpoint()
       val l = Dedup.connectedComponents(edges)
@@ -2206,7 +2213,8 @@ object Multimodal {
       l
     }
     val w = Window.partitionBy("cluster_id")
-    vals.join(labels.withColumnRenamed("node", "vid"), Seq("vid"), "left")
+    vals.rows
+      .join(labels.withColumnRenamed("node", "vid"), Seq("vid"), "left")
       .select(col("vid"), col("ahash_hi"), col("ahash_lo"),
         coalesce(col("label"), col("vid")).as("cluster_id"), col("n_docs"))
       .withColumn("n_values", count(lit(1)).over(w).cast("int"))
@@ -2229,16 +2237,17 @@ object Multimodal {
     * corpus) — what a production tier keeps next to the corpus so
     * arriving batches never re-decode it (the q94/q345 posture). */
   private val imageCorpusIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.imageCorpusVals")(_.unpersist(): Unit)
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.imageCorpusVals")(_.rows.unpersist(): Unit)
 
   /** The arriving batch's checkpointed census (deterministic per
-    * corpus in this fixture — a production caller keys by batch id);
-    * checkpoint blocks released on eviction. */
+    * corpus in this fixture — a production caller keys by batch id)
+    * with its build-time stats; checkpoint blocks released on
+    * eviction. */
   private val imageBatchIndex =
-    new graft.spark.SessionMemo[String, org.apache.spark.sql.DataFrame](
-      "multimodal.imageBatchVals")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[String, BandedHamming.StatedIndex](
+      "multimodal.imageBatchVals")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** INCREMENTAL IMAGE NEAR-MISS — q345's batch-vs-corpus posture on
     * the image tier: an arriving batch's distinct aHash values are
@@ -2275,8 +2284,9 @@ object Multimodal {
        |ORDER BY hi_batch, lo_batch, hi_corpus, lo_corpus""".stripMargin) {
     (s, d) =>
     val corpusVals = imageCorpusIndex.getOrElseUpdate(s, d)(
-      imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
-        .persist())
+      imageScheme.indexed(
+        imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) =!= 4)
+          .persist()))
     imageBatchProbe(s, d, corpusVals)
   }
 
@@ -2285,18 +2295,14 @@ object Multimodal {
     * same probe plan as the batch-built index, with q349's oracle
     * proving both (the simhashBatchProbe discipline). */
   private[graft] def imageBatchProbe(s: SparkSession, d: String,
-      corpusVals: org.apache.spark.sql.DataFrame)
+      corpusVals: BandedHamming.StatedIndex)
       : org.apache.spark.sql.DataFrame = {
     val batchVals = imageBatchIndex.getOrElseUpdate(s, d)(
-      imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
-        .localCheckpoint())
-    BandedHamming.nearMissPairs(batchVals,
-      idCols = Seq("ahash_hi", "ahash_lo"),
-      fpCols = Seq("ahash_hi", "ahash_lo"),
-      bandExprs = BandedHamming.fixedBands(col("ahash_lo"), 4, 8) ++
-        BandedHamming.fixedBands(col("ahash_hi"), 4, 8),
-      carry = Seq("n_docs"),
-      hMin = 0, hMax = videoHammingMax, rowsB = Some(corpusVals))
+      imageScheme.indexed(
+        imageValueCensusWhere(s, d, pmod(col("doc_id"), lit(5)) === 4)
+          .localCheckpoint()))
+    imageScheme.pairsIndexed(batchVals, carry = Seq("n_docs"),
+      hMin = 0, rowsB = Some(corpusVals))
       .select(col("ahash_hi_a").as("hi_batch"),
         col("ahash_lo_a").as("lo_batch"),
         col("ahash_hi_b").as("hi_corpus"),

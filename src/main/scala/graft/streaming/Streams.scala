@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.GraftQuery
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -673,14 +673,15 @@ object Streams {
     * [[refreshPolicyIndex]] (this maintainer predates the discipline;
     * round 11 retrofits it). */
   private val compactionPolicyIndex =
-    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+    new graft.spark.SessionMemo[(String, Option[String], Option[Int]), DataFrame](
       "streams.compactionPolicy")(
       org.apache.spark.sql.graftshim.Checkpoints.release(_))
 
   def streamCompactionPolicy(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    compactionPolicyIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+    compactionPolicyIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger))(
       drainCompactionPolicy(spark, sfDir, srcDir, maxFilesPerTrigger)
         .localCheckpoint())
 
@@ -732,22 +733,32 @@ object Streams {
     * so the hash match proves the monoid maintenance converges to the
     * batch-built index under any arrival slicing. */
   /** The drained simhash census, materialized once per (session,
-    * corpus, staging dir): q350 and q351 share ONE stream drain, and
-    * the checkpoint barrier decouples the returned relation from the
-    * scratch directory — a later re-drain wipes and rewrites those
-    * files, which would otherwise invalidate a previously returned
-    * lazy census's file listing. Released on eviction. */
+    * corpus, staging dir, trigger config): q350 and q351 share ONE
+    * stream drain, and the checkpoint barrier decouples the returned
+    * relation from the scratch directory — a later re-drain wipes and
+    * rewrites those files, which would otherwise invalidate a
+    * previously returned lazy census's file listing. The guard
+    * statistics ride in the memo (computed ONCE over the drained,
+    * checkpointed census — band-bucket occupancy is a DISTINCT-value
+    * count, not additive across arriving batches, so it derives from
+    * the summed census, never from per-trigger partials) and make the
+    * q351 probe corpus-aggregate-free. Released on eviction. */
   private val simhashCensusIndex =
-    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
-      "streams.simhashCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[
+      (String, Option[String], Option[Int]),
+      graft.operators.BandedHamming.StatedIndex](
+      "streams.simhashCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   def streamSimhashCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    simhashCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
-      drainSimhashCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
-        .localCheckpoint())
+      maxFilesPerTrigger: Option[Int] = None)
+      : graft.operators.BandedHamming.StatedIndex =
+    simhashCensusIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger))(
+      graft.operators.Dedup.simhashScheme.indexed(
+        drainSimhashCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
+          .localCheckpoint()))
 
   /** THE parameterized streaming value-census maintainer behind every
     * corpus-index tier (simhash q350, image q355, audio q358, wide
@@ -761,18 +772,21 @@ object Streams {
     * drained relation is the batch-built corpus index VERBATIM under
     * any arrival slicing, proven per tier by the corpus-census oracle.
     * `partialSchema` pins the read-back types so each tier's output
-    * schema matches its oracle exactly. */
+    * schema matches its oracle exactly. `corpusFilter` selects which
+    * arriving documents belong to the maintained corpus — a caller
+    * concern (the current tiers pass the [[fixtureCorpusFilter]]
+    * split), never a constant of the maintainer. */
   private def drainValueCensus(spark: SparkSession, scratch: String,
       sfDir: String, srcDir: Option[String],
       maxFilesPerTrigger: Option[Int], groupCols: Seq[String],
-      partialSchema: String,
+      partialSchema: String, corpusFilter: Column,
       featurize: DataFrame => DataFrame): DataFrame = {
     val outDir = graft.operators.Formats.scratchDir(
       scratch, srcDir.getOrElse(sfDir))
     graft.operators.Formats.wipe(outDir)
     withStreamShufflePartitions(spark) {
       val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
-        .where(pmod(col("doc_id"), lit(5)) =!= 4)
+        .where(corpusFilter)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (!batch.isEmpty) {
@@ -790,12 +804,20 @@ object Streams {
       .groupBy(groupCols.map(col): _*).agg(sum("n_partial").as("n_docs"))
   }
 
+  /** The incremental-dedup FIXTURES' batch/corpus split (q345/q349/
+    * q353/q354 and their streaming twins): doc_id % 5 == 4 is the
+    * arriving batch, everything else the maintained corpus. A fixture
+    * convention, passed to [[drainValueCensus]] by each tier — the
+    * shared maintainer itself is fixture-agnostic. */
+  private def fixtureCorpusFilter: Column =
+    pmod(col("doc_id"), lit(5)) =!= 4
+
   private def drainSimhashCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String],
       maxFilesPerTrigger: Option[Int]): DataFrame =
     drainValueCensus(spark, "graft_stream_simhash_census", sfDir, srcDir,
       maxFilesPerTrigger, Seq("simhash"),
-      "simhash BIGINT, n_partial BIGINT",
+      "simhash BIGINT, n_partial BIGINT", fixtureCorpusFilter,
       b => b.select(org.apache.spark.sql.graftshim.SimHashMd5(
         graft.functions.TextFunctions.distinctTokens(
           lower(col("text")))).as("simhash")))
@@ -803,7 +825,7 @@ object Streams {
   val qStreamSimhashCensus: GraftQuery = GraftQuery(
     "q350_stream_simhash_census",
     graft.operators.Dedup.simhashCorpusCensusSql) { (s, d) =>
-    streamSimhashCensus(s, d).orderBy("simhash")
+    streamSimhashCensus(s, d).rows.orderBy("simhash")
   }
 
   /** INCREMENTAL DEDUP AGAINST THE STREAM-MAINTAINED INDEX — q345's
@@ -826,9 +848,11 @@ object Streams {
     * corpus, staging dir) — the q350 discipline on the image tier
     * (see [[simhashCensusIndex]] for the barrier rationale). */
   private val imageCensusIndex =
-    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
-      "streams.imageCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[
+      (String, Option[String], Option[Int]),
+      graft.operators.BandedHamming.StatedIndex](
+      "streams.imageCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** STREAMING MAINTENANCE OF THE IMAGE CORPUS INDEX — q350's monoid
     * discipline on the REAL-CODEC tier: each arriving corpus
@@ -843,10 +867,13 @@ object Streams {
     * over the archive. */
   def streamImageCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    imageCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
-      drainImageCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
-        .localCheckpoint())
+      maxFilesPerTrigger: Option[Int] = None)
+      : graft.operators.BandedHamming.StatedIndex =
+    imageCensusIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger))(
+      graft.operators.Multimodal.imageScheme.indexed(
+        drainImageCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
+          .localCheckpoint()))
 
   private def drainImageCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String],
@@ -854,12 +881,13 @@ object Streams {
     drainValueCensus(spark, "graft_stream_image_census", sfDir, srcDir,
       maxFilesPerTrigger, Seq("ahash_hi", "ahash_lo"),
       "ahash_hi BIGINT, ahash_lo BIGINT, n_partial BIGINT",
+      fixtureCorpusFilter,
       graft.operators.Multimodal.imageAHashesFromDocs)
 
   val qStreamImageCensus: GraftQuery = GraftQuery(
     "q355_stream_image_census",
     graft.operators.Multimodal.imageCorpusCensusSql) { (s, d) =>
-    streamImageCensus(s, d).orderBy("ahash_hi", "ahash_lo")
+    streamImageCensus(s, d).rows.orderBy("ahash_hi", "ahash_lo")
   }
 
   /** INCREMENTAL IMAGE DEDUP AGAINST THE STREAM-MAINTAINED INDEX —
@@ -875,9 +903,11 @@ object Streams {
 
   /** The drained audio census (see [[simhashCensusIndex]]). */
   private val audioCensusIndex =
-    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
-      "streams.audioCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[
+      (String, Option[String], Option[Int]),
+      graft.operators.BandedHamming.StatedIndex](
+      "streams.audioCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** Streaming maintenance of the q353 audio corpus index — the
     * shared [[drainValueCensus]] maintainer with the audio featurize
@@ -885,18 +915,21 @@ object Streams {
     * per task disposed on completion). */
   def streamAudioCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    audioCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
-      drainValueCensus(spark, "graft_stream_audio_census", sfDir, srcDir,
-        maxFilesPerTrigger, Seq("fingerprint"),
-        "fingerprint BIGINT, n_partial BIGINT",
-        graft.operators.Multimodal.audioFingerprintsFromDocs)
-        .localCheckpoint())
+      maxFilesPerTrigger: Option[Int] = None)
+      : graft.operators.BandedHamming.StatedIndex =
+    audioCensusIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger))(
+      graft.operators.Multimodal.audioScheme.indexed(
+        drainValueCensus(spark, "graft_stream_audio_census", sfDir, srcDir,
+          maxFilesPerTrigger, Seq("fingerprint"),
+          "fingerprint BIGINT, n_partial BIGINT", fixtureCorpusFilter,
+          graft.operators.Multimodal.audioFingerprintsFromDocs)
+          .localCheckpoint()))
 
   val qStreamAudioCensus: GraftQuery = GraftQuery(
     "q358_stream_audio_census",
     graft.operators.Multimodal.audioCorpusCensusSql) { (s, d) =>
-    streamAudioCensus(s, d).orderBy("fingerprint")
+    streamAudioCensus(s, d).rows.orderBy("fingerprint")
   }
 
   /** q353's probe against the stream-maintained audio index (oracle
@@ -909,31 +942,37 @@ object Streams {
 
   /** The drained wide-video census (see [[simhashCensusIndex]]). */
   private val videoWideCensusIndex =
-    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
-      "streams.videoWideCensus")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[
+      (String, Option[String], Option[Int]),
+      graft.operators.BandedHamming.StatedIndex](
+      "streams.videoWideCensus")(i =>
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows))
 
   /** Streaming maintenance of the q354 wide-video corpus index; the
     * census key carries the clip width (n_sampled pinned INTEGER so
     * the drained schema matches the oracle's). */
   def streamVideoWideCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    videoWideCensusIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
-      drainValueCensus(spark, "graft_stream_videow_census", sfDir, srcDir,
-        maxFilesPerTrigger,
-        graft.operators.Multimodal.videoWideCensusCols,
-        graft.operators.Multimodal.videoWideCensusCols.map {
-          case "n_sampled" => "n_sampled INT"
-          case c => s"$c BIGINT"
-        }.mkString(", ") + ", n_partial BIGINT",
-        graft.operators.Multimodal.videoWideFromDocs)
-        .localCheckpoint())
+      maxFilesPerTrigger: Option[Int] = None)
+      : graft.operators.BandedHamming.StatedIndex =
+    videoWideCensusIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger))(
+      graft.operators.Multimodal.videoWideScheme.indexed(
+        drainValueCensus(spark, "graft_stream_videow_census", sfDir, srcDir,
+          maxFilesPerTrigger,
+          graft.operators.Multimodal.videoWideCensusCols,
+          graft.operators.Multimodal.videoWideCensusCols.map {
+            case "n_sampled" => "n_sampled INT"
+            case c => s"$c BIGINT"
+          }.mkString(", ") + ", n_partial BIGINT",
+          fixtureCorpusFilter,
+          graft.operators.Multimodal.videoWideFromDocs)
+          .localCheckpoint()))
 
   val qStreamVideoWideCensus: GraftQuery = GraftQuery(
     "q360_stream_videow_census",
     graft.operators.Multimodal.videoWideCorpusCensusSql) { (s, d) =>
-    streamVideoWideCensus(s, d)
+    streamVideoWideCensus(s, d).rows
       .orderBy(graft.operators.Multimodal.videoWideCensusCols.map(col): _*)
   }
 
@@ -968,14 +1007,15 @@ object Streams {
     * re-invocations must not re-pay the stream drain. Released on
     * eviction. */
   private val refreshPolicyIndex =
-    new graft.spark.SessionMemo[(String, Option[String]), DataFrame](
+    new graft.spark.SessionMemo[(String, Option[String], Option[Int]), DataFrame](
       "streams.refreshPolicy")(
       org.apache.spark.sql.graftshim.Checkpoints.release(_))
 
   def streamRefreshPolicy(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    refreshPolicyIndex.getOrElseUpdate(spark, (sfDir, srcDir))(
+    refreshPolicyIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger))(
       drainRefreshPolicy(spark, sfDir, srcDir, maxFilesPerTrigger)
         .localCheckpoint())
 
@@ -1008,6 +1048,20 @@ object Streams {
       .parquet(outDir)
       .groupBy("cell_old")
       .agg(sum("n_rows").as("n_rows"), sum("n_moved").as("n_moved"))
+    // the centroid literals (persisted + re-fit) derive from the sfDir
+    // embeddings; a srcDir that does not RE-STAGE that same corpus
+    // would drift-census one population against another's centroids —
+    // silently. Structural check: the drained census must cover
+    // exactly the corpus row count (one tiny aggregate over the
+    // partials, paid once per drain).
+    val sRow = census.agg(sum("n_rows")).head
+    val streamedRows = if (sRow.isNullAt(0)) 0L else sRow.getLong(0)
+    val corpusRows = emb.count()
+    require(streamedRows == corpusRows,
+      s"drift census covered $streamedRows vectors but the centroid " +
+        s"corpus ($sfDir embeddings) has $corpusRows — srcDir must " +
+        "re-stage the same embeddings corpus the centroid literals " +
+        "derive from")
     IvfAnn.refreshDecision(census)
   }
 

@@ -373,7 +373,7 @@ class StreamsSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(src)
     val streamed = graft.streaming.Streams.streamSimhashCensus(
       spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
-    val streamedRows = streamed.orderBy("simhash")
+    val streamedRows = streamed.rows.orderBy("simhash")
       .collect().map(_.toSeq).toSeq
     val batch = graft.sources.Tables.documents(spark, sf001)
       .where(pmod(col("doc_id"), lit(5)) =!= 4)
@@ -402,7 +402,7 @@ class StreamsSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(src)
     val streamed = graft.streaming.Streams.streamImageCensus(
       spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
-    val streamedRows = streamed.orderBy("ahash_hi", "ahash_lo")
+    val streamedRows = streamed.rows.orderBy("ahash_hi", "ahash_lo")
       .collect().map(_.toSeq).toSeq
     val batchImages = {
       import spark.implicits._
@@ -440,7 +440,7 @@ class StreamsSpec extends SparkSpecBase {
     val audioBatch = graft.operators.Multimodal
       .audioFingerprintsFromDocs(corpusDocs)
       .groupBy("fingerprint").agg(count(lit(1)).as("n_docs"))
-    assert(audioStreamed.orderBy("fingerprint").collect().map(_.toSeq).toSeq ===
+    assert(audioStreamed.rows.orderBy("fingerprint").collect().map(_.toSeq).toSeq ===
       audioBatch.orderBy("fingerprint").collect().map(_.toSeq).toSeq)
     assert(graft.operators.Multimodal
       .audioBatchProbe(spark, sf001, audioStreamed)
@@ -453,7 +453,7 @@ class StreamsSpec extends SparkSpecBase {
       spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
     val videoBatch = graft.operators.Multimodal.videoWideFromDocs(corpusDocs)
       .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n_docs"))
-    assert(videoStreamed.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq ===
+    assert(videoStreamed.rows.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq ===
       videoBatch.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq)
     assert(graft.operators.Multimodal
       .videoWideBatchProbe(spark, sf001, videoStreamed)
