@@ -775,33 +775,56 @@ object Streams {
     * schema matches its oracle exactly. `corpusFilter` selects which
     * arriving documents belong to the maintained corpus — a caller
     * concern (the current tiers pass the [[fixtureCorpusFilter]]
-    * split), never a constant of the maintainer. */
-  private def drainValueCensus(spark: SparkSession, scratch: String,
-      sfDir: String, srcDir: Option[String],
-      maxFilesPerTrigger: Option[Int], groupCols: Seq[String],
-      partialSchema: String, corpusFilter: Column,
-      featurize: DataFrame => DataFrame): DataFrame = {
+    * split), never a constant of the maintainer.
+    *
+    * `onPrefix` is the PREFIX-SERVEABILITY observation hook: when
+    * present, it fires after every non-empty trigger with (the
+    * trigger's doc ids, the census summed over every partial written
+    * SO FAR) — the relation a mid-stream probe would serve from.
+    * StreamsSpec drives it to assert that probing the
+    * partially-maintained census at EVERY prefix equals the batch
+    * probe over the prefix corpus (drained ≡ batch applied at every
+    * trigger boundary, not just at the end). Production drains pass
+    * None and pay nothing. */
+  private[graft] final case class CensusTier(
+      scratch: String,
+      groupCols: Seq[String],
+      partialSchema: String,
+      scheme: graft.operators.BandedHamming.BandScheme,
+      featurize: DataFrame => DataFrame)
+
+  private[graft] def drainValueCensus(spark: SparkSession,
+      tier: CensusTier, sfDir: String, srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int], corpusFilter: Column,
+      onPrefix: Option[(Seq[Long], DataFrame) => Unit] = None): DataFrame = {
     val outDir = graft.operators.Formats.scratchDir(
-      scratch, srcDir.getOrElse(sfDir))
+      tier.scratch, srcDir.getOrElse(sfDir))
     graft.operators.Formats.wipe(outDir)
+    def summedCensus: DataFrame =
+      spark.read.schema(tier.partialSchema).parquet(outDir)
+        .groupBy(tier.groupCols.map(col): _*)
+        .agg(sum("n_partial").as("n_docs"))
     withStreamShufflePartitions(spark) {
       val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
         .where(corpusFilter)
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (!batch.isEmpty) {
-            featurize(batch.toDF())
-              .groupBy(groupCols.map(col): _*)
+            tier.featurize(batch.toDF())
+              .groupBy(tier.groupCols.map(col): _*)
               .agg(count(lit(1)).as("n_partial"))
               .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+            onPrefix.foreach(f => f(
+              batch.toDF().select("doc_id")
+                .collect().map(_.getLong(0)).toSeq,
+              summedCensus))
           }
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.schema(partialSchema).parquet(outDir)
-      .groupBy(groupCols.map(col): _*).agg(sum("n_partial").as("n_docs"))
+    summedCensus
   }
 
   /** The incremental-dedup FIXTURES' batch/corpus split (q345/q349/
@@ -809,18 +832,24 @@ object Streams {
     * arriving batch, everything else the maintained corpus. A fixture
     * convention, passed to [[drainValueCensus]] by each tier — the
     * shared maintainer itself is fixture-agnostic. */
-  private def fixtureCorpusFilter: Column =
+  private[graft] def fixtureCorpusFilter: Column =
     pmod(col("doc_id"), lit(5)) =!= 4
+
+  /** The four census tiers, each pairing the maintainer's featurize
+    * with the banding scheme its probes use. */
+  private[graft] val simhashCensusTier = CensusTier(
+    "graft_stream_simhash_census", Seq("simhash"),
+    "simhash BIGINT, n_partial BIGINT",
+    graft.operators.Dedup.simhashScheme,
+    b => b.select(org.apache.spark.sql.graftshim.SimHashMd5(
+      graft.functions.TextFunctions.distinctTokens(
+        lower(col("text")))).as("simhash")))
 
   private def drainSimhashCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String],
       maxFilesPerTrigger: Option[Int]): DataFrame =
-    drainValueCensus(spark, "graft_stream_simhash_census", sfDir, srcDir,
-      maxFilesPerTrigger, Seq("simhash"),
-      "simhash BIGINT, n_partial BIGINT", fixtureCorpusFilter,
-      b => b.select(org.apache.spark.sql.graftshim.SimHashMd5(
-        graft.functions.TextFunctions.distinctTokens(
-          lower(col("text")))).as("simhash")))
+    drainValueCensus(spark, simhashCensusTier, sfDir, srcDir,
+      maxFilesPerTrigger, fixtureCorpusFilter)
 
   val qStreamSimhashCensus: GraftQuery = GraftQuery(
     "q350_stream_simhash_census",
@@ -875,14 +904,17 @@ object Streams {
         drainImageCensus(spark, sfDir, srcDir, maxFilesPerTrigger)
           .localCheckpoint()))
 
+  private[graft] val imageCensusTier = CensusTier(
+    "graft_stream_image_census", Seq("ahash_hi", "ahash_lo"),
+    "ahash_hi BIGINT, ahash_lo BIGINT, n_partial BIGINT",
+    graft.operators.Multimodal.imageScheme,
+    graft.operators.Multimodal.imageAHashesFromDocs)
+
   private def drainImageCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String],
       maxFilesPerTrigger: Option[Int]): DataFrame =
-    drainValueCensus(spark, "graft_stream_image_census", sfDir, srcDir,
-      maxFilesPerTrigger, Seq("ahash_hi", "ahash_lo"),
-      "ahash_hi BIGINT, ahash_lo BIGINT, n_partial BIGINT",
-      fixtureCorpusFilter,
-      graft.operators.Multimodal.imageAHashesFromDocs)
+    drainValueCensus(spark, imageCensusTier, sfDir, srcDir,
+      maxFilesPerTrigger, fixtureCorpusFilter)
 
   val qStreamImageCensus: GraftQuery = GraftQuery(
     "q355_stream_image_census",
@@ -913,6 +945,12 @@ object Streams {
     * shared [[drainValueCensus]] maintainer with the audio featurize
     * (WAV synthesis + real-codec decode per partition, one decoder
     * per task disposed on completion). */
+  private[graft] val audioCensusTier = CensusTier(
+    "graft_stream_audio_census", Seq("fingerprint"),
+    "fingerprint BIGINT, n_partial BIGINT",
+    graft.operators.Multimodal.audioScheme,
+    graft.operators.Multimodal.audioFingerprintsFromDocs)
+
   def streamAudioCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None)
@@ -920,10 +958,8 @@ object Streams {
     audioCensusIndex.getOrElseUpdate(
       spark, (sfDir, srcDir, maxFilesPerTrigger))(
       graft.operators.Multimodal.audioScheme.indexed(
-        drainValueCensus(spark, "graft_stream_audio_census", sfDir, srcDir,
-          maxFilesPerTrigger, Seq("fingerprint"),
-          "fingerprint BIGINT, n_partial BIGINT", fixtureCorpusFilter,
-          graft.operators.Multimodal.audioFingerprintsFromDocs)
+        drainValueCensus(spark, audioCensusTier, sfDir, srcDir,
+          maxFilesPerTrigger, fixtureCorpusFilter)
           .localCheckpoint()))
 
   val qStreamAudioCensus: GraftQuery = GraftQuery(
@@ -951,6 +987,16 @@ object Streams {
   /** Streaming maintenance of the q354 wide-video corpus index; the
     * census key carries the clip width (n_sampled pinned INTEGER so
     * the drained schema matches the oracle's). */
+  private[graft] val videoWideCensusTier = CensusTier(
+    "graft_stream_videow_census",
+    graft.operators.Multimodal.videoWideCensusCols,
+    graft.operators.Multimodal.videoWideCensusCols.map {
+      case "n_sampled" => "n_sampled INT"
+      case c => s"$c BIGINT"
+    }.mkString(", ") + ", n_partial BIGINT",
+    graft.operators.Multimodal.videoWideScheme,
+    graft.operators.Multimodal.videoWideFromDocs)
+
   def streamVideoWideCensus(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None)
@@ -958,15 +1004,8 @@ object Streams {
     videoWideCensusIndex.getOrElseUpdate(
       spark, (sfDir, srcDir, maxFilesPerTrigger))(
       graft.operators.Multimodal.videoWideScheme.indexed(
-        drainValueCensus(spark, "graft_stream_videow_census", sfDir, srcDir,
-          maxFilesPerTrigger,
-          graft.operators.Multimodal.videoWideCensusCols,
-          graft.operators.Multimodal.videoWideCensusCols.map {
-            case "n_sampled" => "n_sampled INT"
-            case c => s"$c BIGINT"
-          }.mkString(", ") + ", n_partial BIGINT",
-          fixtureCorpusFilter,
-          graft.operators.Multimodal.videoWideFromDocs)
+        drainValueCensus(spark, videoWideCensusTier, sfDir, srcDir,
+          maxFilesPerTrigger, fixtureCorpusFilter)
           .localCheckpoint()))
 
   val qStreamVideoWideCensus: GraftQuery = GraftQuery(

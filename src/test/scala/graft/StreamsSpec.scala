@@ -875,4 +875,69 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed === batch,
       "streamed KMV fold must equal the whole-corpus sketch summary")
   }
+
+  // ---- prefix-serveability of the streaming probes (verdict r11 #3) --
+
+  /** At EVERY trigger boundary — not just after the full drain — the
+    * partially-maintained census must be a serveable probe target:
+    * probing it equals the batch probe over exactly the documents that
+    * have arrived so far. Drives [[Streams.drainValueCensus]]'s
+    * onPrefix hook; the reference census is built from scratch over
+    * the prefix doc ids through the SAME tier featurize. */
+  private def assertPrefixProbeConsistency(
+      tier: Streams.CensusTier, nFiles: Int,
+      probe: (org.apache.spark.sql.SparkSession, String,
+        graft.operators.BandedHamming.StatedIndex) =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    val src = java.nio.file.Files.createTempDirectory(
+      s"graft_prefix_${nFiles}_").toString
+    Tables.documents(spark, sf001).repartition(nFiles)
+      .write.mode("overwrite").parquet(src)
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Seq[Seq[Any]], Seq[Seq[Any]])]
+    var prefixIds = Seq.empty[Long]
+    Streams.drainValueCensus(spark, tier, sf001, Some(src), Some(1),
+      Streams.fixtureCorpusFilter,
+      Some { (ids: Seq[Long], prefixCensus: org.apache.spark.sql.DataFrame) =>
+        prefixIds = prefixIds ++ ids
+        // the mid-stream serve: probe the partially-maintained census
+        val maintained = tier.scheme.indexed(prefixCensus.localCheckpoint())
+        val got = probe(spark, sf001, maintained)
+          .collect().map(_.toSeq).toSeq
+        // the batch reference over exactly the arrived documents
+        val reference = tier.scheme.indexed(
+          tier.featurize(Tables.documents(spark, sf001)
+            .where(col("doc_id").isin(prefixIds: _*)))
+            .groupBy(tier.groupCols.map(col): _*)
+            .agg(count(lit(1)).as("n_docs"))
+            .localCheckpoint())
+        val want = probe(spark, sf001, reference)
+          .collect().map(_.toSeq).toSeq
+        results += ((ids.size, got, want))
+        org.apache.spark.sql.graftshim.Checkpoints.release(maintained.rows)
+        org.apache.spark.sql.graftshim.Checkpoints.release(reference.rows)
+      })
+    assert(results.size >= 2,
+      s"staging into $nFiles files must produce several triggers, " +
+        s"got ${results.size}")
+    for (((n, got, want), i) <- results.zipWithIndex)
+      assert(got === want,
+        s"prefix ${i + 1}/${results.size} ($n arrivals) diverged from " +
+          "the batch probe over the prefix corpus")
+  }
+
+  test("q351 prefix-serveability: the partially-maintained simhash census serves the probe at every trigger (3 slicings)") {
+    for (nFiles <- Seq(2, 3, 5))
+      assertPrefixProbeConsistency(Streams.simhashCensusTier, nFiles,
+        graft.operators.Dedup.simhashBatchProbe)
+  }
+
+  test("q356/q359/q361 prefix-serveability: image, audio, and wide-video probes serve every prefix of their maintained censuses") {
+    assertPrefixProbeConsistency(Streams.imageCensusTier, 3,
+      graft.operators.Multimodal.imageBatchProbe)
+    assertPrefixProbeConsistency(Streams.audioCensusTier, 3,
+      graft.operators.Multimodal.audioBatchProbe)
+    assertPrefixProbeConsistency(Streams.videoWideCensusTier, 2,
+      graft.operators.Multimodal.videoWideBatchProbe)
+  }
 }
