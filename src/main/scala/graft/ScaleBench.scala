@@ -1330,6 +1330,21 @@ object ScaleBench {
     out += "m1_refresh_scan_x" -> (for {
       s <- probedStale; r <- probedRef if r > 0
     } yield s / r).getOrElse(-1.0)
+    // the EXECUTED refresh (q362): re-assign + PQ re-encode + cell-
+    // partitioned segment rewrite under the re-fit centroids — the
+    // one-off retrain cost that m1_refresh_scan_x's per-query scan
+    // savings amortize from the first post-refresh serve on
+    val e2ePath = graft.operators.Formats.scratchDir("graft_refresh_e2e", sfDir)
+    val (_, tReencode) = time(
+      graft.operators.IvfAnn.assign(corpus, refit)
+        .select(col("vec_id"),
+          org.apache.spark.sql.graftshim.PqEncode(col("embedding"),
+            graft.operators.PqAnn.codebook).as("codes"),
+          col("cell"))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(e2ePath))
+    out += "m1_refresh_e2e_reencode_sec" -> tReencode
+    graft.operators.Formats.wipe(e2ePath)
     corpus.unpersist()
     out.toSeq
   }

@@ -1348,9 +1348,141 @@ object IvfPq {
     batchServe(s, Seq(path), centroids, queries, emb, probes = p)
   }
 
+  /** One full PQ serve chain (corpus assignment → query routing →
+    * probe gate → pruned coding → ADC candidates → exact re-rank →
+    * top-k), every CTE name prefixed with `p`, against the centroid
+    * CTE `cents` (columns cell, c_emb) and the shared unprefixed
+    * `queries` CTE — so the q362 oracle can state BOTH the
+    * stale-index serve and the refreshed-index serve in one statement
+    * and select between them by the drift decision. */
+  private def prefixedServeSql(p: String, cents: String): String =
+    s"""${p}assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
+       |        c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN $cents c),
+       |${p}cells AS (
+       |  SELECT vec_id, embedding, cell FROM ${p}assign WHERE rn = 1),
+       |${p}routed AS (
+       |  SELECT q.query_id, q.q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
+       |        c.cell) AS c_rank
+       |  FROM queries q CROSS JOIN $cents c),
+       |${p}probes AS (
+       |  SELECT query_id, q_emb, cell FROM ${p}routed WHERE c_rank <= $nProbe),
+       |${p}coded AS (
+       |  SELECT m.vec_id, m.cell,
+       |    ${(0 until PqAnn.subspaces).map(s0 => s"${PqAnn.codeSql(s0)} AS c$s0").mkString(",\n    ")}
+       |  FROM ${p}cells m
+       |  JOIN (SELECT DISTINCT cell FROM ${p}probes) pc2 ON m.cell = pc2.cell),
+       |${p}adc AS (
+       |  SELECT p.query_id, m.vec_id, $adcPairSql AS adc_dist
+       |  FROM ${p}probes p JOIN ${p}coded m ON m.cell = p.cell),
+       |${p}cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, vec_id) AS r
+       |    FROM ${p}adc) WHERE r <= $adcCand),
+       |${p}rr AS (
+       |  SELECT c.query_id, c.vec_id, $exactPairSql AS exact_dist
+       |  FROM ${p}cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN queries q ON q.query_id = c.query_id),
+       |${p}topk AS (
+       |  SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, exact_dist
+       |  FROM (
+       |    SELECT query_id, vec_id, exact_dist,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY exact_dist, vec_id) AS rank
+       |    FROM ${p}rr) WHERE rank <= $k)""".stripMargin
+
+  /** The q352 decision EXECUTED end to end (one refresh cycle of a
+    * production serving tier): evaluate the drift policy, read its
+    * global flag ONCE (the q328/q341 bounded-scalar discipline — a
+    * boolean per refresh cycle, never per row); on REFRESH, re-assign
+    * the corpus under the re-fit centroid sample, PQ re-encode, and
+    * rewrite the cell-partitioned segment (the refreshed index
+    * artifacts); on KEEP, serve from the existing artifacts. Either
+    * way the answer comes from [[batchServe]] reading the chosen
+    * segment — by construction hash-equal to serving from an index
+    * freshly built with the chosen centroid set (IvfPqSpec pins both
+    * branches on planted corpora; ScaleBench records the e2e retrain
+    * cost next to the scan savings the refresh buys,
+    * m1_refresh_e2e_* vs m1_refresh_scan_x). Returns the decision too
+    * so the spec can assert which branch served. */
+  private[graft] def refreshExecutedServe(s: org.apache.spark.sql.SparkSession,
+      d: String, emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      tagPrefix: String): (Boolean, org.apache.spark.sql.DataFrame) = {
+    val persisted = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val refit = IvfAnn.refitSample(emb)
+    val refresh = IvfAnn.centroidRefreshPolicy(emb, persisted, refit)
+      .select("refresh").head.getBoolean(0)
+    val centroids = if (refresh) refit else persisted
+    val tag = tagPrefix + (if (refresh) "refreshed" else "base")
+    val path = codesSegment(s, d, tag, IvfAnn.assign(emb, centroids))
+    (refresh, batchServe(s, Seq(path), centroids, queries, emb))
+  }
+
+  /** REFRESH EXECUTED — q352 decides WHEN to retrain; this operator
+    * (the round-11 verdict's ask) carries the decision through the
+    * full cycle the q342 compaction discipline set: decision →
+    * coarse re-fit → PQ re-encode → cell-partitioned segment rewrite
+    * → batch serve reading the refreshed artifacts. The ORACLE states
+    * both serves (stale-index and refreshed-index chains, prefixed)
+    * plus the drift census and decision, and selects the served
+    * branch by the decision scalar — the hash match proves the policy
+    * and the serve COMPOSE: the answer is exactly what a fresh-built
+    * index under the decision's centroid set would serve.
+    *
+    * 100 TB: the execution is one assignment+encode pass over the
+    * corpus and a partitioned write — the same job that built the
+    * index, paid once per refresh cycle and amortized over every
+    * serve until the next drift (ScaleBench's refresh scenario
+    * records m1_refresh_e2e_reencode_sec against the per-query scan
+    * inflation m1_refresh_scan_x that NOT refreshing costs). */
+  val qRefreshExecuted: GraftQuery = GraftQuery(
+    "q362_refresh_executed_serve",
+    s"""WITH queries AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % $batchQueryMod = 0),
+       |pc AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
+       |rc AS (
+       |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id % ${IvfAnn.fixedStride} = 0
+       |     OR vec_id % ${IvfAnn.fixedStride} = ${IvfAnn.fixedStride - 1}),
+       |${prefixedServeSql("b", "pc")},
+       |${prefixedServeSql("r", "rc")},
+       |census AS (
+       |  SELECT b.cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(CASE WHEN b.cell <> r.cell THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_moved
+       |  FROM bcells b JOIN rcells r ON b.vec_id = r.vec_id
+       |  GROUP BY b.cell),
+       |decide AS (
+       |  SELECT SUM(n_moved) * ${IvfAnn.refreshDenom} >= SUM(n_rows) AS refresh
+       |  FROM census)
+       |SELECT query_id, rank, vec_id, exact_dist FROM rtopk
+       |WHERE (SELECT refresh FROM decide)
+       |UNION ALL
+       |SELECT query_id, rank, vec_id, exact_dist FROM btopk
+       |WHERE NOT (SELECT refresh FROM decide)
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb
+      .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    refreshExecutedServe(s, d, emb, queries, "e2e_")._2
+  }
+
   def all: Seq[GraftQuery] =
     Seq(qIvfPqTopK, qIvfPqPartitioned, qIvfPqIncremental, qIvfPqCompacted,
       qIvfPqBatchServe, qIvfPqBatchServeSegmented, qIvfPqDeletePropagation,
       qBatchServeRecall, qNProbePlanner, qPlannedServe, qScanBudgetPlanner,
-      qNProbePlannerSampled)
+      qNProbePlannerSampled, qRefreshExecuted)
 }

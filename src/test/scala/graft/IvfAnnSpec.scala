@@ -294,6 +294,65 @@ class IvfAnnSpec extends SparkSpecBase {
     assert(cell1.getLong(2) == 0L, "the untouched cell must not move")
   }
 
+  test("q362: the refresh decision is EXECUTED — the branch flips with planted drift and the served answer switches index artifacts") {
+    import spark.implicits._
+    import graft.operators.{IvfAnn, IvfPq}
+    import graft.sources.Tables
+    def v(axis: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(axis) = 1f; a
+    }
+    // stride-rule-aligned planted corpora: persisted cells are ids ≡ 0
+    // (mod 50), the re-fit sample adds ids ≡ 49 (mod 50). DRIFT: the
+    // refit ids plus a 100-id wave (ids ≥ 400) carry a NEW mode —
+    // 108/500 = 21.6% reassigns (margin over the 20% threshold, per
+    // the planted-margin rule), decision REFRESH. CONTROL: no wave —
+    // only the 10 refit ids (2%) move, decision KEEP.
+    def planted(wave: Boolean) = (0L until 500L).map { i =>
+      val newMode = (i % 50 == 49) || (wave && i >= 400)
+      (i, if (newMode) v(5) else v(((i / 50) % 4).toInt))
+    }.toDF("vec_id", "embedding")
+    def queriesOf(emb: org.apache.spark.sql.DataFrame) = emb
+      .where(pmod(col("vec_id"), lit(IvfPq.batchQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    for ((wave, expectRefresh, tag) <- Seq(
+        (true, true, "specdrift"), (false, false, "speccontrol"))) {
+      val emb = planted(wave).localCheckpoint()
+      val queries = queriesOf(emb)
+      val (refresh, served) =
+        IvfPq.refreshExecutedServe(spark, sf001, emb, queries, s"${tag}_")
+      assert(refresh == expectRefresh,
+        s"$tag: planted corpus must decide refresh=$expectRefresh")
+      // the served answer equals a fresh build under the SPEC-chosen
+      // centroid set for that branch — pinning which artifacts served
+      val cents =
+        if (expectRefresh) IvfAnn.refitSample(emb)
+        else IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+      val freshPath = IvfPq.codesSegment(spark, sf001, s"${tag}_fresh",
+        IvfAnn.assign(emb, cents))
+      val want = IvfPq.batchServe(spark, Seq(freshPath), cents, queries, emb)
+        .collect().map(_.toSeq).toSeq
+      assert(served.collect().map(_.toSeq).toSeq === want,
+        s"$tag: the executed serve must equal a fresh build under the " +
+          "decision's centroid set")
+    }
+    // the REAL corpus decides REFRESH (q352) — the executed serve must
+    // be the refreshed-index answer and must DIFFER from serving the
+    // stale artifacts: the execution switched indexes, not just a flag
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = queriesOf(emb)
+    val (refresh, served) =
+      IvfPq.refreshExecutedServe(spark, sf001, emb, queries, "specreal_")
+    assert(refresh, "the sf0.001 corpus decides REFRESH under q352")
+    val persisted = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
+    val stalePath = IvfPq.codesSegment(spark, sf001, "specreal_stale",
+      IvfAnn.assign(emb, persisted))
+    val stale = IvfPq.batchServe(spark, Seq(stalePath), persisted, queries, emb)
+      .collect().map(_.toSeq).toSeq
+    assert(served.collect().map(_.toSeq).toSeq !== stale,
+      "the refreshed-index serve must differ from the stale-index serve " +
+        "on the drifted corpus")
+  }
+
   test("refresh probe smoke: planted drift trips the decision and the refresh pays in probed rows") {
     // small-target run of the bench A/B so a probe regression fails
     // here, not silently inside a 10-minute bench stage
