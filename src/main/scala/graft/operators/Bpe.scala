@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
   * (left, right) — merge sequences are exactly reproducible, which
   * the BpeSpec asserts against an independent single-node reference
   * implementation. The learned table itself is rows-only-checked in
-  * the catalog (q120): k chained arg-maxes with global restructuring
-  * between them have no recursive-SQL rendering (DuckDB's recursive
-  * CTEs forbid aggregates on the recursive side), the same
-  * by-design gap as the k-means fit (q50). The FIRST iteration's
-  * pair-count relation — the evidence for merge #1 — is fully
-  * SQL-expressible and oracle-paired as q121.
+  * the catalog (q120): 20 chained arg-maxes with global
+  * restructuring between them have no RECURSIVE-SQL rendering
+  * (DuckDB's recursive CTEs forbid aggregates on the recursive
+  * side), the same by-design gap as the k-means fit (q50). The
+  * FIRST iteration's pair-count relation — the evidence for merge
+  * #1 — is oracle-paired as q121, and the ENCODE path (q125, a
+  * FIXED small merge count) is fully oracle-paired since round 12
+  * via a chained non-recursive stage-per-merge rendering (see
+  * [[bpeEncodeOracle]]).
   *
   * Greedy left-to-right application: scanning a word, (last==left &&
   * next==right) collapses; the merged symbol immediately becomes
@@ -385,9 +388,10 @@ object Bpe {
     * Zipf-compact relation the trainer iterates on) and joins the
     * per-word token counts back to the doc→word stream — each vocab
     * word is encoded exactly ONCE no matter how often it occurs, the
-    * shape a production tokenizer job uses. Rows-only like q120 (the
-    * merge loop has no SQL rendering); BpeSpec checks the encoder
-    * against the single-node reference symbol-for-symbol. */
+    * shape a production tokenizer job uses. Oracle-paired against
+    * [[bpeEncodeOracle]]'s sequential train+encode SQL; BpeSpec
+    * additionally checks the encoder against the single-node
+    * reference symbol-for-symbol. */
   /** Word-frequency table per (session, corpus) — the trainer and the
     * encoder share it, and repeated executions (bench warm+timed
     * passes) reuse ONE checkpoint instead of accumulating blocks for
@@ -400,12 +404,85 @@ object Bpe {
     wfIndex.getOrElseUpdate(s, d)(
       wordFreq(Tables.documents(s, d).repartition(32)).localCheckpoint())
 
-  val qBpeEncode: GraftQuery = GraftQuery.noOracle("q125_bpe_encode") { (s, d) =>
+  /** Merges q125 learns before encoding. */
+  private val encodeMerges = 12
+
+  /** The q125 ORACLE: sequential BPE training AND greedy encoding,
+    * rebuilt in plain SQL as [[encodeMerges]] chained (non-recursive)
+    * stages — closing the round-11 `no_oracle` gap for the encode
+    * path. Train-side expressibility: each stage is pair counts over
+    * the current generation (an aggregate — legal in a chained CTE,
+    * which is why the FIXED-count chain works where a recursive CTE
+    * cannot), the (n DESC, left, right) argmax with the minFreq
+    * stopping rule (an empty argmax CTE no-ops every later stage —
+    * counts cannot grow without a rewrite, so stopping is permanent),
+    * then ONE rewrite. Encode-side trick: a word's symbol sequence is
+    * rendered as every symbol wrapped in `|` pipes (`|a||b||c|` — the
+    * corpus alphabet is pipe-free), and one greedy left-to-right merge
+    * pass is then EXACTLY DuckDB's non-overlapping left-to-right
+    * `replace` of `|l||r|` by `|lr|`: the wrapped boundaries make
+    * partial-symbol matches impossible, consuming the replacement
+    * keeps the merged symbol from re-matching as `r` (the fold's
+    * merged-becomes-last rule), and the kept outer pipes let the next
+    * occurrence still match ("aaa" under (a,a) → `|aa||a|`). The
+    * Spark side is unchanged — the hash match proves the in-memory
+    * trainer plus the codegen fold equal the sequential SQL semantics
+    * end to end. */
+  private def bpeEncodeOracle: String = {
+    val stages = (1 to encodeMerges).map { i =>
+      val g = s"g${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, freq FROM (
+         |    SELECT syms, freq, unnest(range(1, len(syms))) AS i
+         |    FROM (SELECT string_split(trim(enc, '|'), '||') AS syms, freq
+         |          FROM $g))),
+         |m$i AS MATERIALIZED (
+         |  SELECT l, r FROM p$i
+         |  GROUP BY l, r HAVING CAST(sum(freq) AS BIGINT) >= 2
+         |  ORDER BY sum(freq) DESC, l, r LIMIT 1),
+         |g$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN enc
+         |         ELSE replace(enc,
+         |           '|' || (SELECT l FROM m$i) || '||' ||
+         |             (SELECT r FROM m$i) || '|',
+         |           '|' || (SELECT l FROM m$i) ||
+         |             (SELECT r FROM m$i) || '|')
+         |    END AS enc
+         |  FROM $g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |g0 AS MATERIALIZED (
+       |  SELECT w, freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS enc
+       |  FROM wf),
+       |$stages,
+       |vocab AS MATERIALIZED (
+       |  SELECT w,
+       |    CAST(len(string_split(trim(enc, '|'), '||')) AS INTEGER) AS n_sym
+       |  FROM g$encodeMerges),
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  CAST(count(*) AS INTEGER) AS n_words,
+       |  CAST(sum(COALESCE(v.n_sym, LEAST(length(d.w), 1))) AS BIGINT)
+       |    AS n_bpe_tokens,
+       |  CAST(sum(length(d.w)) AS BIGINT) AS n_chars_in_words
+       |FROM dw d LEFT JOIN vocab v ON d.w = v.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val qBpeEncode: GraftQuery = GraftQuery(
+    "q125_bpe_encode", bpeEncodeOracle) { (s, d) =>
     val docs = Tables.documents(s, d).repartition(32)
     // ONE corpus scan builds the word table; the trainer iterates on
     // the checkpoint and the encoder reuses the same relation
     val wf = indexedWordFreq(s, d)
-    val merges = learnFromWords(wf, numMerges = 12)
+    val merges = learnFromWords(wf, numMerges = encodeMerges)
     val vocabEnc = wf // distinct words, length >= 2
       .select(col("w"),
         size(encodeSyms(split(col("w"), ""), merges)).as("n_sym"))
