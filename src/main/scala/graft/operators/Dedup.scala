@@ -588,7 +588,11 @@ object Dedup {
        |$simhashValuePairsCtes
        |SELECT fp_a, fp_b, hamming, n_docs_a, n_docs_b
        |FROM vpairs
-       |ORDER BY fp_a, fp_b""".stripMargin) { (s, d) =>
+       |ORDER BY fp_a, fp_b""".stripMargin,
+    // headline since r12 (verdict ask): the 10-query headline covered
+    // no value-grain query, so round-over-round tracking skipped the
+    // tier the project ships; q337 is the canonical banded value probe
+    headline = true) { (s, d) =>
     simhashValuePairs(simhashValueCensus(s, d))
       .select(col("simhash_a").as("fp_a"), col("simhash_b").as("fp_b"),
         col("hamming"), col("n_docs_a"), col("n_docs_b"))

@@ -1337,7 +1337,11 @@ object IvfPq {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY exact_dist, vec_id) AS rank
        |  FROM rr) WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+       |ORDER BY query_id, rank""".stripMargin,
+    // headline since r12 (verdict ask): the serve path had no
+    // round-over-round headline coverage; q328 is the full production
+    // loop (policy read -> planned probe width -> batch serve)
+    headline = true) { (s, d) =>
     val p = nProbeForRecall(s, d, plannedTargetPct)
     val emb = Tables.embeddings(s, d)
     val centroids = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
