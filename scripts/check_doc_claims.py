@@ -124,11 +124,25 @@ def main():
         sys.exit(2)
     # every recorded key family is a claim anchor, not just m1_* —
     # docs/SCALE.md cites zorder_*/ann_*/bpe_*/cc_*/spill_* keys too.
-    # (On the stdout-tail fallback only m1_* keys survive, so the
-    # anchor set degenerates to the old behavior there.)
-    prefixes = sorted({k.split("_")[0] for k in recorded})
-    key_rx = re.compile(
-        r"\b(?:%s)_[a-z0-9_*]+" % "|".join(map(re.escape, prefixes)))
+    # Anchors are (a) any m1_* token (the legacy hard guarantee: an m1
+    # citation matching nothing recorded fails), (b) EXACT recorded key
+    # names from every family, (c) explicit `family_*` wildcards of
+    # recorded families. Bare family prefixes are deliberately NOT
+    # anchors: the recorded families include generic words (docs, cand,
+    # verify, value, total), and anchoring on them would hard-fail the
+    # gate on ordinary prose that cites no bench claim. (On the
+    # stdout-tail fallback only m1_* keys survive, so the anchor set
+    # degenerates to the old behavior there.)
+    prefixes = sorted({k.split("_")[0] for k in recorded if "_" in k})
+    # single-token keys (the headline scalars: value, spread, canary)
+    # are English words — never anchors
+    exact = sorted((k for k in recorded if "_" in k), key=len, reverse=True)
+    alts = [r"m1_[a-z0-9_*]+"]
+    if exact:
+        alts.append(r"(?:%s)\b" % "|".join(map(re.escape, exact)))
+    if prefixes:
+        alts.append(r"(?:%s)_[a-z0-9_]*\*" % "|".join(map(re.escape, prefixes)))
+    key_rx = re.compile(r"\b(?:%s)" % "|".join(alts))
     failures = []
     checked = 0
     skipped = 0

@@ -158,7 +158,8 @@ object BandedHamming {
     /** The guard statistics of `rows` under this layout — computed
       * once at index-build time and persisted with the index. */
     def stats(rows: DataFrame): GuardStats =
-      guardStats(rows, idCols, fpCols, bandExprs, eqKeys, informativeBand)
+      guardStats(rows, idCols, fpCols, bandExprs, eqKeys, informativeBand,
+        hMax)
 
     /** Bundle an already-materialized value relation with its guard
       * statistics — the index-build step of every incremental tier. */
@@ -365,31 +366,40 @@ object BandedHamming {
 
   /** The guard statistics of ONE relation under a banding layout —
     * the censuses `nearMissPairs` would otherwise run fresh per
-    * invocation, computed once (four small aggregates over an
+    * invocation, computed once (at most four small aggregates over an
     * entropy-bounded relation) at index-build time. `carry` columns
     * need not be passed: occupancy, informative-band, and contract
     * censuses group by eqKeys/idCols/band keys only, so the numbers
-    * are identical with or without them. */
+    * are identical with or without them. `hMax` gates the
+    * escalation-path censuses: with fewer than hMax+2 bands the
+    * two-band conjunction is structurally impossible (`nearMissPairs`
+    * refuses before ever consulting maxOccConj or minInformative), so
+    * those two aggregates are skipped — a 4-band scheme's index build
+    * pays two jobs, not four. */
   def guardStats(
       rows: DataFrame,
       idCols: Seq[String],
       fpCols: Seq[String],
       bandExprs: Seq[Column],
       eqKeys: Seq[String] = Nil,
-      informativeBand: Option[Column] = None): GuardStats = {
+      informativeBand: Option[Column] = None,
+      hMax: Int = 3): GuardStats = {
     val projCols = eqKeys ++ (idCols ++ fpCols).distinct
     val identity = (eqKeys ++ idCols).distinct
     val singleEx = explodeSingle(rows, projCols, bandExprs, informativeBand)
     val (n, nId) = contractCounts(rows, identity)
+    val conjPossible = bandExprs.size >= hMax + 2
     GuardStats(
       nRows = n,
       nIdentities = nId,
       maxOccSingle = maxOccupancy(singleEx, eqKeys),
       maxOccConj =
-        if (bandExprs.size < 2) 0L
+        if (!conjPossible) 0L // unreachable: the band-count require fires first
         else maxOccupancy(
           explodeConj(rows, projCols, bandExprs, informativeBand), eqKeys),
-      minInformative = minInformativeBands(singleEx, identity))
+      minInformative =
+        if (!conjPossible) Long.MaxValue // unreachable for the same reason
+        else minInformativeBands(singleEx, identity))
   }
 
   // --- the two candidate schemes, as exploded relations --------------

@@ -482,6 +482,19 @@ object Bpe {
     // ONE corpus scan builds the word table; the trainer iterates on
     // the checkpoint and the encoder reuses the same relation
     val wf = indexedWordFreq(s, d)
+    // the ORACLE's pipe-wrap rendering assumes words carry no '|' (a
+    // false symbol boundary), no newline (RE2's '.' skips it, fusing
+    // symbols), and no supplementary-plane char (one code point in
+    // DuckDB vs two UTF-16 units in Spark's split). The testdata is
+    // regenerated per round — fail loudly if a future generation
+    // breaks the assumption instead of silently hash-diverging.
+    val badWords = wf.where(col("w").rlike("[|\\n\\r]") ||
+        col("w").rlike("[\\x{10000}-\\x{10FFFF}]"))
+      .limit(1).count()
+    require(badWords == 0,
+      "q125's SQL oracle pipe-wraps symbols and walks code points — a " +
+        "corpus word carries '|', a newline, or a supplementary-plane " +
+        "character, which the rendering cannot represent faithfully")
     val merges = learnFromWords(wf, numMerges = encodeMerges)
     val vocabEnc = wf // distinct words, length >= 2
       .select(col("w"),

@@ -495,6 +495,28 @@ object IvfPq {
   private def indexCtesSql: String =
     indexCtesSqlWith(s"vec_id % $batchQueryMod = 0")
 
+  /** Corpus-assignment + query-routing CTEs against the centroid CTE
+    * `cents` (columns cell, c_emb) and the shared unprefixed `queries`
+    * CTE, every emitted CTE name prefixed with `p` — ONE rendering
+    * shared by the whole q303 serve family (p = "") and q362's
+    * dual-index conditional serve (p = "b"/"r"), so a tie-rule or
+    * cast fix can never reach one chain and silently miss the other. */
+  private def assignRouteCtesSql(p: String, cents: String): String =
+    s"""${p}scored_assign AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
+       |        c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN $cents c),
+       |${p}cells AS (
+       |  SELECT vec_id, embedding, cell FROM ${p}scored_assign WHERE rn = 1),
+       |${p}routed AS (
+       |  SELECT q.query_id, q.q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
+       |        c.cell) AS c_rank
+       |  FROM queries q CROSS JOIN $cents c)""".stripMargin
+
   /** [[indexCtesSql]] with the eval-query predicate as a parameter —
     * the sampled planner (q340) swaps the stride-eval set for a hash
     * sample of the full query log. */
@@ -502,47 +524,35 @@ object IvfPq {
     s"""centroids AS (
        |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings
        |  WHERE vec_id % ${IvfAnn.fixedStride} = 0),
-       |scored_assign AS (
-       |  SELECT e.vec_id, e.embedding, c.cell,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
-       |        c.cell) AS rn
-       |  FROM embeddings e CROSS JOIN centroids c),
-       |cells AS (
-       |  SELECT vec_id, embedding, cell FROM scored_assign WHERE rn = 1),
        |queries AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
        |  WHERE $queriesWhere),
-       |routed AS (
-       |  SELECT q.query_id, q.q_emb, c.cell,
-       |    row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
-       |        c.cell) AS c_rank
-       |  FROM queries q CROSS JOIN centroids c)""".stripMargin
+       |${assignRouteCtesSql("", "centroids")}""".stripMargin
 
   /** Serve-side CTEs: probe gate (the predicate is a parameter so the
     * planner-driven serve can choose nProbe from a scalar subquery),
-    * pruned coding, per-pair ADC, candidate gate, exact re-rank. */
-  private def serveCtesSql(probeCond: String): String =
-    s"""probes AS (
-       |  SELECT query_id, q_emb, cell FROM routed WHERE $probeCond),
-       |coded AS (
+    * pruned coding, per-pair ADC, candidate gate, exact re-rank. The
+    * CTE-name prefix composes with [[assignRouteCtesSql]]'s. */
+  private def serveCtesSql(probeCond: String, p: String = ""): String =
+    s"""${p}probes AS (
+       |  SELECT query_id, q_emb, cell FROM ${p}routed WHERE $probeCond),
+       |${p}coded AS (
        |  SELECT m.vec_id, m.cell,
        |    ${(0 until PqAnn.subspaces).map(s => s"${PqAnn.codeSql(s)} AS c$s").mkString(",\n    ")}
-       |  FROM cells m
-       |  JOIN (SELECT DISTINCT cell FROM probes) pc ON m.cell = pc.cell),
-       |adc AS (
+       |  FROM ${p}cells m
+       |  JOIN (SELECT DISTINCT cell FROM ${p}probes) pb ON m.cell = pb.cell),
+       |${p}adc AS (
        |  SELECT p.query_id, m.vec_id, $adcPairSql AS adc_dist
-       |  FROM probes p JOIN coded m ON m.cell = p.cell),
-       |cand AS (
+       |  FROM ${p}probes p JOIN ${p}coded m ON m.cell = p.cell),
+       |${p}cand AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY adc_dist, vec_id) AS r
-       |    FROM adc) WHERE r <= $adcCand),
-       |rr AS (
+       |    FROM ${p}adc) WHERE r <= $adcCand),
+       |${p}rr AS (
        |  SELECT c.query_id, c.vec_id, $exactPairSql AS exact_dist
-       |  FROM cand c
+       |  FROM ${p}cand c
        |  JOIN embeddings e ON e.vec_id = c.vec_id
        |  JOIN queries q ON q.query_id = c.query_id)""".stripMargin
 
@@ -1355,46 +1365,13 @@ object IvfPq {
   /** One full PQ serve chain (corpus assignment → query routing →
     * probe gate → pruned coding → ADC candidates → exact re-rank →
     * top-k), every CTE name prefixed with `p`, against the centroid
-    * CTE `cents` (columns cell, c_emb) and the shared unprefixed
-    * `queries` CTE — so the q362 oracle can state BOTH the
-    * stale-index serve and the refreshed-index serve in one statement
-    * and select between them by the drift decision. */
+    * CTE `cents` — the SAME [[assignRouteCtesSql]]/[[serveCtesSql]]
+    * builders the q303 family renders with prefix "", so the q362
+    * oracle's two conditional chains can never drift from the serve
+    * semantics they are supposed to compose with. */
   private def prefixedServeSql(p: String, cents: String): String =
-    s"""${p}assign AS (
-       |  SELECT e.vec_id, e.embedding, c.cell,
-       |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${IvfAnn.cosSql.format("e.embedding", "c.c_emb")} DESC,
-       |        c.cell) AS rn
-       |  FROM embeddings e CROSS JOIN $cents c),
-       |${p}cells AS (
-       |  SELECT vec_id, embedding, cell FROM ${p}assign WHERE rn = 1),
-       |${p}routed AS (
-       |  SELECT q.query_id, q.q_emb, c.cell,
-       |    row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY ${IvfAnn.cosSql.format("q.q_emb", "c.c_emb")} DESC,
-       |        c.cell) AS c_rank
-       |  FROM queries q CROSS JOIN $cents c),
-       |${p}probes AS (
-       |  SELECT query_id, q_emb, cell FROM ${p}routed WHERE c_rank <= $nProbe),
-       |${p}coded AS (
-       |  SELECT m.vec_id, m.cell,
-       |    ${(0 until PqAnn.subspaces).map(s0 => s"${PqAnn.codeSql(s0)} AS c$s0").mkString(",\n    ")}
-       |  FROM ${p}cells m
-       |  JOIN (SELECT DISTINCT cell FROM ${p}probes) pc2 ON m.cell = pc2.cell),
-       |${p}adc AS (
-       |  SELECT p.query_id, m.vec_id, $adcPairSql AS adc_dist
-       |  FROM ${p}probes p JOIN ${p}coded m ON m.cell = p.cell),
-       |${p}cand AS (
-       |  SELECT query_id, vec_id FROM (
-       |    SELECT query_id, vec_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY adc_dist, vec_id) AS r
-       |    FROM ${p}adc) WHERE r <= $adcCand),
-       |${p}rr AS (
-       |  SELECT c.query_id, c.vec_id, $exactPairSql AS exact_dist
-       |  FROM ${p}cand c
-       |  JOIN embeddings e ON e.vec_id = c.vec_id
-       |  JOIN queries q ON q.query_id = c.query_id),
+    s"""${assignRouteCtesSql(p, cents)},
+       |${serveCtesSql(s"c_rank <= $nProbe", p)},
        |${p}topk AS (
        |  SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, exact_dist
        |  FROM (
@@ -1423,8 +1400,13 @@ object IvfPq {
       tagPrefix: String): (Boolean, org.apache.spark.sql.DataFrame) = {
     val persisted = IvfAnn.fixedCentroids(emb, IvfAnn.fixedStride)
     val refit = IvfAnn.refitSample(emb)
-    val refresh = IvfAnn.centroidRefreshPolicy(emb, persisted, refit)
-      .select("refresh").head.getBoolean(0)
+    val decision = IvfAnn.centroidRefreshPolicy(emb, persisted, refit)
+      .select("refresh").head(1)
+    require(decision.nonEmpty,
+      "refresh decision over an empty drift census — the embeddings " +
+        "corpus is empty (or fully filtered); there is no index to " +
+        "refresh or serve")
+    val refresh = decision(0).getBoolean(0)
     val centroids = if (refresh) refit else persisted
     val tag = tagPrefix + (if (refresh) "refreshed" else "base")
     val path = codesSegment(s, d, tag, IvfAnn.assign(emb, centroids))

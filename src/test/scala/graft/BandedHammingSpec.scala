@@ -312,20 +312,31 @@ class BandedHammingSpec extends SparkSpecBase {
     val corpusStats = scheme8x8.stats(corpus)
     val batchStats = scheme8x8.stats(batch)
     // probe time: with BOTH sides' stats supplied, construction is
-    // fully lazy — zero Spark jobs until the pair relation is acted on
+    // fully lazy — zero Spark jobs until the pair relation is acted
+    // on. Count only jobs tagged with THIS construction's job group:
+    // the listener bus is session-global and async, so a straggler
+    // job from an earlier suite landing in the settle window must not
+    // flake the assertion
+    val group = "bh_stats_probe_construction"
     val jobs = new java.util.concurrent.atomic.AtomicInteger()
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
       }
     }
     spark.sparkContext.addSparkListener(l)
     val probe =
       try {
-        val p = scheme8x8.pairs(batch, hMin = 0, rowsB = Some(corpus),
-          rowsStats = Some(batchStats), rowsBStats = Some(corpusStats))
-        Thread.sleep(1000)
+        spark.sparkContext.setJobGroup(group, "stats-probe construction")
+        val p =
+          try scheme8x8.pairs(batch, hMin = 0, rowsB = Some(corpus),
+            rowsStats = Some(batchStats), rowsBStats = Some(corpusStats))
+          finally spark.sparkContext.clearJobGroup()
+        Thread.sleep(1000) // listener bus is async — let it drain
         p
       } finally spark.sparkContext.removeSparkListener(l)
     assert(jobs.get() == 0,
