@@ -365,11 +365,22 @@ object Bpe {
     TrainResult(merges.result(), passes)
   }
 
-  /** Rows-only catalog entry: 20 merges learned on the documents
-    * corpus (deterministic; cross-checked by BpeSpec's reference). */
-  val qBpeMerges: GraftQuery = GraftQuery.noOracle("q120_bpe_merges") { (s, d) =>
+  /** Merges q120 learns (the catalog's training entry). */
+  private val trainMerges = 20
+
+  /** Oracle-paired since round 12 (previously rows-only): the learned
+    * 20-merge table against [[bpeMergesOracle]]'s sequential chained-
+    * stage SQL — the hash match proves the in-memory trainer's merge
+    * SEQUENCE (argmax + tie rule + minFreq stop + greedy rewrite)
+    * against an independent engine end to end, not merely its row
+    * count. BpeSpec additionally cross-checks against the single-node
+    * reference. */
+  val qBpeMerges: GraftQuery = GraftQuery(
+    "q120_bpe_merges", bpeMergesOracle) { (s, d) =>
     import s.implicits._
-    learn(Tables.documents(s, d).repartition(32), numMerges = 20)
+    val wf = indexedWordFreq(s, d)
+    requireOracleAlphabet(wf, "q120")
+    learnFromWords(wf, numMerges = trainMerges)
       .toDF("rank", "left", "right", "freq")
       .orderBy("rank")
   }
@@ -428,8 +439,17 @@ object Bpe {
     * Spark side is unchanged — the hash match proves the in-memory
     * trainer plus the codegen fold equal the sequential SQL semantics
     * end to end. */
-  private def bpeEncodeOracle: String = {
-    val stages = (1 to encodeMerges).map { i =>
+  /** The sequential-training CTE chain shared by BOTH BPE oracles
+    * (q125's 12-stage encode, q120's 20-stage merge table): `wf`, the
+    * pipe-wrapped `g0`, then per merge i a pair census `p$i`, the
+    * minFreq-gated argmax `m$i` (carrying its count — q120's freq
+    * column), and the rewritten generation `g$i`. Callers prepend
+    * `WITH ` and append their own tail. CTEs are MATERIALIZED: DuckDB
+    * inlines CTEs by default and each g$i references its inputs ~4
+    * times, so an inlined chain expands exponentially (the first run
+    * exhausted file handles re-opening the parquet scan). */
+  private def bpeStagesSql(n: Int): String = {
+    val stages = (1 to n).map { i =>
       val g = s"g${i - 1}"
       s"""p$i AS MATERIALIZED (
          |  SELECT syms[i] AS l, syms[i + 1] AS r, freq FROM (
@@ -437,9 +457,9 @@ object Bpe {
          |    FROM (SELECT string_split(trim(enc, '|'), '||') AS syms, freq
          |          FROM $g))),
          |m$i AS MATERIALIZED (
-         |  SELECT l, r FROM p$i
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS n FROM p$i
          |  GROUP BY l, r HAVING CAST(sum(freq) AS BIGINT) >= 2
-         |  ORDER BY sum(freq) DESC, l, r LIMIT 1),
+         |  ORDER BY n DESC, l, r LIMIT 1),
          |g$i AS MATERIALIZED (
          |  SELECT w, freq,
          |    CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN enc
@@ -451,14 +471,18 @@ object Bpe {
          |    END AS enc
          |  FROM $g)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wf AS MATERIALIZED (
+    s"""wf AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
        |  WHERE length(w) >= 2 GROUP BY w),
        |g0 AS MATERIALIZED (
        |  SELECT w, freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS enc
        |  FROM wf),
-       |$stages,
+       |$stages""".stripMargin
+  }
+
+  private def bpeEncodeOracle: String =
+    s"""WITH ${bpeStagesSql(encodeMerges)},
        |vocab AS MATERIALIZED (
        |  SELECT w,
        |    CAST(len(string_split(trim(enc, '|'), '||')) AS INTEGER) AS n_sym
@@ -474,6 +498,36 @@ object Bpe {
        |FROM dw d LEFT JOIN vocab v ON d.w = v.w
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The q120 ORACLE: the learned merge table itself — each stage's
+    * argmax row numbered by its stage index (an empty stage past the
+    * minFreq stop contributes no row, exactly the trainer's early
+    * stop). */
+  private def bpeMergesOracle: String = {
+    val union = (1 to trainMerges).map { i =>
+      if (i == 1)
+        s"""SELECT CAST(1 AS INTEGER) AS rank, l AS "left", r AS "right",
+           |    n AS freq FROM m1""".stripMargin
+      else s"SELECT CAST($i AS INTEGER), l, r, n FROM m$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${bpeStagesSql(trainMerges)}
+       |SELECT rank, "left", "right", freq FROM (
+       |  $union
+       |)
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** Both BPE oracles pipe-wrap symbols and walk code points — fail
+    * loudly if a regenerated corpus ever violates the rendering's
+    * alphabet assumptions instead of silently hash-diverging. */
+  private def requireOracleAlphabet(wf: DataFrame, tag: String): Unit = {
+    val badWords = wf.where(col("w").rlike("[|\\n\\r]") ||
+        col("w").rlike("[\\x{10000}-\\x{10FFFF}]"))
+      .limit(1).count()
+    require(badWords == 0,
+      s"$tag's SQL oracle pipe-wraps symbols and walks code points — a " +
+        "corpus word carries '|', a newline, or a supplementary-plane " +
+        "character, which the rendering cannot represent faithfully")
   }
 
   val qBpeEncode: GraftQuery = GraftQuery(
@@ -482,19 +536,7 @@ object Bpe {
     // ONE corpus scan builds the word table; the trainer iterates on
     // the checkpoint and the encoder reuses the same relation
     val wf = indexedWordFreq(s, d)
-    // the ORACLE's pipe-wrap rendering assumes words carry no '|' (a
-    // false symbol boundary), no newline (RE2's '.' skips it, fusing
-    // symbols), and no supplementary-plane char (one code point in
-    // DuckDB vs two UTF-16 units in Spark's split). The testdata is
-    // regenerated per round — fail loudly if a future generation
-    // breaks the assumption instead of silently hash-diverging.
-    val badWords = wf.where(col("w").rlike("[|\\n\\r]") ||
-        col("w").rlike("[\\x{10000}-\\x{10FFFF}]"))
-      .limit(1).count()
-    require(badWords == 0,
-      "q125's SQL oracle pipe-wraps symbols and walks code points — a " +
-        "corpus word carries '|', a newline, or a supplementary-plane " +
-        "character, which the rendering cannot represent faithfully")
+    requireOracleAlphabet(wf, "q125")
     val merges = learnFromWords(wf, numMerges = encodeMerges)
     val vocabEnc = wf // distinct words, length >= 2
       .select(col("w"),
