@@ -1803,6 +1803,43 @@ object ScaleBench {
           "m1_valuegrain_sec" -> tValue,
           "m1_docgrain_sec" -> tDoc,
           "m1_valuegrain_speedup_x" -> (if (tValue > 0) tDoc / tValue else -1.0))
+
+        // PERSISTED GUARD-STATS A/B (the round-12 probe-hot-path
+        // change, measured): the q345-shape cross-corpus probe run
+        // with FRESH per-invocation guard censuses vs with the
+        // GuardStats persisted at index-build time. Same banding,
+        // same corpus/batch split of the 100k-doc fixture, same
+        // answer — the delta is exactly the guard aggregates a
+        // repeated probe no longer pays.
+        {
+          val scheme = BandedHamming.BandScheme(
+            idCols = Seq("fp"), fpCols = Seq("fp"), bandExprs = bandsVg)
+          def censusWhere(cond: org.apache.spark.sql.Column) =
+            docsVg.where(cond).groupBy("fp")
+              .agg(count(lit(1)).as("n_docs")).localCheckpoint()
+          val corpusVals = censusWhere(pmod(col("doc_id"), lit(10L)) =!= 0L)
+          val batchVals = censusWhere(pmod(col("doc_id"), lit(10L)) === 0L)
+          val (stats, tBuild) = time(
+            (scheme.indexed(corpusVals), scheme.stats(batchVals)))
+          def freshProbe(): Long =
+            scheme.pairs(batchVals, carry = Seq("n_docs"), hMin = 0,
+              rowsB = Some(corpusVals)).count()
+          def statedProbe(): Long =
+            scheme.pairsIndexed(
+              BandedHamming.StatedIndex(batchVals, stats._2),
+              carry = Seq("n_docs"), hMin = 0, rowsB = Some(stats._1)).count()
+          val nProbePairs = statedProbe() // warm
+          require(freshProbe() == nProbePairs,
+            "fresh-census and persisted-stats probes must answer identically")
+          val tFresh = median3(freshProbe _)
+          val tStated = median3(statedProbe _)
+          out ++= Seq(
+            "m1_gstats_build_sec" -> tBuild,
+            "m1_gstats_probe_pairs" -> nProbePairs.toDouble,
+            "m1_gstats_probe_fresh_sec" -> tFresh,
+            "m1_gstats_probe_stated_sec" -> tStated,
+            "m1_gstats_probe_x" -> (if (tStated > 0) tFresh / tStated else -1.0))
+        }
       }
     }
     vecs.unpersist()
