@@ -444,10 +444,22 @@ object Dedup {
        |WHERE CAST(len(list_intersect(tb.t, tc.t)) AS DOUBLE) /
        |      len(list_distinct(list_concat(tb.t, tc.t))) >= 0.9
        |ORDER BY doc_batch, doc_corpus""".stripMargin) { (s, d) =>
-    val bands = indexedBands(s, d)
+    minhashBatchProbe(s, d,
+      indexedBands(s, d).where(pmod(col("doc_id"), lit(2)) === 0))
+  }
+
+  /** The q94 probe against a caller-supplied corpus BAND index —
+    * factored so the STREAMING-maintained band index (q364) serves
+    * the same probe plan as the batch-built one, with q94's oracle
+    * proving both (the simhashBatchProbe discipline on the Jaccard
+    * tier). The batch side signs fresh from the shared per-corpus
+    * signature index; verification joins the shingle-set index, never
+    * the corpus. */
+  private[graft] def minhashBatchProbe(s: org.apache.spark.sql.SparkSession,
+      d: String, corpusBands: DataFrame): DataFrame = {
     val pairs = crossCorpusCandidates(
-      bands.where(pmod(col("doc_id"), lit(2)) === 1),
-      bands.where(pmod(col("doc_id"), lit(2)) === 0))
+      indexedBands(s, d).where(pmod(col("doc_id"), lit(2)) === 1),
+      corpusBands)
       .withColumnRenamed("doc_batch", "doc_a")
       .withColumnRenamed("doc_corpus", "doc_b")
     withJaccardToks(pairs, indexedShingleSets(s, d))
@@ -456,6 +468,16 @@ object Dedup {
         col("jaccard"))
       .orderBy("doc_batch", "doc_corpus")
   }
+
+  /** Oracle SQL for the corpus half of the q94 split (the even-id band
+    * index) — also the oracle of the STREAMING band-index maintenance
+    * (q363), which must drain to this exact relation under any arrival
+    * slicing. */
+  private[graft] def minhashCorpusBandsSql: String =
+    s"""WITH $bandsCte
+       |SELECT doc_id, CAST(band_id AS INTEGER) AS band_id, band_hash
+       |FROM bands WHERE doc_id % 2 = 0
+       |ORDER BY doc_id, band_id""".stripMargin
 
   /** DuckDB rendering of the md5-60-bit SimHash (SimHashMd5): rebuild
     * each token's 60-bit value with exact BIGINT nibble arithmetic

@@ -1024,6 +1024,82 @@ object Streams {
       s, d, streamVideoWideCensus(s, d))
   }
 
+  /** STREAMING MAINTENANCE OF THE MINHASH BAND INDEX — the q350
+    * discipline on the JACCARD tier, closing the one corpus index the
+    * streaming matrix did not yet maintain (q94's probe target). The
+    * band index is per-doc APPEND, not a count census: each arriving
+    * corpus micro-batch signs only ITS OWN documents (the fused
+    * MinHashBandHashes expression — shingles/digests never
+    * materialize) and overwrites one batchId-keyed partial of
+    * (doc_id, band_id, band_hash) rows; a retried trigger rewrites,
+    * never duplicates, and the drained UNION is the batch-built band
+    * index VERBATIM under any arrival slicing — each document
+    * contributes its band rows exactly once. The corpus is never
+    * re-shingled: per trigger the work is one signature pass over the
+    * batch, the 100 TB difference between maintaining the dedup index
+    * and rebuilding it per ingest. Oracle: the same bands CTE q94
+    * probes, restricted to the corpus split. */
+  /** The drained band index, materialized once per (session, corpus,
+    * staging dir, trigger config) — see [[simhashCensusIndex]] for the
+    * barrier rationale. */
+  private val minhashBandsIndex =
+    new graft.spark.SessionMemo[(String, Option[String], Option[Int]), DataFrame](
+      "streams.minhashBands")(
+      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+
+  def streamMinhashBands(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    minhashBandsIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger))(
+      drainMinhashBands(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .localCheckpoint())
+
+  private def drainMinhashBands(spark: SparkSession, sfDir: String,
+      srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_minhash_bands", srcDir.getOrElse(sfDir))
+    graft.operators.Formats.wipe(outDir)
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+        .where(pmod(col("doc_id"), lit(2)) === 0) // q94's corpus split
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Dedup.docBands(batch.toDF())
+              .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.read.schema("doc_id BIGINT, band_id INT, band_hash STRING")
+      .parquet(outDir)
+      .select("doc_id", "band_id", "band_hash")
+  }
+
+  val qStreamMinhashBands: GraftQuery = GraftQuery(
+    "q363_stream_minhash_bands",
+    graft.operators.Dedup.minhashCorpusBandsSql) { (s, d) =>
+    streamMinhashBands(s, d).orderBy("doc_id", "band_id")
+  }
+
+  /** INCREMENTAL JACCARD DEDUP AGAINST THE STREAM-MAINTAINED BAND
+    * INDEX — q94's banded cross-corpus probe (candidates from shared
+    * LSH bands, exact shingle-Jaccard verify at ≥ 0.9) run against the
+    * band index q363 keeps warm under arrival, oracle = q94's
+    * VERBATIM: the maintained and batch-built indexes are
+    * interchangeable probe targets, completing the
+    * maintain-then-probe matrix across ALL five dedup tiers (jaccard,
+    * simhash, image, audio, wide video). */
+  val qStreamMinhashProbe: GraftQuery = GraftQuery(
+    "q364_stream_minhash_probe",
+    graft.operators.Dedup.qDedupBatchVsCorpus.oracle.get) { (s, d) =>
+    graft.operators.Dedup.minhashBatchProbe(s, d, streamMinhashBands(s, d))
+  }
+
   /** STREAMING DRIFT MONITOR — q352's refresh decision maintained ON
     * the ingest stream (the q344 discipline on the quantizer
     * lifecycle): the persisted and re-fit centroid sets are FIXED
@@ -2485,5 +2561,6 @@ object Streams {
       qStreamSimhashCensus, qStreamSimhashProbe,
       qStreamImageCensus, qStreamImageProbe, qStreamRefreshPolicy,
       qStreamAudioCensus, qStreamAudioProbe,
-      qStreamVideoWideCensus, qStreamVideoWideProbe)
+      qStreamVideoWideCensus, qStreamVideoWideProbe,
+      qStreamMinhashBands, qStreamMinhashProbe)
 }

@@ -876,6 +876,35 @@ class StreamsSpec extends SparkSpecBase {
       "streamed KMV fold must equal the whole-corpus sketch summary")
   }
 
+  test("q363/q364: multi-trigger minhash band index drains to the batch index and serves the q94 probe") {
+    import org.apache.spark.sql.functions._
+    // 3 staged files + maxFilesPerTrigger=1 → the corpus arrives
+    // across several triggers, each appending its own docs' band rows
+    // (batchId-keyed overwrite); the drained union must equal the
+    // batch-built even-id band index row for row
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_minhash").toString
+    Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val streamed = graft.streaming.Streams.streamMinhashBands(
+      spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+    val streamedRows = streamed.orderBy("doc_id", "band_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Dedup
+      .docBands(Tables.documents(spark, sf001)
+        .where(pmod(col("doc_id"), lit(2)) === 0))
+      .orderBy("doc_id", "band_id").collect().map(_.toSeq).toSeq
+    assert(streamedRows === batch,
+      "drained band index must equal the batch-built corpus band index")
+    // and the maintained index is an interchangeable probe target
+    val probed = graft.operators.Dedup
+      .minhashBatchProbe(spark, sf001, streamed)
+      .collect().map(_.toSeq).toSeq
+    val q94 = SparkEntry.queries("q94_dedup_batch_vs_corpus")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(probed === q94,
+      "probe against the maintained band index must equal the batch probe")
+  }
+
   // ---- prefix-serveability of the streaming probes (verdict r11 #3) --
 
   /** At EVERY trigger boundary — not just after the full drain — the
