@@ -159,13 +159,48 @@ object Dedup {
     * is signed fresh, and the join is batch-bands × corpus-bands on the
     * band key. Cost is O(batch × collision rate), independent of how
     * the corpus grew — a self-join over corpus ∪ batch would re-pay the
-    * whole corpus every day. */
-  def crossCorpusCandidates(batchBands: DataFrame, corpusBands: DataFrame): DataFrame =
-    batchBands.as("b").join(corpusBands.as("c"),
+    * whole corpus every day.
+    *
+    * Carries the SAME oversize-bucket guard as the self-join form
+    * (r12): a boilerplate flood arriving against a corpus that already
+    * holds the same boilerplate collapses both sides into one band
+    * bucket and the join emits n_batch·n_corpus candidates — the
+    * quadratic the ingest path would otherwise re-open. Bucket sizes
+    * are counted over the UNION of both sides with a window on the
+    * join's own (band_id, band_hash) partitioning (no extra exchange,
+    * no eager job — the guard is IN-PLAN, so a persisted corpus index
+    * pays nothing per probe), each doc salts by id hash into
+    * ⌈size/cap⌉ groups, and pairs generate within a salt group only —
+    * bounding a bucket's yield to ~size·cap instead of size²/4. Under
+    * the cap every salt is 0 and the join is IDENTICAL to the
+    * unguarded form (the regime every oracle comparison exercises —
+    * q94/q364's corpora sit ~100× under the cap); the capped regime is
+    * pinned by DedupSpec, and lost cross-group pairs are flood
+    * internals exactly as in [[candidatePairsFromBands]]'s note. */
+  def crossCorpusCandidates(batchBands: DataFrame, corpusBands: DataFrame,
+      cap: Int = defaultBucketCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash")
+    val salted = batchBands
+      .select(col("doc_id"), col("band_id"), col("band_hash"),
+        lit(true).as("is_batch"))
+      .unionByName(corpusBands
+        .select(col("doc_id"), col("band_id"), col("band_hash"),
+          lit(false).as("is_batch")))
+      .repartition(col("band_id"), col("band_hash"))
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("salt",
+        when(col("bsize") <= cap, lit(0L))
+          .otherwise(pmod(hash(col("doc_id")).cast("long"),
+            ceil(col("bsize").cast("double") / cap).cast("long"))))
+    salted.where(col("is_batch")).as("b")
+      .join(salted.where(!col("is_batch")).as("c"),
         col("b.band_id") === col("c.band_id") &&
-        col("b.band_hash") === col("c.band_hash"))
+        col("b.band_hash") === col("c.band_hash") &&
+        col("b.salt") === col("c.salt"))
       .select(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
       .distinct()
+  }
 
   /** Pairs-per-bucket safety cap. Synthetic/real corpora sit nowhere
     * near it (measured p99 bucket = 2, max = 13 at 101k docs), so the

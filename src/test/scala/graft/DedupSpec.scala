@@ -332,6 +332,39 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.oversizeBucketReport(bands).count() === 0)
   }
 
+  test("cross-corpus bucket guard: an arriving flood against an already-flooded corpus stays linear, and is a no-op on normal data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the q94 ingest shape under attack: the corpus already holds 300
+    // copies of one boilerplate doc, and today's batch delivers 100
+    // more — one band bucket, 100×300 candidates unguarded
+    val boilerCorpus = (0 until 300).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet " * 3))
+    val boilerBatch = (1000 until 1100).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet " * 3))
+    val corpusBands = Dedup.docBands(boilerCorpus.toDF("doc_id", "text"))
+    val batchBands = Dedup.docBands(boilerBatch.toDF("doc_id", "text"))
+    val cap = 50
+    val guarded =
+      Dedup.crossCorpusCandidates(batchBands, corpusBands, cap).count()
+    val unguarded =
+      Dedup.crossCorpusCandidates(batchBands, corpusBands, Int.MaxValue).count()
+    assert(unguarded === 100L * 300, "the cross-corpus flood is quadratic")
+    // each oversize bucket yields ~size·cap pairs instead of nb·nc
+    assert(guarded <= 400L * cap,
+      s"guarded=$guarded not bounded by size*cap")
+    assert(guarded < unguarded / 3)
+    // normal data: guarded == unguarded pair set (every salt is 0) —
+    // the regime the q94/q364 oracles exercise
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val bands = Dedup.docBands(docs)
+    val batch = bands.where(pmod(col("doc_id"), lit(2)) === 1)
+    val corpus = bands.where(pmod(col("doc_id"), lit(2)) === 0)
+    def xSet(cap: Int) = Dedup.crossCorpusCandidates(batch, corpus, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xSet(Dedup.defaultBucketCap) === xSet(Int.MaxValue))
+  }
+
   test("q161: the kept member really is the cluster's max-logit doc") {
     import org.apache.spark.sql.functions.col
     val reps = SparkEntry.queries("q161_cluster_representatives")(spark, sf001)
