@@ -23,16 +23,13 @@ import org.apache.spark.sql.functions._
   * Determinism: ties on pair frequency break lexicographically
   * (left, right) — merge sequences are exactly reproducible, which
   * the BpeSpec asserts against an independent single-node reference
-  * implementation. The learned table itself is rows-only-checked in
-  * the catalog (q120): 20 chained arg-maxes with global
-  * restructuring between them have no RECURSIVE-SQL rendering
-  * (DuckDB's recursive CTEs forbid aggregates on the recursive
-  * side), the same by-design gap as the k-means fit (q50). The
-  * FIRST iteration's pair-count relation — the evidence for merge
-  * #1 — is oracle-paired as q121, and the ENCODE path (q125, a
-  * FIXED small merge count) is fully oracle-paired since round 12
-  * via a chained non-recursive stage-per-merge rendering (see
-  * [[bpeEncodeOracle]]).
+  * implementation. Chained arg-maxes with global restructuring
+  * between them have no RECURSIVE-SQL rendering (DuckDB's recursive
+  * CTEs forbid aggregates on the recursive side) — but a FIXED merge
+  * count renders as chained non-recursive stages, so since round 12
+  * BOTH catalog entries are fully oracle-paired: q120's 20-merge
+  * table and q125's 12-merge encode (see [[bpeStagesSql]]), alongside
+  * q121's first-iteration pair-count evidence.
   *
   * Greedy left-to-right application: scanning a word, (last==left &&
   * next==right) collapses; the merged symbol immediately becomes

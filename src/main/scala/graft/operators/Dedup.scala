@@ -161,26 +161,37 @@ object Dedup {
     * the corpus grew — a self-join over corpus ∪ batch would re-pay the
     * whole corpus every day.
     *
-    * Carries the SAME oversize-bucket guard as the self-join form
-    * (r12): a boilerplate flood arriving against a corpus that already
-    * holds the same boilerplate collapses both sides into one band
-    * bucket and the join emits n_batch·n_corpus candidates — the
-    * quadratic the ingest path would otherwise re-open. Bucket sizes
-    * are counted over the UNION of both sides with a window on the
-    * join's own (band_id, band_hash) partitioning (no extra exchange,
-    * no eager job — the guard is IN-PLAN, so a persisted corpus index
-    * pays nothing per probe), each doc salts by id hash into
-    * ⌈size/cap⌉ groups, and pairs generate within a salt group only —
-    * bounding a bucket's yield to ~size·cap instead of size²/4. Under
-    * the cap every salt is 0 and the join is IDENTICAL to the
-    * unguarded form (the regime every oracle comparison exercises —
-    * q94/q364's corpora sit ~100× under the cap); the capped regime is
-    * pinned by DedupSpec, and lost cross-group pairs are flood
-    * internals exactly as in [[candidatePairsFromBands]]'s note. */
+    * Carries the oversize-bucket guard in the form the CROSS join
+    * needs (r12): a boilerplate flood arriving against a corpus that
+    * already holds the same boilerplate collapses both sides into one
+    * band bucket and the join emits n_batch·n_corpus candidates — the
+    * quadratic the ingest path would otherwise re-open. A bucket's
+    * yield is a PRODUCT here, so the guard gates on the SMALLER
+    * side's count: when min(n_batch, n_corpus) exceeds the cap, both
+    * sides salt by id hash into ⌈min/cap⌉ groups and pairs generate
+    * within a salt group only, bounding the yield to
+    * ~cap·max(n_batch, n_corpus) — linear in bucket size. A
+    * ONE-SIDED bucket (a big corpus cluster probed by a few batch
+    * docs — min ≤ cap) is already linear and is deliberately NOT
+    * salted: capping on the union size would silently drop a batch
+    * doc's only true near-dup into another salt group (the round-12
+    * review's finding). Pairs lost in the salted regime have a flood
+    * on BOTH sides — internals exactly as in
+    * [[candidatePairsFromBands]]'s note. Per-side counts come from
+    * windows on the join's own (band_id, band_hash) partitioning (no
+    * extra exchange, no eager job — the guard is IN-PLAN, so a
+    * persisted corpus index pays nothing per probe). Under the cap
+    * every salt is 0 and the join is IDENTICAL to the unguarded form
+    * (the regime every oracle comparison exercises — q94/q364's
+    * corpora sit ~100× under the cap); the capped regime is pinned by
+    * DedupSpec. */
   def crossCorpusCandidates(batchBands: DataFrame, corpusBands: DataFrame,
       cap: Int = defaultBucketCap): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band_id", "band_hash")
+    val minSide = least(
+      count(when(col("is_batch"), 1)).over(w),
+      count(when(!col("is_batch"), 1)).over(w))
     val salted = batchBands
       .select(col("doc_id"), col("band_id"), col("band_hash"),
         lit(true).as("is_batch"))
@@ -188,11 +199,7 @@ object Dedup {
         .select(col("doc_id"), col("band_id"), col("band_hash"),
           lit(false).as("is_batch")))
       .repartition(col("band_id"), col("band_hash"))
-      .withColumn("bsize", count(lit(1)).over(w))
-      .withColumn("salt",
-        when(col("bsize") <= cap, lit(0L))
-          .otherwise(pmod(hash(col("doc_id")).cast("long"),
-            ceil(col("bsize").cast("double") / cap).cast("long"))))
+      .withColumn("salt", saltFor(minSide, cap))
     salted.where(col("is_batch")).as("b")
       .join(salted.where(!col("is_batch")).as("c"),
         col("b.band_id") === col("c.band_id") &&
@@ -201,6 +208,16 @@ object Dedup {
       .select(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
       .distinct()
   }
+
+  /** The shared salt rule of both bucket guards: group 0 under the
+    * cap (guard inert — spec-pinned identical to unguarded), else doc
+    * hash into ⌈gateSize/cap⌉ groups. `gateSize` is the count whose
+    * excess makes the bucket quadratic: total size for the self join,
+    * the smaller side for the cross join. */
+  private def saltFor(gateSize: Column, cap: Int): Column =
+    when(gateSize <= cap, lit(0L))
+      .otherwise(pmod(hash(col("doc_id")).cast("long"),
+        ceil(gateSize.cast("double") / cap).cast("long")))
 
   /** Pairs-per-bucket safety cap. Synthetic/real corpora sit nowhere
     * near it (measured p99 bucket = 2, max = 13 at 101k docs), so the
@@ -238,11 +255,7 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band_id", "band_hash")
     val salted = rawBands.repartition(col("band_id"), col("band_hash"))
-      .withColumn("bsize", count(lit(1)).over(w))
-      .withColumn("salt",
-        when(col("bsize") <= cap, lit(0L))
-          .otherwise(pmod(hash(col("doc_id")).cast("long"),
-            ceil(col("bsize").cast("double") / cap).cast("long"))))
+      .withColumn("salt", saltFor(count(lit(1)).over(w), cap))
     val a = salted.as("a")
     val b = salted.as("b")
     a.join(b,

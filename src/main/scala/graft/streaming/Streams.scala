@@ -800,6 +800,10 @@ object Streams {
     val outDir = graft.operators.Formats.scratchDir(
       tier.scratch, srcDir.getOrElse(sfDir))
     graft.operators.Formats.wipe(outDir)
+    // a drain whose every trigger is empty (all docs filtered out)
+    // writes no partial — the read-back must see an empty DIRECTORY,
+    // not a missing path (explicit schema makes the empty read valid)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     def summedCensus: DataFrame =
       spark.read.schema(tier.partialSchema).parquet(outDir)
         .groupBy(tier.groupCols.map(col): _*)
@@ -1061,6 +1065,9 @@ object Streams {
     val outDir = graft.operators.Formats.scratchDir(
       "graft_stream_minhash_bands", srcDir.getOrElse(sfDir))
     graft.operators.Formats.wipe(outDir)
+    // see drainValueCensus: an all-empty drain must read back as an
+    // empty band index, not a missing path
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     withStreamShufflePartitions(spark) {
       val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
         .where(pmod(col("doc_id"), lit(2)) === 0) // q94's corpus split

@@ -350,10 +350,23 @@ class DedupSpec extends SparkSpecBase {
     val unguarded =
       Dedup.crossCorpusCandidates(batchBands, corpusBands, Int.MaxValue).count()
     assert(unguarded === 100L * 300, "the cross-corpus flood is quadratic")
-    // each oversize bucket yields ~size·cap pairs instead of nb·nc
-    assert(guarded <= 400L * cap,
-      s"guarded=$guarded not bounded by size*cap")
-    assert(guarded < unguarded / 3)
+    // min side 100 > cap → ⌈100/50⌉ = 2 salt groups: the bucket's
+    // yield is bounded by cap·max_side (linear in bucket size)
+    assert(guarded <= 300L * cap,
+      s"guarded=$guarded not bounded by cap*max_side")
+    assert(guarded < unguarded,
+      "the two-sided flood must actually be capped")
+    // ONE-SIDED bucket: a few batch docs probing a big corpus cluster
+    // is already linear — the guard must NOT salt (min side ≤ cap),
+    // or a batch doc's only true near-dup could land in another salt
+    // group (the round-12 review's finding)
+    val tinyBatch = Dedup.docBands(
+      (5000 until 5005).map(i =>
+        (i.toLong, "lorem ipsum dolor sit amet " * 3)).toDF("doc_id", "text"))
+    val oneSided =
+      Dedup.crossCorpusCandidates(tinyBatch, corpusBands, cap).count()
+    assert(oneSided === 5L * 300,
+      "a one-sided oversize bucket must keep every cross pair")
     // normal data: guarded == unguarded pair set (every salt is 0) —
     // the regime the q94/q364 oracles exercise
     val docs = graft.sources.Tables.documents(spark, sf001)
