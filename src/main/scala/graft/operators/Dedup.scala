@@ -184,7 +184,9 @@ object Dedup {
     * every salt is 0 and the join is IDENTICAL to the unguarded form
     * (the regime every oracle comparison exercises — q94/q364's
     * corpora sit ~100× under the cap); the capped regime is pinned by
-    * DedupSpec. */
+    * DedupSpec, and [[crossOversizeBucketReport]] is the alerting
+    * surface: it names every bucket the salt split touched and the
+    * exact pair count forfeited there. */
   def crossCorpusCandidates(batchBands: DataFrame, corpusBands: DataFrame,
       cap: Int = defaultBucketCap): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -207,6 +209,46 @@ object Dedup {
         col("b.salt") === col("c.salt"))
       .select(col("b.doc_id").as("doc_batch"), col("c.doc_id").as("doc_corpus"))
       .distinct()
+  }
+
+  /** Observability for [[crossCorpusCandidates]]'s salted regime (the
+    * r12 advice): the self-join guard surfaces floods through
+    * [[oversizeBucketReport]], but the cross join traded recall away
+    * silently. One row per bucket the cross guard actually salts
+    * (min side > cap): both side counts and the exact pair count the
+    * salt split forfeits in THAT bucket (n_batch·n_corpus − Σ_g
+    * batch_g·corpus_g, computed under the operator's own salt rule so
+    * the number is what production genuinely lost, not an estimate).
+    * Per-bucket grain: a pair forfeited in one band may still be kept
+    * by another band's bucket — this is the alerting surface, the
+    * candidate relation is the truth. Empty on normal data. */
+  def crossOversizeBucketReport(batchBands: DataFrame,
+      corpusBands: DataFrame, cap: Int = defaultBucketCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash")
+    val minSide = least(
+      count(when(col("is_batch"), 1)).over(w),
+      count(when(!col("is_batch"), 1)).over(w))
+    batchBands
+      .select(col("doc_id"), col("band_id"), col("band_hash"),
+        lit(true).as("is_batch"))
+      .unionByName(corpusBands
+        .select(col("doc_id"), col("band_id"), col("band_hash"),
+          lit(false).as("is_batch")))
+      .repartition(col("band_id"), col("band_hash"))
+      .withColumn("salt", saltFor(minSide, cap))
+      .groupBy("band_id", "band_hash", "salt")
+      .agg(count(when(col("is_batch"), 1)).as("bg"),
+        count(when(!col("is_batch"), 1)).as("cg"))
+      .groupBy("band_id", "band_hash")
+      .agg(sum("bg").as("n_batch"), sum("cg").as("n_corpus"),
+        sum(col("bg") * col("cg")).as("pairs_kept"))
+      .where(least(col("n_batch"), col("n_corpus")) > cap)
+      .select(col("band_id"), col("band_hash"),
+        col("n_batch"), col("n_corpus"),
+        (col("n_batch") * col("n_corpus") - col("pairs_kept"))
+          .as("pairs_forfeited"))
+      .orderBy(col("pairs_forfeited").desc, col("band_id"))
   }
 
   /** The shared salt rule of both bucket guards: group 0 under the

@@ -350,12 +350,38 @@ class DedupSpec extends SparkSpecBase {
     val unguarded =
       Dedup.crossCorpusCandidates(batchBands, corpusBands, Int.MaxValue).count()
     assert(unguarded === 100L * 300, "the cross-corpus flood is quadratic")
-    // min side 100 > cap → ⌈100/50⌉ = 2 salt groups: the bucket's
-    // yield is bounded by cap·max_side (linear in bucket size)
-    assert(guarded <= 300L * cap,
-      s"guarded=$guarded not bounded by cap*max_side")
+    // min side 100 > cap → ⌈100/50⌉ = 2 salt groups and the yield is
+    // EXACTLY Σ_g batch_g·corpus_g under the operator's own salt rule
+    // (murmur3 doc-id hash mod 2). The idealized even-split bound
+    // cap·max_side does NOT hold: uneven hash splits exceed it by the
+    // imbalance product (the round-12 deterministic failure — 15024 >
+    // 15000 here), so the spec computes the exact expectation from the
+    // planted ids instead of asserting a constant
+    val nGroups = 2L
+    def saltCensus(ids: Seq[Long]): Map[Long, Long] = ids.toDF("doc_id")
+      .select(pmod(hash(col("doc_id")).cast("long"), lit(nGroups)).as("g"))
+      .groupBy("g").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bG = saltCensus(boilerBatch.map(_._1))
+    val cG = saltCensus(boilerCorpus.map(_._1))
+    val expected = (0L until nGroups)
+      .map(g => bG.getOrElse(g, 0L) * cG.getOrElse(g, 0L)).sum
+    assert(guarded === expected,
+      s"guarded=$guarded != exact per-salt-group yield $expected")
+    // linearity with hash-split slack: each group is a binomial split,
+    // so the yield stays O(cap·max_side) — assert with 2x headroom
+    assert(guarded <= 2L * 300L * cap,
+      s"guarded=$guarded has left the linear regime")
     assert(guarded < unguarded,
       "the two-sided flood must actually be capped")
+    // observability (the r12 advice): the flooded bucket is visible,
+    // with both side counts and the forfeited-pair estimate
+    val xReport = Dedup.crossOversizeBucketReport(batchBands, corpusBands, cap)
+      .collect()
+    assert(xReport.nonEmpty, "the flooded cross bucket must be reported")
+    assert(xReport.forall(r => r.getAs[Long]("n_batch") === 100L &&
+      r.getAs[Long]("n_corpus") === 300L &&
+      r.getAs[Long]("pairs_forfeited") === (100L * 300L - expected)))
     // ONE-SIDED bucket: a few batch docs probing a big corpus cluster
     // is already linear — the guard must NOT salt (min side ≤ cap),
     // or a batch doc's only true near-dup could land in another salt
