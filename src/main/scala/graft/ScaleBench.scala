@@ -84,17 +84,21 @@ object ScaleBench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Spark jobs launched while `f` runs (listener bus is async — the
-    * post-run sleep lets the tail drain; both sides of an A/B carry
-    * the same bias, so ratios are clean). */
+  /** Spark jobs launched while `f` runs. The listener bus is async, so
+    * the count is only exact once every queued event has been
+    * DELIVERED — waitUntilEmpty is the precise barrier (a fixed sleep
+    * could under-count on a loaded box). */
   private def countJobs(spark: SparkSession)(f: => Unit): Int = {
     val c = new java.util.concurrent.atomic.AtomicInteger()
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = c.incrementAndGet()
     }
     spark.sparkContext.addSparkListener(l)
-    try { f; Thread.sleep(1000) }
-    finally spark.sparkContext.removeSparkListener(l)
+    try {
+      f
+      org.apache.spark.sql.graftshim.ListenerSync
+        .waitUntilEmpty(spark.sparkContext, 30000L)
+    } finally spark.sparkContext.removeSparkListener(l)
     c.get()
   }
 

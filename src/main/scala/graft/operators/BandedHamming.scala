@@ -126,13 +126,31 @@ object BandedHamming {
     * @param minInformative smallest per-row count of informative
     *                       bands (Long.MaxValue on an empty relation —
     *                       vacuously lossless)
+    * @param layout         the banding layout the stats were computed
+    *                       under ([[layoutSig]]) — `nearMissPairs`
+    *                       refuses stats whose layout differs from the
+    *                       call's arguments: stale or layout-
+    *                       mismatched persisted stats would otherwise
+    *                       silently disable the row-contract and
+    *                       occupancy guards (the r12 advice)
     */
   final case class GuardStats(
       nRows: Long,
       nIdentities: Long,
       maxOccSingle: Long,
       maxOccConj: Long,
-      minInformative: Long)
+      minInformative: Long,
+      layout: String)
+
+  /** The layout identity [[GuardStats]] are bound to: everything the
+    * guard censuses group by. Band EXPRESSIONS can't be compared
+    * structurally from the public API, so the count stands in for
+    * them — which still catches every production drift mode (a scheme
+    * rebanded, an eqKey added, stats crossed between tiers). */
+  def layoutSig(nBands: Int, idCols: Seq[String], eqKeys: Seq[String],
+      hasInformativeBand: Boolean, hMax: Int): String =
+    s"bands=$nBands;id=${idCols.mkString(",")};eq=${eqKeys.mkString(",")};" +
+      s"inf=$hasInformativeBand;hMax=$hMax"
 
   /** A value index persisted TOGETHER WITH the guard statistics it was
     * built with — what an incremental-dedup tier keeps next to the
@@ -239,7 +257,16 @@ object BandedHamming {
     *                   largest conjunction bucket before refusing).
     *                   Default 8192 keeps per-bucket verify work
     *                   under ~67M `bit_count` rows — past that the
-    *                   banding is no longer doing its job
+    *                   banding is no longer doing its job.
+    *                   SEMANTICS CHANGE (r12): the threshold is PER
+    *                   SIDE — in the cross form a bucket may carry up
+    *                   to T rows per side (2T combined, still ≤ T²
+    *                   verify pairs, the same uniform bound as the
+    *                   self form). Rounds ≤ 11 gated the cross form on
+    *                   the combined union census at T; a caller who
+    *                   tuned a cross-form threshold under that
+    *                   semantic should halve it to keep the same
+    *                   effective gate
     * @param onScheme   observability hook invoked once with the
     *                   selected [[Scheme]]
     * @param rowsStats  precomputed [[guardStats]] of `rows` (same
@@ -281,15 +308,25 @@ object BandedHamming {
 
     // --- occupancy guard: per-side census (or persisted stats),
     //     escalate, or refuse -----------------------------------------
-    def guard(r: DataFrame, pre: Option[GuardStats]): SideGuard =
+    val callLayout = layoutSig(bandExprs.size, idCols, eqKeys,
+      informativeBand.isDefined, hMax)
+    def guard(side: String, r: DataFrame,
+        pre: Option[GuardStats]): SideGuard = {
+      pre.foreach(s => require(s.layout == callLayout,
+        s"$side GuardStats were computed under layout '${s.layout}' but " +
+          s"this call bands under '$callLayout' — stale or mismatched " +
+          "persisted stats would silently disable the occupancy and " +
+          "row-contract guards; rebuild the index's stats under the " +
+          "current scheme"))
       new SideGuard(pre,
         () => contractCounts(r, identity),
         () => maxOccupancy(single(r), eqKeys),
         () => maxOccupancy(conj(r), eqKeys),
         () => minInformativeBands(single(r), identity))
+    }
     val sides: Seq[(String, SideGuard)] =
-      ("rows", guard(rows, rowsStats)) +:
-        rowsB.map(b => ("rowsB", guard(b, rowsBStats))).toSeq
+      ("rows", guard("rows", rows, rowsStats)) +:
+        rowsB.map(b => ("rowsB", guard("rowsB", b, rowsBStats))).toSeq
     sides.foreach { case (side, g) =>
       val (n, nId) = g.contract
       require(nId == n,
@@ -390,6 +427,8 @@ object BandedHamming {
     val (n, nId) = contractCounts(rows, identity)
     val conjPossible = bandExprs.size >= hMax + 2
     GuardStats(
+      layout = layoutSig(bandExprs.size, idCols, eqKeys,
+        informativeBand.isDefined, hMax),
       nRows = n,
       nIdentities = nId,
       maxOccSingle = maxOccupancy(singleEx, eqKeys),

@@ -302,6 +302,21 @@ class BandedHammingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("still exceeds"))
   }
 
+  test("layout-mismatched persisted stats are refused, not silently trusted") {
+    import spark.implicits._
+    val df = lowEntropyVals(24).toDF("fp")
+    val stats = scheme8x8.stats(df)
+    // same relation, different banding (16x4): the stats no longer
+    // describe these buckets — trusting them would silently disable
+    // the occupancy guard, so the call must refuse
+    val e = intercept[IllegalArgumentException] {
+      BandedHamming.nearMissPairs(df, idCols = Seq("fp"), fpCols = Seq("fp"),
+        bandExprs = BandedHamming.fixedBands(col("fp"), 16, 4),
+        hMax = 3, rowsStats = Some(stats))
+    }
+    assert(e.getMessage.contains("layout"))
+  }
+
   test("cross-corpus probe with a persisted corpus-side census schedules no corpus aggregates") {
     import spark.implicits._
     val all = lowEntropyVals(24)
@@ -336,7 +351,11 @@ class BandedHammingSpec extends SparkSpecBase {
           try scheme8x8.pairs(batch, hMin = 0, rowsB = Some(corpus),
             rowsStats = Some(batchStats), rowsBStats = Some(corpusStats))
           finally spark.sparkContext.clearJobGroup()
-        Thread.sleep(1000) // listener bus is async — let it drain
+        // listener bus is async — drain it DETERMINISTICALLY: a fixed
+        // sleep could let a late job-start event slip past the
+        // assertion on a loaded box (false PASS)
+        org.apache.spark.sql.graftshim.ListenerSync
+          .waitUntilEmpty(spark.sparkContext, 30000L)
         p
       } finally spark.sparkContext.removeSparkListener(l)
     assert(jobs.get() == 0,
