@@ -187,6 +187,56 @@ object Dedup {
     * DedupSpec, and [[crossOversizeBucketReport]] is the alerting
     * surface: it names every bucket the salt split touched and the
     * exact pair count forfeited there. */
+  /** A band index persisted TOGETHER WITH its per-bucket occupancy
+    * census — the jaccard tier's [[BandedHamming.StatedIndex]]
+    * discipline (r12's persisted-guard-stats ask, extended here per
+    * r12 verdict #4): the cross-corpus flood guard needs each
+    * bucket's corpus-side count, and recounting the corpus index per
+    * probe (the r12 in-plan window census) re-paid a corpus-wide
+    * window sort on every ingest probe. `bucketCounts` is
+    * (band_id, band_hash, n_corpus), computed ONCE at index
+    * build/drain over exactly `rows`; probes recount only the batch
+    * side. */
+  final case class BandIndex(rows: DataFrame, bucketCounts: DataFrame)
+
+  /** The per-bucket census a [[BandIndex]] bundles. */
+  def bandBucketCounts(bands: DataFrame): DataFrame =
+    bands.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("n_corpus"))
+
+  /** [[crossCorpusCandidates]] against a STATED corpus index: the
+    * guard's corpus-side bucket counts come from the index's
+    * persisted census, so the probe plan aggregates only the batch
+    * side (one tiny groupBy) and never windows the corpus. The gate
+    * relation — min side per bucket — is bounded by the BATCH's
+    * bucket count and joins back to both sides; joining it into the
+    * corpus side also PRUNES corpus rows to batch-touched buckets
+    * before the pair shuffle (the window form carried every corpus
+    * row through its sort). Left unhinted so AQE broadcasts the gate
+    * at daily-ingest batch sizes and falls back to a shuffle join if
+    * a corpus-scale "batch" arrives. Result is IDENTICAL to the
+    * census form in every regime — same min-side numbers, same salt
+    * rule — pinned by DedupSpec on both the flood and normal
+    * fixtures. */
+  def crossCorpusCandidates(batchBands: DataFrame, corpus: BandIndex,
+      cap: Int): DataFrame = {
+    val gate = batchBands
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("n_batch"))
+      .join(corpus.bucketCounts, Seq("band_id", "band_hash"))
+      .select(col("band_id"), col("band_hash"),
+        least(col("n_batch"), col("n_corpus")).as("min_side"))
+    def salted(side: DataFrame, as: String): DataFrame = side
+      .join(gate, Seq("band_id", "band_hash"))
+      .withColumn("salt", saltFor(col("min_side"), cap))
+      .select(col("doc_id").as(as), col("band_id"), col("band_hash"),
+        col("salt"))
+    salted(batchBands, "doc_batch")
+      .join(salted(corpus.rows, "doc_corpus"),
+        Seq("band_id", "band_hash", "salt"))
+      .select("doc_batch", "doc_corpus")
+      .distinct()
+  }
+
   def crossCorpusCandidates(batchBands: DataFrame, corpusBands: DataFrame,
       cap: Int = defaultBucketCap): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -534,9 +584,24 @@ object Dedup {
        |WHERE CAST(len(list_intersect(tb.t, tc.t)) AS DOUBLE) /
        |      len(list_distinct(list_concat(tb.t, tc.t))) >= 0.9
        |ORDER BY doc_batch, doc_corpus""".stripMargin) { (s, d) =>
-    minhashBatchProbe(s, d,
-      indexedBands(s, d).where(pmod(col("doc_id"), lit(2)) === 0))
+    minhashBatchProbe(s, d, indexedCorpusBands(s, d))
   }
+
+  /** The q94 corpus band index AS A STATED INDEX — rows are a filter
+    * of the shared per-corpus signature index (already persisted), and
+    * the per-bucket census is computed once and checkpointed with it,
+    * so every probe pays zero corpus-side guard aggregates (the
+    * jaccard-tier gstats discipline, r13). */
+  private val corpusBandIndexMemo =
+    new graft.spark.SessionMemo[String, BandIndex]("dedup.corpusBandIndex")(
+      i => org.apache.spark.sql.graftshim.Checkpoints.release(i.bucketCounts))
+
+  private[graft] def indexedCorpusBands(
+      s: org.apache.spark.sql.SparkSession, d: String): BandIndex =
+    corpusBandIndexMemo.getOrElseUpdate(s, d) {
+      val rows = indexedBands(s, d).where(pmod(col("doc_id"), lit(2)) === 0)
+      BandIndex(rows, bandBucketCounts(rows).localCheckpoint())
+    }
 
   /** The q94 probe against a caller-supplied corpus BAND index —
     * factored so the STREAMING-maintained band index (q364) serves
@@ -544,12 +609,13 @@ object Dedup {
     * proving both (the simhashBatchProbe discipline on the Jaccard
     * tier). The batch side signs fresh from the shared per-corpus
     * signature index; verification joins the shingle-set index, never
-    * the corpus. */
+    * the corpus. The index's persisted bucket census feeds the flood
+    * guard, so the probe never re-aggregates the corpus. */
   private[graft] def minhashBatchProbe(s: org.apache.spark.sql.SparkSession,
-      d: String, corpusBands: DataFrame): DataFrame = {
+      d: String, corpus: BandIndex): DataFrame = {
     val pairs = crossCorpusCandidates(
       indexedBands(s, d).where(pmod(col("doc_id"), lit(2)) === 1),
-      corpusBands)
+      corpus, defaultBucketCap)
       .withColumnRenamed("doc_batch", "doc_a")
       .withColumnRenamed("doc_corpus", "doc_b")
     withJaccardToks(pairs, indexedShingleSets(s, d))

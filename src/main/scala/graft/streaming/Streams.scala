@@ -1045,46 +1045,83 @@ object Streams {
     * probes, restricted to the corpus split. */
   /** The drained band index, materialized once per (session, corpus,
     * staging dir, trigger config) — see [[simhashCensusIndex]] for the
-    * barrier rationale. */
+    * barrier rationale. Held as a [[graft.operators.Dedup.BandIndex]]:
+    * the per-bucket census is maintained as its own batchId-keyed
+    * monoid partials (counts ADD) and summed at drain, so the probe's
+    * flood guard reads persisted counts instead of windowing the
+    * corpus index — and the maintained index carries the SAME stated
+    * shape as the batch-built one (r13, jaccard-tier gstats). */
   private val minhashBandsIndex =
-    new graft.spark.SessionMemo[(String, Option[String], Option[Int]), DataFrame](
-      "streams.minhashBands")(
-      org.apache.spark.sql.graftshim.Checkpoints.release(_))
+    new graft.spark.SessionMemo[(String, Option[String], Option[Int]),
+      graft.operators.Dedup.BandIndex](
+      "streams.minhashBands")(i => {
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.rows)
+      org.apache.spark.sql.graftshim.Checkpoints.release(i.bucketCounts)
+    })
 
+  def streamMinhashBandIndex(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None)
+      : graft.operators.Dedup.BandIndex =
+    minhashBandsIndex.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger)) {
+      val i = drainMinhashBands(spark, sfDir, srcDir, maxFilesPerTrigger)
+      graft.operators.Dedup.BandIndex(
+        i.rows.localCheckpoint(), i.bucketCounts.localCheckpoint())
+    }
+
+  /** The maintained band index's ROWS (q363's oracle surface). */
   def streamMinhashBands(spark: SparkSession, sfDir: String,
       srcDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    minhashBandsIndex.getOrElseUpdate(
-      spark, (sfDir, srcDir, maxFilesPerTrigger))(
-      drainMinhashBands(spark, sfDir, srcDir, maxFilesPerTrigger)
-        .localCheckpoint())
+    streamMinhashBandIndex(spark, sfDir, srcDir, maxFilesPerTrigger).rows
 
   private def drainMinhashBands(spark: SparkSession, sfDir: String,
       srcDir: Option[String],
-      maxFilesPerTrigger: Option[Int]): DataFrame = {
+      maxFilesPerTrigger: Option[Int]): graft.operators.Dedup.BandIndex = {
     val outDir = graft.operators.Formats.scratchDir(
       "graft_stream_minhash_bands", srcDir.getOrElse(sfDir))
+    val cntDir = graft.operators.Formats.scratchDir(
+      "graft_stream_minhash_band_counts", srcDir.getOrElse(sfDir))
     graft.operators.Formats.wipe(outDir)
+    graft.operators.Formats.wipe(cntDir)
     // see drainValueCensus: an all-empty drain must read back as an
     // empty band index, not a missing path
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cntDir))
     withStreamShufflePartitions(spark) {
       val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
         .where(pmod(col("doc_id"), lit(2)) === 0) // q94's corpus split
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
           if (!batch.isEmpty) {
+            // one signature pass per trigger: bands land in the row
+            // partial; the bucket-count partial derives from THOSE
+            // written rows (a read-back of the just-written partial,
+            // not a second signing) so rows and counts can never
+            // disagree — counts are a monoid, summed at drain
             graft.operators.Dedup.docBands(batch.toDF())
               .write.mode("overwrite").parquet(s"$outDir/batch=$bid")
+            spark.read
+              .schema("doc_id BIGINT, band_id INT, band_hash STRING")
+              .parquet(s"$outDir/batch=$bid")
+              .groupBy("band_id", "band_hash")
+              .agg(count(lit(1)).as("n_partial"))
+              .write.mode("overwrite").parquet(s"$cntDir/batch=$bid")
           }
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.read.schema("doc_id BIGINT, band_id INT, band_hash STRING")
-      .parquet(outDir)
-      .select("doc_id", "band_id", "band_hash")
+    graft.operators.Dedup.BandIndex(
+      spark.read.schema("doc_id BIGINT, band_id INT, band_hash STRING")
+        .parquet(outDir)
+        .select("doc_id", "band_id", "band_hash"),
+      spark.read.schema("band_id INT, band_hash STRING, n_partial BIGINT")
+        .parquet(cntDir)
+        .groupBy("band_id", "band_hash")
+        .agg(sum("n_partial").as("n_corpus")))
   }
 
   val qStreamMinhashBands: GraftQuery = GraftQuery(
@@ -1104,7 +1141,8 @@ object Streams {
   val qStreamMinhashProbe: GraftQuery = GraftQuery(
     "q364_stream_minhash_probe",
     graft.operators.Dedup.qDedupBatchVsCorpus.oracle.get) { (s, d) =>
-    graft.operators.Dedup.minhashBatchProbe(s, d, streamMinhashBands(s, d))
+    graft.operators.Dedup.minhashBatchProbe(s, d,
+      streamMinhashBandIndex(s, d))
   }
 
   /** STREAMING DRIFT MONITOR — q352's refresh decision maintained ON

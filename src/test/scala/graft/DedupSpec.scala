@@ -402,6 +402,20 @@ class DedupSpec extends SparkSpecBase {
     def xSet(cap: Int) = Dedup.crossCorpusCandidates(batch, corpus, cap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(xSet(Dedup.defaultBucketCap) === xSet(Int.MaxValue))
+    // the STATED form (persisted per-bucket census, r13) is identical
+    // to the window-census form in EVERY regime: same min-side
+    // numbers, same salt rule — flood, one-sided, and normal
+    def statedSet(b: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame, cap: Int) =
+      Dedup.crossCorpusCandidates(b,
+        Dedup.BandIndex(c, Dedup.bandBucketCounts(c)), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val floodWindow = Dedup.crossCorpusCandidates(batchBands, corpusBands, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(statedSet(batchBands, corpusBands, cap) === floodWindow)
+    assert(statedSet(tinyBatch, corpusBands, cap).size === 5 * 300)
+    assert(statedSet(batch, corpus, Dedup.defaultBucketCap) ===
+      xSet(Dedup.defaultBucketCap))
   }
 
   test("q161: the kept member really is the cluster's max-logit doc") {

@@ -885,9 +885,9 @@ class StreamsSpec extends SparkSpecBase {
     val src = java.nio.file.Files.createTempDirectory("graft_mb_minhash").toString
     Tables.documents(spark, sf001).repartition(3)
       .write.mode("overwrite").parquet(src)
-    val streamed = graft.streaming.Streams.streamMinhashBands(
+    val streamed = graft.streaming.Streams.streamMinhashBandIndex(
       spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
-    val streamedRows = streamed.orderBy("doc_id", "band_id")
+    val streamedRows = streamed.rows.orderBy("doc_id", "band_id")
       .collect().map(_.toSeq).toSeq
     val batch = graft.operators.Dedup
       .docBands(Tables.documents(spark, sf001)
@@ -895,6 +895,15 @@ class StreamsSpec extends SparkSpecBase {
       .orderBy("doc_id", "band_id").collect().map(_.toSeq).toSeq
     assert(streamedRows === batch,
       "drained band index must equal the batch-built corpus band index")
+    // the maintained per-bucket census (summed monoid partials) must
+    // equal a census computed fresh over the drained rows — the
+    // invariant the probe's flood guard trusts
+    val maintainedCounts = streamed.bucketCounts
+      .orderBy("band_id", "band_hash").collect().map(_.toSeq).toSeq
+    val freshCounts = graft.operators.Dedup.bandBucketCounts(streamed.rows)
+      .orderBy("band_id", "band_hash").collect().map(_.toSeq).toSeq
+    assert(maintainedCounts === freshCounts,
+      "summed count partials must equal a fresh census of the drained rows")
     // and the maintained index is an interchangeable probe target
     val probed = graft.operators.Dedup
       .minhashBatchProbe(spark, sf001, streamed)
