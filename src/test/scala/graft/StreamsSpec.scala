@@ -914,6 +914,36 @@ class StreamsSpec extends SparkSpecBase {
       "probe against the maintained band index must equal the batch probe")
   }
 
+  test("q365: size-tiered fold of the band partial log is exact and bounds the log") {
+    import org.apache.spark.sql.functions._
+    val idx = graft.streaming.Streams
+      .streamMinhashBandIndexCompacted(spark, sf001)
+    // fold ≡ union: compacted rows equal the batch-built corpus index
+    val rows = idx.rows.orderBy("doc_id", "band_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Dedup
+      .docBands(Tables.documents(spark, sf001)
+        .where(pmod(col("doc_id"), lit(2)) === 0))
+      .orderBy("doc_id", "band_id").collect().map(_.toSeq).toSeq
+    assert(rows === batch, "fold must preserve the served union exactly")
+    // folded counts still equal a fresh census of the folded rows
+    val counts = idx.bucketCounts.orderBy("band_id", "band_hash")
+      .collect().map(_.toSeq).toSeq
+    val fresh = graft.operators.Dedup.bandBucketCounts(idx.rows)
+      .orderBy("band_id", "band_hash").collect().map(_.toSeq).toSeq
+    assert(counts === fresh)
+    // the log is BOUNDED: 8 staged triggers folded into < 8 partials
+    val stage = graft.operators.Formats.scratchDir(
+      "graft_minhash_compact_stage", sf001)
+    val outDir = graft.operators.Formats.scratchDir(
+      "graft_stream_minhash_bands", stage)
+    val nDirs = Option(new java.io.File(outDir).listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+      .getOrElse(0)
+    assert(nDirs > 0 && nDirs < 8,
+      s"8 per-trigger partials must fold into fewer directories, got $nDirs")
+  }
+
   // ---- prefix-serveability of the streaming probes (verdict r11 #3) --
 
   /** At EVERY trigger boundary — not just after the full drain — the
