@@ -1238,6 +1238,121 @@ object Streams {
       streamMinhashBandIndexCompacted(s, d))
   }
 
+  /** The three indexes one multi-drain pass maintains together. */
+  private[graft] final case class MultiIndexes(
+      simhashCensus: DataFrame,
+      imageCensus: DataFrame,
+      bands: graft.operators.Dedup.BandIndex)
+
+  private val multiIndexMemo =
+    new graft.spark.SessionMemo[(String, Option[String], Option[Int]),
+      MultiIndexes]("streams.multiIndex")(m => {
+      org.apache.spark.sql.graftshim.Checkpoints.release(m.simhashCensus)
+      org.apache.spark.sql.graftshim.Checkpoints.release(m.imageCensus)
+      org.apache.spark.sql.graftshim.Checkpoints.release(m.bands.rows)
+      org.apache.spark.sql.graftshim.Checkpoints.release(m.bands.bucketCounts)
+    })
+
+  def streamMultiIndexes(spark: SparkSession, sfDir: String,
+      srcDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): MultiIndexes =
+    multiIndexMemo.getOrElseUpdate(
+      spark, (sfDir, srcDir, maxFilesPerTrigger)) {
+      val m = drainMultiIndexes(spark, sfDir, srcDir, maxFilesPerTrigger)
+      MultiIndexes(
+        m.simhashCensus.localCheckpoint(),
+        m.imageCensus.localCheckpoint(),
+        graft.operators.Dedup.BandIndex(
+          m.bands.rows.localCheckpoint(),
+          m.bands.bucketCounts.localCheckpoint()))
+    }
+
+  /** SINGLE-PASS MULTI-INDEX MAINTENANCE (r12 verdict #5): the
+    * per-tier maintainers each open their own stream over the same
+    * document arrivals — correct, but at 100 TB that is N reads of
+    * the ingest. This drain opens ONE stream and updates THREE corpus
+    * indexes per trigger — the simhash value census (q350's), the
+    * image aHash census (q355's), and the stated MinHash band index
+    * (q363's rows + bucket counts) — so the ingest bytes are read
+    * once: the trigger's documents are persisted, every index
+    * featurizes from that cached batch, and each keeps its OWN
+    * batchId-keyed monoid-partial contract in a tier-owned `_multi`
+    * scratch dir (the single-drain twins stay untouched, which is
+    * what makes the equivalence provable). Per-index corpus filters
+    * apply inside the trigger — filters are an index concern, not a
+    * stream concern, exactly as in the single drains. q366 oracle-
+    * pairs the simhash census; StreamsSpec pins the image census and
+    * the band index against their single-drain twins and asserts the
+    * whole drain started exactly one streaming query. */
+  private def drainMultiIndexes(spark: SparkSession, sfDir: String,
+      srcDir: Option[String],
+      maxFilesPerTrigger: Option[Int]): MultiIndexes = {
+    val key = srcDir.getOrElse(sfDir)
+    val simDir = graft.operators.Formats.scratchDir(
+      simhashCensusTier.scratch + "_multi", key)
+    val imgDir = graft.operators.Formats.scratchDir(
+      imageCensusTier.scratch + "_multi", key)
+    val bandDir = graft.operators.Formats.scratchDir(
+      "graft_stream_minhash_bands_multi", key)
+    val bandCntDir = graft.operators.Formats.scratchDir(
+      "graft_stream_minhash_band_counts_multi", key)
+    val all = Seq(simDir, imgDir, bandDir, bandCntDir)
+    all.foreach(graft.operators.Formats.wipe)
+    all.foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    withStreamShufflePartitions(spark) {
+      val stream = readDocsStream(spark, sfDir, srcDir, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          // one read of the trigger's bytes: every index works off
+          // the cached batch
+          val b = batch.toDF().persist()
+          try {
+            if (!b.isEmpty) {
+              val census = b.where(fixtureCorpusFilter)
+              Seq(simhashCensusTier -> simDir,
+                  imageCensusTier -> imgDir).foreach { case (t, dir) =>
+                t.featurize(census)
+                  .groupBy(t.groupCols.map(col): _*)
+                  .agg(count(lit(1)).as("n_partial"))
+                  .write.mode("overwrite").parquet(s"$dir/batch=$bid")
+              }
+              val corp = b.where(pmod(col("doc_id"), lit(2)) === 0)
+              graft.operators.Dedup.docBands(corp)
+                .write.mode("overwrite").parquet(s"$bandDir/batch=$bid")
+              spark.read
+                .schema("doc_id BIGINT, band_id INT, band_hash STRING")
+                .parquet(s"$bandDir/batch=$bid")
+                .groupBy("band_id", "band_hash")
+                .agg(count(lit(1)).as("n_partial"))
+                .write.mode("overwrite").parquet(s"$bandCntDir/batch=$bid")
+            }
+          } finally { b.unpersist(); () }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def summed(dir: String, tier: CensusTier): DataFrame =
+      spark.read.schema(tier.partialSchema).parquet(dir)
+        .groupBy(tier.groupCols.map(col): _*)
+        .agg(sum("n_partial").as("n_docs"))
+    MultiIndexes(
+      summed(simDir, simhashCensusTier),
+      summed(imgDir, imageCensusTier),
+      readBandLog(spark, bandDir, bandCntDir))
+  }
+
+  /** q366: the simhash corpus census maintained by the SINGLE-PASS
+    * multi-index drain, q350's oracle VERBATIM — one stream read
+    * feeds three indexes and the maintained census is still the batch
+    * census bit for bit. */
+  val qStreamMultiMaintenance: GraftQuery = GraftQuery(
+    "q366_stream_multi_maintenance",
+    graft.operators.Dedup.simhashCorpusCensusSql) { (s, d) =>
+    streamMultiIndexes(s, d).simhashCensus.orderBy("simhash")
+  }
+
   val qStreamMinhashBands: GraftQuery = GraftQuery(
     "q363_stream_minhash_bands",
     graft.operators.Dedup.minhashCorpusBandsSql) { (s, d) =>
@@ -2722,5 +2837,5 @@ object Streams {
       qStreamAudioCensus, qStreamAudioProbe,
       qStreamVideoWideCensus, qStreamVideoWideProbe,
       qStreamMinhashBands, qStreamMinhashProbe,
-      qStreamMinhashCompactProbe)
+      qStreamMinhashCompactProbe, qStreamMultiMaintenance)
 }

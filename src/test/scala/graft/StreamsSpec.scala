@@ -914,6 +914,56 @@ class StreamsSpec extends SparkSpecBase {
       "probe against the maintained band index must equal the batch probe")
   }
 
+  test("q366: one multi-index drain pass equals the single-drain twins, with one stream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    // fresh staging dir → the memo must genuinely drain here, under
+    // the listener's watch
+    val src = java.nio.file.Files.createTempDirectory("graft_mb_multi").toString
+    Tables.documents(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val started = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = {
+        started.incrementAndGet(); ()
+      }
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(l)
+    val multi =
+      try graft.streaming.Streams.streamMultiIndexes(
+        spark, sf001, srcDir = Some(src), maxFilesPerTrigger = Some(1))
+      finally {
+        // the streaming-listener bus is async: give the started event
+        // a bounded window to land before detaching
+        val deadline = System.nanoTime() + 5000000000L
+        while (started.get() < 1 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        spark.streams.removeListener(l)
+      }
+    assert(started.get() === 1,
+      s"multi-index drain must open exactly ONE stream, opened ${started.get()}")
+    def rowsOf(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.orderBy(cols.map(col): _*).collect().map(_.toSeq).toSeq
+    // each maintained index equals its single-drain twin
+    val simSingle = graft.streaming.Streams.streamSimhashCensus(spark, sf001)
+    assert(rowsOf(multi.simhashCensus, "simhash") ===
+      rowsOf(simSingle.rows, "simhash"))
+    val imgSingle = graft.streaming.Streams.streamImageCensus(spark, sf001)
+    assert(rowsOf(multi.imageCensus, "ahash_hi", "ahash_lo") ===
+      rowsOf(imgSingle.rows, "ahash_hi", "ahash_lo"))
+    val bandsSingle = graft.streaming.Streams
+      .streamMinhashBandIndex(spark, sf001)
+    assert(rowsOf(multi.bands.rows, "doc_id", "band_id") ===
+      rowsOf(bandsSingle.rows, "doc_id", "band_id"))
+    assert(rowsOf(multi.bands.bucketCounts, "band_id", "band_hash") ===
+      rowsOf(bandsSingle.bucketCounts, "band_id", "band_hash"))
+  }
+
   test("q365: size-tiered fold of the band partial log is exact and bounds the log") {
     import org.apache.spark.sql.functions._
     val idx = graft.streaming.Streams
