@@ -23,13 +23,42 @@ import org.apache.spark.sql.SparkSession
   *    "runs":[...],"spread":N,"sf":...}   — the driver-parsed line
   * SPARK_GRAFT_CATALOG=0 / SPARK_GRAFT_SCALE=0 skip the diagnostic
   * stages for quick local runs; SPARK_GRAFT_PASSES overrides the 5.
+  *
+  * Round-13 budget discipline (the r12 driver bench timed out, rc 124):
+  *  - SPARK_GRAFT_SCALE_DEEP=1 re-enables the expensive operator-
+  *    independent A/B baselines (JL brute force, exact-L2 recall
+  *    baseline, naive 8M rank window, spill posture probe — ≈505 s);
+  *    default runs skip them and docs/BENCH_FULL.json carries their
+  *    last recorded values forward (merge on write) so the doc-claims
+  *    gate keeps checking every cited key.
+  *  - SPARK_GRAFT_BENCH_BUDGET_SEC (default 2400) is a wall-clock
+  *    degrade guard: once exceeded, remaining catalog queries and scale
+  *    probe blocks are skipped (loudly, with marker keys) and the
+  *    parsed headline line still prints — a slow box produces a partial
+  *    artifact, never a timeout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     val withCatalog = sys.env.getOrElse("SPARK_GRAFT_CATALOG", "1") != "0"
     val withScale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") != "0"
+    // deep tier: the expensive always-on A/B baselines (JL brute force,
+    // exact-L2 re-rank baseline, naive rank window, spill posture probe —
+    // ≈505 s of the r12 scale stage) re-measure OPERATOR-INDEPENDENT
+    // physics and only need re-running when their operator changes; the
+    // r12 driver bench timed out (rc 124) carrying them every round.
+    // Their last recorded values are carried forward into the merged
+    // docs/BENCH_FULL.json below so doc claims stay gated.
+    val deep = sys.env.getOrElse("SPARK_GRAFT_SCALE_DEEP", "0") != "0"
+    // wall-clock degrade guard: a slow box (the driver also benches at a
+    // LOWER core count) must produce a partial artifact + parsed headline,
+    // never rc 124. Checked between catalog queries and between scale
+    // probe blocks; the headline passes run FIRST so they always finish.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toLong).getOrElse(2400L)
+    val deadline = benchStart + budgetSec * 1000000000L
     val spark = graft.spark.Sessions.local("graft-bench", cpus)
 
     def time(f: => Unit): Double = {
@@ -78,21 +107,30 @@ object Bench {
       // (q50's KMeans included — a bare "_ml_" name filter missed it)
       val mlFitting = Set("q36_ml_rf_fit", "q50_ivf_topk")
       val (mlQs, restQs) = SparkEntry.catalog.partition(q => mlFitting(q.name))
-      val catalog: Seq[(String, Double)] = (mlQs ++ restQs).map { q =>
-        val sec = try {
-          q.fn(spark, sfDir).count() // warm
-          time(q.fn(spark, sfDir).count())
-        } catch { case _: Throwable => -1.0 }
-        q.name -> sec
+      var skipped = 0
+      val catalog: Seq[(String, Double)] = (mlQs ++ restQs).flatMap { q =>
+        if (System.nanoTime() >= deadline) { skipped += 1; None }
+        else {
+          val sec = try {
+            q.fn(spark, sfDir).count() // warm
+            time(q.fn(spark, sfDir).count())
+          } catch { case _: Throwable => -1.0 }
+          Some(q.name -> sec)
+        }
       }
-      catalogKvs = catalog
+      catalogKvs =
+        if (skipped > 0) {
+          System.err.println(
+            s"[bench] catalog budget exhausted: $skipped queries skipped")
+          catalog :+ ("catalog_budget_skipped" -> skipped.toDouble)
+        } else catalog
       println(s"""{"metric":"catalog","unit":"sec","queries":${jsonObj(catalog)},"sf":"$sfDir"}""")
     }
 
     var scaleKvs: Seq[(String, Double)] = Nil
     if (withScale) {
       val scale: Seq[(String, Double)] =
-        try ScaleBench.run(spark, sfDir)
+        try ScaleBench.run(spark, sfDir, deep = deep, deadlineNanos = deadline)
         catch { case e: Throwable =>
           System.err.println(s"[bench] scale stage failed: ${e.getMessage}")
           Seq("scale_failed" -> 1.0)
@@ -115,8 +153,16 @@ object Bench {
     // raw deltas kept reading as phantom regressions)
     val canary = results.toMap.getOrElse("q01_pricing_summary", -1.0)
     val totalPerCanary = if (canary > 0) total / canary else -1.0
+    // the 12-query headline is FROZEN as of r12 (VERDICT r12 #8); the
+    // 10-query figure (the rounds-3..11 set, i.e. minus the two r12
+    // additions) is reported alongside for cross-round continuity
+    val addedInR12 = Set("q328_planned_batch_serve", "q337_simhash_neardup_values")
+    val runTotals10 =
+      samples.map(_.collect { case (n, s) if s >= 0 && !addedInR12(n) => s }.sum)
+    val total10 = median(runTotals10)
+    val total10PerCanary = if (canary > 0) total10 / canary else -1.0
     val headlineLine =
-      s"""{"metric":"total_median","value":$total,"unit":"sec","total_min":$totalMin,"canary":$canary,"total_median_per_canary":$totalPerCanary,"queries":${jsonObj(results)},"runs":$runsStr,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total_median","value":$total,"unit":"sec","total_min":$totalMin,"canary":$canary,"total_median_per_canary":$totalPerCanary,"total_median_10q":$total10,"total_median_10q_per_canary":$total10PerCanary,"queries":${jsonObj(results)},"runs":$runsStr,"spread":$spread,"sf":"$sfDir"}"""
     // persist the COMPLETE key/value map to a file: the driver records
     // only the last 2000 chars of stdout, so which stdout keys survive
     // depends on probe emission order — the file is the durable,
@@ -128,9 +174,28 @@ object Bench {
     val scaleOk = withScale && !scaleKvs.exists(_._1 == "scale_failed")
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/BENCH_FULL.json")
     if (scaleOk) try {
-      val full =
-        s"""{"catalog":${jsonObj(catalogKvs)},"scale":${jsonObj(scaleKvs)},"headline":$headlineLine}"""
       val p = java.nio.file.Paths.get(benchOut)
+      // merge: scale keys NOT produced this run (deep-tier probes on a
+      // default run, or blocks skipped by the wall-clock guard) keep
+      // their last recorded value, so scripts/check_doc_claims.py keeps
+      // gating every cited key. Keys produced this run always win.
+      val prevScale: Seq[(String, Double)] =
+        if (java.nio.file.Files.exists(p)) try {
+          val s = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          """"scale":\{([^}]*)\}""".r.findFirstMatchIn(s).toSeq.flatMap(m =>
+            """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(m.group(1))
+              .map(g => g.group(1) -> g.group(2).toDouble).toSeq)
+        } catch { case _: Throwable => Nil }
+        else Nil
+      val freshKeys = scaleKvs.map(_._1).toSet
+      val carried = prevScale
+        .filterNot(kv => freshKeys(kv._1) || kv._1 == "scale_carried_keys")
+      val mergedScale =
+        if (carried.isEmpty) scaleKvs
+        else scaleKvs ++ carried :+ ("scale_carried_keys" -> carried.size.toDouble)
+      val full =
+        s"""{"catalog":${jsonObj(catalogKvs)},"scale":${jsonObj(mergedScale)},"headline":$headlineLine}"""
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(p,
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

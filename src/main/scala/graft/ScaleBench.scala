@@ -134,8 +134,23 @@ object ScaleBench {
   /** Runs the probe; returns flat metric map (stable key order for the
     * bench JSON). */
   def run(spark: SparkSession, sfDir: String, targetDocs: Int = 100000,
-      targetVecs: Int = 100000): Seq[(String, Double)] = {
+      targetVecs: Int = 100000, deep: Boolean = true,
+      deadlineNanos: Long = Long.MaxValue): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // wall-clock degrade guard (Bench budget): checked between probe
+    // blocks at points where no probe-local cache is still persisted.
+    // A cut stops the stage cleanly — keys already measured are kept,
+    // the rest carry forward from the last recorded artifact (Bench
+    // merges docs/BENCH_FULL.json).
+    def budgetCut(stage: String): Boolean = {
+      val cut = System.nanoTime() >= deadlineNanos
+      if (cut) {
+        System.err.println(
+          s"[bench] scale budget exhausted before $stage — degrading")
+        out += ("scale_budget_degraded" -> 1.0)
+      }
+      cut
+    }
 
     // drop whatever the catalog pass left cached (band/shingle/IVF
     // indexes): the probe times ITS pipelines, and executor-memory
@@ -319,6 +334,7 @@ object ScaleBench {
         "curriculum_sec" -> tCurr)
     }
     docs.unpersist()
+    if (budgetCut("connected-components")) return out.toSeq
 
     // ---- connected-components physics (q77 vs q133) ----
     // cluster-shaped graph (the near-dup regime: 25k size-4 stars,
@@ -354,6 +370,7 @@ object ScaleBench {
       "cc_star_sec_path" -> tStarPath,
       "cc_prop_path_converged_at30" -> propPathConverged)
 
+    if (budgetCut("ann-asymptotics")) return out.toSeq
     // ---- ANN asymptotics ----
     val vecs = synthVecs(spark, sfDir, targetVecs).persist()
     val nVecs = vecs.count()
@@ -439,7 +456,10 @@ object ScaleBench {
 
     // JL compression (q156 shape): the same brute-force scoring loop
     // in the 16-dim projected INT space — 4x narrower rows, exact
-    // integer dots — recall vs exact quantifies the compression rung
+    // integer dots — recall vs exact quantifies the compression rung.
+    // DEEP tier (212 s recorded): an all-pairs baseline of a FIXED
+    // projection operator — re-run only when JlProjection changes.
+    if (deep) {
     var jl: Set[(Long, Long)] = Set.empty
     val (_, tJl) = time {
       val proj = vecs.select(col("vec_id"),
@@ -462,6 +482,7 @@ object ScaleBench {
     }
     out ++= Seq("ann_jl_topk_sec" -> tJl,
       "ann_jl_recall3" -> recallOf(jl))
+    }
 
     // IVF (q55 shape) at ~256 cells: assignment is N x C, search probes
     // nProbe cells per query — measured at the cheap dial (nProbe=2)
@@ -605,13 +626,20 @@ object ScaleBench {
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
         def topkOf(df: DataFrame): Set[(Long, Long)] = df.collect()
           .flatMap(r => r.getSeq[Long](1).map(r.getLong(0) -> _)).toSet
-        val (exactL2, tExactL2) = time(topkOf(
-          vecs.crossJoin(broadcast(qside2))
-            .where(col("vec_id") =!= col("query_id"))
-            .groupBy("query_id")
-            .agg(org.apache.spark.sql.graftshim.TopKByScore(
-              -l2(col("embedding"), col("q_emb")), col("vec_id"), 3).as("top"))
-            .select(col("query_id"), col("top.id"))))
+        // DEEP tier (81 s recorded): the exact-L2 all-pairs crossJoin is
+        // the recall BASELINE, not a served pipeline — carried forward
+        // on default runs; the ADC pipelines below stay timed every run.
+        val exactL2Opt: Option[Set[(Long, Long)]] = if (deep) {
+          val (exactL2, tExactL2) = time(topkOf(
+            vecs.crossJoin(broadcast(qside2))
+              .where(col("vec_id") =!= col("query_id"))
+              .groupBy("query_id")
+              .agg(org.apache.spark.sql.graftshim.TopKByScore(
+                -l2(col("embedding"), col("q_emb")), col("vec_id"), 3).as("top"))
+              .select(col("query_id"), col("top.id"))))
+          out += ("ivfpq_exact_l2_sec" -> tExactL2)
+          Some(exactL2)
+        } else None
         // ADC top-1000 + exact re-rank, over an arbitrary (query, code)
         // candidate relation — the gated and ungated variants below run
         // THIS same pipeline and differ only in the routing gate. The
@@ -652,9 +680,9 @@ object ScaleBench {
             .select(col("query_id"), col("q_emb"), col("cell").cast("long").as("cell"))
           pqTop = adcPipeline(routed.join(codes, Seq("cell")))
         }
-        val pqRecall =
+        val pqRecall = exactL2Opt.map(exactL2 =>
           if (exactL2.nonEmpty) exactL2.intersect(pqTop).size.toDouble / exactL2.size
-          else -1.0
+          else -1.0)
         // the q114 shape on the same index — the IDENTICAL pipeline with
         // the routing gate removed (ADC over every code row) — so the
         // composition's effect is a measured A/B, not an argument. On
@@ -666,17 +694,16 @@ object ScaleBench {
         val (_, tFull) = time {
           fullTop = adcPipeline(codes.crossJoin(broadcast(qside2)))
         }
-        val fullRecall =
+        val fullRecall = exactL2Opt.map(exactL2 =>
           if (exactL2.nonEmpty) exactL2.intersect(fullTop).size.toDouble / exactL2.size
-          else -1.0
+          else -1.0)
         out ++= Seq(
           "ivfpq_codebook_train_sec" -> tTrain,
           "ivfpq_encode_sec" -> tEnc,
-          "ivfpq_exact_l2_sec" -> tExactL2,
           "ivfpq_fullscan_sec" -> tFull,
-          "ivfpq_fullscan_recall3" -> fullRecall,
-          "ivfpq_search_sec" -> tPq,
-          "ivfpq_recall3" -> pqRecall)
+          "ivfpq_search_sec" -> tPq)
+        out ++= fullRecall.map("ivfpq_fullscan_recall3" -> _)
+        out ++= pqRecall.map("ivfpq_recall3" -> _)
       }
     } finally {
       if (pqCodes != null) pqCodes.unpersist()
@@ -684,6 +711,7 @@ object ScaleBench {
       vecs.unpersist()
     }
 
+    if (budgetCut("bpe-physics")) return out.toSeq
     // ---- BPE trainer driver-round-trip physics ----
     // A/B on one synthetic 20k-word Zipf vocabulary: the sequential
     // loop (topB=1, rounds-1..5 behavior) pays ~2-3 Spark jobs PER
@@ -754,8 +782,10 @@ object ScaleBench {
     // skips; any other value overrides the 1M default.
     val sweepN = sys.env.get("SPARK_GRAFT_SWEEP").map(_.toInt)
       .getOrElse(1000000)
+    if (budgetCut("1m-sweep")) return out.toSeq
     if (sweepN > 0 && sweepN > targetDocs)
-      out ++= sweepAt(spark, sfDir, sweepN, nDocs, pairsFull)
+      out ++= sweepAt(spark, sfDir, sweepN, nDocs, pairsFull, deep,
+        deadlineNanos)
 
     // ---- memory-pressure posture (round-7 verdict #7) ----
     // The "spill, never OOM" claim, measured: SpillProbe runs the full
@@ -764,11 +794,15 @@ object ScaleBench {
     // creation conf — unreachable from this session). Completion with
     // spill counters > 0 is the posture proof. SPARK_GRAFT_SPILL=0
     // skips; any other value overrides the synthetic-corpus size.
+    // default deep-tier: posture physics (separate-JVM spill completion),
+    // not a per-round operator measurement — carried forward when off
     val spillDocs = sys.env.get("SPARK_GRAFT_SPILL").map(_.toInt)
-      .getOrElse(300000)
+      .getOrElse(if (deep) 300000 else 0)
+    if (budgetCut("spill-probe")) return out.toSeq
     if (spillDocs > 0) out ++= spillProbe(sfDir, spillDocs)
 
     // ---- MV partial-log compaction A/B (q233/q239) ----
+    if (budgetCut("mv-log-probe")) return out.toSeq
     out ++= mvLogProbe(spark, sfDir)
 
     out.toSeq
@@ -869,8 +903,18 @@ object ScaleBench {
     * candidate-pair count — the cross-decade exponent
     * log(pairs_M/pairs_100k)/log(n_M/n_100k) is the headline number. */
   private def sweepAt(spark: SparkSession, sfDir: String, target: Int,
-      baseDocs: Long, basePairs: Long): Seq[(String, Double)] = {
+      baseDocs: Long, basePairs: Long, deep: Boolean = true,
+      deadlineNanos: Long = Long.MaxValue): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def budgetCut(stage: String): Boolean = {
+      val cut = System.nanoTime() >= deadlineNanos
+      if (cut) {
+        System.err.println(
+          s"[bench] sweep budget exhausted before $stage — degrading")
+        out += ("m1_budget_degraded" -> 1.0)
+      }
+      cut
+    }
     spark.catalog.clearCache()
 
     val (docsWithRep, _) = synthDocs(spark, sfDir, target)
@@ -989,6 +1033,7 @@ object ScaleBench {
       org.apache.spark.sql.graftshim.Checkpoints.release(wfBig)
     }
     Seq(toks, pairs, bands, docs).foreach(_.unpersist())
+    if (budgetCut("m1-ann")) return out.toSeq
 
     // ANN at the decade: the q100 operating point vs exact brute force
     // — recall should HOLD as the corpus grows (more tables' candidates
@@ -1031,8 +1076,11 @@ object ScaleBench {
     // resident 1M-vector caches would fight for memory in the middle
     // of the timings the probe records
     vecs.unpersist()
+    if (budgetCut("m1-zorder")) return out.toSeq
     out ++= zorderProbe(spark, sfDir, 4000000, 256)
-    out ++= rankProbe(spark, 8000000)
+    if (budgetCut("m1-rank")) return out.toSeq
+    out ++= rankProbe(spark, 8000000, deep)
+    if (budgetCut("m1-refresh")) return out.toSeq
     out ++= refreshProbe(spark, sfDir, target)
 
     // the serve probe goes LAST: the driver records only the final
@@ -1042,6 +1090,7 @@ object ScaleBench {
     // m1_valuegrain_*) are the keys README/SCALE name. With zorder/
     // rank emitted first, everything from the trained headline keys
     // onward fits the tail.
+    if (budgetCut("m1-serve")) return out.toSeq
     out ++= ivfServeProbe(spark, sfDir, target)
 
     out.toSeq
@@ -1053,7 +1102,8 @@ object ScaleBench {
     * two-level form ranks in bounded (source, bin) windows and adds
     * bin-histogram offsets. Both must produce the IDENTICAL global
     * rank sum (exactness check rides along). */
-  private[graft] def rankProbe(spark: SparkSession, n: Int): Seq[(String, Double)] = {
+  private[graft] def rankProbe(spark: SparkSession, n: Int,
+      deep: Boolean = true): Seq[(String, Double)] = {
     import org.apache.spark.sql.expressions.Window
     val rows = spark.range(n.toLong).select(
       col("id"),
@@ -1086,17 +1136,24 @@ object ScaleBench {
         .withColumn("r", col("offset") + col("lr")))
     }
     // warm once, time once: the gap is >2x at 8M — medians would add
-    // ~40 s of probe time for no extra signal
-    val c1 = naive()
-    val tNaive = time(naive())._2
-    val c2 = twoLevel()
+    // ~40 s of probe time for no extra signal. The NAIVE side is a
+    // deliberately-skewed baseline (~200 s warm+timed at 8M): DEEP tier
+    // only — the production two-level form stays measured every run.
+    // (The two-level decomposition's exactness is independently pinned
+    // by QualityGateSpec's q181 driver-side-sort comparison, so gating
+    // the 8M baseline loses no correctness net.)
+    val naiveKvs = if (deep) {
+      val c1 = naive()
+      val tNaive = time(naive())._2
+      val c2 = twoLevel() // doubles as the warm run for the timing below
+      Seq("rank_naive_sec" -> tNaive,
+        "rank_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
+    } else { twoLevel(); Nil } // warm
     val tTwo = time(twoLevel())._2
     rows.unpersist()
     Seq(
       "rank_rows" -> n.toDouble,
-      "rank_naive_sec" -> tNaive,
-      "rank_twolevel_sec" -> tTwo,
-      "rank_checksums_equal" -> (if (c1 == c2) 1.0 else 0.0))
+      "rank_twolevel_sec" -> tTwo) ++ naiveKvs
   }
 
   /** Grouping-set rewrite A/B (the q243/q244/q246 claim, measured):
