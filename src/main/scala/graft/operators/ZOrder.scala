@@ -178,13 +178,25 @@ object ZOrder {
       .orderBy("cell")
   }
 
+  /** Write tasks for a cell-partitioned layout: a dynamic-partition
+    * write opens its per-directory parquet writers SEQUENTIALLY inside
+    * each task, so wall time is (cells per task) × writer cost — at
+    * sf0.1, 1020 cells over 16 tasks measured 11.9 s vs 3.0 s over 256
+    * tasks (same bytes, same files). Scale-adaptive: a multiple of the
+    * session's parallelism (more slots than cores so stragglers
+    * backfill), capped so the scheduler never sees a task flood. On a
+    * cluster this stays proportional to its core count — no local-mode
+    * constant. */
+  private def layoutWriteTasks(df: DataFrame): Int =
+    math.min(4096, df.sparkSession.sparkContext.defaultParallelism * 16)
+
   /** Write a cell-partitioned, Morton-sorted layout of an
     * events-shaped relation (columns from [[eventCells]]). One
     * partition directory per tile; rows inside a file are in Z
     * order. */
   def writeLayout(coded: DataFrame, path: String): Unit =
     coded
-      .repartition(col("cell"))
+      .repartition(layoutWriteTasks(coded), col("cell"))
       .sortWithinPartitions("cell", "morton")
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
@@ -192,16 +204,23 @@ object ZOrder {
     * rewriting ONLY the tiles the batch touches (dynamic partition
     * overwrite): each touched tile is read back, unioned with its
     * arrivals, re-sorted, and replaces its own directory; every other
-    * tile's files are never opened. Returns the touched cell count. */
+    * tile's files are never opened — and never LISTED or SCANNED
+    * either: the touched cells are collected driver-side (bounded —
+    * cell is 16 bits, ≤ 65536 longs; the probeCells discipline) and
+    * only those `cell=` subdirectories are handed to the reader.
+    * The r12 form semi-joined a full-tree scan against the touched
+    * set, which read the WHOLE corpus per trigger (no DPP fires on an
+    * unfiltered broadcast dim): measured at sf0.1, maintaining a
+    * 400-row batch cost 14.2 s — more than the 20k-row batch — because
+    * the corpus read dominated. Pruned, maintenance I/O is genuinely
+    * proportional to the batch's locality footprint (the operator's
+    * 100 TB claim, now implemented rather than asserted).
+    * Returns the touched cell count. */
   def incrementalMaintain(spark: SparkSession, path: String,
       batchCoded: DataFrame): Long = {
-    val touched = batchCoded.select("cell").distinct()
-    val schema = "event_id BIGINT, user_id BIGINT, ub BIGINT, tb BIGINT, " +
-      "morton BIGINT, cell BIGINT"
-    val existing = spark.read.schema(schema).parquet(path)
-      .join(broadcast(touched), Seq("cell"), "left_semi")
-    val merged = existing.unionByName(batchCoded)
-      .repartition(col("cell"))
+    val (merged0, nTouched) = maintainMergeInputCounted(spark, path, batchCoded)
+    val merged = merged0
+      .repartition(layoutWriteTasks(merged0), col("cell"))
       .sortWithinPartitions("cell", "morton")
       // materialize the merge BEFORE the overwrite truncates the very
       // directories the plan reads (self-overwrite hazard)
@@ -213,8 +232,38 @@ object ZOrder {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    touched.count()
+    nTouched
   }
+
+  /** The maintain job's merge input (touched tiles ∪ batch) plus the
+    * touched-cell count — factored so PlanSnap can dump the pruned
+    * scan stage (the plans/r13 evidence) and the maintain executes the
+    * identical plan. */
+  private[graft] def maintainMergeInputCounted(spark: SparkSession,
+      path: String, batchCoded: DataFrame): (DataFrame, Long) = {
+    val touchedCells = batchCoded.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val schema = "event_id BIGINT, user_id BIGINT, ub BIGINT, tb BIGINT, " +
+      "morton BIGINT, cell BIGINT"
+    // a touched cell with no directory yet (first rows of a new tile)
+    // contributes only batch rows — same existence filter as IvfPq's
+    // probedScan (nTouched stat calls, a metastore lookup's moral
+    // equivalent)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = touchedCells.map(c => s"$path/cell=$c")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val merged0 =
+      if (dirs.isEmpty) batchCoded
+      else spark.read.schema(schema).option("basePath", path)
+        .parquet(dirs.toIndexedSeq: _*)
+        .unionByName(batchCoded)
+    (merged0, touchedCells.length.toLong)
+  }
+
+  private[graft] def maintainMergeInput(spark: SparkSession, path: String,
+      batchCoded: DataFrame): DataFrame =
+    maintainMergeInputCounted(spark, path, batchCoded)._1
 
   /** ZONE-MAP PRUNING AUDIT: the data-skipping effectiveness report a
     * lakehouse reads off its file manifest. Two layouts of the same
