@@ -580,7 +580,8 @@ object IvfPq {
       val queries = emb
         .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      batchServe(s, Seq(path), centroids, queries, emb)
+      batchServe(s, Seq(path), centroids, queries, emb,
+        queryCountHint = Some(evalQueryCount(s, d)))
     }
   }
 
@@ -761,7 +762,8 @@ object IvfPq {
     val queries = emb
       .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    batchServe(s, Seq(basePath, deltaPath), centroids, queries, emb)
+    batchServe(s, Seq(basePath, deltaPath), centroids, queries, emb,
+      queryCountHint = Some(evalQueryCount(s, d)))
   }
 
   /** Tombstone rule for q316: every 7th vector is purged — chosen so
@@ -909,7 +911,8 @@ object IvfPq {
     val queries = emb
       .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val served = batchServe(s, Seq(path), centroids, queries, emb)
+    val served = batchServe(s, Seq(path), centroids, queries, emb,
+        queryCountHint = Some(evalQueryCount(s, d)))
       .select("query_id", "vec_id")
     val exactDist = (0 until PqAnn.dims).map { j =>
       val dd = element_at(col("q_emb"), j + 1).cast("double") -
@@ -1060,6 +1063,20 @@ object IvfPq {
     emb.where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
+  /** |evalQueries| per (session, corpus) — the broadcast-gate count
+    * serveCandidates needs. Counting it per invocation was one scan
+    * job inside every warm serve pass (q303/q309/q324/q328 all gate on
+    * the SAME deterministic stride relation); memoized it is batch
+    * metadata, passed as `queryCountHint`. The gate DECISION is
+    * unchanged — the hint equals the count it replaces. */
+  private val evalQueryCountMemo =
+    new graft.spark.SessionMemo[String, Long]("ivfpq.evalQueryCount")(_ => ())
+
+  private def evalQueryCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    evalQueryCountMemo.getOrElseUpdate(s, d)(
+      evalQueries(Tables.embeddings(s, d)).count())
+
   private def buildPlannerCurves(s: org.apache.spark.sql.SparkSession,
       d: String, queries: org.apache.spark.sql.DataFrame):
       (org.apache.spark.sql.DataFrame,
@@ -1202,18 +1219,29 @@ object IvfPq {
       .orderBy("target_pct")
   }
 
+  /** The collected q327 policy table per (session, corpus) — the
+    * planner's SCALAR surface. The curves were already memoized, but a
+    * policy LOOKUP still re-ran the small selection job per call
+    * (~0.35 s of pure stage latency inside every warm q328 pass —
+    * measured r13, ServeProfile); the ≤|targets|-row table is index
+    * metadata, so collect it once and serve lookups driver-side. */
+  private val plannerChoice =
+    new graft.spark.SessionMemo[String, Map[Int, Int]](
+      "ivfpq.plannerChoice")(_ => ())
+
   /** The planner's CONFIG FUNCTION: the nProbe the q327 policy table
     * selects for `targetPct` (sweep max with a log-visible fallback
     * when unreachable). One bounded collect of the ≤|targets|-row
-    * policy relation. */
+    * policy relation per (session, corpus); lookups after that are
+    * driver-side map hits. */
   def nProbeForRecall(s: org.apache.spark.sql.SparkSession, d: String,
       targetPct: Int): Int = {
-    val rows = plannerPolicy(s, d)
-      .where(col("target_pct") === targetPct)
-      .select("n_probe").collect()
-    require(rows.nonEmpty,
+    val byTarget = plannerChoice.getOrElseUpdate(s, d)(
+      plannerPolicy(s, d).select("target_pct", "n_probe").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap)
+    require(byTarget.contains(targetPct),
       s"target $targetPct% is not in the planner grid $plannerTargets")
-    rows.head.getInt(0)
+    byTarget(targetPct)
   }
 
   /** Scan budgets (ppm of |Q|·|corpus| rows scanned) the q332 policy
@@ -1359,7 +1387,8 @@ object IvfPq {
     val queries = emb
       .where(pmod(col("vec_id"), lit(batchQueryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    batchServe(s, Seq(path), centroids, queries, emb, probes = p)
+    batchServe(s, Seq(path), centroids, queries, emb, probes = p,
+      queryCountHint = Some(evalQueryCount(s, d)))
   }
 
   /** One full PQ serve chain (corpus assignment → query routing →

@@ -220,31 +220,57 @@ object StarComponents {
   /** The integer power iteration behind q180, reusable on any
     * (doc_a, doc_b) pair relation. Returns (node, deg, r). */
   def pageRankInt(pairs: DataFrame, iters: Int = prIters): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-    val edgesDeg = edges.join(deg, "a").persist()
-    edgesDeg.count()
-    val release = org.apache.spark.sql.graftshim.Checkpoints.release _
-    var ranks = deg.select(col("a").as("node"), lit(prScale).as("r"))
-      .localCheckpoint()
+    val spark = pairs.sparkSession
+    // tiny iterative relation (the near-dup pair graph is Zipf-compact,
+    // ~10^2..10^3 nodes at the tested SFs): size the loop's shuffles
+    // PER ROUND to the data, not the CPU count — the star-contraction
+    // discipline (before: each round paid cores-many near-empty
+    // shuffle tasks per stage).
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(partKey)
+    spark.conf.set(partKey, "8")
     try {
-      (1 to iters).foreach { _ =>
-        val next = edgesDeg.join(ranks, col("a") === col("node"))
-          .select(col("b"), expr("r div deg").as("contrib"))
-          .groupBy("b")
-          .agg(sum("contrib").as("s"))
-          .select(col("b").as("node"),
-            (lit(prBase) + expr("85 * s div 100")).as("r"))
-          .localCheckpoint()
-        release(ranks)
-        ranks = next
-      }
-      // the final checkpointed generation rides into the caller's plan
-      // (blocks bounded by the node set, freed with the session); the
-      // intermediate generations were released eagerly above
-      ranks.join(deg.select(col("a").as("node"), col("deg")), "node")
-    } finally edgesDeg.unpersist(): Unit
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      val edgesDeg = edges.join(deg, "a").persist()
+      edgesDeg.count()
+      val release = org.apache.spark.sql.graftshim.Checkpoints.release _
+      // Checkpoint every FOURTH generation, not every one: unlike star
+      // contraction (whose round plan embeds ~10 copies of the previous
+      // round — exponential lineage), each rank generation references
+      // its predecessor exactly ONCE (one join), so lineage grows
+      // linearly and an eager materialization barrier per round just
+      // pays 8 job launches for a 10^2-node relation. Four chained
+      // (join ⋈ groupBy) rounds per plan keeps the tree small while
+      // cutting the barrier count to iters/4. q180 isolated at sf0.1:
+      // 6.2 s (r12, per-round ckpt + cores-wide shuffles) → 5.0 s
+      // (tiny shuffles) → measured again after this change below.
+      val ckptEvery = 4
+      var ranks = deg.select(col("a").as("node"), lit(prScale).as("r"))
+        .localCheckpoint()
+      var lastCkpt = ranks
+      try {
+        (1 to iters).foreach { i =>
+          var next = edgesDeg.join(ranks, col("a") === col("node"))
+            .select(col("b"), expr("r div deg").as("contrib"))
+            .groupBy("b")
+            .agg(sum("contrib").as("s"))
+            .select(col("b").as("node"),
+              (lit(prBase) + expr("85 * s div 100")).as("r"))
+          if (i % ckptEvery == 0 || i == iters) {
+            next = next.localCheckpoint()
+            release(lastCkpt)
+            lastCkpt = next
+          }
+          ranks = next
+        }
+        // the final checkpointed generation rides into the caller's plan
+        // (blocks bounded by the node set, freed with the session); the
+        // intermediate generations were released eagerly above
+        ranks.join(deg.select(col("a").as("node"), col("deg")), "node")
+      } finally edgesDeg.unpersist(): Unit
+    } finally spark.conf.set(partKey, prev)
   }
 
   /** GRAPH MOTIF CENSUS over the verified near-dup graph: per node,
