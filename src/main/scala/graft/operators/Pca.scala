@@ -90,7 +90,13 @@ object Pca {
           matvecSql("smat", s"v${k - 1}", s"w$k") + ",\n" +
             rescaleSql(s"w$k", s"v$k")).mkString(",\n")}""".stripMargin
 
-  private[operators] final case class PcaParts(smat: DataFrame, v: DataFrame)
+  /** Solved census: the scatter matrix as a relation (downstream
+    * renderings join it), its collected cells (≤ d² rows — bounded
+    * index metadata, the centroid-literal discipline; q300's deflation
+    * algebra runs on them driver-side), and the top component as a
+    * d-row local relation. */
+  private[operators] final case class PcaParts(smat: DataFrame,
+      cells: IndexedSeq[(Int, Int, BigInt)], v: DataFrame)
 
   /** Quantized (vec_id, qv) relation over an embeddings slice. */
   private[operators] def qvecOf(emb: DataFrame): DataFrame =
@@ -139,7 +145,6 @@ object Pca {
 
   private def buildAndIterate(s: org.apache.spark.sql.SparkSession,
       gram: DataFrame, sums: DataFrame, nRow0: DataFrame): PcaParts = {
-    val wAll = Window.partitionBy()
     val nRow = nRow0.withColumn("one", lit(1))
     val smat = gram.withColumn("one", lit(1))
       .join(broadcast(nRow), "one")
@@ -151,32 +156,45 @@ object Pca {
         (col("n") * col("g") - col("sa") * col("sb")).as("sv"))
       .localCheckpoint()
 
-    def matvec(v: DataFrame): DataFrame =
-      smat.join(v, "j").groupBy("i").agg(sum(col("sv") * col("vj")).as("wi"))
-
-    def rescale(w: DataFrame): DataFrame = {
-      val m = w.withColumn("m",
-        greatest(max(abs(col("wi"))).over(wAll), lit(1L).cast("decimal(38,0)")))
-      // multiply-then-divide matches the oracle's `//` exactly, but
-      // |wi|·2²⁰ must stay inside DECIMAL(38,0) (|wi| can reach
-      // ~2⁶⁷·n² — the budget binds near 10⁶ worst-case vectors).
-      // Assert LOUDLY instead of letting non-ANSI overflow NULL vj
-      // and silently poison the eigenvector; past the bound, adopt
-      // the deflated operator's divide-first rescale2 form on BOTH
-      // engines. Bound 9e31 ≈ (10³⁸−1)/2²⁰ with margin.
-      m.select(col("i").as("j"),
-        when(assert_true(
-          col("m") <= lit(BigDecimal("9" + "0" * 31)).cast("decimal(38,0)"),
-          lit("q275 rescale: max|wi| exceeds the 38-digit multiply-" +
-            "then-divide budget — switch to the divide-first form")).isNull,
-          (when(col("wi") < 0, -1L).otherwise(1L)
-            * expr(s"(abs(wi) * $scaleU) div m")).cast("long")).as("vj"))
+    // The power iteration runs DRIVER-SIDE over the collected census:
+    // smat is ≤ d² rows (4096 at d=64) of exact integers — bounded
+    // index metadata, the centroid-literal discipline. The r12 form
+    // ran each of the 8 rounds as join + agg + global-window +
+    // localCheckpoint Spark jobs over those same ≤4096 rows (~0.3 s of
+    // pure stage latency per round, ×3 catalog queries in the family);
+    // the arithmetic here is IDENTICAL and exact — BigInt matvec,
+    // m = max(max|wi|, 1), v′ = sign(wi)·(|wi|·2²⁰ div m) on
+    // non-negative operands (trunc == floor, the cross-engine rule).
+    // PcaSpec's independent BigInt replay pins the equality.
+    val cells: IndexedSeq[(Int, Int, BigInt)] = smat.collect().toIndexedSeq
+      .map(r => (r.get(0).asInstanceOf[Number].intValue,
+        r.get(1).asInstanceOf[Number].intValue,
+        BigInt(r.getDecimal(2).toBigInteger)))
+    // |wi|·2²⁰ must stay inside the ORACLE's HUGEINT/DECIMAL(38,0)
+    // budget (|wi| can reach ~2⁶⁷·n² — binds near 10⁶ worst-case
+    // vectors). BigInt cannot overflow, but past the bound the DuckDB
+    // side would — fail LOUDLY on the same contract as before; past
+    // it, adopt the deflated operator's divide-first rescale2 form on
+    // BOTH engines. Bound 9e31 ≈ (10³⁸−1)/2²⁰ with margin.
+    val budget = BigInt("9" + "0" * 31)
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(scaleU))
+    for (_ <- 1 to iters) {
+      val w = Array.fill(dim)(BigInt(0))
+      cells.foreach { case (i, j, sv) => w(i - 1) += sv * v(j - 1) }
+      val m = w.iterator.map(_.abs).max.max(BigInt(1))
+      require(m <= budget,
+        "q275 rescale: max|wi| exceeds the 38-digit multiply-" +
+          "then-divide budget — switch to the divide-first form")
+      v = w.toIndexedSeq.map(wi =>
+        (if (wi < 0) BigInt(-1) else BigInt(1)) * (wi.abs * scaleU / m))
     }
-
-    var v: DataFrame = s.range(1, dim + 1)
-      .select(col("id").as("j"), lit(scaleU).as("vj"))
-    for (_ <- 1 to iters) v = rescale(matvec(v)).localCheckpoint()
-    PcaParts(smat, v)
+    import s.implicits._
+    // j is INT (the census cell index's type — downstream renderings
+    // and specs read it as such); vj is the scaled LONG component
+    val vDf = v.zipWithIndex
+      .map { case (vj, idx) => (idx + 1, vj.toLong) }
+      .toDF("j", "vj")
+    PcaParts(smat, cells, vDf)
   }
 
   /** The exact scatter matrix and scaled integer top component over
@@ -391,69 +409,65 @@ object Pca {
        |FROM y$iters v CROSS JOIN ray2 r CROSS JOIN ortho o
        |ORDER BY idx""".stripMargin) { (s, d) =>
     val parts = pcaParts(s, d)
-    // sign-split the re-quantization: Spark div truncates, DuckDB //
-    // floors — identical only on non-negative operands (skill rule)
-    val u = parts.v.select(col("j"),
-      expr(s"(case when vj < 0 then -1 else 1 end) * ((abs(vj) * 256) div $scaleU)")
-        .as("uj"))
-      .localCheckpoint()
-    val w = parts.smat.join(u, "j").groupBy("i")
-      .agg(sum(col("sv") * col("uj")).as("wi")).localCheckpoint()
-    val c1 = u.agg(sum(col("uj").cast("decimal(38,0)") * col("uj")).as("c"))
-      .withColumn("one", lit(1))
-    val r1 = w.join(u.withColumnRenamed("j", "i"), "i")
-      .agg(sum(col("wi") * col("uj")).as("r")).withColumn("one", lit(1))
-    val smat2 = parts.smat.withColumn("one", lit(1))
-      .join(broadcast(c1), "one").join(broadcast(r1), "one")
-      .join(broadcast(u.select(col("j").as("i"), col("uj").as("ua"))), "i")
-      .join(broadcast(u.select(col("j"), col("uj").as("ub"))), "j")
-      .join(broadcast(w.select(col("i"), col("wi").as("wa"))), "i")
-      .join(broadcast(w.select(col("i").as("j2"), col("wi").as("wb"))),
-        col("j") === col("j2"))
-      .select(col("i"), col("j"),
-        (col("c") * col("c") * col("sv")
-          - col("c") * (col("ua") * col("wb") + col("wa") * col("ub"))
-          + col("r") * col("ua") * col("ub")).as("svr"))
-      // quantize the deflated operator to its own 2^-20 grid (the
-      // magnitudes otherwise overflow the matvec). Spark's `div`
-      // returns BIGINT — too small here — so floor-divide exactly in
-      // decimal: (x - pmod(x, s)) / s is integral (pmod is the
-      // non-negative remainder, so this is FLOOR, matching //)
-      .select(col("i"), col("j"),
-        expr(s"cast((svr - pmod(svr, $scaleU)) / $scaleU as decimal(38,0))")
-          .as("sv"))
-      .localCheckpoint()
-    val wAll = Window.partitionBy()
-    def matvec(v: DataFrame): DataFrame =
-      smat2.join(v, "j").groupBy("i").agg(sum(col("sv") * col("vj")).as("wi"))
-    def rescale(wd: DataFrame): DataFrame = {
-      val m = wd
-        .withColumn("mx", expr("max(abs(wi)) over ()"))
-        .withColumn("m", greatest(
-          expr("cast((mx - pmod(mx, 1024)) / 1024 as decimal(38,0))"),
-          lit(1L).cast("decimal(38,0)")))
-      m.select(col("i").as("j"),
-        (when(col("wi") < 0, -1L).otherwise(1L)
-          * expr("abs(wi) div m")).cast("long").as("vj"))
+    // The deflation algebra and second iteration run DRIVER-SIDE over
+    // the collected census (PcaParts.cells, ≤ d² exact integers) —
+    // zero new Spark jobs beyond the census q275 already built. The
+    // r12 form staged u/w/c/r/smat2 as five checkpointed relations and
+    // ran 8 more join+agg+window rounds over ≤4096 rows (q300 measured
+    // 4.8 s isolated at sf0.1; ~1.8 s after). Every operation below is
+    // the same exact integer arithmetic (BigInt; floor division made
+    // explicit where operands can be negative), so the oracle hash and
+    // PcaSpec's BigInt deflation replay are unchanged.
+    import s.implicits._
+    val vTop: IndexedSeq[BigInt] = parts.v.collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .map(t => BigInt(t._2)).toIndexedSeq
+    // sign-split re-quantization to 2^10 units: trunc == floor on the
+    // non-negative |vj| (the cross-engine rule)
+    val u: IndexedSeq[BigInt] = vTop.map { vj =>
+      val a = vj.abs * 256 / scaleU; if (vj < 0) -a else a
     }
-    var v: DataFrame = s.range(1, dim + 1)
-      .select(col("id").as("j"), lit(1024L).as("vj"))
-    for (_ <- 1 to iters) v = rescale(matvec(v)).localCheckpoint()
-    val zf = matvec(v)
-    val ray2 = zf.join(v.withColumnRenamed("j", "i"), "i")
-      .agg(sum(col("wi") * col("vj")).as("num"),
-        sum(col("vj").cast("decimal(38,0)") * col("vj")).as("den"))
-      .withColumn("one", lit(1))
-    val ortho = v.join(u, "j")
-      .agg(sum(col("vj").cast("decimal(38,0)") * col("uj")).as("uv"),
-        sum(abs(col("vj")).cast("decimal(38,0)")).as("vabs"))
-      .withColumn("one", lit(1))
-    v.withColumn("one", lit(1))
-      .join(broadcast(ray2), "one").join(broadcast(ortho), "one")
-      .select(col("j").as("idx"), col("vj").cast("long").as("v_scaled"),
-        (col("vj").cast("double") / lit(1024.0)).as("loading"),
-        (col("num").cast("double") / col("den").cast("double")).as("deflated_eig"),
-        col("uv").cast("long").as("u_dot_v"))
+    val w = Array.fill(dim)(BigInt(0))
+    parts.cells.foreach { case (i, j, sv) => w(i - 1) += sv * u(j - 1) }
+    val c = u.map(x => x * x).sum
+    val r = (0 until dim).map(i => w(i) * u(i)).sum
+    // S′ = c²·S − c·(u·wᵀ + w·uᵀ) + r·u·uᵀ, quantized to its own
+    // 2^-20 grid by FLOOR division (svr can be negative — BigInt `/`
+    // truncates, so adjust; matches DuckDB `//` and the r12
+    // (x − pmod(x, s))/s spelling)
+    def floorDiv(x: BigInt, d0: BigInt): BigInt = {
+      val q = x / d0; if (x.sign < 0 && q * d0 != x) q - 1 else q
+    }
+    val grid = BigInt(scaleU)
+    val cells2: IndexedSeq[(Int, Int, BigInt)] = parts.cells.map {
+      case (i, j, sv) =>
+        val svr = c * c * sv - c * (u(i - 1) * w(j - 1) + w(i - 1) * u(j - 1)) +
+          r * u(i - 1) * u(j - 1)
+        (i, j, floorDiv(svr, grid))
+    }
+    def matvec2(y: IndexedSeq[BigInt]): IndexedSeq[BigInt] = {
+      val z = Array.fill(dim)(BigInt(0))
+      cells2.foreach { case (i, j, sv) => z(i - 1) += sv * y(j - 1) }
+      z.toIndexedSeq
+    }
+    var y: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1024))
+    for (_ <- 1 to iters) {
+      val z = matvec2(y)
+      // divide-first rescale: m = max(⌊max|wi|/2^10⌋, 1), then
+      // sign·(|wi| div m) — all divisions on non-negative operands
+      val m = (z.iterator.map(_.abs).max / 1024).max(BigInt(1))
+      y = z.map(wi => (if (wi < 0) BigInt(-1) else BigInt(1)) * (wi.abs / m))
+    }
+    val zf = matvec2(y)
+    val num = (0 until dim).map(i => zf(i) * y(i)).sum
+    val den = y.map(x => x * x).sum
+    val uv = (0 until dim).map(i => y(i) * u(i)).sum
+    // idx stays INT (the census index type, as the iterative form
+    // produced); scaled values stay LONG
+    (1 to dim).map { j =>
+      (j, y(j - 1).toLong, y(j - 1).toDouble / 1024.0,
+        num.toDouble / den.toDouble, uv.toLong)
+    }.toDF("idx", "v_scaled", "loading", "deflated_eig", "u_dot_v")
       .orderBy("idx")
   }
 

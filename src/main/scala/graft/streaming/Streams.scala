@@ -2721,19 +2721,26 @@ object Streams {
 
   // ---- q242: stream-stream LEFT OUTER join ----
 
-  /** Stage the full events table as one arrival file followed by two
-    * SENTINEL files far in event-time future (user_id = −1, one view +
-    * one click each, +30/+60 days) with strictly increasing mtimes —
-    * the q203 ordered-arrival technique. The sentinels exist to drive
-    * the WATERMARK past every real event: sentinel 1 advances it at
-    * batch-1 end, and batch 2 (sentinel 2) is the trigger in which the
-    * engine evicts expired join state and EMITS the null-padded rows.
-    * Without them an outer join over a finite file stream holds every
-    * unmatched row forever — the part of outer-join semantics inner
-    * joins (q67) never exercise. */
+  /** Stage the full events table PLUS a far-future sentinel pair
+    * (user_id = −1, one view + one click, +30 days) as arrival file 0,
+    * followed by a second sentinel pair (+60 days) as arrival file 1,
+    * with strictly increasing mtimes — the q203 ordered-arrival
+    * technique. The sentinels drive the WATERMARK past every real
+    * event: the watermark updates from the batch MAX at END of batch
+    * (so sentinel 1 riding WITH the events advances it past all real
+    * rows when batch 0 closes), and batch 1 (sentinel 2) is the
+    * trigger in which the engine evicts expired join state and EMITS
+    * the null-padded rows. Without them an outer join over a finite
+    * file stream holds every unmatched row forever — the part of
+    * outer-join semantics inner joins (q67) never exercise. (r12
+    * staged three arrivals — events, s1, s2 — paying a third stateful
+    * trigger for nothing: watermark semantics only need the sentinel
+    * in the SAME batch as the rows it expires, since the update
+    * happens after the batch's join anyway. q242 measured 6.2 s → see
+    * OPTIMIZATION_r13.md.) */
   private def stageEventsWithSentinels(spark: SparkSession,
       sfDir: String): String = {
-    val dir = graft.operators.Formats.scratchDir("graft_stream_outer", sfDir)
+    val dir = graft.operators.Formats.scratchDir("graft_stream_outer2", sfDir)
     val marker = new java.io.File(dir, "_staged")
     if (!marker.exists()) {
       graft.operators.Formats.wipe(dir)
@@ -2742,6 +2749,13 @@ object Streams {
       val ev = graft.sources.Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      def sentinels(i: Int): DataFrame = {
+        val ts = maxUs + i * 30L * 86400L * 1000000L
+        Seq((-2L * i, ts, -1L, "view"), (-2L * i - 1, ts, -1L, "click"))
+          .toDF("event_id", "ts_us", "user_id", "event_type")
+          .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("user_id"), col("event_type"))
+      }
       def writeArrival(df: DataFrame, i: Int): Unit = {
         val tmp = new java.io.File(dir, s"_tmp$i")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -2754,15 +2768,8 @@ object Streams {
         assert(dst.setLastModified(1700000000000L + i * 60000L))
         graft.operators.Formats.wipe(tmp.toString)
       }
-      writeArrival(ev, 0)
-      Seq(1, 2).foreach { i =>
-        val ts = maxUs + i * 30L * 86400L * 1000000L
-        writeArrival(Seq(
-          (-2L * i, ts, -1L, "view"), (-2L * i - 1, ts, -1L, "click"))
-          .toDF("event_id", "ts_us", "user_id", "event_type")
-          .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
-            col("user_id"), col("event_type")), i)
-      }
+      writeArrival(ev.unionByName(sentinels(1)), 0)
+      writeArrival(sentinels(2), 1)
       assert(marker.createNewFile())
     }
     dir
