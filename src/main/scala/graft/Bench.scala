@@ -114,7 +114,14 @@ object Bench {
           val sec = try {
             q.fn(spark, sfDir).count() // warm
             time(q.fn(spark, sfDir).count())
-          } catch { case _: Throwable => -1.0 }
+          } catch { case e: Throwable =>
+            // a failed entry records -1.0; say WHY on stderr (two
+            // r12 entries were silently -1 in BENCH_FULL with no
+            // trace to debug from)
+            System.err.println(s"[bench] catalog ${q.name} failed: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            -1.0
+          }
           Some(q.name -> sec)
         }
       }

@@ -229,6 +229,15 @@ object NeuralEmbed {
     featurized(s, d)
       .select(col("doc_id") +:
         (0 until hidden).map(k => hiddenCol(col("v"), k).as(s"h$k")): _*)
+      // materialize-once BARRIER between the layers (localCheckpoint —
+      // no CacheManager entry; the verify-skill rule): without it
+      // CollapseProject re-inlines each 64-term hidden unit into all
+      // embDim output sums — 16×5×64 ≈ 5,120 terms whose plan STRING
+      // renders at 2.5 MB (the maxPlanStringLength truncation WARN the
+      // r12 verdict flagged) and whose codegen re-evaluates every
+      // hidden unit embDim times. Values are bit-identical: h_k is
+      // computed once by the same expression, then reused.
+      .localCheckpoint()
       .select(col("doc_id"),
         array((0 until embDim).map { j =>
           (0 until hidden).map(k => col(s"h$k") * lit(w2(j)(k)))
