@@ -50,5 +50,20 @@ object BloomSketch {
     * (no false negatives; false positives at the sized FPR). */
   def mightContain(bloom: Array[Byte], hash: Column): Column =
     ColumnBridge.column(BloomFilterMightContain(
-      Literal(bloom, BinaryType), ColumnBridge.expression(hash)))
+      new ElidedBinaryLiteral(bloom), ColumnBridge.expression(hash)))
+}
+
+/** A binary [[Literal]] that renders as a size tag instead of the full
+  * hex dump. A 512 KB sketch literal otherwise stringifies to ~1 MB of
+  * hex PER OCCURRENCE every time the plan is rendered (explain, SQL
+  * listener, event log) — the 2–4 MB `maxPlanStringLength` truncation
+  * WARNs the r12 verdict flagged came from exactly this. Semantics are
+  * Literal's own (same value, same type, same eval/codegen);
+  * ConstantFolding leaves Literals in place, so the elision survives
+  * optimization. A rule that rebuilds the node via `Literal(...)`
+  * merely restores the verbose rendering — never wrong results. */
+private[graftshim] class ElidedBinaryLiteral(bytes: Array[Byte])
+  extends Literal(bytes, BinaryType) {
+  override def toString: String = s"binary_literal(${bytes.length} bytes elided)"
+  override def sql: String = toString
 }
